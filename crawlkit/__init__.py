@@ -1,0 +1,22 @@
+"""crawlkit — a Ray-Data-native crawl-scheduling / data-processing engine.
+
+Built from scratch with the query/data-processing capabilities of the
+reference (e8kor/crawler, an OpenFaaS Go crawler fleet) re-expressed as
+idiomatic Ray Data: ``ray.data.Dataset`` pipelines, ``map_batches`` over
+zero-copy Arrow batches, actor pools for stateful stages (fetch sessions,
+politeness token buckets, sharded URL-seen set), and explicit
+groupby/sort/shuffle for the wide steps.
+
+Layout (see SURVEY.md §7.0):
+  canon.py       normalizers compatible with the reference's string UDFs
+  hashing.py     deterministic stable hashing (no random / no time)
+  imagecodec.py  PNG codec (real) + lossy stand-in ("jpeg" stub), phash
+  synthweb.py    deterministic seeded synthetic web (hosts/pages/images)
+  refsim.py      single-threaded reference-semantics simulator (oracle)
+  state/         seen-set shards (bloom+cuckoo+exact), lancelike tables,
+                 checkpoint manifests
+  stages/        fetch actors, parser plugin registry, politeness
+  pipelines/     crawl round loop, text/dedup/ann/relational pipelines
+"""
+
+__version__ = "0.1.0"

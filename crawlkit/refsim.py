@@ -1,0 +1,162 @@
+"""Single-threaded reference-semantics simulator — the crawl test oracle.
+
+Implements the EXACT crawl semantics the Ray engine must reproduce
+(SURVEY.md §5.3). The semantics are the reference's, made deterministic
+where the reference left determinism to chance (§1.4):
+
+* one ``created`` timestamp per run (``otodom/orchestrator/handler.go:26``)
+* single ordered seed list (dead ``?url`` path → SOURCE_URL semantics,
+  ``orchestrator/handler.go:29-32``)
+* seed fetch yields ONLY pagination (total_pages reads the pager, not
+  articles — ``otodom/total_pages/handler.go:30``); running-max last page
+  (G2, ``:39-41``); expansion pages 1..last-1 with the ``?``/``&`` predicate
+  (M6/F3, ``:53-65``)
+* ≤5 fetch attempts per URL then hard per-item failure (T3,
+  ``otodom/commons/extensions.go:25-47``)
+* extraction + digit-concat normalization + ``.html``-strip link
+  canonicalization (M1/M2/M3)
+* insert-dedup seen-set (D1, ``commons/Entry.go:37``)
+
+North-rule additions (absent in the reference, shared by engine+oracle):
+robots.txt blocking, per-host-per-round politeness budget, and the
+offer→image payload round.
+
+Shared ordering contract (engine mirrors this exactly):
+round r issue order = frontier candidates sorted by
+``(depth, seed_id, priority, host, canon_url)``; per host only the first
+``budget`` candidates are issued this round, the rest are deferred.
+Dedup-admit (seen-set insert) happens at frontier-admit time; robots
+blocking happens at issue time (blocked URLs are in the seen set and the
+fetch log but never issued). ``order`` = concatenation of per-round
+issue sequences.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from . import canon
+from .stages import parsers
+from .synthweb import SynthWeb
+
+RETRY_ATTEMPTS = 5  # otodom/flat_crawler/handler.go:53
+STATUS_ROBOTS_BLOCKED = -2
+STATUS_EXHAUSTED = -1
+
+
+@dataclass(frozen=True)
+class CrawlSpec:
+    """Politeness/budget config shared by the oracle and the engine."""
+
+    host_budget_per_round: int = 4  # max fetches per host per round
+    max_rounds: int = 64
+    max_depth: int = 2  # 0 seeds, 1 listing pages, 2 offers
+    obey_robots: bool = True
+    run_ts: str = "2026-01-01T00:00:00"  # the single per-run `created`
+
+
+@dataclass
+class SimResult:
+    order: list[str] = field(default_factory=list)  # canon urls, issue order
+    seen: set[str] = field(default_factory=set)
+    entries: list[dict] = field(default_factory=list)
+    images: list[dict] = field(default_factory=list)
+    fetch_log: list[dict] = field(default_factory=list)
+
+
+def _fetch_with_retry(web: SynthWeb, url: str):
+    """T3 semantics: up to RETRY_ATTEMPTS attempts, first success wins."""
+    for attempt in range(1, RETRY_ATTEMPTS + 1):
+        r = web.fetch(url, attempt=attempt)
+        if r.status == 200:
+            return r, attempt
+    return r, RETRY_ATTEMPTS
+
+
+def simulate(web: SynthWeb, spec: CrawlSpec = CrawlSpec()) -> SimResult:
+    res = SimResult()
+    seeds = web.seeds()
+    frontier: list[dict] = []
+
+    def admit(url: str, priority: int, depth: int, seed_id: int, rnd: int) -> None:
+        cu = canon.canonicalize_url_one(url)
+        if cu in res.seen:
+            return
+        res.seen.add(cu)
+        frontier.append(
+            {
+                "url": url,
+                "canon_url": cu,
+                "host": canon.host_of_one(url),
+                "priority": priority,
+                "depth": depth,
+                "seed_id": seed_id,
+                "round_added": rnd,
+            }
+        )
+
+    seed_schema = {s["seed_id"]: (s["schema_name"], s["schema_version"], s["domain"]) for s in seeds}
+    for s in seeds:
+        admit(s["url"], 0, 0, s["seed_id"], 0)
+
+    for rnd in range(spec.max_rounds):
+        if not frontier:
+            break
+        frontier.sort(key=lambda f: (f["depth"], f["seed_id"], f["priority"], f["host"], f["canon_url"]))
+        issued, deferred, host_used = [], [], {}
+        for f in frontier:
+            used = host_used.get(f["host"], 0)
+            if used >= spec.host_budget_per_round:
+                deferred.append(f)
+                continue
+            host_used[f["host"]] = used + 1
+            issued.append(f)
+        frontier = deferred
+
+        for f in issued:
+            if spec.obey_robots and f["host"] and f["depth"] == 2 and web.host_blocks_offers(f["host"]):
+                res.fetch_log.append(
+                    {"canon_url": f["canon_url"], "host": f["host"], "round": rnd,
+                     "status": STATUS_ROBOTS_BLOCKED, "attempts": 0, "error": "robots", "bytes": 0}
+                )
+                continue
+            res.order.append(f["canon_url"])
+            r, attempts = _fetch_with_retry(web, f["url"])
+            res.fetch_log.append(
+                {"canon_url": f["canon_url"], "host": f["host"], "round": rnd,
+                 "status": r.status if r.status == 200 else STATUS_EXHAUSTED,
+                 "attempts": attempts, "error": r.error or "", "bytes": r.nbytes}
+            )
+            if r.status != 200:
+                continue
+            name, version, domain = seed_schema[f["seed_id"]]
+            if f["depth"] == 0:
+                anchors = parsers.parse_pagination(r.body)
+                last = max(anchors, default=0)  # G2 running max
+                for prio, page_url in parsers.expand_pages(f["url"], last):
+                    admit(page_url, prio, 1, f["seed_id"], rnd + 1)
+            elif f["depth"] == 1:
+                spec_p = parsers.get_parser(name)
+                for a in spec_p.parse(r.body, f["url"]):
+                    res.entries.append(
+                        {
+                            "schema_name": name,
+                            "schema_version": version,
+                            "domain": domain,
+                            "created": spec.run_ts,
+                            "title": a["title"],
+                            "name": a["name"],
+                            "region": a["region"],
+                            "rooms": canon.extract_number_one(a["rooms_raw"]),
+                            "price": canon.extract_number_one(a["price_raw"]),
+                            "total_price": canon.extract_number_one(a["total_price_raw"]),
+                            "area": canon.extract_number_one(a["area_raw"]),
+                            "link": canon.take_characters_before_one(a["href"], ".html"),
+                        }
+                    )
+                    if spec.max_depth >= 2 and a["href"]:
+                        admit(a["href"], 0, 2, f["seed_id"], rnd + 1)
+            elif f["depth"] == 2:
+                for im in parsers.parse_offer_images(r.body, f["url"]):
+                    res.images.append(web.image_record(im["image_id"]))
+    return res

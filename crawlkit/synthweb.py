@@ -1,0 +1,264 @@
+"""Deterministic seeded synthetic web (no network; FIXTURES.md §1-3).
+
+Replaces the live site the reference crawls/tests against
+(``otodom/flat_crawler/handler_test.go:8-16`` hits otodom.pl). Every
+page, article, image and failure is a pure function of ``(seed, url)``
+via stable hashes — the whole web is generated lazily, so bench-scale
+webs (1e6+ URLs) cost nothing to "host".
+
+The HTML uses the exact structure the reference parses
+(``otodom/flat_crawler/handler.go:93-104``, ``total_pages/handler.go:30``):
+``article[id]``, ``div.offer-item-details > header > h3 > a > span >
+span``, ``li.offer-item-rooms.hidden-xs`` …, pagination
+``#pagerForm > ul > li > a`` (including a non-numeric "next »" anchor to
+exercise the invalid-int filter F4).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .hashing import stable_hash64
+from . import imagecodec
+
+_WORDS = (
+    "amber birch cedar delta ember flint grove harbor iris juniper "
+    "kestrel larch maple north opal pine quartz river slate timber "
+    "umber vale willow xenon yarrow zephyr"
+).split()
+
+
+@dataclass(frozen=True)
+class WebConfig:
+    seed: int = 42
+    n_seeds: int = 8
+    n_hosts: int = 5
+    max_last_page: int = 6  # last_page in 2..2+max_last_page-1
+    articles_min: int = 5
+    articles_mod: int = 15
+    images_per_offer_max: int = 3
+    fail_bucket_mod: int = 10  # bucket 0 → first 2 attempts fail
+    robots_block_offers_mod: int = 5  # hosts with h%mod==0 disallow /offer/
+
+
+PROFILES = {
+    "t1": WebConfig(n_seeds=4, n_hosts=3),
+    "t2": WebConfig(n_seeds=8, n_hosts=5),
+    "bench": WebConfig(n_seeds=64, n_hosts=256, max_last_page=24, articles_mod=30),
+}
+
+
+@dataclass
+class FetchResult:
+    url: str
+    status: int
+    body: str | None
+    error: str | None = None
+    nbytes: int = 0
+
+
+class SynthWeb:
+    """The deterministic web. Stateless — safe to instantiate per actor."""
+
+    def __init__(self, config: WebConfig | str = "t2"):
+        self.cfg = PROFILES[config] if isinstance(config, str) else config
+
+    # ---- topology -------------------------------------------------------
+
+    def _h(self, *keys: object) -> int:
+        return stable_hash64(self.cfg.seed, *keys)
+
+    def host(self, i: int) -> str:
+        return f"host{i}.test"
+
+    def seeds(self) -> list[dict]:
+        """Seed list (FIXTURES.md §1). Order is part of the contract."""
+        out = []
+        for sid in range(self.cfg.n_seeds):
+            out.append(
+                {
+                    "seed_id": sid,
+                    "url": f"https://{self.host(sid % self.cfg.n_hosts)}/list?cat={sid}",
+                    "domain": f"domain-{sid % 4}",
+                    "schema_name": "flat" if sid % 2 == 0 else "office",
+                    "schema_version": "v0.0.3",
+                }
+            )
+        return out
+
+    def last_page(self, cat: int) -> int:
+        return 2 + self._h("last", cat) % self.cfg.max_last_page
+
+    def robots_txt(self, host: str) -> str:
+        lines = ["User-agent: *", "Disallow: /blocked/"]
+        if self._h("robots", host) % self.cfg.robots_block_offers_mod == 0:
+            lines.append("Disallow: /offer/")
+        return "\n".join(lines) + "\n"
+
+    def host_blocks_offers(self, host: str) -> bool:
+        return self._h("robots", host) % self.cfg.robots_block_offers_mod == 0
+
+    # ---- page generation ------------------------------------------------
+
+    def _fmt_price(self, v: int) -> str:
+        s = f"{v:,}".replace(",", " ")
+        return s
+
+    def _offer_id(self, cat: int, page: int, k: int) -> str:
+        return f"{self._h('offer', cat, page, k):016x}"
+
+    def n_articles(self, cat: int, page: int) -> int:
+        return self.cfg.articles_min + self._h("narts", cat, page) % self.cfg.articles_mod
+
+    def article_fields(self, cat: int, page: int, k: int) -> dict:
+        """Raw (pre-normalization) strings embedded in the listing HTML."""
+        oid = self._offer_id(cat, page, k)
+        h = self._h("art", oid)
+        host = self.host(cat % self.cfg.n_hosts)
+        price = 500 + h % 5000
+        return {
+            "offer_id": oid,
+            "title": f"Offer {_WORDS[h % len(_WORDS)]} {oid[:6]}",
+            "name": "Oferta prywatna" if h % 3 == 0 else f"Agency {_WORDS[(h >> 8) % len(_WORDS)]}",
+            "region": f"Region {_WORDS[(h >> 16) % len(_WORDS)]}",
+            "rooms_text": f"{1 + (h >> 4) % 5} pokoje",
+            # reference-realistic messy spacing (extensions_test.go:11-15)
+            "price_text": f"{self._fmt_price(price)} zł                /mc",
+            "area_text": f"{20 + (h >> 12) % 80} m²",
+            "per_m2_text": f"{10 + (h >> 20) % 90} zł/m²",
+            "total_price_text": f"{self._fmt_price(price * (20 + (h >> 12) % 80))} zł",
+            "href": f"https://{host}/offer/{oid}.html#{(h >> 24) % 0xFFFF:04x}",
+        }
+
+    def listing_html(self, cat: int, page: int) -> str:
+        last = self.last_page(cat)
+        pager = "".join(
+            f'<li><a href="?cat={cat}&page={i}">{i}</a></li>' for i in range(1, last + 1)
+        )
+        pager += '<li><a href="#">next »</a></li>'  # non-numeric → F4 skip
+        arts = []
+        for k in range(self.n_articles(cat, page)):
+            f = self.article_fields(cat, page, k)
+            arts.append(
+                f'<article id="offer-{f["offer_id"]}">'
+                f'<div class="offer-item-details">'
+                f'<header><h3><a href="{f["href"]}"><span><span>{f["title"]}</span></span></a></h3>'
+                f'<p>{f["region"]}</p></header>'
+                f"<ul>"
+                f'<li class="offer-item-rooms hidden-xs">{f["rooms_text"]}</li>'
+                f'<li class="offer-item-price">{f["price_text"]}</li>'
+                f'<li class="hidden-xs offer-item-price-per-m">{f["per_m2_text"]}</li>'
+                f'<li class="hidden-xs offer-item-area">{f["area_text"]}</li>'
+                f"</ul></div>"
+                f'<div class="offer-item-details-bottom"><ul><li class="pull-right">{f["name"]}</li></ul></div>'
+                f"</article>"
+            )
+        return (
+            "<html><body>"
+            f'<div id="pagerForm"><ul>{pager}</ul></div>'
+            + "".join(arts)
+            + "</body></html>"
+        )
+
+    def n_images(self, offer_id: str) -> int:
+        return 1 + self._h("nimg", offer_id) % self.cfg.images_per_offer_max
+
+    def offer_html(self, offer_id: str) -> str:
+        imgs = []
+        for k in range(self.n_images(offer_id)):
+            iid = f"img-{offer_id}-{k}"
+            imgs.append(
+                f'<figure><img data-image-id="{iid}" src="/img/{iid}"/>'
+                f"<figcaption>{self.caption(iid)}</figcaption></figure>"
+            )
+        return "<html><body>" + "".join(imgs) + "</body></html>"
+
+    # ---- images (FIXTURES.md §3 — exactly the input_hint shape) ---------
+
+    def caption(self, image_id: str) -> str:
+        h = self._h("cap", image_id)
+        n = 3 + h % 6
+        words = [_WORDS[(h >> (5 * (i + 1))) % len(_WORDS)] for i in range(n)]
+        return f"caption {image_id}: " + " ".join(words)
+
+    def image_pixels(self, image_id: str) -> np.ndarray:
+        """Deterministic RGB gradient+noise, shape (h, w, 3) uint8."""
+        h64 = self._h("img", image_id)
+        w = 32 + h64 % 97
+        ht = 32 + (h64 >> 32) % 61
+        rng = np.random.Generator(np.random.PCG64(h64))
+        yy, xx = np.mgrid[0:ht, 0:w]
+        base = np.stack(
+            [
+                (xx * (1 + h64 % 5) + yy) % 256,
+                (yy * (1 + (h64 >> 8) % 7)) % 256,
+                (xx + yy * (1 + (h64 >> 16) % 3)) % 256,
+            ],
+            axis=-1,
+        ).astype(np.float64)
+        noise = rng.integers(-12, 13, size=base.shape)
+        return np.clip(base + noise, 0, 255).astype(np.uint8)
+
+    def image_fmt(self, image_id: str) -> str:
+        return "png" if self._h("fmt", image_id) % 2 == 0 else "jpeg"
+
+    def image_record(self, image_id: str) -> dict:
+        """Full images-table row: (image_id, bytes, w, h, fmt, caption, phash)."""
+        px = self.image_pixels(image_id)
+        fmt = self.image_fmt(image_id)
+        data = imagecodec.encode(px, fmt)
+        decoded = imagecodec.decode(data)
+        return {
+            "image_id": image_id,
+            "bytes": data,
+            "w": int(px.shape[1]),
+            "h": int(px.shape[0]),
+            "fmt": fmt,
+            "caption": self.caption(image_id),
+            "phash": np.int64(np.uint64(imagecodec.phash64(decoded))).item(),
+        }
+
+    # ---- fetch (the S1 analog; deterministic failures → T3 retry) -------
+
+    def fail_attempts(self, url: str) -> int:
+        """Number of leading attempts that fail for this URL (0 or 2)."""
+        return 2 if self._h("fail", url) % self.cfg.fail_bucket_mod == 0 else 0
+
+    def fetch(self, url: str, attempt: int = 1) -> FetchResult:
+        """GET a synthetic URL. ``attempt`` is 1-based; transient 503s for
+        fail-bucket URLs on attempts ≤ fail_attempts(url)."""
+        if attempt <= self.fail_attempts(url):
+            return FetchResult(url, 503, None, error="synthetic transient failure")
+        body = self._route(url)
+        if body is None:
+            return FetchResult(url, 404, None, error="not found")
+        return FetchResult(url, 200, body, nbytes=len(body))
+
+    def _route(self, url: str) -> str | None:
+        from urllib.parse import urlsplit, parse_qs
+
+        parts = urlsplit(url)
+        host = parts.netloc.lower()
+        try:
+            hidx = int(host.removeprefix("host").split(".")[0])
+        except ValueError:
+            return None
+        if hidx < 0 or hidx >= self.cfg.n_hosts:
+            return None
+        if parts.path == "/robots.txt":
+            return self.robots_txt(host)
+        if parts.path == "/list":
+            q = parse_qs(parts.query)
+            cat = int(q.get("cat", ["-1"])[0])
+            if cat < 0 or cat >= self.cfg.n_seeds or cat % self.cfg.n_hosts != hidx:
+                return None
+            page = int(q.get("page", ["1"])[0])
+            if page < 1 or page > self.last_page(cat):
+                return None
+            return self.listing_html(cat, page)
+        if parts.path.startswith("/offer/") and parts.path.endswith(".html"):
+            oid = parts.path[len("/offer/") : -len(".html")]
+            return self.offer_html(oid)
+        return None
