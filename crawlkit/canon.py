@@ -27,7 +27,9 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-_DIGIT_RUN = re.compile(r"\d+")
+# re.ASCII: Go's regexp (RE2) \d is ASCII [0-9] — Python's default \d
+# would additionally match Unicode digits and diverge from the reference.
+_DIGIT_RUN = re.compile(r"\d+", re.ASCII)
 
 
 def extract_number_one(s: str | None) -> int | None:
@@ -62,19 +64,18 @@ def take_characters_before_one(s: str | None, marker: str) -> str | None:
 
 
 def take_characters_before(col: pa.Array | pa.ChunkedArray, marker: str) -> pa.Array:
-    """Vectorized ``take_characters_before`` via find + slice."""
-    idx = pc.find_substring(col, marker)
-    # utf8_slice_codeunits(stop=idx) with idx=-1 (absent) must pass through:
-    # use a large stop when absent.
-    big = pa.scalar(2**31 - 1, pa.int32())
-    stop = pc.if_else(pc.less(idx, 0), big, idx)
-    # no per-element stop kernel exists → fall back to numpy for the split
-    s_np = col.to_numpy(zero_copy_only=False) if isinstance(col, pa.Array) else col.combine_chunks().to_numpy(zero_copy_only=False)
-    stop_np = stop.to_numpy(zero_copy_only=False)
-    out = np.empty(len(s_np), dtype=object)
-    for i, (s, st) in enumerate(zip(s_np, stop_np)):
-        out[i] = None if s is None else (s if st >= len(s) else s[: int(st)])
-    return pa.array(out, type=pa.string())
+    """Batched ``take_characters_before``.
+
+    A pure-Arrow kernel is awkward here (``pc.find_substring`` returns
+    BYTE offsets, Python slicing is by code point), so this loops over
+    the batch with ``str.find`` — the call amortizes per batch and
+    short-circuits fast; semantics exactly match the scalar impl.
+    """
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    vals = arr.to_numpy(zero_copy_only=False)
+    return pa.array(
+        [take_characters_before_one(v, marker) for v in vals], type=pa.string()
+    )
 
 
 def canonicalize_url_one(url: str | None, full: bool = False) -> str | None:

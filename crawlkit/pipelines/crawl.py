@@ -1,0 +1,334 @@
+"""The flagship pipeline: Ray-Data-native frontier crawl round loop.
+
+Replaces the reference's orchestrator saga (``otodom/orchestrator/
+handler.go:17-78``) — every OpenFaaS network boundary becomes a stage
+edge in one Ray Data pipeline per round:
+
+    frontier (Arrow) → [sort (priority order O1)] → [per-host budget
+    (politeness top-k)] → map_batches(FetchParse actor pool: robots,
+    retry≤5, extract M1-M6) → split by kind →
+        fetch_log   → checkpointed parquet (M10 metrics/lineage)
+        entries     → vectorized normalize (M2) → Lance-like append (G1+S5)
+        image_refs  → map_batches(ImageFetchWrite actor pool) → fragments
+                      written task-side, manifest committed driver-side
+        pages       → dedup-admit against SeenSet shards (D1) → next round
+
+Determinism contract (must equal refsim.simulate — SURVEY §7.5.1):
+issue order is defined at SORT time (``depth, seed_id, priority, host,
+canon_url``), results merge order-insensitively; admission of new
+discoveries happens end-of-round in the same sort order. Fetch
+CONCURRENCY therefore never affects ordering, seen-set membership or
+outputs — the property the reference only accidentally had (§1.4).
+
+Scale design notes (10^10-frontier):
+* The frontier is a host-hash-partitioned table; per-round driver state
+  is only the BUDGETED slice (≤ hosts × budget rows — control plane, no
+  payloads). The deferred frontier is checkpointed parquet per round.
+* Image bytes NEVER pass through the driver: ImageFetchWrite writes
+  fragments from inside tasks and returns only manifest metadata.
+* The seen set is K actor shards (bloom+cuckoo+exact); admission routes
+  url-digest→shard with one batched call per shard per round.
+* Sort+budget are done with polars on the driver at sandbox scale and
+  are expressed so they can move to ``ds.sort`` + ``groupby(host)``
+  when the per-round slice outgrows one machine (keys documented in
+  SURVEY §7.4).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import polars as pl
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+from .. import canon
+from ..refsim import CrawlSpec
+from ..stages.fetch import (
+    IMAGES_SCHEMA,
+    STATUS_ROBOTS_BLOCKED,
+    FetchParse,
+    ImageFetchWrite,
+    make_fetch_parse_fn,
+    make_image_write_fn,
+    normalize_entries,
+)
+from ..state.checkpoint import RunCheckpoint
+from ..state.lancelike import TableStore
+from ..state.seenset import SeenSet
+from ..synthweb import PROFILES, SynthWeb, WebConfig
+
+SORT_KEYS = ["depth", "seed_id", "priority", "host", "canon_url"]
+
+FRONTIER_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("canon_url", pa.string()),
+        ("host", pa.string()),
+        ("priority", pa.int64()),
+        ("depth", pa.int32()),
+        ("seed_id", pa.int32()),
+        ("schema_name", pa.string()),
+        ("schema_version", pa.string()),
+        ("domain", pa.string()),
+        ("round_added", pa.int32()),
+    ]
+)
+
+
+@dataclass
+class CrawlResult:
+    out_dir: str
+    order: list[str] = field(default_factory=list)
+    seen: set[str] = field(default_factory=set)
+    rounds: int = 0
+    entries_store: TableStore | None = None
+    images_store: TableStore | None = None
+    fetch_log_store: TableStore | None = None
+
+    def entries_table(self) -> pa.Table:
+        return self.entries_store.read_table()
+
+    def images_table(self) -> pa.Table:
+        return self.images_store.read_table()
+
+    def fetch_log_table(self) -> pa.Table:
+        return self.fetch_log_store.read_table()
+
+
+def _empty_frontier() -> pl.DataFrame:
+    return pl.from_arrow(FRONTIER_SCHEMA.empty_table())
+
+
+def _seed_frontier(web: SynthWeb) -> pl.DataFrame:
+    rows = []
+    for s in web.seeds():
+        cu = canon.canonicalize_url_one(s["url"])
+        rows.append(
+            {
+                "url": s["url"],
+                "canon_url": cu,
+                "host": canon.host_of_one(s["url"]),
+                "priority": 0,
+                "depth": 0,
+                "seed_id": s["seed_id"],
+                "schema_name": s["schema_name"],
+                "schema_version": s["schema_version"],
+                "domain": s["domain"],
+                "round_added": 0,
+            }
+        )
+    return pl.from_arrow(pa.Table.from_pylist(rows, schema=FRONTIER_SCHEMA))
+
+
+def _sort(df: pl.DataFrame) -> pl.DataFrame:
+    return df.sort(SORT_KEYS + ["url"])
+
+
+def _split_budget(df: pl.DataFrame, budget: int) -> tuple[pl.DataFrame, pl.DataFrame]:
+    """Per-host top-k in sort order (the politeness budget, P2 analog)."""
+    df = _sort(df).with_columns(pl.col("host").cum_count().over("host").alias("_rk"))
+    issued = df.filter(pl.col("_rk") <= budget).drop("_rk")
+    deferred = df.filter(pl.col("_rk") > budget).drop("_rk")
+    return issued, deferred
+
+
+def run_crawl(
+    web: SynthWeb | WebConfig | str = "t2",
+    spec: CrawlSpec = CrawlSpec(),
+    out_dir: str = "/tmp/crawlkit_run",
+    num_seen_shards: int = 4,
+    fetch_concurrency: int = 4,
+    fetch_batch_size: int = 16,
+    image_concurrency: int = 2,
+    image_batch_size: int = 64,
+    resume: bool = False,
+    track_order: bool = True,
+    fetch_mode: str = "tasks",
+) -> CrawlResult:
+    """Run the crawl to frontier exhaustion (or ``spec.max_rounds``).
+
+    ``resume=True`` continues from the latest complete round checkpoint
+    under ``out_dir`` (seen shards restored, frontier reloaded; stores
+    are idempotent so a half-finished round replays without duplicates).
+    """
+    if not isinstance(web, SynthWeb):
+        web = SynthWeb(web)
+    web_cfg = web.cfg
+
+    ckpt = RunCheckpoint(out_dir)
+    seen = SeenSet(num_seen_shards)
+    res = CrawlResult(
+        out_dir=out_dir,
+        entries_store=TableStore(f"{out_dir}/entries"),
+        images_store=TableStore(f"{out_dir}/images"),
+        fetch_log_store=TableStore(f"{out_dir}/fetch_log"),
+    )
+
+    start_round = 0
+    if resume and (last := ckpt.latest_complete_round()) is not None:
+        seen.restore(ckpt.seen_dir(last))
+        frontier = pl.from_arrow(ckpt.load_frontier(last))
+        start_round = last + 1
+        if track_order:
+            for m in ckpt.all_metrics():
+                res.order.extend(m.get("order", []))
+                res.seen.update(m.get("admitted", []))
+    seed_admitted: list[str] = []
+    if start_round == 0:
+        frontier = _seed_frontier(web)
+        mask = seen.check_and_add_urls(frontier["canon_url"].to_list())
+        frontier = frontier.filter(pl.Series(mask))
+        seed_admitted = frontier["canon_url"].to_list()
+        if track_order:
+            res.seen.update(seed_admitted)
+
+    for rnd in range(start_round, spec.max_rounds):
+        if frontier.height == 0:
+            break
+        issued, deferred = _split_budget(frontier, spec.host_budget_per_round)
+
+        issued_t = issued.to_arrow().cast(FRONTIER_SCHEMA)
+        issued_t = issued_t.append_column("round", pa.array([rnd] * issued_t.num_rows, pa.int32()))
+        issued_t = issued_t.append_column(
+            "created", pa.array([spec.run_ts] * issued_t.num_rows, pa.string())
+        )
+
+        # Slice the round's frontier into multiple input blocks so the
+        # fetch stage actually fans out (one Arrow table → one block →
+        # one task otherwise).
+        n = issued_t.num_rows
+        step = max(1, min(fetch_batch_size, (n + fetch_concurrency - 1) // max(1, fetch_concurrency)))
+        slices = [issued_t.slice(i, step) for i in range(0, n, step)]
+        in_ds = rd.from_arrow(slices)
+        if fetch_mode == "actors":
+            union_ds = in_ds.map_batches(
+                FetchParse,
+                fn_constructor_kwargs={
+                    "web_config": web_cfg,
+                    "obey_robots": spec.obey_robots,
+                    "max_depth": spec.max_depth,
+                },
+                batch_format="pyarrow",
+                batch_size=fetch_batch_size,
+                concurrency=fetch_concurrency,
+            )
+        else:  # worker-cached tasks: same per-worker init amortization,
+            # no per-round actor-pool startup (see stages/fetch.py)
+            union_ds = in_ds.map_batches(
+                make_fetch_parse_fn(web_cfg, spec.obey_robots, spec.max_depth),
+                batch_format="pyarrow",
+                batch_size=fetch_batch_size,
+            )
+        union_t = pa.concat_tables(
+            [ray.get(ref) for ref in union_ds.materialize().to_arrow_refs()],
+            promote_options="default",
+        )
+
+        kinds = union_t["kind"]
+        logs = union_t.filter(pc.equal(kinds, "log"))
+        entries_raw = union_t.filter(pc.equal(kinds, "entry"))
+        image_refs = union_t.filter(pc.equal(kinds, "image_ref"))
+        pages = union_t.filter(pc.equal(kinds, "page"))
+
+        # --- fetch log + issue order (derived from the deterministic sort,
+        # never from completion order) ---------------------------------
+        log_t = logs.select(
+            ["canon_url", "host", "status", "attempts", "error", "nbytes"]
+        ).append_column("round", pa.array([rnd] * logs.num_rows, pa.int32()))
+        res.fetch_log_store.append(log_t, key=f"log-r{rnd:04d}")
+        blocked = set(
+            logs.filter(pc.equal(logs["status"], STATUS_ROBOTS_BLOCKED))["canon_url"].to_pylist()
+        )
+        round_order = [cu for cu in issued["canon_url"].to_list() if cu not in blocked]
+        if track_order:
+            res.order.extend(round_order)
+
+        # --- entries: vectorized normalize + idempotent append (G1/S5) -
+        if entries_raw.num_rows:
+            res.entries_store.append(normalize_entries(entries_raw), key=f"entries-r{rnd:04d}")
+
+        # --- images: task-side fragment writes, driver-side commit -----
+        if image_refs.num_rows:
+            refs_t = image_refs.select(["image_id", "caption"])
+            img_slices = [
+                refs_t.slice(i, image_batch_size)
+                for i in range(0, refs_t.num_rows, image_batch_size)
+            ]
+            if fetch_mode == "actors":
+                frag_meta_ds = rd.from_arrow(img_slices).map_batches(
+                    ImageFetchWrite,
+                    fn_constructor_kwargs={
+                        "web_config": web_cfg,
+                        "store_root": f"{out_dir}/images",
+                    },
+                    batch_format="pyarrow",
+                    batch_size=image_batch_size,
+                    concurrency=image_concurrency,
+                )
+            else:
+                frag_meta_ds = rd.from_arrow(img_slices).map_batches(
+                    make_image_write_fn(web_cfg, f"{out_dir}/images"),
+                    batch_format="pyarrow",
+                    batch_size=image_batch_size,
+                )
+            frags = []
+            for ref in frag_meta_ds.materialize().to_arrow_refs():
+                t = ray.get(ref)
+                frags.extend(t.to_pylist())
+            res.images_store.commit_fragments(frags)
+
+        # --- discoveries → dedup-admit in sort order (shared contract) -
+        admitted_canon: list[str] = []
+        if pages.num_rows:
+            cand = pl.from_arrow(
+                pages.select(
+                    ["url", "priority", "depth", "seed_id", "schema_name", "schema_version", "domain"]
+                )
+            )
+            cand = cand.with_columns(
+                pl.Series("canon_url", canon.canonicalize_urls(pages["url"].combine_chunks()).to_pylist()),
+                pl.Series("host", canon.hosts_of(pages["url"].combine_chunks()).to_pylist()),
+                pl.lit(rnd + 1).cast(pl.Int32).alias("round_added"),
+            )
+            cand = _sort(cand)
+            mask = seen.check_and_add_urls(cand["canon_url"].to_list())
+            fresh = cand.filter(pl.Series(mask)).select(frontier.columns)
+            admitted_canon = fresh["canon_url"].to_list()
+            if track_order:
+                res.seen.update(admitted_canon)
+            frontier = pl.concat([deferred, fresh], how="vertical_relaxed")
+        else:
+            frontier = deferred
+
+        # --- per-partition lineage + metrics, checkpoint commit --------
+        by_host = (
+            pl.from_arrow(log_t)
+            .group_by("host")
+            .agg(
+                pl.len().alias("issued"),
+                (pl.col("status") == 200).sum().alias("ok"),
+                (pl.col("status") == -1).sum().alias("failed"),
+                (pl.col("status") == STATUS_ROBOTS_BLOCKED).sum().alias("blocked"),
+                pl.col("nbytes").sum().alias("bytes"),
+            )
+            .to_dicts()
+        )
+        metrics = {
+            "round": rnd,
+            "issued": issued.height,
+            "fetched": len(round_order),
+            "entries": entries_raw.num_rows,
+            "images": image_refs.num_rows,
+            "admitted": seed_admitted + admitted_canon,
+            "order": round_order,
+            "per_host": by_host,
+        }
+        ckpt.save_round(rnd, frontier.to_arrow().cast(FRONTIER_SCHEMA), seen, metrics)
+        seed_admitted = []  # recorded once (in the first round's metrics)
+        res.rounds = rnd + 1
+
+    return res

@@ -25,10 +25,12 @@ Shared ordering contract (engine mirrors this exactly):
 round r issue order = frontier candidates sorted by
 ``(depth, seed_id, priority, host, canon_url)``; per host only the first
 ``budget`` candidates are issued this round, the rest are deferred.
-Dedup-admit (seen-set insert) happens at frontier-admit time; robots
-blocking happens at issue time (blocked URLs are in the seen set and the
-fetch log but never issued). ``order`` = concatenation of per-round
-issue sequences.
+Dedup-admit (seen-set insert) happens at END-of-round over that round's
+discoveries, processed in the same sort order (so when one canon_url is
+discovered twice with different attributes, the smallest-keyed row wins
+deterministically); robots blocking happens at issue time (blocked URLs
+are in the seen set and the fetch log but never issued). ``order`` =
+concatenation of per-round issue sequences.
 """
 
 from __future__ import annotations
@@ -77,13 +79,11 @@ def simulate(web: SynthWeb, spec: CrawlSpec = CrawlSpec()) -> SimResult:
     res = SimResult()
     seeds = web.seeds()
     frontier: list[dict] = []
+    pending: list[dict] = []
 
-    def admit(url: str, priority: int, depth: int, seed_id: int, rnd: int) -> None:
+    def discover(url: str, priority: int, depth: int, seed_id: int) -> None:
         cu = canon.canonicalize_url_one(url)
-        if cu in res.seen:
-            return
-        res.seen.add(cu)
-        frontier.append(
+        pending.append(
             {
                 "url": url,
                 "canon_url": cu,
@@ -91,13 +91,25 @@ def simulate(web: SynthWeb, spec: CrawlSpec = CrawlSpec()) -> SimResult:
                 "priority": priority,
                 "depth": depth,
                 "seed_id": seed_id,
-                "round_added": rnd,
             }
         )
 
+    def admit_pending(rnd: int) -> None:
+        """End-of-round admission in sort order (shared contract)."""
+        pending.sort(
+            key=lambda f: (f["depth"], f["seed_id"], f["priority"], f["host"], f["canon_url"], f["url"])
+        )
+        for f in pending:
+            if f["canon_url"] in res.seen:
+                continue
+            res.seen.add(f["canon_url"])
+            frontier.append({**f, "round_added": rnd})
+        pending.clear()
+
     seed_schema = {s["seed_id"]: (s["schema_name"], s["schema_version"], s["domain"]) for s in seeds}
     for s in seeds:
-        admit(s["url"], 0, 0, s["seed_id"], 0)
+        discover(s["url"], 0, 0, s["seed_id"])
+    admit_pending(0)
 
     for rnd in range(spec.max_rounds):
         if not frontier:
@@ -134,7 +146,7 @@ def simulate(web: SynthWeb, spec: CrawlSpec = CrawlSpec()) -> SimResult:
                 anchors = parsers.parse_pagination(r.body)
                 last = max(anchors, default=0)  # G2 running max
                 for prio, page_url in parsers.expand_pages(f["url"], last):
-                    admit(page_url, prio, 1, f["seed_id"], rnd + 1)
+                    discover(page_url, prio, 1, f["seed_id"])
             elif f["depth"] == 1:
                 spec_p = parsers.get_parser(name)
                 for a in spec_p.parse(r.body, f["url"]):
@@ -155,8 +167,9 @@ def simulate(web: SynthWeb, spec: CrawlSpec = CrawlSpec()) -> SimResult:
                         }
                     )
                     if spec.max_depth >= 2 and a["href"]:
-                        admit(a["href"], 0, 2, f["seed_id"], rnd + 1)
+                        discover(a["href"], 0, 2, f["seed_id"])
             elif f["depth"] == 2:
                 for im in parsers.parse_offer_images(r.body, f["url"]):
                     res.images.append(web.image_record(im["image_id"]))
+        admit_pending(rnd + 1)
     return res

@@ -1,0 +1,284 @@
+"""Fetch + extract actor stages (the S1/M1/M4/T3 analog, Ray-Data-first).
+
+``FetchParse`` is a callable CLASS for ``Dataset.map_batches(...,
+concurrency=N)``: per-actor state (the fetch session — here the
+deterministic :class:`~crawlkit.synthweb.SynthWeb`; outside the sandbox
+an HTTP session — plus robots cache and token buckets) is built once in
+``__init__`` (the reference's memoized-client pattern T1,
+``storage/handler.go:19,71-76``), work happens per Arrow batch in
+``__call__``.
+
+Per-URL semantics mirrored from the reference:
+* ≤5 fetch attempts then per-item hard failure (T3,
+  ``otodom/commons/extensions.go:25-47`` — ours marks the row failed in
+  the fetch log instead of panicking the worker).
+* extraction per registered parser (M1/M4), digit-concat normalization
+  (M2) applied VECTORIZED per batch, ``.html``-strip link (M3).
+* failed fetches yield zero entry rows and a log row; downstream filters
+  are the F1/F2 analog.
+
+The stage emits a UNION table (``kind`` ∈ log|page|entry|image_ref) so
+one streaming pass produces fetch-log, frontier candidates, extracted
+entries and image references without re-fetching. The round driver
+splits by ``kind`` (cheap Arrow filters on the bounded per-round batch).
+"""
+
+from __future__ import annotations
+
+import time
+from urllib.parse import urlsplit
+
+import numpy as np
+import pyarrow as pa
+
+from .. import canon
+from ..hashing import stable_hash_bytes
+from ..synthweb import SynthWeb, WebConfig
+from . import parsers
+from .politeness import HostBuckets, RobotsCache
+
+RETRY_ATTEMPTS = 5  # otodom/flat_crawler/handler.go:53
+STATUS_ROBOTS_BLOCKED = -2
+STATUS_EXHAUSTED = -1
+
+UNION_FIELDS: list[tuple[str, pa.DataType]] = [
+    ("kind", pa.string()),
+    ("canon_url", pa.string()),
+    ("host", pa.string()),
+    ("status", pa.int32()),
+    ("attempts", pa.int32()),
+    ("error", pa.string()),
+    ("nbytes", pa.int64()),
+    ("url", pa.string()),
+    ("priority", pa.int64()),
+    ("depth", pa.int32()),
+    ("seed_id", pa.int32()),
+    ("schema_name", pa.string()),
+    ("schema_version", pa.string()),
+    ("domain", pa.string()),
+    ("created", pa.string()),
+    ("title", pa.string()),
+    ("name", pa.string()),
+    ("region", pa.string()),
+    ("rooms_raw", pa.string()),
+    ("price_raw", pa.string()),
+    ("total_price_raw", pa.string()),
+    ("area_raw", pa.string()),
+    ("link", pa.string()),
+    ("image_id", pa.string()),
+    ("caption", pa.string()),
+]
+UNION_SCHEMA = pa.schema(UNION_FIELDS)
+_COLS = [f[0] for f in UNION_FIELDS]
+
+
+def _rows_to_table(rows: list[dict]) -> pa.Table:
+    arrays = {c: [r.get(c) for r in rows] for c in _COLS}
+    return pa.Table.from_pydict(arrays, schema=UNION_SCHEMA)
+
+
+class FetchParse:
+    """Actor-pool fetch+extract stage over frontier batches.
+
+    Input batch columns: url, canon_url, host, priority, depth, seed_id,
+    schema_name, schema_version, domain, round (int32), created (string).
+    """
+
+    def __init__(
+        self,
+        web_config: WebConfig | str = "t2",
+        obey_robots: bool = True,
+        rate_per_host: float | None = None,
+        max_depth: int = 2,
+    ):
+        self.web = SynthWeb(web_config)
+        self.obey_robots = obey_robots
+        self.robots = RobotsCache(self._fetch_robots)
+        self.buckets = HostBuckets(rate_per_host) if rate_per_host else None
+        self.max_depth = max_depth
+
+    def _fetch_robots(self, url: str) -> str | None:
+        r = self.web.fetch(url)
+        return r.body if r.status == 200 else None
+
+    def _fetch_with_retry(self, url: str):
+        for attempt in range(1, RETRY_ATTEMPTS + 1):
+            r = self.web.fetch(url, attempt=attempt)
+            if r.status == 200:
+                return r, attempt
+        return r, RETRY_ATTEMPTS
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows: list[dict] = []
+        n = batch.num_rows
+        cols = {name: batch[name].to_pylist() for name in batch.column_names}
+        for i in range(n):
+            url = cols["url"][i]
+            cu = cols["canon_url"][i]
+            host = cols["host"][i]
+            depth = cols["depth"][i]
+            rnd = cols.get("round", [0] * n)[i]
+            base = {
+                "canon_url": cu,
+                "host": host,
+                "depth": depth,
+                "seed_id": cols["seed_id"][i],
+                "schema_name": cols["schema_name"][i],
+                "schema_version": cols["schema_version"][i],
+                "domain": cols["domain"][i],
+                "created": cols["created"][i],
+            }
+            path = urlsplit(url).path
+            if self.obey_robots and not self.robots.allowed(host, path):
+                rows.append(
+                    {**base, "kind": "log", "status": STATUS_ROBOTS_BLOCKED,
+                     "attempts": 0, "error": "robots", "nbytes": 0}
+                )
+                continue
+            if self.buckets is not None:
+                wait = self.buckets.bucket(host).wait_time(time.monotonic())
+                if wait > 0:
+                    time.sleep(wait)
+                self.buckets.bucket(host).try_take(time.monotonic())
+            r, attempts = self._fetch_with_retry(url)
+            rows.append(
+                {**base, "kind": "log",
+                 "status": 200 if r.status == 200 else STATUS_EXHAUSTED,
+                 "attempts": attempts, "error": r.error or "", "nbytes": r.nbytes}
+            )
+            if r.status != 200:
+                continue
+            if depth == 0:
+                anchors = parsers.parse_pagination(r.body)
+                last = max(anchors, default=0)  # G2 running max
+                for prio, page_url in parsers.expand_pages(url, last):
+                    rows.append({**base, "kind": "page", "url": page_url,
+                                 "priority": prio, "depth": 1})
+            elif depth == 1:
+                spec = parsers.get_parser(base["schema_name"])
+                for a in spec.parse(r.body, url):
+                    rows.append(
+                        {**base, "kind": "entry",
+                         "title": a["title"], "name": a["name"], "region": a["region"],
+                         "rooms_raw": a["rooms_raw"], "price_raw": a["price_raw"],
+                         "total_price_raw": a["total_price_raw"], "area_raw": a["area_raw"],
+                         "link": canon.take_characters_before_one(a["href"], ".html")}
+                    )
+                    if self.max_depth >= 2 and a["href"]:
+                        rows.append({**base, "kind": "page", "url": a["href"],
+                                     "priority": 0, "depth": 2})
+            elif depth == 2:
+                for im in parsers.parse_offer_images(r.body, url):
+                    rows.append({**base, "kind": "image_ref",
+                                 "image_id": im["image_id"], "caption": im["caption"]})
+        return _rows_to_table(rows)
+
+
+# --- worker-cached task-mode variant ------------------------------------
+#
+# For SMALL rounds an actor pool pays ~seconds of pool startup per round
+# (the crawl loop creates a fresh Dataset execution each round). Plain
+# map_batches functions run in long-lived Ray worker PROCESSES, so a
+# module-global instance cache gives the same once-per-worker init
+# amortization as an actor pool with zero startup latency. Large rounds
+# (bench/scale) use the actor-pool class directly.
+
+_FETCHER_CACHE: dict = {}
+
+
+def make_fetch_parse_fn(web_config: WebConfig | str, obey_robots: bool, max_depth: int):
+    key = (repr(web_config), obey_robots, max_depth)
+
+    def fetch_parse(batch: pa.Table) -> pa.Table:
+        inst = _FETCHER_CACHE.get(key)
+        if inst is None:
+            inst = _FETCHER_CACHE[key] = FetchParse(
+                web_config, obey_robots=obey_robots, max_depth=max_depth
+            )
+        return inst(batch)
+
+    return fetch_parse
+
+
+IMAGES_SCHEMA = pa.schema(
+    [
+        ("image_id", pa.string()),
+        ("bytes", pa.binary()),
+        ("w", pa.int32()),
+        ("h", pa.int32()),
+        ("fmt", pa.string()),
+        ("caption", pa.string()),
+        ("phash", pa.int64()),
+    ]
+)
+
+
+class ImageFetchWrite:
+    """Image payload stage: fetch/decode image bytes and write them as
+    Lance-like fragments FROM THE TASK (bytes never touch the driver).
+
+    Input batch: (image_id, caption) reference rows. Output: fragment
+    metadata rows (key/rows/path) for the driver's manifest commit.
+    Fragment names are deterministic in the batch's image_ids → Ray task
+    retries are idempotent (contrast: reference's random filenames,
+    ``commons/helper.go:37-45``).
+
+    In the sandbox the "fetch+decode" is SynthWeb's deterministic
+    generator + the real PNG codec; outside, this is an HTTP GET + a real
+    decoder behind the same interface. Keep ``batch_size`` small here —
+    rows carry megapixel binaries (SURVEY §7.5.4).
+    """
+
+    def __init__(self, web_config: WebConfig | str, store_root: str):
+        from ..state.lancelike import TableStore
+
+        self.web = SynthWeb(web_config)
+        self.store = TableStore(store_root)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_pylist()
+        if not ids:
+            return pa.Table.from_pydict(
+                {"key": [], "rows": [], "path": []},
+                schema=pa.schema([("key", pa.string()), ("rows", pa.int64()), ("path", pa.string())]),
+            )
+        recs = [self.web.image_record(i) for i in ids]
+        table = pa.Table.from_pylist(recs, schema=IMAGES_SCHEMA)
+        key = stable_hash_bytes("imgfrag", *sorted(ids), size=8).hex()
+        meta = self.store.write_fragment(table, key)
+        return pa.Table.from_pydict(
+            {"key": [meta["key"]], "rows": [meta["rows"]], "path": [meta["path"]]},
+        )
+
+
+def make_image_write_fn(web_config: WebConfig | str, store_root: str):
+    """Worker-cached task-mode ImageFetchWrite (see make_fetch_parse_fn)."""
+    key = ("img", repr(web_config), store_root)
+
+    def image_write(batch: pa.Table) -> pa.Table:
+        inst = _FETCHER_CACHE.get(key)
+        if inst is None:
+            inst = _FETCHER_CACHE[key] = ImageFetchWrite(web_config, store_root)
+        return inst(batch)
+
+    return image_write
+
+
+def normalize_entries(entries: pa.Table) -> pa.Table:
+    """Vectorized M2 normalization of the raw entry columns → typed table
+    (``rooms/price/total_price/area`` int64 via digit-concat)."""
+    out = {
+        "schema_name": entries["schema_name"],
+        "schema_version": entries["schema_version"],
+        "domain": entries["domain"],
+        "created": entries["created"],
+        "title": entries["title"],
+        "name": entries["name"],
+        "region": entries["region"],
+        "rooms": canon.extract_number(entries["rooms_raw"].combine_chunks()),
+        "price": canon.extract_number(entries["price_raw"].combine_chunks()),
+        "total_price": canon.extract_number(entries["total_price_raw"].combine_chunks()),
+        "area": canon.extract_number(entries["area_raw"].combine_chunks()),
+        "link": entries["link"],
+    }
+    return pa.table(out)

@@ -1,0 +1,277 @@
+"""Sharded URL-seen set: bloom pre-filter + cuckoo filter + exact store.
+
+The reference's record-seen mechanism is Postgres ``INSERT … ON CONFLICT
+DO NOTHING`` (D1, ``commons/Entry.go:37``) — a single, remote, exact
+set. At 10^10-URL frontier scale that must become K partitioned shards,
+each a Ray actor owning:
+
+* a **bloom filter** (bit array, k hash probes) — O(1) "definitely new"
+  fast path; never wrong about "new".
+* a **cuckoo filter** (4-slot buckets, 16-bit fingerprints) — supports
+  deletion and ~95% load; also approximate.
+* an **exact store** (set of 128-bit digests, snapshot/restore to
+  parquet) — the DECIDER. The metric demands URL-seen-set exactness;
+  approximate filters alone would *drop* never-seen URLs on false
+  positives, so filters only accelerate, the exact store answers.
+
+Memory math for the north rule (10^10 URLs, K=10 shards → 1e9/shard):
+bloom at 10 bits/key = 1.25 GB/shard; cuckoo at ~2 B/key = 2 GB/shard;
+exact store spills to sorted parquet runs (digest-sorted, merge-checked)
+— in this sandbox the exact store stays in-memory (tested to 1e6+) and
+the spill path is the documented scale hatch.
+
+Routing: shard = digest64 % K, computed inside ``map_batches`` (the
+dedup-admit stage batches URLs per shard and issues one actor call per
+shard per batch — calls are batched, never per-row).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+
+_FP_MASK = np.uint64(0xFFFF)
+
+
+def url_digests(urls: "list[str] | np.ndarray") -> np.ndarray:
+    """(N, 2) uint64 array: 128-bit blake2b digest per url."""
+    out = np.empty((len(urls), 2), dtype=np.uint64)
+    blake = hashlib.blake2b
+    for i, u in enumerate(urls):
+        d = blake(str(u).encode("utf-8"), digest_size=16).digest()
+        out[i, 0] = int.from_bytes(d[:8], "little")
+        out[i, 1] = int.from_bytes(d[8:], "little")
+    return out
+
+
+class BloomFilter:
+    """Plain k-probe bloom over a power-of-two bit array (double hashing)."""
+
+    def __init__(self, capacity: int, bits_per_key: int = 10, k: int = 7):
+        nbits = 1 << max(10, int(capacity * bits_per_key).bit_length())
+        self.mask = np.uint64(nbits - 1)
+        self.bits = np.zeros(nbits // 8, dtype=np.uint8)
+        self.k = k
+
+    def _positions(self, d: np.ndarray) -> np.ndarray:
+        """(N, k) bit positions from the two 64-bit halves (Kirsch-Mitzenmacher)."""
+        h1, h2 = d[:, 0:1], d[:, 1:2]
+        i = np.arange(self.k, dtype=np.uint64)[None, :]
+        return (h1 + i * h2) & self.mask
+
+    def add_many(self, d: np.ndarray) -> None:
+        pos = self._positions(d).ravel()
+        np.bitwise_or.at(self.bits, (pos >> np.uint64(3)).astype(np.int64), (1 << (pos & np.uint64(7))).astype(np.uint8))
+
+    def maybe_contains(self, d: np.ndarray) -> np.ndarray:
+        """(N,) bool — False means DEFINITELY new."""
+        pos = self._positions(d)
+        byte = self.bits[(pos >> np.uint64(3)).astype(np.int64)]
+        bit = (byte >> (pos & np.uint64(7)).astype(np.uint8)) & 1
+        return bit.all(axis=1).astype(bool)
+
+
+class CuckooFilter:
+    """4-slot-bucket cuckoo filter with 16-bit fingerprints.
+
+    Approximate (FP rate ~2^-13 at 4 slots); supports delete. On
+    insertion overflow the filter degrades to "always maybe" (exact
+    store still decides — correctness unaffected, only speed).
+    """
+
+    MAX_KICKS = 500
+
+    def __init__(self, capacity: int):
+        nbuckets = 1 << max(4, int(capacity / 4 * 1.1).bit_length())
+        self.nbuckets = nbuckets
+        self.table = np.zeros((nbuckets, 4), dtype=np.uint16)  # 0 = empty
+        self.overflowed = False
+        self._rng_state = 0x9E3779B97F4A7C15  # python int: wraps via mask
+
+    def _fp(self, d: np.ndarray) -> np.ndarray:
+        fp = (d[:, 0] & _FP_MASK).astype(np.uint16)
+        return np.where(fp == 0, np.uint16(1), fp)  # reserve 0 for empty
+
+    def _i1(self, d: np.ndarray) -> np.ndarray:
+        return (d[:, 1] % np.uint64(self.nbuckets)).astype(np.int64)
+
+    def _alt(self, i: np.ndarray, fp: np.ndarray) -> np.ndarray:
+        # i XOR hash(fp) — standard partial-key cuckoo
+        fph = (fp.astype(np.uint64) * np.uint64(0x5BD1E995)) & np.uint64(self.nbuckets - 1)
+        return (i.astype(np.uint64) ^ fph).astype(np.int64)
+
+    def add_many(self, d: np.ndarray) -> None:
+        fps, i1s = self._fp(d), self._i1(d)
+        for fp, i1 in zip(fps, i1s):
+            self._add_one(np.uint16(fp), int(i1))
+
+    def _add_one(self, fp: np.uint16, i1: int) -> None:
+        if self.overflowed:
+            return
+        i2 = int(self._alt(np.array([i1]), np.array([fp]))[0])
+        for i in (i1, i2):
+            row = self.table[i]
+            empty = np.nonzero(row == 0)[0]
+            if len(empty):
+                row[empty[0]] = fp
+                return
+        i = i1
+        for _ in range(self.MAX_KICKS):
+            self._rng_state = (self._rng_state * 6364136223846793005 + 1442695040888963407) & 0xFFFFFFFFFFFFFFFF
+            slot = (self._rng_state >> 60) & 3
+            fp, self.table[i, slot] = self.table[i, slot], fp
+            i = int(self._alt(np.array([i]), np.array([fp]))[0])
+            row = self.table[i]
+            empty = np.nonzero(row == 0)[0]
+            if len(empty):
+                row[empty[0]] = fp
+                return
+        self.overflowed = True  # degrade: maybe_contains → all True
+
+    def maybe_contains(self, d: np.ndarray) -> np.ndarray:
+        if self.overflowed:
+            return np.ones(len(d), dtype=bool)
+        fps, i1s = self._fp(d), self._i1(d)
+        i2s = self._alt(i1s, fps)
+        in1 = (self.table[i1s] == fps[:, None]).any(axis=1)
+        in2 = (self.table[i2s] == fps[:, None]).any(axis=1)
+        return in1 | in2
+
+    def delete_many(self, d: np.ndarray) -> None:
+        fps, i1s = self._fp(d), self._i1(d)
+        i2s = self._alt(i1s, fps)
+        for fp, i1, i2 in zip(fps, i1s, i2s):
+            for i in (int(i1), int(i2)):
+                row = self.table[i]
+                hit = np.nonzero(row == fp)[0]
+                if len(hit):
+                    row[hit[0]] = 0
+                    break
+
+
+class SeenShardState:
+    """The plain-python shard state (actor-independent; unit-testable)."""
+
+    def __init__(self, capacity: int = 1 << 20):
+        self.bloom = BloomFilter(capacity)
+        self.cuckoo = CuckooFilter(capacity)
+        self.exact: set[int] = set()
+
+    def check_and_add(self, digests: np.ndarray) -> np.ndarray:
+        """(N, 2) uint64 digests → (N,) bool, True = first-ever-seen.
+
+        Idempotent set-union: re-delivery of the same batch (Ray task
+        retry) flips rows to False, never corrupts state. Duplicates
+        WITHIN the batch: only the first occurrence reports True.
+        """
+        if len(digests) == 0:
+            return np.zeros(0, dtype=bool)
+        maybe = self.bloom.maybe_contains(digests)  # False ⇒ definitely new
+        keys = (digests[:, 0].astype(object) << 64) | digests[:, 1].astype(object)
+        new = np.zeros(len(digests), dtype=bool)
+        for i, k in enumerate(keys):
+            if not maybe[i]:
+                # bloom fast path can still collide within this batch →
+                # exact set remains the decider
+                if k not in self.exact:
+                    new[i] = True
+                    self.exact.add(k)
+            else:
+                if k not in self.exact:
+                    new[i] = True
+                    self.exact.add(k)
+        newd = digests[new]
+        if len(newd):
+            self.bloom.add_many(newd)
+            self.cuckoo.add_many(newd)
+        return new
+
+    def __len__(self) -> int:
+        return len(self.exact)
+
+    # --- checkpoint ------------------------------------------------------
+
+    def snapshot(self, path: str) -> int:
+        hi = np.fromiter(((k >> 64) & 0xFFFFFFFFFFFFFFFF for k in self.exact), dtype=np.uint64, count=len(self.exact))
+        lo = np.fromiter((k & 0xFFFFFFFFFFFFFFFF for k in self.exact), dtype=np.uint64, count=len(self.exact))
+        pq.write_table(pa.table({"hi": hi, "lo": lo}), path)
+        return len(self.exact)
+
+    def restore(self, path: str) -> int:
+        t = pq.read_table(path)
+        hi = t["hi"].to_numpy().astype(object)
+        lo = t["lo"].to_numpy().astype(object)
+        d = np.stack([hi.astype(np.uint64), lo.astype(np.uint64)], axis=1)
+        self.exact = set((h << 64) | l for h, l in zip(hi, lo))
+        if len(d):
+            self.bloom.add_many(d)
+            self.cuckoo.add_many(d)
+        return len(self.exact)
+
+
+@ray.remote
+class SeenShard:
+    """One seen-set partition. Actor = serialized access ⇒ exactness."""
+
+    def __init__(self, shard_id: int, capacity: int = 1 << 20):
+        self.shard_id = shard_id
+        self.state = SeenShardState(capacity)
+
+    def check_and_add(self, digests: np.ndarray) -> np.ndarray:
+        return self.state.check_and_add(digests)
+
+    def size(self) -> int:
+        return len(self.state)
+
+    def snapshot(self, path: str) -> int:
+        return self.state.snapshot(path)
+
+    def restore(self, path: str) -> int:
+        return self.state.restore(path)
+
+
+class SeenSet:
+    """Driver-side handle over K shard actors; batch-routed exact dedup."""
+
+    def __init__(self, num_shards: int = 8, capacity_per_shard: int = 1 << 20):
+        self.num_shards = num_shards
+        self.shards = [
+            SeenShard.options(name=None).remote(i, capacity_per_shard)
+            for i in range(num_shards)
+        ]
+
+    def check_and_add_urls(self, urls: "list[str] | np.ndarray") -> np.ndarray:
+        """(N,) bool mask, True = new. One actor call per involved shard."""
+        if len(urls) == 0:
+            return np.zeros(0, dtype=bool)
+        d = url_digests(urls)
+        route = (d[:, 0] % np.uint64(self.num_shards)).astype(np.int64)
+        out = np.zeros(len(urls), dtype=bool)
+        futs, idxs = [], []
+        for s in range(self.num_shards):
+            ix = np.nonzero(route == s)[0]
+            if len(ix):
+                futs.append(self.shards[s].check_and_add.remote(d[ix]))
+                idxs.append(ix)
+        for ix, mask in zip(idxs, ray.get(futs)):
+            out[ix] = mask
+        return out
+
+    def total(self) -> int:
+        return sum(ray.get([s.size.remote() for s in self.shards]))
+
+    def snapshot(self, dir_path: str) -> list[str]:
+        import os
+
+        os.makedirs(dir_path, exist_ok=True)
+        paths = [f"{dir_path}/shard-{i:04d}.parquet" for i in range(self.num_shards)]
+        ray.get([s.snapshot.remote(p) for s, p in zip(self.shards, paths)])
+        return paths
+
+    def restore(self, dir_path: str) -> int:
+        paths = [f"{dir_path}/shard-{i:04d}.parquet" for i in range(self.num_shards)]
+        return sum(ray.get([s.restore.remote(p) for s, p in zip(self.shards, paths)]))

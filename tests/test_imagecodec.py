@@ -1,0 +1,58 @@
+import numpy as np
+import pytest
+
+from crawlkit import imagecodec
+from crawlkit.synthweb import SynthWeb
+
+
+def _pix(h=40, w=30, seed=7):
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def test_png_roundtrip_lossless():
+    px = _pix()
+    data = imagecodec.encode(px, "png")
+    back = imagecodec.decode(data)
+    assert np.array_equal(px, back)  # exact for lossless (north-rule invariant)
+
+
+def test_jpeg_stub_psnr_above_40():
+    px = _pix(64, 64, 3)
+    data = imagecodec.encode(px, "jpeg")
+    back = imagecodec.decode(data)
+    assert not np.array_equal(px, back)  # actually lossy
+    assert imagecodec.psnr(px, back) >= 40.0  # the PSNR≥40 dB invariant
+
+
+def test_unknown_codec_raises():
+    with pytest.raises(NotImplementedError):
+        imagecodec.encode(_pix(), "webp")
+
+
+def test_phash_stability_and_similarity():
+    px = _pix(64, 64, 9)
+    h1 = imagecodec.phash64(px)
+    assert h1 == imagecodec.phash64(px.copy())
+    # tiny noise → small hamming distance; different image → large
+    noisy = np.clip(px.astype(int) + 2, 0, 255).astype(np.uint8)
+    other = _pix(64, 64, 10)
+    assert imagecodec.hamming64(h1, imagecodec.phash64(noisy)) <= 10
+    assert imagecodec.hamming64(h1, imagecodec.phash64(other)) > 10
+
+
+def test_image_record_invariants():
+    """Per-row invariant vs the generator: exact pixels for png, PSNR≥40
+    for the lossy stand-in; caption equality (BASELINE.json input_hint)."""
+    web = SynthWeb("t1")
+    for iid in ["img-x-0", "img-y-1", "img-z-2", "img-w-3"]:
+        rec = web.image_record(iid)
+        src = web.image_pixels(iid)
+        dec = imagecodec.decode(rec["bytes"])
+        assert (rec["h"], rec["w"]) == dec.shape[:2] == src.shape[:2]
+        if rec["fmt"] == "png":
+            assert np.array_equal(src, dec)
+        else:
+            assert imagecodec.psnr(src, dec) >= 40.0
+        assert rec["caption"] == web.caption(iid)
+        assert rec["phash"] == np.int64(np.uint64(imagecodec.phash64(dec))).item()

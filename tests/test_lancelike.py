@@ -1,0 +1,42 @@
+import pyarrow as pa
+
+from crawlkit.state.lancelike import TableStore
+
+
+def _t(n, off=0):
+    return pa.table({"a": list(range(off, off + n)), "b": [f"x{i}" for i in range(n)]})
+
+
+def test_append_versions_and_read(tmp_path):
+    s = TableStore(str(tmp_path / "t"))
+    assert s.latest_version() == 0
+    v1 = s.append(_t(3), key="f1")
+    v2 = s.append(_t(2, 10), key="f2")
+    assert (v1, v2) == (1, 2)
+    assert s.count_rows() == 5
+    assert s.read_table(version=1).num_rows == 3  # time travel
+    assert s.read_table()["a"].to_pylist() == [0, 1, 2, 10, 11]
+
+
+def test_idempotent_recommit(tmp_path):
+    """Task-retry / re-run safety: same fragment key never duplicates
+    (fixes the reference's random-filename duplication, storage/handler.go:103)."""
+    s = TableStore(str(tmp_path / "t"))
+    s.append(_t(3), key="frag")
+    v = s.latest_version()
+    assert s.append(_t(3), key="frag") == v  # no new version
+    assert s.count_rows() == 3
+
+
+def test_concurrent_style_fragment_then_commit(tmp_path):
+    s = TableStore(str(tmp_path / "t"))
+    metas = [s.write_fragment(_t(2, i * 10), key=f"k{i}") for i in range(4)]
+    assert s.count_rows() == 0  # not visible before commit
+    s.commit_fragments(metas)
+    assert s.count_rows() == 8
+
+
+def test_read_as_ray_dataset(tmp_path):
+    s = TableStore(str(tmp_path / "t"))
+    s.append(_t(5), key="f")
+    assert s.read_dataset().count() == 5

@@ -1,0 +1,78 @@
+from crawlkit.stages import parsers
+from crawlkit.stages.politeness import TokenBucket, allowed, parse_robots
+from crawlkit.synthweb import SynthWeb
+
+
+def test_pagination_parse_skips_non_numeric():
+    web = SynthWeb("t1")
+    html = web.listing_html(0, 1)
+    pages = parsers.parse_pagination(html)
+    assert pages == list(range(1, web.last_page(0) + 1))  # "next »" skipped (F4)
+
+
+def test_expand_pages_off_by_one_and_separator():
+    # reference semantics (total_pages/handler.go:53-65): 1..last-1
+    got = parsers.expand_pages("https://h.test/list?cat=1", 4)
+    assert got == [
+        (1, "https://h.test/list?cat=1&page=1"),
+        (2, "https://h.test/list?cat=1&page=2"),
+        (3, "https://h.test/list?cat=1&page=3"),
+    ]
+    got2 = parsers.expand_pages("https://h.test/list", 3)
+    assert got2[0] == (1, "https://h.test/list?page=1")  # '?' branch (F3)
+    assert parsers.expand_pages("https://h.test/list", 1) == []
+    assert parsers.expand_pages("https://h.test/list", 0) == []
+
+
+def test_flat_parser_extracts_all_articles():
+    web = SynthWeb("t1")
+    html = web.listing_html(0, 1)
+    rows = parsers.parse_listing_flat(html, "u")
+    assert len(rows) == web.n_articles(0, 1)
+    f0 = web.article_fields(0, 1, 0)
+    assert rows[0]["title"] == f0["title"]
+    assert rows[0]["rooms_raw"] == f0["rooms_text"]
+    assert rows[0]["href"] == f0["href"]
+    assert rows[0]["total_price_raw"] is None
+
+
+def test_office_parser_field_mapping():
+    web = SynthWeb("t1")
+    html = web.listing_html(1, 1)
+    rows = parsers.parse_listing_office(html, "u")
+    f0 = web.article_fields(1, 1, 0)
+    # office: price = per-m² cell, total_price = the price cell (M4)
+    assert rows[0]["price_raw"] == f0["per_m2_text"]
+    assert rows[0]["total_price_raw"] == f0["price_text"]
+
+
+def test_offer_images_parse():
+    web = SynthWeb("t1")
+    html = web.offer_html("deadbeef")
+    ims = parsers.parse_offer_images(html, "u")
+    assert len(ims) == web.n_images("deadbeef")
+    assert ims[0]["image_id"] == "img-deadbeef-0"
+    assert ims[0]["caption"] == web.caption("img-deadbeef-0")
+
+
+def test_parser_registry():
+    assert set(parsers.registered()) >= {"flat", "office"}
+    assert parsers.get_parser("flat").schema_version == "v0.0.3"
+
+
+def test_robots_parse_and_match():
+    rules = parse_robots(
+        "User-agent: Googlebot\nDisallow: /x\n\nUser-agent: *\nDisallow: /offer/\nDisallow: /blocked/ # comment\n"
+    )
+    assert rules == ["/offer/", "/blocked/"]
+    assert not allowed("/offer/abc.html", rules)
+    assert allowed("/list", rules)
+
+
+def test_token_bucket_deterministic():
+    b = TokenBucket(rate=2.0, capacity=2.0)
+    assert b.try_take(0.0)
+    assert b.try_take(0.0)
+    assert not b.try_take(0.0)  # empty
+    assert b.wait_time(0.0) == 0.5
+    assert b.try_take(0.5)  # refilled 1 token

@@ -1,0 +1,92 @@
+"""Seen-set exactness: filters accelerate, the exact store decides
+(SURVEY §7.5.2 — approximate-only would drop never-seen URLs)."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from crawlkit.state.seenset import (
+    BloomFilter,
+    CuckooFilter,
+    SeenShardState,
+    url_digests,
+)
+
+
+def test_bloom_no_false_negatives():
+    d = url_digests([f"u{i}" for i in range(5000)])
+    bf = BloomFilter(capacity=5000)
+    bf.add_many(d)
+    assert bf.maybe_contains(d).all()
+
+
+def test_bloom_low_false_positive_rate():
+    bf = BloomFilter(capacity=5000)
+    bf.add_many(url_digests([f"u{i}" for i in range(5000)]))
+    other = url_digests([f"v{i}" for i in range(5000)])
+    fp = bf.maybe_contains(other).mean()
+    assert fp < 0.05
+
+
+def test_cuckoo_membership_and_delete():
+    d = url_digests([f"u{i}" for i in range(1000)])
+    cf = CuckooFilter(capacity=4000)
+    cf.add_many(d)
+    assert cf.maybe_contains(d).all()  # no false negatives (pre-overflow)
+    other = url_digests([f"w{i}" for i in range(1000)])
+    assert cf.maybe_contains(other).mean() < 0.01
+    cf.delete_many(d[:500])
+    assert cf.maybe_contains(d[500:]).all()
+
+
+def test_cuckoo_overflow_degrades_safely():
+    cf = CuckooFilter(capacity=64)
+    d = url_digests([f"u{i}" for i in range(5000)])
+    cf.add_many(d)
+    if cf.overflowed:
+        assert cf.maybe_contains(url_digests(["anything"])).all()
+
+
+def test_shard_exactness_and_idempotency():
+    s = SeenShardState(capacity=1 << 12)
+    d = url_digests([f"u{i}" for i in range(100)])
+    first = s.check_and_add(d)
+    assert first.all()
+    again = s.check_and_add(d)  # re-delivery (task retry) → all False
+    assert not again.any()
+    assert len(s) == 100
+
+
+def test_shard_within_batch_duplicates():
+    s = SeenShardState()
+    d = url_digests(["a", "b", "a", "c", "b"])
+    mask = s.check_and_add(d)
+    assert mask.tolist() == [True, True, False, True, False]
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.integers(0, 300), min_size=0, max_size=200))
+def test_shard_matches_python_set(keys):
+    """Property: shard == plain python set under arbitrary interleavings."""
+    s = SeenShardState(capacity=1 << 10)
+    ref: set[int] = set()
+    urls = [f"k{k}" for k in keys]
+    for i in range(0, len(urls), 7):
+        chunk = urls[i : i + 7]
+        mask = s.check_and_add(url_digests(chunk))
+        for u, m in zip(chunk, mask):
+            assert m == (u not in ref)
+            ref.add(u)
+    assert len(s) == len(ref)
+
+
+def test_snapshot_restore_roundtrip(tmp_path):
+    s = SeenShardState()
+    d = url_digests([f"u{i}" for i in range(500)])
+    s.check_and_add(d)
+    p = str(tmp_path / "snap.parquet")
+    s.snapshot(p)
+    s2 = SeenShardState()
+    assert s2.restore(p) == 500
+    assert not s2.check_and_add(d).any()  # all seen after restore
+    assert s2.check_and_add(url_digests(["fresh"])).all()
