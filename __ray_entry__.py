@@ -4,41 +4,108 @@ The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
 DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+CORRECTNESS_r{N}.json).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Engine: ``crawlkit`` — a Ray-Data-native crawl-scheduling /
+data-processing engine (see SURVEY.md §2 for the operator inventory
+each query name maps to). No ``ray.init``/``ray.shutdown`` here — the
+driver owns the session.
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: the documents
+    training-data path (quality counts + language/quality scoring +
+    exact dedup), returned as a Ray Dataset."""
+    import pyarrow.compute as pc
+
+    from crawlkit.pipelines import text
+    from crawlkit.pipelines.relational import dedup_exact_first
+
+    sf_dir = "/root/testdata/sf0.001"
+    deduped = dedup_exact_first(sf_dir)  # (doc_id, text) survivors
+    scored = text.text_score(sf_dir)  # (doc_id, lang_pred, stop_ratio, quality_score)
+    keep_ids = set(deduped.to_pandas()["doc_id"])  # small control set
+
+    def keep(t):
+        import pyarrow as pa
+
+        mask = pa.array([i in keep_ids for i in t["doc_id"].to_pylist()])
+        return t.filter(mask)
+
+    return scored.map_batches(keep, batch_format="pyarrow")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from crawlkit.pipelines import ann, dedup, multimodal, relational, text
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def crawl_flagship(sf_dir: str):
+        """The crawl engine end-to-end on the deterministic synthetic web
+        (t1 profile): frontier rounds → fetch/extract → typed entries.
+        sf_dir unused (the crawl's input is its seed list); rows-only
+        check — the real conformance gate is tests/test_crawl_golden.py
+        (engine ≡ reference-semantics simulator)."""
+        from crawlkit.pipelines.crawl import run_crawl
+        from crawlkit.refsim import CrawlSpec
+
+        out = tempfile.mkdtemp(prefix="crawl_q_", dir="/tmp")
+        res = run_crawl(
+            "t1",
+            spec=CrawlSpec(host_budget_per_round=32),
+            out_dir=out,
+            num_seen_shards=2,
+            fetch_concurrency=4,
+        )
+        return res.entries_table()
+
+    return {
+        # --- SURVEY §2 relational operators (SQL-checked) ---
+        "g1_group_merge": relational.g1_group_merge,
+        "g2_running_max": relational.g2_running_max,
+        "d1_distinct": relational.d1_distinct,
+        "dedup_exact_first": relational.dedup_exact_first,
+        "f1_filter": relational.f1_filter,
+        "f4_permissive_cast": relational.f4_permissive_cast,
+        "m2_extract_number": relational.m2_extract_number,
+        "m3_take_before": relational.m3_take_before,
+        "m6_range_expand": relational.m6_range_expand,
+        "m13_json_extract": relational.m13_json_extract,
+        "o1_sort_topk": relational.o1_sort_topk,
+        "j_broadcast_join": relational.j_broadcast_join,
+        "j_hash_join": relational.j_hash_join,
+        "j_asof": relational.j_asof,
+        "w_tumbling": relational.w_tumbling,
+        "q1_pricing": relational.q1_pricing,
+        "u_union": relational.u_union,
+        # --- text analysis (SQL-checked where exact) ---
+        "text_token_count": text.token_count,
+        "text_bpe_token_count": text.bpe_ish_token_count,
+        "text_quality_counts": text.quality_counts,
+        "text_score": text.text_score,  # langid + quality (rows-only)
+        "text_fingerprint": text.fingerprint,  # rolling-hash (rows-only)
+        # --- dedup family ---
+        "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,  # SQL-checked
+        "dedup_minhash_lsh": dedup.minhash_lsh_pairs,  # rows-only
+        "dedup_simhash": dedup.simhash_pairs,  # rows-only
+        "dedup_embedding": dedup.embedding_neardup_pairs,  # rows-only
+        # --- similarity search ---
+        "knn_bruteforce": ann.knn_bruteforce,  # rows-only (float ranks)
+        "knn_ivf": ann.knn_ivf,  # rows-only (approximate)
+        # --- multimodal ---
+        "mm_image_features": multimodal.image_features,  # rows-only
+        "mm_image_phash_neardup": multimodal.image_phash_neardup,  # rows-only
+        # --- the crawl engine itself ---
+        "crawl_flagship": crawl_flagship,  # rows-only (oracle = refsim in tests)
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from crawlkit.pipelines.oracles import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

@@ -1,0 +1,166 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+* ``knn_bruteforce`` — the exact baseline: the query matrix is broadcast
+  once with ``ray.put``, each batch computes a vectorized
+  queries×batch cosine matmul and emits its LOCAL top-k per query
+  (partial top-k), a final per-query merge keeps the global top-k.
+  Shuffle volume is Q×k×batches candidate rows, never the data.
+* ``knn_ivf`` — the scale path: coarse centroids (deterministic Lloyd
+  iterations on a driver-side sample), inverted-list assignment via
+  map_batches, query probes only ``nprobe`` nearest lists. Recall is
+  traded against the fraction of lists probed (tested ≥ threshold vs
+  the brute-force baseline).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+
+
+def _load_queries(sf_dir: str, every: int = 50) -> tuple[np.ndarray, np.ndarray]:
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    mask = ids % every == 0
+    emb = np.stack(t["embedding"].to_numpy(zero_copy_only=False))[mask].astype(np.float64)
+    emb /= np.maximum(np.linalg.norm(emb, axis=1), 1e-12)[:, None]
+    return ids[mask], emb
+
+
+def knn_bruteforce(sf_dir: str, k: int = 10, query_every: int = 50) -> rd.Dataset:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Output: (query_id, neighbor_id, rank 1..k), ties broken by
+    neighbor_id ascending — fully deterministic.
+    """
+    q_ids, q_mat = _load_queries(sf_dir, query_every)
+    ref = ray.put((q_ids, q_mat))
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        qi, qm = ray.get(ref)
+        ids = t["vec_id"].to_numpy()
+        emb = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        emb /= np.maximum(np.linalg.norm(emb, axis=1), 1e-12)[:, None]
+        sims = qm @ emb.T  # (Q, B)
+        rows_q, rows_n, rows_s = [], [], []
+        kk = min(k + 1, sims.shape[1])  # +1: self may be in this batch
+        for qidx in range(len(qi)):
+            s = sims[qidx]
+            top = np.argpartition(-s, kk - 1)[:kk]
+            rows_q.append(np.full(len(top), qi[qidx], dtype=np.int64))
+            rows_n.append(ids[top])
+            rows_s.append(s[top])
+        return pa.table(
+            {
+                "query_id": np.concatenate(rows_q),
+                "neighbor_id": np.concatenate(rows_n),
+                "sim": np.concatenate(rows_s),
+            }
+        )
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["neighbor_id"] != g["query_id"]]
+        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "neighbor_id", "rank"]]
+
+    return (
+        ds.map_batches(partial_topk, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(final_topk, batch_format="pandas")
+    )
+
+
+def _lloyd_centroids(sample: np.ndarray, nlist: int, iters: int = 5) -> np.ndarray:
+    """Deterministic k-means on a sample: first-nlist seeds, Lloyd steps."""
+    c = sample[:nlist].copy()
+    for _ in range(iters):
+        d = ((sample[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for j in range(nlist):
+            pts = sample[assign == j]
+            if len(pts):
+                c[j] = pts.mean(axis=0)
+    return c
+
+
+def knn_ivf(
+    sf_dir: str, k: int = 10, query_every: int = 50, nlist: int = 16, nprobe: int = 4
+) -> rd.Dataset:
+    """IVF ANN: probe the nprobe nearest inverted lists only.
+
+    Same output schema as knn_bruteforce; approximate (recall tested
+    against the baseline). Assignment is a map_batches argmin against
+    broadcast centroids; the per-list search happens inside
+    groupby(list_id).map_groups with the query set broadcast.
+    """
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    sample = np.stack(t["embedding"].to_numpy(zero_copy_only=False))[:256].astype(np.float64)
+    cents = _lloyd_centroids(sample, nlist)
+    q_ids, q_mat = _load_queries(sf_dir, query_every)
+    # which lists does each query probe?
+    qd = ((q_mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    probe = np.argsort(qd, axis=1)[:, :nprobe]  # (Q, nprobe)
+    ref = ray.put((q_ids, q_mat, cents, probe))
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        _, _, c, _ = ray.get(ref)
+        emb = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        d = ((emb[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return t.append_column("list_id", pa.array(d.argmin(axis=1).astype(np.int64)))
+
+    def search_list(g: pd.DataFrame) -> pd.DataFrame:
+        qi, qm, _, pr = ray.get(ref)
+        lid = int(g["list_id"].iloc[0])
+        q_here = np.nonzero((pr == lid).any(axis=1))[0]
+        if len(q_here) == 0:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series([], dtype="int64"),
+                    "neighbor_id": pd.Series([], dtype="int64"),
+                    "sim": pd.Series([], dtype="float64"),
+                }
+            )
+        ids = g["vec_id"].to_numpy()
+        emb = np.stack(g["embedding"].to_numpy())
+        emb = emb.astype(np.float64)
+        emb /= np.maximum(np.linalg.norm(emb, axis=1), 1e-12)[:, None]
+        sims = qm[q_here] @ emb.T
+        out_q, out_n, out_s = [], [], []
+        kk = min(k + 1, sims.shape[1])
+        for row, qidx in enumerate(q_here):
+            s = sims[row]
+            top = np.argpartition(-s, kk - 1)[:kk] if kk < len(s) else np.arange(len(s))
+            out_q.append(np.full(len(top), qi[qidx], dtype=np.int64))
+            out_n.append(ids[top])
+            out_s.append(s[top])
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_n),
+                "sim": np.concatenate(out_s),
+            }
+        )
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["neighbor_id"] != g["query_id"]]
+        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "neighbor_id", "rank"]]
+
+    return (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("list_id")
+        .map_groups(search_list, batch_format="pandas")
+        .groupby("query_id")
+        .map_groups(final_topk, batch_format="pandas")
+    )

@@ -1,0 +1,431 @@
+"""Deduplication family for training-data pipelines (SURVEY steering):
+exact, n-gram-Jaccard (exact, distributed, SQL-checked), MinHash+LSH,
+SimHash, and embedding-cosine near-dup.
+
+Distribution shapes (the part that must survive 100 TB):
+* exact        — content-hash + groupby(hash) min-id (one shuffle of ids)
+* ngram exact  — explode DISTINCT (shingle, doc) pairs → groupby shingle
+                 → pairwise intersection counts → integer-exact Jaccard
+                 threshold (i·10 ≥ τ·(|a|+|b|−i) — no float compare).
+                 Skew hatch: ultra-common shingles are capped (df_cap)
+                 and logged, the standard stop-shingle treatment.
+* MinHash LSH  — per-batch vectorized signatures → band explode →
+                 groupby(band, hash) buckets → candidate pairs →
+                 exact-Jaccard verify (same integer math) → keep.
+* SimHash      — 64-bit signature per doc, 4×16-bit band buckets →
+                 in-bucket Hamming ≤ r verify.
+* embedding    — random-hyperplane LSH buckets → in-bucket cosine ≥ τ
+                 verify (the scale path for the brute-force baseline).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Count, Min, Sum
+
+from ..hashing import hash64_np
+
+SHINGLE_W = 3  # word n-gram width
+
+
+def pandas_with_schema(ds: "rd.Dataset", dtypes: dict[str, str]) -> pd.DataFrame:
+    """Materialize a SMALL pair-result Dataset as pandas with a stable
+    schema. Ray aggregates emit zero-column blocks when a result is
+    empty; this pins the documented output schema either way."""
+    df = ds.to_pandas()
+    if len(df.columns) == 0:
+        return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in dtypes.items()})
+    return df[list(dtypes)].astype(dtypes)
+
+
+def ensure_schema(schema: pa.Schema):
+    """map_batches fn that forces every block to ``schema``.
+
+    Ray groupby/aggregate emits ZERO-COLUMN empty blocks for empty hash
+    partitions; pyarrow joins then fail with 'no match for key field'.
+    This normalizes empties to typed empty tables and strips pandas
+    schema metadata from the rest.
+    """
+
+    def fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return schema.empty_table()
+        return pa.table({f.name: pc.cast(t[f.name], f.type) for f in schema})
+
+    return fn
+
+
+def _read_docs(sf_dir: str, columns: list[str]) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def _shingle_hashes(text: str) -> np.ndarray:
+    """Distinct word-SHINGLE_W-gram hashes of one doc (uint64)."""
+    words = text.split()
+    if len(words) < SHINGLE_W:
+        grams = [" ".join(words)] if words else []
+    else:
+        grams = [" ".join(words[i : i + SHINGLE_W]) for i in range(len(words) - SHINGLE_W + 1)]
+    if not grams:
+        return np.empty(0, dtype=np.uint64)
+    return np.unique(hash64_np(grams))
+
+
+def _explode_shingles(t: pa.Table) -> pa.Table:
+    """(doc_id, shingle, n_shingles) rows; carrying the per-doc shingle
+    COUNT on every row lets downstream pair-emitters compute exact
+    Jaccard without joining back to a counts table (join-free plan)."""
+    ids = t["doc_id"].to_numpy()
+    texts = t["text"].to_pylist()
+    per = [_shingle_hashes(s or "") for s in texts]
+    counts = np.array([len(p) for p in per], dtype=np.int64)
+    return pa.table(
+        {
+            "doc_id": np.repeat(ids, counts),
+            "shingle": np.concatenate(per) if per else np.empty(0, dtype=np.uint64),
+            "n_shingles": np.repeat(counts, counts),
+        }
+    )
+
+
+# --- exact n-gram Jaccard (SQL-checked with integer threshold math) -----
+
+
+def ngram_jaccard_pairs(sf_dir: str, tau_tenths: int = 2, df_cap: int | None = None) -> rd.Dataset:
+    """All doc pairs with word-3-gram Jaccard ≥ tau_tenths/10, exactly.
+
+    Pipeline: explode distinct (shingle, doc_id) → per-doc shingle count
+    (broadcastable small table) → groupby(shingle).map_groups emits
+    co-occurring pairs → groupby(pair) sums intersection counts →
+    integer-exact threshold. ``df_cap`` drops shingles whose document
+    frequency exceeds the cap (hot-key / stop-shingle hatch) — None
+    keeps everything (required when an exact SQL oracle is compared).
+    """
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    pairs_src = ds.map_batches(_explode_shingles, batch_format="pyarrow")
+
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "doc_id_a": pd.Series([], dtype="int64"),
+                "doc_id_b": pd.Series([], dtype="int64"),
+                "i": pd.Series([], dtype="int64"),
+                "ca": pd.Series([], dtype="int64"),
+                "cb": pd.Series([], dtype="int64"),
+            }
+        )
+        if df_cap is not None and len(g) > df_cap:
+            return empty
+        g = g.sort_values("doc_id")
+        ids = g["doc_id"].to_numpy()
+        cnts = g["n_shingles"].to_numpy()
+        if len(ids) < 2:
+            return empty
+        a_idx, b_idx = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame(
+            {
+                "doc_id_a": ids[a_idx],
+                "doc_id_b": ids[b_idx],
+                "i": np.ones(len(a_idx), dtype=np.int64),
+                "ca": cnts[a_idx],
+                "cb": cnts[b_idx],
+            }
+        )
+
+    inter = (
+        pairs_src.groupby("shingle")
+        .map_groups(emit_pairs, batch_format="pandas")
+        .groupby(["doc_id_a", "doc_id_b"])
+        .aggregate(
+            Sum("i", alias_name="i"),
+            Min("ca", alias_name="ca"),  # constant per doc — Min is a carry
+            Min("cb", alias_name="cb"),
+        )
+    )
+
+    def threshold(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return pa.schema(
+                [("doc_id_a", pa.int64()), ("doc_id_b", pa.int64()), ("intersection", pa.int64())]
+            ).empty_table()
+        i = t["i"]
+        union = pc.subtract(pc.add(t["ca"], t["cb"]), i)
+        keep = pc.greater_equal(
+            pc.multiply(i, pa.scalar(10, pa.int64())),
+            pc.multiply(union, pa.scalar(tau_tenths, pa.int64())),
+        )
+        out = t.filter(keep)
+        return out.select(["doc_id_a", "doc_id_b", "i"]).rename_columns(
+            ["doc_id_a", "doc_id_b", "intersection"]
+        )
+
+    out = inter.map_batches(threshold, batch_format="pyarrow")
+    return pandas_with_schema(
+        out, {"doc_id_a": "int64", "doc_id_b": "int64", "intersection": "int64"}
+    )
+
+
+# --- MinHash + LSH ------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+class MinHasher:
+    """Per-batch vectorized MinHash signatures (state = the permutation
+    coefficients, built once per actor/worker)."""
+
+    def __init__(self, num_perm: int = 64, seed: int = 42):
+        rng = np.random.Generator(np.random.PCG64(seed))
+        self.a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.num_perm = num_perm
+
+    def signature(self, shingles: np.ndarray) -> np.ndarray:
+        if len(shingles) == 0:
+            return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+        # (a*x + b) mod M per permutation; object math avoids overflow UB
+        x = shingles.astype(object)[:, None]
+        vals = (self.a.astype(object)[None, :] * x + self.b.astype(object)[None, :]) % _MERSENNE
+        return np.array(vals.min(axis=0), dtype=np.uint64)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        sigs = np.stack(
+            [self.signature(_shingle_hashes(s or "")) for s in t["text"].to_pylist()]
+        )
+        return pa.table(
+            {"doc_id": ids, "sig": pa.array(list(sigs), pa.list_(pa.uint64(), self.num_perm))}
+        )
+
+
+def minhash_lsh_pairs(
+    sf_dir: str,
+    tau_tenths: int = 2,
+    num_perm: int = 64,
+    band_size: int = 4,
+) -> rd.Dataset:
+    """Candidate pairs via banded MinHash-LSH, then EXACT Jaccard verify
+    (integer math, same threshold as ngram_jaccard_pairs — LSH only
+    prunes, the verify decides, so no false positives)."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    sigs = ds.map_batches(MinHasher, fn_constructor_kwargs={"num_perm": num_perm},
+                          batch_format="pyarrow", batch_size=1024, concurrency=2)
+
+    n_bands = num_perm // band_size
+
+    def explode_bands(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        sig = np.stack(t["sig"].to_numpy(zero_copy_only=False))
+        rows_id, rows_band, rows_hash = [], [], []
+        for b in range(n_bands):
+            chunk = sig[:, b * band_size : (b + 1) * band_size]
+            bh = np.zeros(len(ids), dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                for c in range(band_size):
+                    bh = bh * np.uint64(1099511628211) + chunk[:, c]
+            rows_id.append(ids)
+            rows_band.append(np.full(len(ids), b, dtype=np.int32))
+            rows_hash.append(bh)
+        return pa.table(
+            {
+                "doc_id": np.concatenate(rows_id),
+                "band": np.concatenate(rows_band),
+                "band_hash": np.concatenate(rows_hash),
+            }
+        )
+
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].unique())
+        if len(ids) < 2:
+            return pd.DataFrame(
+                {"doc_id_a": pd.Series([], dtype="int64"), "doc_id_b": pd.Series([], dtype="int64")}
+            )
+        a, b = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"doc_id_a": ids[a], "doc_id_b": ids[b]})
+
+    candidates = (
+        sigs.map_batches(explode_bands, batch_format="pyarrow")
+        .groupby(["band", "band_hash"])
+        .map_groups(emit_pairs, batch_format="pandas")
+        .groupby(["doc_id_a", "doc_id_b"])
+        .aggregate(Count(alias_name="_nbands"))
+    )
+
+    # verify: exact Jaccard on the candidate pairs via broadcast shingles.
+    # Sandbox: docs table is small → ray.put the shingle dict. Scale path:
+    # join candidates back to the exploded-shingle table instead.
+    import ray
+
+    docs_t = _read_docs(sf_dir, ["doc_id", "text"]).to_pandas()
+    shingle_map = {r.doc_id: _shingle_hashes(r.text or "") for r in docs_t.itertuples()}
+    ref = ray.put(shingle_map)
+
+    def verify(t: pa.Table) -> pa.Table:
+        sm = ray.get(ref)
+        a = t["doc_id_a"].to_numpy()
+        b = t["doc_id_b"].to_numpy()
+        keep = np.zeros(len(a), dtype=bool)
+        inter = np.zeros(len(a), dtype=np.int64)
+        for i in range(len(a)):
+            sa, sb = sm[a[i]], sm[b[i]]
+            iv = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - iv
+            inter[i] = iv
+            keep[i] = union > 0 and iv * 10 >= tau_tenths * union
+        out = pa.table({"doc_id_a": a, "doc_id_b": b, "intersection": inter})
+        return out.filter(pa.array(keep))
+
+    out = candidates.map_batches(verify, batch_format="pyarrow")
+    return pandas_with_schema(
+        out, {"doc_id_a": "int64", "doc_id_b": "int64", "intersection": "int64"}
+    )
+
+
+# --- SimHash ------------------------------------------------------------
+
+
+def simhash_signatures(sf_dir: str) -> rd.Dataset:
+    """64-bit SimHash per doc from word-feature hashes (vectorized:
+    popcount via bit-unpack, majority per bit)."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        out = np.zeros(len(ids), dtype=np.int64)
+        for i, s in enumerate(t["text"].to_pylist()):
+            words = (s or "").split()
+            if not words:
+                continue
+            h = hash64_np(words)
+            bits = np.unpackbits(h.view(np.uint8).reshape(len(h), 8), axis=1, bitorder="little")
+            votes = bits.sum(axis=0) * 2 - len(h)  # >0 → bit set
+            sig = np.packbits((votes > 0).astype(np.uint8), bitorder="little")
+            out[i] = sig.view(np.int64)[0]
+        return pa.table({"doc_id": ids, "simhash": out})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def simhash_pairs(sf_dir: str, max_hamming: int = 8) -> rd.Dataset:
+    """Near-dup pairs with Hamming(simhash) ≤ r: 4×16-bit band buckets
+    (any equal band → candidate — guaranteed to catch r ≤ 3 by
+    pigeonhole at 4 bands; probabilistic above) then exact verify."""
+    sigs = simhash_signatures(sf_dir)
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        sig = t["simhash"].to_numpy().view(np.uint64)
+        parts = []
+        for b in range(4):
+            band_val = (sig >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+            parts.append(
+                pa.table(
+                    {
+                        "doc_id": ids,
+                        "simhash": sig.view(np.int64),
+                        "band": np.full(len(ids), b, dtype=np.int32),
+                        "band_val": band_val.astype(np.int64),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    def emit(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        ids = g["doc_id"].to_numpy()
+        sigs_ = g["simhash"].to_numpy().view(np.uint64)
+        if len(ids) < 2:
+            return pd.DataFrame(
+                {
+                    "doc_id_a": pd.Series([], dtype="int64"),
+                    "doc_id_b": pd.Series([], dtype="int64"),
+                    "hamming": pd.Series([], dtype="int64"),
+                }
+            )
+        a, b = np.triu_indices(len(ids), k=1)
+        x = sigs_[a] ^ sigs_[b]
+        ham = np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
+        m = ham <= max_hamming
+        return pd.DataFrame(
+            {"doc_id_a": ids[a][m], "doc_id_b": ids[b][m], "hamming": ham[m].astype(np.int64)}
+        )
+
+    out = (
+        sigs.map_batches(explode, batch_format="pyarrow")
+        .groupby(["band", "band_val"])
+        .map_groups(emit, batch_format="pandas")
+        .groupby(["doc_id_a", "doc_id_b"])
+        .aggregate(Min("hamming", alias_name="hamming"))
+    )
+    return pandas_with_schema(
+        out, {"doc_id_a": "int64", "doc_id_b": "int64", "hamming": "int64"}
+    )
+
+
+# --- embedding cosine near-dup ------------------------------------------
+
+
+def embedding_neardup_pairs(sf_dir: str, tau: float = 0.95, n_planes: int = 12) -> rd.Dataset:
+    """Embedding near-dup: random-hyperplane LSH bucket (sign pattern of
+    n_planes projections) + in-bucket exact cosine verify. Deterministic
+    planes from a fixed seed. Two vectors with cosine ≥ 0.95 collide in
+    at least one of the two probed plane-subsets w.h.p. (we probe the
+    full sign pattern and patterns with one bit flipped)."""
+    rng = np.random.Generator(np.random.PCG64(7))
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    planes_holder: dict = {}
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        emb = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        if "p" not in planes_holder:
+            r = np.random.Generator(np.random.PCG64(7))
+            planes_holder["p"] = r.standard_normal((emb.shape[1], n_planes))
+        proj = emb @ planes_holder["p"]
+        bits = (proj > 0).astype(np.uint64)
+        code = np.zeros(len(emb), dtype=np.uint64)
+        for k in range(n_planes):
+            code |= bits[:, k] << np.uint64(k)
+        norm = np.linalg.norm(emb, axis=1)
+        ids = t["vec_id"].to_numpy()
+        # probe: exact code + one-bit-flip codes (multi-probe LSH)
+        rows_id, rows_code, rows_home = [ids], [code.astype(np.int64)], [np.ones(len(ids), bool)]
+        for k in range(n_planes):
+            rows_id.append(ids)
+            rows_code.append((code ^ np.uint64(1 << k)).astype(np.int64))
+            rows_home.append(np.zeros(len(ids), bool))
+        emb_n = emb / np.maximum(norm, 1e-12)[:, None]
+        tiled = np.tile(emb_n, (n_planes + 1, 1))
+        return pa.table(
+            {
+                "vec_id": np.concatenate(rows_id),
+                "code": np.concatenate(rows_code),
+                "home": np.concatenate(rows_home),
+                "vec": pa.array(list(tiled), pa.list_(pa.float64(), emb.shape[1])),
+            }
+        )
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(subset=["vec_id", "home"])
+        ids = g["vec_id"].to_numpy()
+        home = g["home"].to_numpy()
+        V = np.stack(g["vec"].to_numpy())
+        sims = V @ V.T
+        a, b = np.triu_indices(len(ids), k=1)
+        # count a pair once: only when at least one side is in its home bucket
+        m = (sims[a, b] >= tau) & (home[a] | home[b]) & (ids[a] != ids[b])
+        lo = np.minimum(ids[a][m], ids[b][m])
+        hi = np.maximum(ids[a][m], ids[b][m])
+        return pd.DataFrame({"vec_id_a": lo, "vec_id_b": hi})
+
+    pairs = (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("code")
+        .map_groups(verify, batch_format="pandas")
+    )
+    out = pairs.groupby(["vec_id_a", "vec_id_b"]).aggregate(Count(alias_name="_n"))
+    return pandas_with_schema(out, {"vec_id_a": "int64", "vec_id_b": "int64"})

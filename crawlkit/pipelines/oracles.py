@@ -1,0 +1,149 @@
+"""DuckDB oracle SQL for every SQL-expressible queries() entry.
+
+Column names and value semantics match the Ray implementations exactly
+(see ``relational.py`` — money as FLOOR(x*100) integer cents so that
+distributed summation order cannot perturb the driver's value-hash).
+"""
+
+ORACLE_SQL: dict[str, str] = {
+    "g1_group_merge": """
+        SELECT event_type, COUNT(*) AS n,
+               SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS sum_cents
+        FROM events GROUP BY event_type
+    """,
+    "g2_running_max": """
+        SELECT user_id, MAX(CAST(FLOOR(value * 100) AS BIGINT)) AS max_cents
+        FROM events GROUP BY user_id
+    """,
+    "d1_distinct": """
+        SELECT DISTINCT user_id, event_type FROM events
+    """,
+    "dedup_exact_first": """
+        SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text
+    """,
+    "f1_filter": """
+        SELECT event_id, CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase' AND value > 50.0
+    """,
+    "f4_permissive_cast": """
+        SELECT doc_id,
+               CAST(NULLIF(regexp_replace(source, '[^0-9]+', '', 'g'), '') AS BIGINT) AS src_num
+        FROM documents
+        WHERE NULLIF(regexp_replace(source, '[^0-9]+', '', 'g'), '') IS NOT NULL
+    """,
+    "m2_extract_number": """
+        SELECT doc_id,
+               CAST(NULLIF(regexp_replace(source, '[^0-9]+', '', 'g'), '') AS BIGINT) AS num
+        FROM documents
+    """,
+    "m3_take_before": """
+        SELECT doc_id,
+               CASE WHEN strpos(text, 'table') > 0
+                    THEN substr(text, 1, strpos(text, 'table') - 1)
+                    ELSE text END AS prefix
+        FROM documents
+    """,
+    "m6_range_expand": """
+        SELECT l_orderkey, UNNEST(range(1, CAST(m AS BIGINT))) AS page
+        FROM (SELECT l_orderkey, MAX(l_linenumber) AS m
+              FROM lineitem GROUP BY l_orderkey) t
+    """,
+    "m13_json_extract": """
+        SELECT event_id, CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k
+        FROM events
+    """,
+    "o1_sort_topk": """
+        SELECT event_id, CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        FROM events ORDER BY cents DESC, event_id LIMIT 100
+    """,
+    "j_broadcast_join": """
+        SELECT r_name, COUNT(*) AS n_customers
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+    "j_hash_join": """
+        SELECT o_orderkey, o_orderpriority, revenue_cents
+        FROM (SELECT l_orderkey,
+                     SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents
+              FROM lineitem GROUP BY l_orderkey) r
+        JOIN orders ON l_orderkey = o_orderkey
+        ORDER BY revenue_cents DESC, o_orderkey LIMIT 10
+    """,
+    "j_asof": """
+        SELECT e1.event_id, e1.user_id, e1.ts, e2.ts AS prior_ts
+        FROM events e1
+        ASOF LEFT JOIN events e2
+          ON e1.user_id = e2.user_id AND e2.ts < e1.ts
+    """,
+    "w_tumbling": """
+        SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+               COUNT(*) AS n,
+               SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS sum_cents
+        FROM events GROUP BY event_type, hour
+    """,
+    "q1_pricing": """
+        SELECT l_returnflag, l_linestatus,
+               SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS sum_qty,
+               SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
+               SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sum_disc_cents,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "u_union": """
+        SELECT event_id, event_type FROM events WHERE event_type = 'click'
+        UNION ALL
+        SELECT event_id, event_type FROM events WHERE event_type = 'error'
+    """,
+    "text_token_count": r"""
+        SELECT doc_id,
+               len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_tokens
+        FROM documents
+    """,
+    "text_bpe_token_count": r"""
+        SELECT doc_id, len(regexp_extract_all(text,
+               '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+')) AS n_bpe_tokens
+        FROM documents
+    """,
+    "text_quality_counts": r"""
+        SELECT doc_id,
+               length(text) AS n_chars,
+               length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_alpha,
+               length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+               length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+               len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_tokens
+        FROM documents
+    """,
+    # exact word-3-gram Jaccard dedup with INTEGER threshold math
+    # (i*10 >= 2*(|a|+|b|-i)  ⇔  J >= 0.2) — no float compare anywhere
+    "dedup_ngram_jaccard": r"""
+        WITH words AS (
+            SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+            FROM documents
+        ), sh0 AS (
+            SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+            FROM words, UNNEST(range(1, len(ws) - 1)) AS t(i)
+            WHERE len(ws) >= 3
+            UNION ALL
+            SELECT doc_id, array_to_string(ws, ' ') AS shingle
+            FROM words WHERE len(ws) BETWEEN 1 AND 2
+        ), dsh AS (
+            SELECT DISTINCT doc_id, shingle FROM sh0
+        ), cnt AS (
+            SELECT doc_id, COUNT(*) AS c FROM dsh GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS intersection
+            FROM dsh a JOIN dsh b USING (shingle)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_id_a, doc_id_b, intersection
+        FROM inter
+        JOIN cnt ca ON ca.doc_id = inter.doc_id_a
+        JOIN cnt cb ON cb.doc_id = inter.doc_id_b
+        WHERE intersection * 10 >= 2 * (ca.c + cb.c - intersection)
+    """,
+}

@@ -1,0 +1,405 @@
+"""Relational operator suite over the driver's TPC-H-ish tables.
+
+Each function here is one operator from the reference's inventory
+(SURVEY.md §2, IDs cited per function) re-expressed Ray-Data-first and
+exercised against the driver testdata with a DuckDB SQL oracle (see
+``__ray_entry__.oracle_sql``). Column names match the SQL exactly.
+
+Determinism for the driver's value-hash compare: aggregate FLOATS are
+summed as integer cents (``FLOOR(x * 100)`` before the sum) because
+double addition is order-dependent and a distributed sum would differ
+from DuckDB's in the last bits; integer sums are exact in any order.
+
+Scale notes live on each operator: partial (per-batch) aggregation
+before every groupby, column pruning at the read, broadcast for small
+sides, explicit hash-shuffle join for large sides.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
+    """Column-pruned parquet read (prune at the read — SURVEY steering)."""
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _cents(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """FLOOR(x*100) as int64 — order-independent summable money."""
+    return pc.cast(pc.floor(pc.multiply(col, pa.scalar(100.0))), pa.int64())
+
+
+# --- G1: group-merge (orchestrator merge loop, otodom/orchestrator/handler.go:100-119)
+
+
+def g1_group_merge(sf_dir: str) -> rd.Dataset:
+    """Group events by event_type: count + integer-cents sum of value.
+
+    Ray-Data shape: per-batch PARTIAL aggregation inside ``map_batches``
+    (one row per key per batch) then a tiny groupby over partials — the
+    shuffle moves |keys|×|batches| rows, not 10k/100TB rows.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pa.table(
+            {"event_type": t["event_type"], "cents": _cents(t["value"])}
+        ).to_pandas()
+        g = df.groupby("event_type", as_index=False).agg(
+            n=("cents", "size"), sum_cents=("cents", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("event_type").aggregate(
+        Sum("n", alias_name="n"), Sum("sum_cents", alias_name="sum_cents")
+    )
+
+
+# --- G2: running max (total_pages lastPage, otodom/total_pages/handler.go:39-41)
+
+
+def g2_running_max(sf_dir: str) -> rd.Dataset:
+    """Max value-cents per user — the distributed form of the reference's
+    running-max over pagination anchors."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pa.table({"user_id": t["user_id"], "cents": _cents(t["value"])}).to_pandas()
+        g = df.groupby("user_id", as_index=False).agg(max_cents=("cents", "max"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+    return ds.map_batches(partial, batch_format="pyarrow").groupby("user_id").aggregate(
+        Max("max_cents", alias_name="max_cents")
+    )
+
+
+# --- D1: exact dedup (INSERT ON CONFLICT DO NOTHING, commons/Entry.go:37)
+
+
+def d1_distinct(sf_dir: str) -> rd.Dataset:
+    """DISTINCT (user_id, event_type) via hash-partitioned groupby."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:  # per-batch pre-dedup shrinks the shuffle
+        return t.group_by(["user_id", "event_type"]).aggregate([])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["user_id", "event_type"])
+        .aggregate(Count(alias_name="_c"))
+        .select_columns(["user_id", "event_type"])
+    )
+
+
+def dedup_exact_first(sf_dir: str) -> rd.Dataset:
+    """Exact content dedup: keep MIN(doc_id) per identical text
+    (hash-partition by content + per-group first — the D1 scale recipe)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.groupby("text").aggregate(Min("doc_id", alias_name="doc_id")).select_columns(
+        ["doc_id", "text"]
+    )
+
+
+# --- F1/F4: filters (orchestrator skip-unkeyed, permissive int cast)
+
+
+def f1_filter(sf_dir: str) -> rd.Dataset:
+    """Vectorized predicate filter inside map_batches (not row ds.filter)."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.equal(t["event_type"], "purchase"), pc.greater(t["value"], 50.0))
+        out = t.filter(m)
+        return pa.table({"event_id": out["event_id"], "cents": _cents(out["value"])})
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def f4_permissive_cast(sf_dir: str) -> rd.Dataset:
+    """Permissive digit-concat cast over documents.source, nulls dropped
+    (the reference's skip-invalid-int pagination parse, total_pages:32-34)."""
+    from .. import canon
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        num = canon.extract_number(t["source"].combine_chunks())
+        out = pa.table({"doc_id": t["doc_id"], "src_num": num})
+        return out.filter(pc.is_valid(out["src_num"]))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# --- M2/M3: normalizers over driver data (FIXTURES.md §7)
+
+
+def m2_extract_number(sf_dir: str) -> rd.Dataset:
+    from .. import canon
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": t["doc_id"], "num": canon.extract_number(t["source"].combine_chunks())}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def m3_take_before(sf_dir: str) -> rd.Dataset:
+    from .. import canon
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "prefix": canon.take_characters_before(t["text"].combine_chunks(), "table"),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# --- M6: range expansion (page-URL generation, total_pages:53-65)
+
+
+def m6_range_expand(sf_dir: str) -> rd.Dataset:
+    """Per order: max linenumber m → rows (l_orderkey, page) for page in
+    1..m-1 — the reference's 1..last-1 frontier expansion as dataflow."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+    maxes = ds.groupby("l_orderkey").aggregate(Max("l_linenumber", alias_name="m"))
+
+    def expand(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy()
+        m = t["m"].to_numpy()
+        reps = np.maximum(m.astype(np.int64) - 1, 0)
+        keys = np.repeat(ok, reps)
+        pages = np.concatenate([np.arange(1, mm, dtype=np.int64) if mm > 1 else np.empty(0, dtype=np.int64) for mm in m]) if len(m) else np.empty(0, dtype=np.int64)
+        return pa.table({"l_orderkey": keys, "page": pages})
+
+    return maxes.map_batches(expand, batch_format="pyarrow")
+
+
+# --- M13: JSON envelope decode (json.RawMessage data column, commons/Entry.go:17)
+
+
+def m13_json_extract(sf_dir: str) -> rd.Dataset:
+    """Extract the integer ``k`` from the events.props JSON column —
+    the schema-as-data envelope decode, vectorized with Arrow regex
+    (props shape: {"k": N})."""
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        k = pc.extract_regex(t["props"], r'"k": (?P<k>\d+)')
+        kv = pc.cast(pc.struct_field(k, "k"), pa.int64())
+        return pa.table({"event_id": t["event_id"], "k": kv})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# --- O1: priority sort + top-k (PageSorter, otodom/commons/page.go:10-14)
+
+
+def o1_sort_topk(sf_dir: str, k: int = 100) -> rd.Dataset:
+    """Global top-k by (cents desc, event_id asc). Scale shape: per-batch
+    top-k prefilter so the global sort sees ≤ k rows per block."""
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        t = pa.table({"event_id": t["event_id"], "cents": _cents(t["value"])})
+        idx = pc.select_k_unstable(
+            t, k=min(k, t.num_rows), sort_keys=[("cents", "descending"), ("event_id", "ascending")]
+        )
+        return t.take(idx)
+
+    return (
+        ds.map_batches(prefilter, batch_format="pyarrow")
+        .sort(["cents", "event_id"], descending=[True, False])
+        .limit(k)
+    )
+
+
+# --- joins -------------------------------------------------------------
+
+
+def j_broadcast_join(sf_dir: str) -> rd.Dataset:
+    """Customers per region name: two SMALL dimension tables (nation,
+    region) broadcast via ray.put and joined as an in-batch dict lookup —
+    no shuffle (SURVEY: 'broadcast small sides')."""
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"])
+    region = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
+    n2r = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist()))
+    r2name = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
+    lookup_ref = ray.put({k: r2name[v] for k, v in n2r.items()})
+
+    def partial(t: pa.Table) -> pa.Table:
+        lookup = ray.get(lookup_ref)  # zero-copy shared object per node
+        names = pd.Series(t["c_nationkey"].to_numpy()).map(lookup)
+        g = names.value_counts().rename_axis("r_name").reset_index(name="n_customers")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    return ds.map_batches(partial, batch_format="pyarrow").groupby("r_name").aggregate(
+        Sum("n_customers", alias_name="n_customers")
+    )
+
+
+def j_hash_join(sf_dir: str, k: int = 10) -> rd.Dataset:
+    """Top-k orders by lineitem revenue: partial-agg revenue per order,
+    then a hash-shuffle JOIN (Ray Dataset.join) with orders."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(
+                pc.multiply(
+                    pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])),
+                    pa.scalar(100.0),
+                )
+            ),
+            pa.int64(),
+        )
+        df = pa.table({"l_orderkey": t["l_orderkey"], "cents": cents}).to_pandas()
+        g = df.groupby("l_orderkey", as_index=False).agg(revenue_cents=("cents", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    revenue = (
+        li.map_batches(rev_partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = revenue.join(
+        orders, join_type="inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
+    # the join merges key columns: the surviving key is the left-side name
+    out = (
+        joined.select_columns(["l_orderkey", "o_orderpriority", "revenue_cents"])
+        .rename_columns({"l_orderkey": "o_orderkey"})
+        .sort(["revenue_cents", "o_orderkey"], descending=[True, False])
+    )
+    return out.limit(k)
+
+
+def j_asof(sf_dir: str) -> rd.Dataset:
+    """As-of self-join (operator Ray Data lacks — SURVEY custom-op rule):
+    for each event, the latest STRICTLY-earlier event ts of the same
+    user. Composition: hash-partition by user (groupby) + per-group
+    sorted search — the documented partitioning assumption is that one
+    user's history fits one group."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        ts = g["ts"].to_numpy()
+        # latest strictly-earlier ts: searchsorted left of own ts - 1 step
+        idx = np.searchsorted(ts, ts, side="left") - 1
+        prior = np.where(idx >= 0, ts[np.maximum(idx, 0)], np.datetime64("NaT"))
+        g["prior_ts"] = prior
+        return g[["event_id", "user_id", "ts", "prior_ts"]]
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+# --- windowed aggregate (streaming-shaped; absent in reference §2.10) ---
+
+
+def w_tumbling(sf_dir: str) -> rd.Dataset:
+    """Tumbling 1-hour windows per event_type: count + cents sum.
+    Window id computed vectorized per batch; partial agg → tiny shuffle."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())  # microseconds since epoch
+        hour = pc.divide(us, pa.scalar(3_600_000_000))
+        df = pa.table(
+            {"event_type": t["event_type"], "hour": pc.cast(hour, pa.int64()), "cents": _cents(t["value"])}
+        ).to_pandas()
+        g = df.groupby(["event_type", "hour"], as_index=False).agg(
+            n=("cents", "size"), sum_cents=("cents", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_cents", alias_name="sum_cents"))
+    )
+
+
+# --- Q1-style pricing summary (headline wide aggregate) -----------------
+
+
+def q1_pricing(sf_dir: str) -> rd.Dataset:
+    """TPC-H-Q1-shaped summary over lineitem: filter at the read, partial
+    per-batch aggregation, final groupby over (returnflag, linestatus)."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+        ],
+        filter=(pc.field("l_shipdate") <= pc.scalar(np.datetime64("1998-09-02", "us"))),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        one = pa.scalar(1.0)
+        disc_price = pc.multiply(t["l_extendedprice"], pc.subtract(one, t["l_discount"]))
+        df = pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty": pc.cast(pc.floor(t["l_quantity"]), pa.int64()),
+                "base_cents": _cents(t["l_extendedprice"]),
+                "disc_cents": pc.cast(pc.floor(pc.multiply(disc_price, pa.scalar(100.0))), pa.int64()),
+            }
+        ).to_pandas()
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("qty", "sum"),
+            sum_base_cents=("base_cents", "sum"),
+            sum_disc_cents=("disc_cents", "sum"),
+            count_order=("qty", "size"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_cents", alias_name="sum_base_cents"),
+            Sum("sum_disc_cents", alias_name="sum_disc_cents"),
+            Sum("count_order", alias_name="count_order"),
+        )
+    )
+
+
+# --- set ops ------------------------------------------------------------
+
+
+def u_union(sf_dir: str) -> rd.Dataset:
+    """UNION ALL of two filtered branches (frontier-delta merge analog)."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type"])
+    a = ds.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "click")), batch_format="pyarrow"
+    )
+    b = ds.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "error")), batch_format="pyarrow"
+    )
+    return a.union(b)

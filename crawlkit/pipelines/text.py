@@ -1,0 +1,204 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Each operator is a vectorized ``map_batches`` transform over the
+``documents`` table (Arrow kernels / compiled regex; no per-row Python
+in hot paths except where a string kernel doesn't exist, and then the
+loop is per-batch-amortized). Stateful pieces (compiled profiles) use
+the callable-class actor-pool pattern.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+
+def _read_docs(sf_dir: str, columns: list[str]) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+# --- token counting (SQL-checked) ---------------------------------------
+
+
+def token_count(sf_dir: str) -> rd.Dataset:
+    """Whitespace token count per doc — pure Arrow regex kernel."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(t["text"], r"\S+")
+        return pa.table({"doc_id": t["doc_id"], "n_tokens": pc.cast(n, pa.int64())})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def bpe_ish_token_count(sf_dir: str) -> rd.Dataset:
+    """Sub-word-ish token count: GPT-2-style pretokenizer regex (public
+    pattern: contractions | letter runs | digit runs | punct runs) —
+    the 'BPE-ish regex' token counter. Arrow RE2 kernel, zero Python."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    pat = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+    def fn(t: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(t["text"], pat)
+        return pa.table({"doc_id": t["doc_id"], "n_bpe_tokens": pc.cast(n, pa.int64())})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# --- quality counts (SQL-checked, integers only) ------------------------
+
+
+def quality_counts(sf_dir: str) -> rd.Dataset:
+    """Per-doc integer quality signals: chars/alpha/digit/punct/tokens."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_chars": pc.cast(pc.utf8_length(text), pa.int64()),
+                "n_alpha": pc.cast(pc.count_substring_regex(text, "[A-Za-z]"), pa.int64()),
+                "n_digit": pc.cast(pc.count_substring_regex(text, "[0-9]"), pa.int64()),
+                "n_punct": pc.cast(pc.count_substring_regex(text, "[.,;:!?]"), pa.int64()),
+                "n_tokens": pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# --- quality score + language ID (actor-pool stage; rows-only check) ----
+
+_LANG_STOPWORDS: dict[str, frozenset[str]] = {
+    "en": frozenset(
+        "the a an and or of to in is are was were be been for with on at by "
+        "from that this it as not but have has had do does did will would".split()
+    ),
+    "de": frozenset(
+        "der die das und oder von zu in ist sind war waren sein für mit auf "
+        "bei aus dass es als nicht aber haben hat hatte wird würde ein eine".split()
+    ),
+    "fr": frozenset(
+        "le la les un une et ou de du des à dans est sont était pour avec "
+        "sur par que ce il ne pas mais avoir a avait sera serait".split()
+    ),
+    "es": frozenset(
+        "el la los las un una y o de del a en es son era para con sobre "
+        "por que este no pero haber ha había será sería".split()
+    ),
+}
+
+
+class TextScore:
+    """Stateful scoring stage: stopword profiles + compiled regexes built
+    once per actor/worker (the T1 memoized-init pattern).
+
+    Emits: lang_pred (argmax stopword-hit ratio, deterministic 'en'-first
+    tiebreak), stop_ratio, quality_score in [0,1] (length, alpha ratio,
+    punct density, stopword presence — the classic heuristic mix).
+    """
+
+    def __init__(self):
+        self.word = re.compile(r"[A-Za-z]+")
+        self.profiles = {k: v for k, v in _LANG_STOPWORDS.items()}
+        self.order = ["en", "de", "fr", "es"]  # deterministic tiebreak
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch["text"].fillna("")
+        toks = texts.str.lower().str.findall(self.word)
+        n_tok = toks.map(len).to_numpy()
+        hits = {
+            lang: toks.map(lambda ws, sw=sw: sum(w in sw for w in ws)).to_numpy()
+            for lang, sw in self.profiles.items()
+        }
+        hit_mat = np.stack([hits[lang] for lang in self.order])
+        best = hit_mat.argmax(axis=0)  # first (en) wins ties — argmax is first-max
+        lang_pred = np.array(self.order, dtype=object)[best]
+        lang_pred[hit_mat.max(axis=0) == 0] = "unknown"
+        stop_ratio = hit_mat.max(axis=0) / np.maximum(n_tok, 1)
+        n_chars = texts.str.len().to_numpy()
+        alpha = texts.str.count("[A-Za-z]").to_numpy()
+        punct = texts.str.count("[.,;:!?]").to_numpy()
+        alpha_ratio = alpha / np.maximum(n_chars, 1)
+        punct_density = punct / np.maximum(n_tok, 1)
+        length_score = np.clip(n_tok / 50.0, 0, 1)
+        quality = np.clip(
+            0.35 * alpha_ratio + 0.25 * np.clip(stop_ratio * 4, 0, 1)
+            + 0.25 * length_score + 0.15 * (1 - np.clip(punct_density, 0, 1)),
+            0,
+            1,
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "lang_pred": lang_pred,
+                "stop_ratio": stop_ratio,
+                "quality_score": quality,
+            }
+        )
+
+
+def text_score(sf_dir: str, concurrency: int = 2) -> rd.Dataset:
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    return ds.map_batches(
+        TextScore, batch_format="pandas", batch_size=2048, concurrency=concurrency
+    )
+
+
+# --- document fingerprinting (rolling hash; rows-only check) ------------
+
+_FP_BASE = np.uint64(1_000_003)  # odd → invertible mod 2^64
+_FP_INV = np.uint64(pow(1_000_003, -1, 1 << 64))
+
+
+def _window_hashes(data: bytes, window: int) -> np.ndarray:
+    """All rolling polynomial window-hashes of ``data`` (mod 2^64),
+    fully vectorized: prefix sums of d[i]·B^(n-1-i) with uint64
+    wraparound; W[j] = (S[j+w]−S[j])·B^−(n−j−w)."""
+    d = np.frombuffer(data, dtype=np.uint8).astype(np.uint64) + np.uint64(1)
+    n = len(d)
+    w = min(window, n)
+    if n == 0:
+        return np.zeros(1, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        powers = np.empty(n, dtype=np.uint64)  # powers[i] = B^(n-1-i)
+        powers[-1] = np.uint64(1)
+        for_rev = np.full(n - 1, _FP_BASE, dtype=np.uint64)
+        if n > 1:
+            powers[:-1] = np.multiply.accumulate(for_rev[::-1])[::-1]
+        terms = d * powers
+        prefix = np.zeros(n + 1, dtype=np.uint64)
+        np.cumsum(terms, out=prefix[1:])
+        j = np.arange(n - w + 1)
+        inv_pows = np.empty(n - w + 1, dtype=np.uint64)  # B^-(n-j-w)
+        inv_pows[-1] = np.uint64(1)
+        if len(j) > 1:
+            inv_rev = np.full(len(j) - 1, _FP_INV, dtype=np.uint64)
+            inv_pows[:-1] = np.multiply.accumulate(inv_rev[::-1])[::-1]
+        return (prefix[j + w] - prefix[j]) * inv_pows
+
+
+def fingerprint(sf_dir: str, window: int = 32) -> rd.Dataset:
+    """Per-doc fingerprints: full-content polynomial hash + winnowed
+    min window-hash (the classic winnowing idea: the MINIMUM rolling
+    hash is robust to local edits). Vectorized numpy per document."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        full = np.empty(len(texts), dtype=np.int64)
+        winmin = np.empty(len(texts), dtype=np.int64)
+        for i, s in enumerate(texts):
+            data = (s or "").encode("utf-8")
+            full[i] = _window_hashes(data, max(len(data), 1))[:1].view(np.int64)[0]
+            wh = _window_hashes(data, window)
+            winmin[i] = wh.min(keepdims=True).view(np.int64)[0]
+        return pa.table({"doc_id": t["doc_id"], "fp_full": full, "fp_winmin": winmin})
+
+    return ds.map_batches(fn, batch_format="pyarrow")

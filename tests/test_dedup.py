@@ -1,0 +1,117 @@
+"""Dedup family: correctness vs brute-force oracles on controlled
+corpora (near-dups constructed, not hoped-for)."""
+
+import itertools
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from crawlkit.pipelines import dedup
+
+
+
+def _pdf(res):
+    import pandas as _pd
+    return res if isinstance(res, _pd.DataFrame) else res.to_pandas()
+
+BASE = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu nu xi omicron pi rho sigma tau"
+
+
+def _mk_corpus(tmp_path):
+    """Docs 1/2 near-dup (1-word edit), 3 exact dup of 1, 4/5 unrelated."""
+    words = BASE.split()
+    edited = " ".join(words[:-1] + ["CHANGED"])
+    docs = pa.table(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [
+                BASE,
+                edited,
+                BASE,
+                "one two three four five six seven eight nine ten eleven twelve",
+                "red orange yellow green blue indigo violet cyan magenta white black grey",
+            ],
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    return str(tmp_path), docs
+
+
+def _brute_jaccard_pairs(docs: pa.Table, tau: float):
+    out = []
+    sh = {
+        i: set(map(tuple, zip(*[t.split()[k:] for k in range(3)])))
+        for i, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist())
+    }
+    for a, b in itertools.combinations(sorted(sh), 2):
+        inter = len(sh[a] & sh[b])
+        union = len(sh[a] | sh[b])
+        if union and inter / union >= tau:
+            out.append((a, b))
+    return sorted(out)
+
+
+def test_ngram_jaccard_exact_matches_brute(tmp_path):
+    d, docs = _mk_corpus(tmp_path)
+    got = _pdf(dedup.ngram_jaccard_pairs(d, tau_tenths=2))
+    got_pairs = sorted(map(tuple, got[["doc_id_a", "doc_id_b"]].to_numpy()))
+    assert got_pairs == _brute_jaccard_pairs(docs, 0.2)
+    # the exact-dup pair and the near-dup pairs must be present
+    assert (1, 3) in got_pairs and (1, 2) in got_pairs and (2, 3) in got_pairs
+
+
+def test_minhash_lsh_no_false_positives_and_finds_strong_dups(tmp_path):
+    d, docs = _mk_corpus(tmp_path)
+    got = _pdf(dedup.minhash_lsh_pairs(d, tau_tenths=2))
+    got_pairs = sorted(map(tuple, got[["doc_id_a", "doc_id_b"]].to_numpy()))
+    brute = _brute_jaccard_pairs(docs, 0.2)
+    assert set(got_pairs) <= set(brute)  # verify stage kills false positives
+    assert (1, 3) in got_pairs  # exact dup always collides in every band
+    assert (1, 2) in got_pairs and (2, 3) in got_pairs  # J≈0.8 → recall ~1
+
+
+def test_simhash_exact_and_near(tmp_path):
+    d, docs = _mk_corpus(tmp_path)
+    sigs = dedup.simhash_signatures(d).to_pandas().set_index("doc_id")["simhash"]
+    assert sigs[1] == sigs[3]  # identical docs → identical simhash
+    pairs = _pdf(dedup.simhash_pairs(d, max_hamming=16))
+    ps = set(map(tuple, pairs[["doc_id_a", "doc_id_b"]].to_numpy()))
+    assert (1, 3) in ps
+    assert (1, 2) in ps  # 1-word edit → small hamming
+    # sanity: hamming values are the true bit distances
+    for _, r in pairs.iterrows():
+        want = bin((int(sigs[r.doc_id_a]) ^ int(sigs[r.doc_id_b])) & ((1 << 64) - 1)).count("1")
+        assert r.hamming == want
+
+
+def _mk_embeddings(tmp_path, n=80, dim=16):
+    rng = np.random.Generator(np.random.PCG64(11))
+    base = rng.standard_normal((n, dim)).astype(np.float32)
+    # rows 0/1 exact dup; rows 2/3 near-dup (tiny perturbation)
+    base[1] = base[0]
+    base[3] = base[2] + rng.standard_normal(dim).astype(np.float32) * 0.01
+    t = pa.table(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": pa.array(list(base), pa.list_(pa.float32(), dim)),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    return str(tmp_path), base
+
+
+def test_embedding_neardup_vs_brute(tmp_path):
+    d, emb = _mk_embeddings(tmp_path)
+    got = _pdf(dedup.embedding_neardup_pairs(d, tau=0.95))
+    got_pairs = set(map(tuple, got[["vec_id_a", "vec_id_b"]].to_numpy()))
+    e = emb.astype(np.float64)
+    e /= np.linalg.norm(e, axis=1)[:, None]
+    sims = e @ e.T
+    a, b = np.triu_indices(len(e), k=1)
+    brute = {(int(x), int(y)) for x, y in zip(a[sims[a, b] >= 0.95], b[sims[a, b] >= 0.95])}
+    assert got_pairs <= brute  # exact verify → no false positives
+    assert (0, 1) in got_pairs  # exact dup: identical code → guaranteed
+    assert (2, 3) in got_pairs  # near-dup at cos≈0.9999: hamming(code)≈0
