@@ -92,7 +92,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- dedup family ---
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,  # SQL-checked
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs,  # rows-only
-        "dedup_simhash": dedup.simhash_pairs,  # rows-only
+        # signatures, not pairs: the driver corpus is uniform-vocab, so
+        # nearly ALL pairs are within hamming 3 (a known simhash
+        # degeneracy) — pair extraction is exercised on controlled
+        # corpora in tests/test_dedup.py
+        "dedup_simhash": dedup.simhash_signatures,  # rows-only
         "dedup_embedding": dedup.embedding_neardup_pairs,  # rows-only
         # --- similarity search ---
         "knn_bruteforce": ann.knn_bruteforce,  # rows-only (float ranks)

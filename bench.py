@@ -1,0 +1,155 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract: prints ONE JSON line).
+
+Headline = the crawl engine (frontier pages/sec on the deterministic
+bench-profile synthetic web: 64 seeds, 256 hosts, ~17k URLs incl. the
+offer/image payload rounds) + representative analytics pipelines over
+``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1).
+
+``--scaling``: runs this same script in FRESH processes at
+``RAY_GRAFT_CPUS=8`` and ``=32`` (the sandbox stand-in for N vs 4N Ray
+nodes — see BASELINE.md) on identical input and reports both
+throughputs plus scaling efficiency (T_8/T_32)/(32/8).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+
+def run_bench() -> dict:
+    import logging
+
+    import ray
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from crawlkit.pipelines import ann, dedup, relational, text
+    from crawlkit.pipelines.crawl import run_crawl
+    from crawlkit.refsim import CrawlSpec
+
+    # warm the Ray worker pool + page cache (untimed): worker processes
+    # pay module-import cost on first task; charging that to the first
+    # pipeline would mis-attribute ~10s of process spawning to it
+    ray.data.range(1_000_000).map_batches(lambda b: b).count()
+
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    # --- headline: the crawl engine on the bench web --------------------
+    out_dir = "/tmp/crawlkit_bench_run"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    res = run_crawl(
+        "bench",
+        # generous politeness budget: the bench web is host-rich, the
+        # budget is politeness config, and fewer rounds = less serial
+        # per-round overhead in the scaling measurement (t1/t2 tests
+        # exercise strict budgets/deferral)
+        spec=CrawlSpec(host_budget_per_round=1024, max_rounds=32),
+        out_dir=out_dir,
+        num_seen_shards=8,
+        fetch_concurrency=max(4, num_cpus - 4),
+        fetch_batch_size=64,
+        image_batch_size=128,
+        track_order=False,
+    )
+    crawl_sec = time.perf_counter() - t0
+    pages = res.fetch_log_store.count_rows()
+    timings["crawl"] = round(crawl_sec, 3)
+    extra["crawl_pages"] = pages
+    extra["pages_per_sec"] = round(pages / crawl_sec, 1)
+    extra["crawl_rounds"] = res.rounds
+    extra["crawl_images"] = res.images_store.count_rows()
+
+    # --- analytics over the driver tables -------------------------------
+    def timed(name, fn):
+        t = time.perf_counter()
+        r = fn(sf_dir)
+        # consume: Datasets stream until counted; pandas results are done
+        import pandas as pd
+
+        n = len(r) if isinstance(r, pd.DataFrame) else r.count()
+        timings[name] = round(time.perf_counter() - t, 3)
+        return n
+
+    timed("q1_pricing", relational.q1_pricing)
+    timed("g1_group_merge", relational.g1_group_merge)
+    timed("o1_sort_topk", relational.o1_sort_topk)
+    timed("w_tumbling", relational.w_tumbling)
+    timed("j_hash_join", relational.j_hash_join)
+    timed("text_quality_counts", text.quality_counts)
+    timed("text_score", text.text_score)
+    timed("dedup_minhash_lsh", dedup.minhash_lsh_pairs)
+    timed("knn_bruteforce", ann.knn_bruteforce)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "crawl pages/sec + analytics wall time (bench web ~17k URLs; sf tables)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        **extra,
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    import subprocess
+
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        return json.loads(p.stdout.strip().splitlines()[-1])
+
+    one(8)  # warm the page cache (untimed)
+    # best-of-2 per level: this host's per-core speed varies ±30%
+    # run-to-run (shared hypervisor); best-of controls that noise
+    lo = min(one(8), one(8), key=lambda d: d["value"])
+    hi = min(one(32), one(32), key=lambda d: d["value"])
+    pps_lo, pps_hi = lo["pages_per_sec"], hi["pages_per_sec"]
+    eff_pages = round((pps_hi / pps_lo) / (32 / 8), 3)
+    eff_total = round((lo["value"] / hi["value"]) / (32 / 8), 3)
+    return {
+        "metric": "scaling efficiency N->4N (8 vs 32 CPUs, fresh processes)",
+        "pages_per_sec_8": pps_lo,
+        "pages_per_sec_32": pps_hi,
+        "scaling_efficiency_pages": eff_pages,
+        "total_sec_8": lo["value"],
+        "total_sec_32": hi["value"],
+        "scaling_efficiency_total": eff_total,
+        "queries_8": lo["queries"],
+        "queries_32": hi["queries"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -20,3 +20,25 @@ Layout (see SURVEY.md §7.0):
 """
 
 __version__ = "0.1.0"
+
+
+def configure_data_context() -> None:
+    """Set the Ray Data context defaults this engine is tuned for.
+
+    The default HASH_SHUFFLE strategy in Ray 2.49 spawns per-partition
+    aggregator ACTORS; on a single node with many CPU slots that churns
+    hundreds of fresh worker processes (each paying full import cost) —
+    measured 12-18× slower than the sort-based shuffle for our groupbys
+    at num_cpus=32. Sort-shuffle runs in reusable task workers.
+    """
+    try:
+        from ray.data import DataContext
+        from ray.data.context import ShuffleStrategy
+
+        ctx = DataContext.get_current()
+        ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PULL_BASED
+    except Exception:
+        pass  # older/newer Ray without this knob: keep defaults
+
+
+configure_data_context()

@@ -48,14 +48,11 @@ import ray.data as rd
 from .. import canon
 from ..refsim import CrawlSpec
 from ..stages.fetch import (
-    IMAGES_SCHEMA,
     STATUS_ROBOTS_BLOCKED,
     FetchParse,
-    ImageFetchWrite,
     make_fetch_parse_fn,
-    make_image_write_fn,
-    normalize_entries,
 )
+from ..state.catalog import CatalogStore
 from ..state.checkpoint import RunCheckpoint
 from ..state.lancelike import TableStore
 from ..state.seenset import SeenSet
@@ -88,6 +85,7 @@ class CrawlResult:
     entries_store: TableStore | None = None
     images_store: TableStore | None = None
     fetch_log_store: TableStore | None = None
+    catalog: CatalogStore | None = None
 
     def entries_table(self) -> pa.Table:
         return self.entries_store.read_table()
@@ -166,11 +164,32 @@ def run_crawl(
         entries_store=TableStore(f"{out_dir}/entries"),
         images_store=TableStore(f"{out_dir}/images"),
         fetch_log_store=TableStore(f"{out_dir}/fetch_log"),
+        catalog=CatalogStore(f"{out_dir}/catalog"),
     )
+    # schema catalog: last-wins per SchemaKey across runs (S4/G3 analog)
+    from ..stages import parsers as _parsers
+
+    regs = []
+    seen_keys = set()
+    for s in web.seeds():
+        k = (s["schema_name"], s["schema_version"], s["domain"])
+        if k in seen_keys:
+            continue
+        seen_keys.add(k)
+        spec_p = _parsers.get_parser(s["schema_name"])
+        regs.append(
+            {
+                "schema_name": s["schema_name"],
+                "schema_version": s["schema_version"],
+                "domain": s["domain"],
+                "fields": spec_p.fields,
+            }
+        )
+    res.catalog.register_run(regs, spec.run_ts)
 
     start_round = 0
     if resume and (last := ckpt.latest_complete_round()) is not None:
-        seen.restore(ckpt.seen_dir(last))
+        seen.restore([ckpt.seen_dir(r) for r in range(last + 1)])
         frontier = pl.from_arrow(ckpt.load_frontier(last))
         start_round = last + 1
         if track_order:
@@ -197,21 +216,31 @@ def run_crawl(
             "created", pa.array([spec.run_ts] * issued_t.num_rows, pa.string())
         )
 
-        # Slice the round's frontier into multiple input blocks so the
-        # fetch stage actually fans out (one Arrow table → one block →
-        # one task otherwise).
+        # Slice the round's frontier into input blocks so the fetch stage
+        # fans out (one Arrow table → one block → one task otherwise).
+        # ~6 tasks per slot: fine enough that the last wave's stragglers
+        # cost ≲ one task, coarse enough that scheduling stays cheap;
+        # batch_size still bounds the per-call batch (fragment size).
         n = issued_t.num_rows
-        step = max(1, min(fetch_batch_size, (n + fetch_concurrency - 1) // max(1, fetch_concurrency)))
+        nblocks = max(1, min((n + fetch_batch_size - 1) // fetch_batch_size, fetch_concurrency * 6))
+        step = (n + nblocks - 1) // nblocks
         slices = [issued_t.slice(i, step) for i in range(0, n, step)]
+        # FUSED fetch stage: extract + normalize + fragment-write happen
+        # inside the task; the union output contains ONLY control rows
+        # (log, page) and fragment metadata (efrag, ifrag) — one dataset
+        # execution per round, zero payload bytes on the driver.
         in_ds = rd.from_arrow(slices)
+        fused_kwargs = {
+            "web_config": web_cfg,
+            "obey_robots": spec.obey_robots,
+            "max_depth": spec.max_depth,
+            "entries_root": f"{out_dir}/entries",
+            "images_root": f"{out_dir}/images",
+        }
         if fetch_mode == "actors":
             union_ds = in_ds.map_batches(
                 FetchParse,
-                fn_constructor_kwargs={
-                    "web_config": web_cfg,
-                    "obey_robots": spec.obey_robots,
-                    "max_depth": spec.max_depth,
-                },
+                fn_constructor_kwargs=fused_kwargs,
                 batch_format="pyarrow",
                 batch_size=fetch_batch_size,
                 concurrency=fetch_concurrency,
@@ -219,20 +248,16 @@ def run_crawl(
         else:  # worker-cached tasks: same per-worker init amortization,
             # no per-round actor-pool startup (see stages/fetch.py)
             union_ds = in_ds.map_batches(
-                make_fetch_parse_fn(web_cfg, spec.obey_robots, spec.max_depth),
+                make_fetch_parse_fn(**fused_kwargs),
                 batch_format="pyarrow",
                 batch_size=fetch_batch_size,
             )
-        union_t = pa.concat_tables(
+        control_t = pa.concat_tables(
             [ray.get(ref) for ref in union_ds.materialize().to_arrow_refs()],
             promote_options="default",
         )
-
-        kinds = union_t["kind"]
-        logs = union_t.filter(pc.equal(kinds, "log"))
-        entries_raw = union_t.filter(pc.equal(kinds, "entry"))
-        image_refs = union_t.filter(pc.equal(kinds, "image_ref"))
-        pages = union_t.filter(pc.equal(kinds, "page"))
+        logs = control_t.filter(pc.equal(control_t["kind"], "log"))
+        pages = control_t.filter(pc.equal(control_t["kind"], "page"))
 
         # --- fetch log + issue order (derived from the deterministic sort,
         # never from completion order) ---------------------------------
@@ -247,55 +272,43 @@ def run_crawl(
         if track_order:
             res.order.extend(round_order)
 
-        # --- entries: vectorized normalize + idempotent append (G1/S5) -
-        if entries_raw.num_rows:
-            res.entries_store.append(normalize_entries(entries_raw), key=f"entries-r{rnd:04d}")
-
-        # --- images: task-side fragment writes, driver-side commit -----
-        if image_refs.num_rows:
-            refs_t = image_refs.select(["image_id", "caption"])
-            img_slices = [
-                refs_t.slice(i, image_batch_size)
-                for i in range(0, refs_t.num_rows, image_batch_size)
+        # --- payload fragments were written task-side; commit manifests -
+        def _frag_metas(kind: str) -> list[dict]:
+            f = control_t.filter(pc.equal(control_t["kind"], kind))
+            return [
+                {"key": k, "rows": r, "path": p}
+                for k, r, p in zip(
+                    f["frag_key"].to_pylist(), f["frag_rows"].to_pylist(), f["frag_path"].to_pylist()
+                )
             ]
-            if fetch_mode == "actors":
-                frag_meta_ds = rd.from_arrow(img_slices).map_batches(
-                    ImageFetchWrite,
-                    fn_constructor_kwargs={
-                        "web_config": web_cfg,
-                        "store_root": f"{out_dir}/images",
-                    },
-                    batch_format="pyarrow",
-                    batch_size=image_batch_size,
-                    concurrency=image_concurrency,
-                )
-            else:
-                frag_meta_ds = rd.from_arrow(img_slices).map_batches(
-                    make_image_write_fn(web_cfg, f"{out_dir}/images"),
-                    batch_format="pyarrow",
-                    batch_size=image_batch_size,
-                )
-            frags = []
-            for ref in frag_meta_ds.materialize().to_arrow_refs():
-                t = ray.get(ref)
-                frags.extend(t.to_pylist())
-            res.images_store.commit_fragments(frags)
 
-        # --- discoveries → dedup-admit in sort order (shared contract) -
+        emetas = _frag_metas("efrag")
+        res.entries_store.commit_fragments(emetas)
+        n_entries = sum(m["rows"] for m in emetas)
+        imetas = _frag_metas("ifrag")
+        res.images_store.commit_fragments(imetas)
+        n_images = sum(m["rows"] for m in imetas)
+
+        # --- discoveries → dedup-admit in sort order (shared contract).
+        # canon_url/host were computed IN the fetch tasks (parallel), the
+        # driver only sorts + routes the dedup-admit. ------------------
         admitted_canon: list[str] = []
         if pages.num_rows:
             cand = pl.from_arrow(
                 pages.select(
-                    ["url", "priority", "depth", "seed_id", "schema_name", "schema_version", "domain"]
+                    [
+                        "url", "canon_url", "host", "priority", "depth",
+                        "seed_id", "schema_name", "schema_version", "domain",
+                        "digest_hi", "digest_lo",
+                    ]
                 )
             )
-            cand = cand.with_columns(
-                pl.Series("canon_url", canon.canonicalize_urls(pages["url"].combine_chunks()).to_pylist()),
-                pl.Series("host", canon.hosts_of(pages["url"].combine_chunks()).to_pylist()),
-                pl.lit(rnd + 1).cast(pl.Int32).alias("round_added"),
-            )
+            cand = cand.with_columns(pl.lit(rnd + 1).cast(pl.Int32).alias("round_added"))
             cand = _sort(cand)
-            mask = seen.check_and_add_urls(cand["canon_url"].to_list())
+            d = np.stack(
+                [cand["digest_hi"].to_numpy(), cand["digest_lo"].to_numpy()], axis=1
+            ).astype(np.uint64)
+            mask = seen.check_and_add_digests(d)
             fresh = cand.filter(pl.Series(mask)).select(frontier.columns)
             admitted_canon = fresh["canon_url"].to_list()
             if track_order:
@@ -321,12 +334,17 @@ def run_crawl(
             "round": rnd,
             "issued": issued.height,
             "fetched": len(round_order),
-            "entries": entries_raw.num_rows,
-            "images": image_refs.num_rows,
-            "admitted": seed_admitted + admitted_canon,
-            "order": round_order,
+            "entries": n_entries,
+            "images": n_images,
             "per_host": by_host,
         }
+        if track_order:
+            # full per-round order/admitted lists (needed to reconstruct
+            # CrawlResult.order/seen on resume); at bench/production
+            # scale this is off — order is implicit in fetch_log(round)
+            # + the deterministic sort, and seen lives in the shards
+            metrics["admitted"] = seed_admitted + admitted_canon
+            metrics["order"] = round_order
         ckpt.save_round(rnd, frontier.to_arrow().cast(FRONTIER_SCHEMA), seen, metrics)
         seed_admitted = []  # recorded once (in the first round's metrics)
         res.rounds = rnd + 1

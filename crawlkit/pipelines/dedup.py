@@ -106,38 +106,35 @@ def ngram_jaccard_pairs(sf_dir: str, tau_tenths: int = 2, df_cap: int | None = N
     keeps everything (required when an exact SQL oracle is compared).
     """
     ds = _read_docs(sf_dir, ["doc_id", "text"])
-    pairs_src = ds.map_batches(_explode_shingles, batch_format="pyarrow")
+    nshards = 32
+
+    def explode_sharded(t: pa.Table) -> pa.Table:
+        out = _explode_shingles(t)
+        shard = (out["shingle"].to_numpy() % np.uint64(nshards)).astype(np.int32)
+        return out.append_column("shard", pa.array(shard))
+
+    pairs_src = ds.map_batches(explode_sharded, batch_format="pyarrow")
 
     def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {
-                "doc_id_a": pd.Series([], dtype="int64"),
-                "doc_id_b": pd.Series([], dtype="int64"),
-                "i": pd.Series([], dtype="int64"),
-                "ca": pd.Series([], dtype="int64"),
-                "cb": pd.Series([], dtype="int64"),
-            }
+        """One call per SHARD (not per shingle — thousands of tiny groups
+        would pay per-group pandas overhead); inside, a vectorized
+        self-merge on shingle emits co-occurrence pairs, pre-aggregated
+        per shard before the global pair groupby."""
+        if df_cap is not None:
+            df = g.groupby("shingle")["doc_id"].transform("size")
+            g = g[df <= df_cap]
+        m = g.merge(g, on="shingle", suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
+        agg = (
+            m.groupby(["doc_id_a", "doc_id_b"], as_index=False)
+            .agg(i=("shingle", "size"), ca=("n_shingles_a", "first"), cb=("n_shingles_b", "first"))
         )
-        if df_cap is not None and len(g) > df_cap:
-            return empty
-        g = g.sort_values("doc_id")
-        ids = g["doc_id"].to_numpy()
-        cnts = g["n_shingles"].to_numpy()
-        if len(ids) < 2:
-            return empty
-        a_idx, b_idx = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame(
-            {
-                "doc_id_a": ids[a_idx],
-                "doc_id_b": ids[b_idx],
-                "i": np.ones(len(a_idx), dtype=np.int64),
-                "ca": cnts[a_idx],
-                "cb": cnts[b_idx],
-            }
+        return agg.astype(
+            {"doc_id_a": "int64", "doc_id_b": "int64", "i": "int64", "ca": "int64", "cb": "int64"}
         )
 
     inter = (
-        pairs_src.groupby("shingle")
+        pairs_src.groupby("shard")
         .map_groups(emit_pairs, batch_format="pandas")
         .groupby(["doc_id_a", "doc_id_b"])
         .aggregate(
@@ -180,17 +177,18 @@ class MinHasher:
 
     def __init__(self, num_perm: int = 64, seed: int = 42):
         rng = np.random.Generator(np.random.PCG64(seed))
-        self.a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
-        self.b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.a = rng.integers(1, 1 << 62, size=num_perm, dtype=np.uint64) | np.uint64(1)
+        self.b = rng.integers(0, 1 << 62, size=num_perm, dtype=np.uint64)
         self.num_perm = num_perm
 
     def signature(self, shingles: np.ndarray) -> np.ndarray:
         if len(shingles) == 0:
             return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
-        # (a*x + b) mod M per permutation; object math avoids overflow UB
-        x = shingles.astype(object)[:, None]
-        vals = (self.a.astype(object)[None, :] * x + self.b.astype(object)[None, :]) % _MERSENNE
-        return np.array(vals.min(axis=0), dtype=np.uint64)
+        # multiply-shift universal hashing in native uint64 (wraparound is
+        # the modulus): one vectorized op per batch — no object math
+        with np.errstate(over="ignore"):
+            vals = self.a[None, :] * shingles[:, None] + self.b[None, :]
+        return vals.min(axis=0)
 
     def __call__(self, t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy()
@@ -239,17 +237,21 @@ def minhash_lsh_pairs(
         )
 
     def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].unique())
-        if len(ids) < 2:
-            return pd.DataFrame(
-                {"doc_id_a": pd.Series([], dtype="int64"), "doc_id_b": pd.Series([], dtype="int64")}
-            )
-        a, b = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_id_a": ids[a], "doc_id_b": ids[b]})
+        """One call per BAND; vectorized self-merge on band_hash inside."""
+        g = g[["doc_id", "band_hash"]].drop_duplicates()
+        m = g.merge(g, on="band_hash", suffixes=("_l", "_r"))
+        m = m[m["doc_id_l"] < m["doc_id_r"]]
+        out = m[["doc_id_l", "doc_id_r"]].drop_duplicates()
+        return pd.DataFrame(
+            {
+                "doc_id_a": out["doc_id_l"].astype("int64").to_numpy(),
+                "doc_id_b": out["doc_id_r"].astype("int64").to_numpy(),
+            }
+        )
 
     candidates = (
         sigs.map_batches(explode_bands, batch_format="pyarrow")
-        .groupby(["band", "band_hash"])
+        .groupby("band")
         .map_groups(emit_pairs, batch_format="pandas")
         .groupby(["doc_id_a", "doc_id_b"])
         .aggregate(Count(alias_name="_nbands"))
@@ -310,10 +312,14 @@ def simhash_signatures(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
-def simhash_pairs(sf_dir: str, max_hamming: int = 8) -> rd.Dataset:
+def simhash_pairs(sf_dir: str, max_hamming: int = 3, bucket_cap: int = 512) -> rd.Dataset:
     """Near-dup pairs with Hamming(simhash) ≤ r: 4×16-bit band buckets
     (any equal band → candidate — guaranteed to catch r ≤ 3 by
-    pigeonhole at 4 bands; probabilistic above) then exact verify."""
+    pigeonhole at 4 bands; probabilistic above) then exact verify.
+
+    ``bucket_cap`` skips band values shared by more than cap docs (the
+    hot-bucket hatch: a degenerate bucket would emit O(cap²) candidate
+    rows; capped buckets are the standard trade — log-and-skip)."""
     sigs = simhash_signatures(sf_dir)
 
     def explode(t: pa.Table) -> pa.Table:
@@ -335,10 +341,13 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 8) -> rd.Dataset:
         return pa.concat_tables(parts)
 
     def emit(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        ids = g["doc_id"].to_numpy()
-        sigs_ = g["simhash"].to_numpy().view(np.uint64)
-        if len(ids) < 2:
+        """One call per BAND; self-merge on band_val, vectorized Hamming."""
+        g = g[["doc_id", "simhash", "band_val"]].drop_duplicates("doc_id")
+        sizes = g.groupby("band_val")["doc_id"].transform("size")
+        g = g[sizes <= bucket_cap]
+        m = g.merge(g, on="band_val", suffixes=("_l", "_r"))
+        m = m[m["doc_id_l"] < m["doc_id_r"]]
+        if m.empty:
             return pd.DataFrame(
                 {
                     "doc_id_a": pd.Series([], dtype="int64"),
@@ -346,17 +355,20 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 8) -> rd.Dataset:
                     "hamming": pd.Series([], dtype="int64"),
                 }
             )
-        a, b = np.triu_indices(len(ids), k=1)
-        x = sigs_[a] ^ sigs_[b]
+        x = m["simhash_l"].to_numpy().view(np.uint64) ^ m["simhash_r"].to_numpy().view(np.uint64)
         ham = np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
-        m = ham <= max_hamming
+        keep = ham <= max_hamming
         return pd.DataFrame(
-            {"doc_id_a": ids[a][m], "doc_id_b": ids[b][m], "hamming": ham[m].astype(np.int64)}
-        )
+            {
+                "doc_id_a": m["doc_id_l"].to_numpy()[keep].astype("int64"),
+                "doc_id_b": m["doc_id_r"].to_numpy()[keep].astype("int64"),
+                "hamming": ham[keep].astype(np.int64),
+            }
+        ).drop_duplicates(["doc_id_a", "doc_id_b"])
 
     out = (
         sigs.map_batches(explode, batch_format="pyarrow")
-        .groupby(["band", "band_val"])
+        .groupby("band")
         .map_groups(emit, batch_format="pandas")
         .groupby(["doc_id_a", "doc_id_b"])
         .aggregate(Min("hamming", alias_name="hamming"))
@@ -400,31 +412,44 @@ def embedding_neardup_pairs(sf_dir: str, tau: float = 0.95, n_planes: int = 12) 
             rows_home.append(np.zeros(len(ids), bool))
         emb_n = emb / np.maximum(norm, 1e-12)[:, None]
         tiled = np.tile(emb_n, (n_planes + 1, 1))
+        codes = np.concatenate(rows_code)
         return pa.table(
             {
                 "vec_id": np.concatenate(rows_id),
-                "code": np.concatenate(rows_code),
+                "code": codes,
+                "shard": (codes % 32).astype(np.int32),
                 "home": np.concatenate(rows_home),
                 "vec": pa.array(list(tiled), pa.list_(pa.float64(), emb.shape[1])),
             }
         )
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(subset=["vec_id", "home"])
-        ids = g["vec_id"].to_numpy()
-        home = g["home"].to_numpy()
-        V = np.stack(g["vec"].to_numpy())
-        sims = V @ V.T
-        a, b = np.triu_indices(len(ids), k=1)
-        # count a pair once: only when at least one side is in its home bucket
-        m = (sims[a, b] >= tau) & (home[a] | home[b]) & (ids[a] != ids[b])
-        lo = np.minimum(ids[a][m], ids[b][m])
-        hi = np.maximum(ids[a][m], ids[b][m])
-        return pd.DataFrame({"vec_id_a": lo, "vec_id_b": hi})
+        """One call per code-SHARD; self-merge on exact code inside,
+        then row-wise vectorized cosine on the merged pairs."""
+        g = g.drop_duplicates(subset=["vec_id", "code", "home"]).reset_index(drop=True)
+        g = g[["vec_id", "code", "home", "vec"]]
+        m = g.merge(g, on="code", suffixes=("_l", "_r"))
+        m = m[m["vec_id_l"] < m["vec_id_r"]]
+        # count each pair once: at least one side in its home bucket
+        m = m[m["home_l"] | m["home_r"]]
+        if m.empty:
+            return pd.DataFrame(
+                {"vec_id_a": pd.Series([], dtype="int64"), "vec_id_b": pd.Series([], dtype="int64")}
+            )
+        vl = np.stack(m["vec_l"].to_numpy())
+        vr = np.stack(m["vec_r"].to_numpy())
+        sims = np.einsum("ij,ij->i", vl, vr)
+        keep = sims >= tau
+        return pd.DataFrame(
+            {
+                "vec_id_a": m["vec_id_l"].to_numpy()[keep].astype("int64"),
+                "vec_id_b": m["vec_id_r"].to_numpy()[keep].astype("int64"),
+            }
+        ).drop_duplicates()
 
     pairs = (
         ds.map_batches(bucketize, batch_format="pyarrow")
-        .groupby("code")
+        .groupby("shard")
         .map_groups(verify, batch_format="pandas")
     )
     out = pairs.groupby(["vec_id_a", "vec_id_b"]).aggregate(Count(alias_name="_n"))

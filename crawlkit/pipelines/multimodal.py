@@ -127,10 +127,11 @@ def image_phash_neardup(sf_dir: str | None = None, n: int = 64, max_hamming: int
         return pa.concat_tables(parts)
 
     def emit(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("image_id").sort_values("image_id")
-        ids = g["image_id"].to_numpy()
-        sig = g["phash"].to_numpy().view(np.uint64)
-        if len(ids) < 2:
+        """One call per BAND; vectorized self-merge + Hamming verify."""
+        g = g[["image_id", "phash", "band_val"]].drop_duplicates("image_id")
+        m = g.merge(g, on="band_val", suffixes=("_l", "_r"))
+        m = m[m["image_id_l"] < m["image_id_r"]]
+        if m.empty:
             return pd.DataFrame(
                 {
                     "id_a": pd.Series([], dtype="object"),
@@ -138,19 +139,22 @@ def image_phash_neardup(sf_dir: str | None = None, n: int = 64, max_hamming: int
                     "hamming": pd.Series([], dtype="int64"),
                 }
             )
-        a, b = np.triu_indices(len(ids), k=1)
-        x = sig[a] ^ sig[b]
+        x = m["phash_l"].to_numpy().view(np.uint64) ^ m["phash_r"].to_numpy().view(np.uint64)
         ham = np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
-        m = ham <= max_hamming
+        keep = ham <= max_hamming
         return pd.DataFrame(
-            {"id_a": ids[a][m], "id_b": ids[b][m], "hamming": ham[m].astype(np.int64)}
-        )
+            {
+                "id_a": m["image_id_l"].to_numpy()[keep],
+                "id_b": m["image_id_r"].to_numpy()[keep],
+                "hamming": ham[keep].astype(np.int64),
+            }
+        ).drop_duplicates(["id_a", "id_b"])
 
     from .dedup import pandas_with_schema
 
     out = (
         feats.map_batches(explode, batch_format="pyarrow")
-        .groupby(["band", "band_val"])
+        .groupby("band")
         .map_groups(emit, batch_format="pandas")
         .groupby(["id_a", "id_b"])
         .aggregate(Min("hamming", alias_name="hamming"))

@@ -281,6 +281,8 @@ def j_hash_join(sf_dir: str, k: int = 10) -> rd.Dataset:
         .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
     )
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    # join partitions: the hash-join operator runs one aggregator actor
+    # per partition — keep it modest on one node (actors = process spawns)
     joined = revenue.join(
         orders, join_type="inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
     )

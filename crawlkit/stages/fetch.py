@@ -30,6 +30,7 @@ from urllib.parse import urlsplit
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .. import canon
 from ..hashing import stable_hash_bytes
@@ -38,6 +39,15 @@ from . import parsers
 from .politeness import HostBuckets, RobotsCache
 
 RETRY_ATTEMPTS = 5  # otodom/flat_crawler/handler.go:53
+
+
+def _digest_pair(canon_url: str) -> tuple[int, int]:
+    """128-bit url digest as two uint64s — computed IN the fetch task so
+    the driver's dedup-admit routing does no per-url hashing."""
+    import hashlib
+
+    d = hashlib.blake2b(canon_url.encode("utf-8"), digest_size=16).digest()
+    return int.from_bytes(d[:8], "little"), int.from_bytes(d[8:], "little")
 STATUS_ROBOTS_BLOCKED = -2
 STATUS_EXHAUSTED = -1
 
@@ -67,6 +77,11 @@ UNION_FIELDS: list[tuple[str, pa.DataType]] = [
     ("link", pa.string()),
     ("image_id", pa.string()),
     ("caption", pa.string()),
+    ("frag_key", pa.string()),
+    ("frag_rows", pa.int64()),
+    ("frag_path", pa.string()),
+    ("digest_hi", pa.uint64()),
+    ("digest_lo", pa.uint64()),
 ]
 UNION_SCHEMA = pa.schema(UNION_FIELDS)
 _COLS = [f[0] for f in UNION_FIELDS]
@@ -90,12 +105,25 @@ class FetchParse:
         obey_robots: bool = True,
         rate_per_host: float | None = None,
         max_depth: int = 2,
+        entries_root: str | None = None,
+        images_root: str | None = None,
     ):
+        """``entries_root``/``images_root``: when given, the stage is
+        FUSED — extracted entries are normalized and written as
+        Lance-like fragments and offer images fetched+encoded+written
+        FROM THIS TASK, emitting only efrag/ifrag metadata rows. One
+        dataset execution per crawl round, zero payload bytes on the
+        driver. When None, raw entry/image_ref rows are emitted (used
+        by unit tests and ad-hoc pipelines)."""
+        from ..state.lancelike import TableStore
+
         self.web = SynthWeb(web_config)
         self.obey_robots = obey_robots
         self.robots = RobotsCache(self._fetch_robots)
         self.buckets = HostBuckets(rate_per_host) if rate_per_host else None
         self.max_depth = max_depth
+        self.entries_store = TableStore(entries_root) if entries_root else None
+        self.images_store = TableStore(images_root) if images_root else None
 
     def _fetch_robots(self, url: str) -> str | None:
         r = self.web.fetch(url)
@@ -152,7 +180,12 @@ class FetchParse:
                 anchors = parsers.parse_pagination(r.body)
                 last = max(anchors, default=0)  # G2 running max
                 for prio, page_url in parsers.expand_pages(url, last):
+                    cu = canon.canonicalize_url_one(page_url)
+                    dh, dl = _digest_pair(cu)
                     rows.append({**base, "kind": "page", "url": page_url,
+                                 "canon_url": cu,
+                                 "host": canon.host_of_one(page_url),
+                                 "digest_hi": dh, "digest_lo": dl,
                                  "priority": prio, "depth": 1})
             elif depth == 1:
                 spec = parsers.get_parser(base["schema_name"])
@@ -165,13 +198,46 @@ class FetchParse:
                          "link": canon.take_characters_before_one(a["href"], ".html")}
                     )
                     if self.max_depth >= 2 and a["href"]:
+                        cu = canon.canonicalize_url_one(a["href"])
+                        dh, dl = _digest_pair(cu)
                         rows.append({**base, "kind": "page", "url": a["href"],
+                                     "canon_url": cu,
+                                     "host": canon.host_of_one(a["href"]),
+                                     "digest_hi": dh, "digest_lo": dl,
                                      "priority": 0, "depth": 2})
             elif depth == 2:
                 for im in parsers.parse_offer_images(r.body, url):
                     rows.append({**base, "kind": "image_ref",
                                  "image_id": im["image_id"], "caption": im["caption"]})
+        if self.entries_store is not None:
+            rows = self._write_payloads(rows)
         return _rows_to_table(rows)
+
+    def _write_payloads(self, rows: list[dict]) -> list[dict]:
+        """Fused mode: write entry + image fragments, swap payload rows
+        for frag-metadata rows (idempotent deterministic keys)."""
+        out = [r for r in rows if r["kind"] not in ("entry", "image_ref")]
+        entries = [r for r in rows if r["kind"] == "entry"]
+        image_refs = [r for r in rows if r["kind"] == "image_ref"]
+        if entries:
+            ent_t = _rows_to_table(entries)
+            table = normalize_entries(ent_t)
+            fkey = stable_hash_bytes(
+                "entfrag", *sorted(r["canon_url"] for r in entries), len(entries), size=8
+            ).hex()
+            meta = self.entries_store.write_fragment(table, fkey)
+            out.append({"kind": "efrag", "frag_key": meta["key"],
+                        "frag_rows": meta["rows"], "frag_path": meta["path"]})
+        if image_refs and self.images_store is not None:
+            recs = [self.web.image_record(r["image_id"]) for r in image_refs]
+            table = pa.Table.from_pylist(recs, schema=IMAGES_SCHEMA)
+            fkey = stable_hash_bytes(
+                "imgfrag", *sorted(r["image_id"] for r in image_refs), size=8
+            ).hex()
+            meta = self.images_store.write_fragment(table, fkey)
+            out.append({"kind": "ifrag", "frag_key": meta["key"],
+                        "frag_rows": meta["rows"], "frag_path": meta["path"]})
+        return out
 
 
 # --- worker-cached task-mode variant ------------------------------------
@@ -186,14 +252,24 @@ class FetchParse:
 _FETCHER_CACHE: dict = {}
 
 
-def make_fetch_parse_fn(web_config: WebConfig | str, obey_robots: bool, max_depth: int):
-    key = (repr(web_config), obey_robots, max_depth)
+def make_fetch_parse_fn(
+    web_config: WebConfig | str,
+    obey_robots: bool,
+    max_depth: int,
+    entries_root: str | None = None,
+    images_root: str | None = None,
+):
+    key = (repr(web_config), obey_robots, max_depth, entries_root, images_root)
 
     def fetch_parse(batch: pa.Table) -> pa.Table:
         inst = _FETCHER_CACHE.get(key)
         if inst is None:
             inst = _FETCHER_CACHE[key] = FetchParse(
-                web_config, obey_robots=obey_robots, max_depth=max_depth
+                web_config,
+                obey_robots=obey_robots,
+                max_depth=max_depth,
+                entries_root=entries_root,
+                images_root=images_root,
             )
         return inst(batch)
 
@@ -252,16 +328,52 @@ class ImageFetchWrite:
 
 
 def make_image_write_fn(web_config: WebConfig | str, store_root: str):
-    """Worker-cached task-mode ImageFetchWrite (see make_fetch_parse_fn)."""
+    """Worker-cached task-mode ImageFetchWrite (see make_fetch_parse_fn).
+
+    Accepts raw UNION batches: filters kind == image_ref itself, so the
+    driver never materializes payload rows."""
     key = ("img", repr(web_config), store_root)
 
     def image_write(batch: pa.Table) -> pa.Table:
+        if "kind" in batch.column_names:
+            batch = batch.filter(pc.equal(batch["kind"], "image_ref")).select(
+                ["image_id", "caption"]
+            )
         inst = _FETCHER_CACHE.get(key)
         if inst is None:
             inst = _FETCHER_CACHE[key] = ImageFetchWrite(web_config, store_root)
         return inst(batch)
 
     return image_write
+
+
+FRAG_META_SCHEMA = pa.schema([("key", pa.string()), ("rows", pa.int64()), ("path", pa.string())])
+
+
+def make_entry_write_fn(store_root: str):
+    """Task-side entries writer over UNION batches: filter kind == entry,
+    vectorized normalize (M2/M3), write a Lance-like fragment with a
+    deterministic content-derived key, return only fragment metadata.
+    Entry rows never pass through the driver (scale posture)."""
+    from ..state.lancelike import TableStore
+
+    key = ("entrywriter", store_root)
+
+    def entry_write(batch: pa.Table) -> pa.Table:
+        ent = batch.filter(pc.equal(batch["kind"], "entry"))
+        if ent.num_rows == 0:
+            return FRAG_META_SCHEMA.empty_table()
+        store = _FETCHER_CACHE.get(key)
+        if store is None:
+            store = _FETCHER_CACHE[key] = TableStore(store_root)
+        table = normalize_entries(ent)
+        fkey = stable_hash_bytes(
+            "entfrag", *sorted(ent["canon_url"].to_pylist()), ent.num_rows, size=8
+        ).hex()
+        meta = store.write_fragment(table, fkey)
+        return pa.Table.from_pylist([meta], schema=FRAG_META_SCHEMA)
+
+    return entry_write
 
 
 def normalize_entries(entries: pa.Table) -> pa.Table:

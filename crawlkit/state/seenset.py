@@ -160,6 +160,7 @@ class SeenShardState:
         self.bloom = BloomFilter(capacity)
         self.cuckoo = CuckooFilter(capacity)
         self.exact: set[int] = set()
+        self._pending: list[np.ndarray] = []  # digests added since last snapshot
 
     def check_and_add(self, digests: np.ndarray) -> np.ndarray:
         """(N, 2) uint64 digests → (N,) bool, True = first-ever-seen.
@@ -188,6 +189,7 @@ class SeenShardState:
         if len(newd):
             self.bloom.add_many(newd)
             self.cuckoo.add_many(newd)
+            self._pending.append(newd.copy())
         return new
 
     def __len__(self) -> int:
@@ -196,26 +198,44 @@ class SeenShardState:
     # --- checkpoint ------------------------------------------------------
 
     def snapshot(self, path: str) -> int:
-        hi = np.fromiter(((k >> 64) & 0xFFFFFFFFFFFFFFFF for k in self.exact), dtype=np.uint64, count=len(self.exact))
-        lo = np.fromiter((k & 0xFFFFFFFFFFFFFFFF for k in self.exact), dtype=np.uint64, count=len(self.exact))
-        pq.write_table(pa.table({"hi": hi, "lo": lo}), path)
-        return len(self.exact)
+        """INCREMENTAL snapshot: writes only digests added since the last
+        snapshot (O(delta), not O(set) — a full rewrite per round would
+        dominate driver time as the seen set grows). Restore unions all
+        deltas from all rounds."""
+        if self._pending:
+            d = np.concatenate(self._pending)
+        else:
+            d = np.empty((0, 2), dtype=np.uint64)
+        pq.write_table(pa.table({"hi": d[:, 0] if len(d) else np.empty(0, np.uint64),
+                                 "lo": d[:, 1] if len(d) else np.empty(0, np.uint64)}), path)
+        self._pending = []
+        return len(d)
 
-    def restore(self, path: str) -> int:
-        t = pq.read_table(path)
-        hi = t["hi"].to_numpy().astype(object)
-        lo = t["lo"].to_numpy().astype(object)
-        d = np.stack([hi.astype(np.uint64), lo.astype(np.uint64)], axis=1)
-        self.exact = set((h << 64) | l for h, l in zip(hi, lo))
-        if len(d):
+    def restore(self, paths: "str | list[str]") -> int:
+        if isinstance(paths, str):
+            paths = [paths]
+        for path in paths:
+            t = pq.read_table(path)
+            hi = t["hi"].to_numpy().astype(object)
+            lo = t["lo"].to_numpy().astype(object)
+            if len(hi) == 0:
+                continue
+            d = np.stack([hi.astype(np.uint64), lo.astype(np.uint64)], axis=1)
+            self.exact.update((h << 64) | l for h, l in zip(hi, lo))
             self.bloom.add_many(d)
             self.cuckoo.add_many(d)
+        self._pending = []
         return len(self.exact)
 
 
-@ray.remote
+@ray.remote(num_cpus=0)
 class SeenShard:
-    """One seen-set partition. Actor = serialized access ⇒ exactness."""
+    """One seen-set partition. Actor = serialized access ⇒ exactness.
+
+    num_cpus=0: shards are control-plane actors touched once per round
+    with a short batched call — reserving whole CPU slots for them would
+    starve the fetch stage (observed: 8 shards + 8-CPU session = zero
+    slots left for Dataset tasks)."""
 
     def __init__(self, shard_id: int, capacity: int = 1 << 20):
         self.shard_id = shard_id
@@ -248,9 +268,13 @@ class SeenSet:
         """(N,) bool mask, True = new. One actor call per involved shard."""
         if len(urls) == 0:
             return np.zeros(0, dtype=bool)
-        d = url_digests(urls)
+        return self.check_and_add_digests(url_digests(urls))
+
+    def check_and_add_digests(self, d: np.ndarray) -> np.ndarray:
+        """Same as check_and_add_urls, with (N, 2) uint64 digests already
+        computed (upstream tasks hash in parallel; the driver only routes)."""
         route = (d[:, 0] % np.uint64(self.num_shards)).astype(np.int64)
-        out = np.zeros(len(urls), dtype=bool)
+        out = np.zeros(len(d), dtype=bool)
         futs, idxs = [], []
         for s in range(self.num_shards):
             ix = np.nonzero(route == s)[0]
@@ -272,6 +296,12 @@ class SeenSet:
         ray.get([s.snapshot.remote(p) for s, p in zip(self.shards, paths)])
         return paths
 
-    def restore(self, dir_path: str) -> int:
-        paths = [f"{dir_path}/shard-{i:04d}.parquet" for i in range(self.num_shards)]
-        return sum(ray.get([s.restore.remote(p) for s, p in zip(self.shards, paths)]))
+    def restore(self, dir_paths: "str | list[str]") -> int:
+        """Restore from one or more per-round snapshot dirs (incremental
+        deltas — pass every round dir up to the resume point)."""
+        if isinstance(dir_paths, str):
+            dir_paths = [dir_paths]
+        per_shard = [
+            [f"{d}/shard-{i:04d}.parquet" for d in dir_paths] for i in range(self.num_shards)
+        ]
+        return sum(ray.get([s.restore.remote(ps) for s, ps in zip(self.shards, per_shard)]))

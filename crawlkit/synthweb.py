@@ -46,7 +46,10 @@ class WebConfig:
 PROFILES = {
     "t1": WebConfig(n_seeds=4, n_hosts=3),
     "t2": WebConfig(n_seeds=8, n_hosts=5),
-    "bench": WebConfig(n_seeds=64, n_hosts=256, max_last_page=24, articles_mod=30),
+    # sized so the parallel fetch/encode work dominates per-round fixed
+    # overhead (~100k URLs, ~200k images) — the scaling-efficiency
+    # measurement needs compute ≫ driver/exec startup costs
+    "bench": WebConfig(n_seeds=384, n_hosts=256, max_last_page=24, articles_mod=30),
 }
 
 
