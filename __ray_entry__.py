@@ -83,6 +83,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "w_tumbling": relational.w_tumbling,
         "q1_pricing": relational.q1_pricing,
         "u_union": relational.u_union,
+        "s_except": relational.s_except,
+        "s_intersect": relational.s_intersect,
+        "sample_deterministic": relational.sample_deterministic,
         # --- text analysis (SQL-checked where exact) ---
         "text_token_count": text.token_count,
         "text_bpe_token_count": text.bpe_ish_token_count,

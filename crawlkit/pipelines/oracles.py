@@ -98,6 +98,20 @@ ORACLE_SQL: dict[str, str] = {
         UNION ALL
         SELECT event_id, event_type FROM events WHERE event_type = 'error'
     """,
+    "s_except": """
+        SELECT DISTINCT user_id FROM events
+        WHERE event_type = 'click'
+          AND user_id NOT IN (SELECT user_id FROM events WHERE event_type = 'purchase')
+    """,
+    "s_intersect": """
+        SELECT DISTINCT user_id FROM events
+        WHERE event_type = 'click'
+          AND user_id IN (SELECT user_id FROM events WHERE event_type = 'purchase')
+    """,
+    "sample_deterministic": """
+        SELECT event_id, event_type FROM events
+        WHERE (event_id * 2654435761) % 100 < 10
+    """,
     "text_token_count": r"""
         SELECT doc_id,
                len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_tokens

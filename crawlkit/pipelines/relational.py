@@ -405,3 +405,74 @@ def u_union(sf_dir: str) -> rd.Dataset:
         lambda t: t.filter(pc.equal(t["event_type"], "error")), batch_format="pyarrow"
     )
     return a.union(b)
+
+
+def s_except(sf_dir: str) -> rd.Dataset:
+    """EXCEPT as a broadcast ANTI-join: users who clicked but never
+    purchased. The purchaser key-set is broadcast (ray.put) and the
+    filter runs inside map_batches — the D1 frontier-vs-seen anti-join
+    shape without a shuffle (small side = key set / bloom at scale)."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    import pyarrow.parquet as pq
+
+    ev = pq.read_table(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+    purchasers = set(
+        ev.filter(pc.equal(ev["event_type"], "purchase"))["user_id"].to_pylist()
+    )
+    ref = ray.put(purchasers)
+
+    def anti(t: pa.Table) -> pa.Table:
+        p = ray.get(ref)
+        clicks = t.filter(pc.equal(t["event_type"], "click"))
+        keep = pa.array([u not in p for u in clicks["user_id"].to_pylist()])
+        out = clicks.filter(keep)
+        return out.group_by(["user_id"]).aggregate([])  # per-batch pre-dedup
+
+    from .dedup import pandas_with_schema
+
+    out = ds.map_batches(anti, batch_format="pyarrow").groupby("user_id").aggregate(
+        Count(alias_name="_c")
+    )
+    return pandas_with_schema(out, {"user_id": "int64"})
+
+
+def s_intersect(sf_dir: str) -> rd.Dataset:
+    """INTERSECT as a broadcast SEMI-join: users who both clicked and
+    purchased (same broadcast shape, inverted predicate)."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    import pyarrow.parquet as pq
+
+    ev = pq.read_table(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+    purchasers = set(
+        ev.filter(pc.equal(ev["event_type"], "purchase"))["user_id"].to_pylist()
+    )
+    ref = ray.put(purchasers)
+
+    def semi(t: pa.Table) -> pa.Table:
+        p = ray.get(ref)
+        clicks = t.filter(pc.equal(t["event_type"], "click"))
+        keep = pa.array([u in p for u in clicks["user_id"].to_pylist()])
+        return clicks.filter(keep).group_by(["user_id"]).aggregate([])
+
+    from .dedup import pandas_with_schema
+
+    out = ds.map_batches(semi, batch_format="pyarrow").groupby("user_id").aggregate(
+        Count(alias_name="_c")
+    )
+    return pandas_with_schema(out, {"user_id": "int64"})
+
+
+def sample_deterministic(sf_dir: str, rate_pct: int = 10) -> rd.Dataset:
+    """Deterministic hash-sample: keep rows whose key-hash % 100 < rate.
+    Unlike ds.random_sample this is reproducible AND SQL-expressible
+    (hash on event_id via the same integer arithmetic both sides)."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        # Knuth-multiplicative bucket, exactly mirrored in the SQL
+        # oracle (int64; ids here are far from overflow)
+        eid = t["event_id"].to_numpy()
+        bucket = (eid * 2654435761) % 100
+        return t.filter(pa.array(bucket < rate_pct))
+
+    return ds.map_batches(pick, batch_format="pyarrow")

@@ -50,6 +50,7 @@ def _digest_pair(canon_url: str) -> tuple[int, int]:
     return int.from_bytes(d[:8], "little"), int.from_bytes(d[8:], "little")
 STATUS_ROBOTS_BLOCKED = -2
 STATUS_EXHAUSTED = -1
+STATUS_TIMEOUT = -3
 
 UNION_FIELDS: list[tuple[str, pa.DataType]] = [
     ("kind", pa.string()),
@@ -107,6 +108,7 @@ class FetchParse:
         max_depth: int = 2,
         entries_root: str | None = None,
         images_root: str | None = None,
+        fetch_timeout_s: float | None = None,
     ):
         """``entries_root``/``images_root``: when given, the stage is
         FUSED — extracted entries are normalized and written as
@@ -124,15 +126,25 @@ class FetchParse:
         self.max_depth = max_depth
         self.entries_store = TableStore(entries_root) if entries_root else None
         self.images_store = TableStore(images_root) if images_root else None
+        # P3 analog (exec_timeout, stack.yml:136): per-item fetch deadline
+        # spanning all retry attempts; exceeded → STATUS_TIMEOUT log row
+        self.fetch_timeout_s = fetch_timeout_s
 
     def _fetch_robots(self, url: str) -> str | None:
         r = self.web.fetch(url)
         return r.body if r.status == 200 else None
 
     def _fetch_with_retry(self, url: str):
+        deadline = (
+            time.monotonic() + self.fetch_timeout_s if self.fetch_timeout_s else None
+        )
         for attempt in range(1, RETRY_ATTEMPTS + 1):
             r = self.web.fetch(url, attempt=attempt)
             if r.status == 200:
+                return r, attempt
+            if deadline is not None and time.monotonic() > deadline:
+                r.status = 598  # timeout sentinel; logged as STATUS_TIMEOUT
+                r.error = "fetch deadline exceeded"
                 return r, attempt
         return r, RETRY_ATTEMPTS
 
@@ -169,9 +181,11 @@ class FetchParse:
                     time.sleep(wait)
                 self.buckets.bucket(host).try_take(time.monotonic())
             r, attempts = self._fetch_with_retry(url)
+            status = 200 if r.status == 200 else (
+                STATUS_TIMEOUT if r.status == 598 else STATUS_EXHAUSTED
+            )
             rows.append(
-                {**base, "kind": "log",
-                 "status": 200 if r.status == 200 else STATUS_EXHAUSTED,
+                {**base, "kind": "log", "status": status,
                  "attempts": attempts, "error": r.error or "", "nbytes": r.nbytes}
             )
             if r.status != 200:

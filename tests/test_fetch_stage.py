@@ -1,0 +1,107 @@
+"""Fetch-stage unit coverage: union schema, retry semantics, timeout
+plumbing (P3), robots at stage level, fused fragment writes."""
+
+import pyarrow as pa
+import pytest
+
+from crawlkit import canon
+from crawlkit.stages import fetch as F
+from crawlkit.synthweb import SynthWeb
+
+
+def _frontier_batch(web, rows):
+    cols = {
+        "url": [], "canon_url": [], "host": [], "priority": [], "depth": [],
+        "seed_id": [], "schema_name": [], "schema_version": [], "domain": [],
+        "round": [], "created": [],
+    }
+    for r in rows:
+        cols["url"].append(r["url"])
+        cols["canon_url"].append(canon.canonicalize_url_one(r["url"]))
+        cols["host"].append(canon.host_of_one(r["url"]))
+        cols["priority"].append(r.get("priority", 0))
+        cols["depth"].append(r.get("depth", 0))
+        cols["seed_id"].append(r.get("seed_id", 0))
+        cols["schema_name"].append(r.get("schema_name", "flat"))
+        cols["schema_version"].append("v0.0.3")
+        cols["domain"].append("domain-0")
+        cols["round"].append(0)
+        cols["created"].append("2026-01-01T00:00:00")
+    return pa.table(cols)
+
+
+def test_seed_fetch_emits_pagination_pages():
+    web = SynthWeb("t1")
+    fp = F.FetchParse("t1")
+    out = fp(_frontier_batch(web, [{"url": web.seeds()[0]["url"]}]))
+    kinds = out["kind"].to_pylist()
+    assert kinds.count("log") == 1
+    n_pages = kinds.count("page")
+    assert n_pages == web.last_page(0) - 1  # the off-by-one (M6)
+    # discoveries carry canon/host/digests computed in-task
+    pages = out.filter(pa.compute.equal(out["kind"], "page"))
+    assert all(c is not None for c in pages["canon_url"].to_pylist())
+    assert all(h is not None for h in pages["digest_hi"].to_pylist())
+
+
+def test_listing_fetch_emits_entries_and_offers():
+    web = SynthWeb("t1")
+    fp = F.FetchParse("t1")
+    url = web.seeds()[0]["url"] + "&page=1"
+    out = fp(_frontier_batch(web, [{"url": url, "depth": 1, "priority": 1}]))
+    kinds = out["kind"].to_pylist()
+    n = web.n_articles(0, 1)
+    assert kinds.count("entry") == n
+    assert kinds.count("page") == n  # one offer link per article
+
+
+def test_retry_exhaustion_marks_failed_row():
+    class AlwaysFail(SynthWeb):
+        def fetch(self, url, attempt=1):
+            from crawlkit.synthweb import FetchResult
+
+            return FetchResult(url, 503, None, error="down")
+
+    fp = F.FetchParse("t1")
+    fp.web = AlwaysFail("t1")
+    web = SynthWeb("t1")
+    out = fp(_frontier_batch(web, [{"url": web.seeds()[0]["url"]}]))
+    log = out.filter(pa.compute.equal(out["kind"], "log"))
+    assert log["status"].to_pylist() == [F.STATUS_EXHAUSTED]
+    assert log["attempts"].to_pylist() == [F.RETRY_ATTEMPTS]  # T3: <=5 then fail
+
+
+def test_fetch_timeout_plumbing():
+    class SlowFail(SynthWeb):
+        def fetch(self, url, attempt=1):
+            import time
+
+            from crawlkit.synthweb import FetchResult
+
+            time.sleep(0.05)
+            return FetchResult(url, 503, None, error="slow")
+
+    fp = F.FetchParse("t1", fetch_timeout_s=0.01)
+    fp.web = SlowFail("t1")
+    web = SynthWeb("t1")
+    out = fp(_frontier_batch(web, [{"url": web.seeds()[0]["url"]}]))
+    log = out.filter(pa.compute.equal(out["kind"], "log"))
+    assert log["status"].to_pylist() == [F.STATUS_TIMEOUT]
+    assert log["attempts"].to_pylist()[0] < F.RETRY_ATTEMPTS  # gave up early
+
+
+def test_fused_mode_writes_fragments(tmp_path):
+    web = SynthWeb("t1")
+    fp = F.FetchParse(
+        "t1", entries_root=str(tmp_path / "e"), images_root=str(tmp_path / "i")
+    )
+    url = web.seeds()[0]["url"] + "&page=1"
+    out = fp(_frontier_batch(web, [{"url": url, "depth": 1, "priority": 1}]))
+    kinds = out["kind"].to_pylist()
+    assert "entry" not in kinds  # payload rows replaced by frag metadata
+    assert kinds.count("efrag") == 1
+    efrag = out.filter(pa.compute.equal(out["kind"], "efrag"))
+    assert efrag["frag_rows"].to_pylist()[0] == web.n_articles(0, 1)
+    import os
+
+    assert os.path.exists(efrag["frag_path"].to_pylist()[0])
