@@ -43,7 +43,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from crawlkit.pipelines import ann, dedup, multimodal, relational, text
+    from crawlkit.pipelines import ann, dedup, multimodal, relational, text, windows
 
     def crawl_flagship(sf_dir: str):
         """The crawl engine end-to-end on the deterministic synthetic web
@@ -81,6 +81,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "j_hash_join": relational.j_hash_join,
         "j_asof": relational.j_asof,
         "w_tumbling": relational.w_tumbling,
+        "w_sliding": windows.w_sliding,
+        "w_session": windows.w_session,
+        "topk_per_group": windows.topk_per_group,
+        "median_disc": windows.median_disc,
+        "count_distinct_exact": windows.count_distinct_exact,
+        "hll_count_distinct": windows.hll_count_distinct,  # rows-only (sketch)
+        "j_keyed_range": windows.j_keyed_range,
         "q1_pricing": relational.q1_pricing,
         "u_union": relational.u_union,
         "s_except": relational.s_except,

@@ -112,6 +112,49 @@ ORACLE_SQL: dict[str, str] = {
         SELECT event_id, event_type FROM events
         WHERE (event_id * 2654435761) % 100 < 10
     """,
+    "w_sliding": """
+        SELECT event_type, u.win AS win, COUNT(*) AS n,
+               SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS sum_cents
+        FROM (SELECT event_type, value, epoch_us(ts) // 1800000000 AS h FROM events) t,
+             UNNEST([t.h, t.h - 1]) AS u(win)
+        GROUP BY event_type, u.win
+    """,
+    "w_session": """
+        WITH s AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), t AS (
+            SELECT user_id,
+                   SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS session_idx
+            FROM s
+        )
+        SELECT user_id, session_idx, COUNT(*) AS n_events
+        FROM t GROUP BY user_id, session_idx
+    """,
+    "topk_per_group": """
+        SELECT event_type, event_id, CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        FROM events
+        QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY cents DESC, event_id) <= 3
+    """,
+    "median_disc": """
+        SELECT event_type,
+               quantile_disc(CAST(FLOOR(value * 100) AS BIGINT), 0.5) AS median_cents
+        FROM events GROUP BY event_type
+    """,
+    "count_distinct_exact": """
+        SELECT event_type, COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY event_type
+    """,
+    "j_keyed_range": """
+        SELECT l_orderkey, COUNT(*) AS n_shipped
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= o_orderdate
+          AND l_shipdate < o_orderdate + INTERVAL 30 DAY
+        GROUP BY l_orderkey
+    """,
     "text_token_count": r"""
         SELECT doc_id,
                len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_tokens

@@ -1,0 +1,270 @@
+"""Windowed / ordered / sketch operators (streaming-shaped workloads).
+
+Ray Data has no event-time windows (SURVEY §2.10) — these implement the
+standard shapes per the Ray-Data-first recipe: window ids computed
+vectorized per batch + partial aggregation for tumbling/sliding;
+``groupby(key).map_groups`` over ts-sorted groups for sessions and
+rank-based ops (documented partitioning assumption: one key's history
+fits one group); mergeable sketches for the approximate path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+US_PER_HALF_HOUR = 1_800_000_000
+SESSION_GAP_US = 1_800_000_000
+
+
+def _read(sf_dir: str, table: str, columns: list[str]) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _cents(col) -> np.ndarray:
+    return np.floor(col.to_numpy() * 100).astype(np.int64)
+
+
+def w_sliding(sf_dir: str) -> rd.Dataset:
+    """Sliding windows: size 1h, slide 30min — each event lands in TWO
+    half-hour-aligned windows. Explode (×2) vectorized per batch, then
+    partial agg → groupby (the tumbling pipeline with a fan-out)."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy()
+        h = us // US_PER_HALF_HOUR
+        cents = _cents(t["value"])
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                "event_type": np.concatenate([et, et]),
+                "win": np.concatenate([h, h - 1]),
+                "cents": np.concatenate([cents, cents]),
+            }
+        )
+        g = df.groupby(["event_type", "win"], as_index=False).agg(
+            n=("cents", "size"), sum_cents=("cents", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "win"])
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_cents", alias_name="sum_cents"))
+    )
+
+
+def w_session(sf_dir: str) -> rd.Dataset:
+    """Session windows per user (gap 30min): count + per-user session
+    index. Hash-partition by user_id, per-group vectorized gap/cumsum
+    over (ts, event_id)-sorted history."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        us = g["ts"].astype("int64").to_numpy()
+        new = np.ones(len(g), dtype=np.int64)
+        if len(g) > 1:
+            new[1:] = (us[1:] - us[:-1] > SESSION_GAP_US).astype(np.int64)
+        sess = np.cumsum(new)
+        out = pd.DataFrame({"user_id": g["user_id"], "session_idx": sess})
+        return (
+            out.groupby(["user_id", "session_idx"], as_index=False)
+            .size()
+            .rename(columns={"size": "n_events"})
+        )
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+def topk_per_group(sf_dir: str, k: int = 3) -> rd.Dataset:
+    """Top-k rows per key (the per-host frontier-budget shape): per-batch
+    top-k prefilter then per-group exact top-k (cents desc, event_id)."""
+    ds = _read(sf_dir, "events", ["event_type", "event_id", "value"])
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+                "event_id": t["event_id"].to_numpy(),
+                "cents": _cents(t["value"]),
+            }
+        )
+        df = df.sort_values(["cents", "event_id"], ascending=[False, True])
+        return pa.Table.from_pandas(df.groupby("event_type").head(k), preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cents", "event_id"], ascending=[False, True]).head(k)
+        return g[["event_type", "event_id", "cents"]]
+
+    return (
+        ds.map_batches(prefilter, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def median_disc(sf_dir: str) -> rd.Dataset:
+    """Exact discrete median (quantile_disc 0.5 convention: element at
+    index floor((n-1)/2) of the ascending sort) of cents per event_type.
+    Exact quantiles need the full group — groupby + map_groups; the
+    approximate scale path is a mergeable KLL/t-digest sketch."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "cents": pa.array(_cents(t["value"])),
+            }
+        )
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["cents"].to_numpy())
+        return pd.DataFrame(
+            {"event_type": [g["event_type"].iloc[0]], "median_cents": [int(v[(len(v) - 1) // 2])]}
+        )
+
+    return (
+        ds.map_batches(to_cents, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(med, batch_format="pandas")
+    )
+
+
+def count_distinct_exact(sf_dir: str) -> rd.Dataset:
+    """Exact COUNT(DISTINCT user) per event_type: per-batch pre-dedup →
+    global pair-distinct → count (two small shuffles, never raw rows)."""
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return t.group_by(["event_type", "user_id"]).aggregate([])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "user_id"])
+        .aggregate(Count(alias_name="_c"))
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n_users"))
+    )
+
+
+# --- HyperLogLog sketch (approximate distinct; mergeable) ---------------
+
+
+class _HLL:
+    """Classic HLL: m=2^p registers, register = max leading-zero rank."""
+
+    def __init__(self, p: int = 12):
+        self.p = p
+        self.m = 1 << p
+        self.reg = np.zeros(self.m, dtype=np.uint8)
+
+    def add_hashes(self, h: np.ndarray) -> None:
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = h << np.uint64(self.p)
+        # rank = leading zeros of remaining bits + 1 (cap at 64-p+1)
+        rank = np.zeros(len(h), dtype=np.uint8)
+        val = rest.copy()
+        zeros = np.full(len(h), 64 - self.p, dtype=np.uint8)
+        nz = val != 0
+        # position of highest set bit via float log2 is imprecise for
+        # 64-bit — use bit-length loop over bytes instead
+        bl = np.zeros(len(h), dtype=np.uint8)
+        v = val.copy()
+        for shift in (32, 16, 8, 4, 2, 1):
+            mask = v >= (np.uint64(1) << np.uint64(shift))
+            bl[mask] += shift
+            v[mask] >>= np.uint64(shift)
+        bl[val != 0] += 1  # bit length
+        rank = np.where(val == 0, zeros + 1, 64 - bl + 1).astype(np.uint8)
+        np.maximum.at(self.reg, idx, rank)
+
+    def merge(self, other: "_HLL") -> None:
+        np.maximum(self.reg, other.reg, out=self.reg)
+
+    def estimate(self) -> float:
+        m = self.m
+        alpha = 0.7213 / (1 + 1.079 / m)
+        s = np.sum(2.0 ** -self.reg.astype(np.float64))
+        e = alpha * m * m / s
+        if e <= 2.5 * m:
+            zeros = int((self.reg == 0).sum())
+            if zeros:
+                e = m * np.log(m / zeros)
+        return float(e)
+
+
+def hll_count_distinct(sf_dir: str, p: int = 12) -> pd.DataFrame:
+    """Approximate distinct users per event_type via mergeable HLL:
+    one serialized sketch per (key, batch) emitted from map_batches,
+    merged per key in a tiny map_groups — the SURVEY sketch recipe.
+    Rows-only check (approximate); error bound asserted in tests."""
+    from ..hashing import hash64_np
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def sketch(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+                "user_id": t["user_id"].to_numpy(),
+            }
+        )
+        rows = []
+        for et, g in df.groupby("event_type"):
+            h = hash64_np([str(u) for u in g["user_id"].unique()])
+            hll = _HLL(p)
+            hll.add_hashes(h)
+            rows.append({"event_type": et, "registers": hll.reg.tobytes()})
+        return pa.Table.from_pylist(
+            rows, schema=pa.schema([("event_type", pa.string()), ("registers", pa.binary())])
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        hll = _HLL(p)
+        for b in g["registers"]:
+            o = _HLL(p)
+            o.reg = np.frombuffer(b, dtype=np.uint8).copy()
+            hll.merge(o)
+        return pd.DataFrame(
+            {"event_type": [g["event_type"].iloc[0]], "approx_users": [int(round(hll.estimate()))]}
+        )
+
+    out = (
+        ds.map_batches(sketch, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(merge, batch_format="pandas")
+    )
+    return out.to_pandas().sort_values("event_type").reset_index(drop=True)
+
+
+def j_keyed_range(sf_dir: str, days: int = 30) -> rd.Dataset:
+    """Keyed range join: per order, count lineitems shipped within
+    [o_orderdate, o_orderdate + days). Hash-join on the key, range
+    predicate filtered vectorized post-join (the composition rule for
+    range joins when a key exists; pure range joins sort+bucket)."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    j = li.join(
+        orders, join_type="inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
+
+    def in_range(t: pa.Table) -> pa.Table:
+        ship = pc.cast(t["l_shipdate"], pa.int64())
+        od = pc.cast(t["o_orderdate"], pa.int64())
+        hi = pc.add(od, pa.scalar(days * 86_400_000_000, pa.int64()))
+        keep = pc.and_(pc.greater_equal(ship, od), pc.less(ship, hi))
+        out = t.filter(keep)
+        return pa.table({"l_orderkey": out["l_orderkey"], "one": pa.array(np.ones(out.num_rows, dtype=np.int64))})
+
+    return (
+        j.map_batches(in_range, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("one", alias_name="n_shipped"))
+    )
