@@ -237,6 +237,7 @@ def run_crawl(
             "max_depth": spec.max_depth,
             "entries_root": f"{out_dir}/entries",
             "images_root": f"{out_dir}/images",
+            "fetch_images": spec.fetch_images,
         }
         if fetch_mode == "actors":
             union_ds = in_ds.map_batches(

@@ -55,6 +55,8 @@ class CrawlSpec:
     max_depth: int = 2  # 0 seeds, 1 listing pages, 2 offers
     obey_robots: bool = True
     run_ts: str = "2026-01-01T00:00:00"  # the single per-run `created`
+    fetch_images: bool = True  # False: offer pages fetched, image payloads skipped
+    # (frontier-scale runs measure scheduler throughput without codec cost)
 
 
 @dataclass

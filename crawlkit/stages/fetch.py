@@ -109,6 +109,7 @@ class FetchParse:
         entries_root: str | None = None,
         images_root: str | None = None,
         fetch_timeout_s: float | None = None,
+        fetch_images: bool = True,
     ):
         """``entries_root``/``images_root``: when given, the stage is
         FUSED — extracted entries are normalized and written as
@@ -129,6 +130,7 @@ class FetchParse:
         # P3 analog (exec_timeout, stack.yml:136): per-item fetch deadline
         # spanning all retry attempts; exceeded → STATUS_TIMEOUT log row
         self.fetch_timeout_s = fetch_timeout_s
+        self.fetch_images = fetch_images
 
     def _fetch_robots(self, url: str) -> str | None:
         r = self.web.fetch(url)
@@ -219,7 +221,7 @@ class FetchParse:
                                      "host": canon.host_of_one(a["href"]),
                                      "digest_hi": dh, "digest_lo": dl,
                                      "priority": 0, "depth": 2})
-            elif depth == 2:
+            elif depth == 2 and self.fetch_images:
                 for im in parsers.parse_offer_images(r.body, url):
                     rows.append({**base, "kind": "image_ref",
                                  "image_id": im["image_id"], "caption": im["caption"]})
@@ -272,8 +274,9 @@ def make_fetch_parse_fn(
     max_depth: int,
     entries_root: str | None = None,
     images_root: str | None = None,
+    fetch_images: bool = True,
 ):
-    key = (repr(web_config), obey_robots, max_depth, entries_root, images_root)
+    key = (repr(web_config), obey_robots, max_depth, entries_root, images_root, fetch_images)
 
     def fetch_parse(batch: pa.Table) -> pa.Table:
         inst = _FETCHER_CACHE.get(key)
@@ -284,6 +287,7 @@ def make_fetch_parse_fn(
                 max_depth=max_depth,
                 entries_root=entries_root,
                 images_root=images_root,
+                fetch_images=fetch_images,
             )
         return inst(batch)
 

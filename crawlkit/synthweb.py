@@ -50,6 +50,11 @@ PROFILES = {
     # overhead (~100k URLs, ~200k images) — the scaling-efficiency
     # measurement needs compute ≫ driver/exec startup costs
     "bench": WebConfig(n_seeds=384, n_hosts=256, max_last_page=24, articles_mod=30),
+    # ~1M-URL frontier (5120 seeds × ~8.5 pages × ~19 articles ≈ 0.9M
+    # offers + 44k listing pages) for scheduler-throughput realism runs
+    "frontier1m": WebConfig(
+        n_seeds=5120, n_hosts=4096, max_last_page=16, articles_mod=25
+    ),
 }
 
 
