@@ -216,16 +216,33 @@ def run_crawl(
             "created", pa.array([spec.run_ts] * issued_t.num_rows, pa.string())
         )
 
-        # Slice the round's frontier into input blocks so the fetch stage
-        # fans out (one Arrow table → one block → one task otherwise).
-        # ~2 tasks per slot: Ray Data pays ~0.1-0.2s per task at this
-        # scale (measured: 32 blocks → 6.9k img/s vs 192 blocks → 4.2k),
-        # so coarse tasks win; batch_size still bounds the per-call
-        # batch (and thus fragment size) inside each task.
+        # Partition the round's frontier into input blocks BY HOST-HASH:
+        # all of one host's URLs land in ONE task per round, so fetches
+        # to a host are strictly sequential (real per-host politeness —
+        # an in-task token bucket is then exact, not best-effort) and the
+        # fetch stage still fans out across hosts. ~2 tasks per slot:
+        # Ray Data pays ~0.1-0.2s per task at this scale (measured:
+        # 32 blocks → 6.9k img/s vs 192 blocks → 4.2k), so coarse wins;
+        # batch_size still bounds the per-call batch (fragment size).
         n = issued_t.num_rows
         nblocks = max(1, min((n + fetch_batch_size - 1) // fetch_batch_size, fetch_concurrency * 2))
-        step = (n + nblocks - 1) // nblocks
-        slices = [issued_t.slice(i, step) for i in range(0, n, step)]
+        if nblocks == 1:
+            slices = [issued_t]
+        else:
+            from ..hashing import hash64_np
+
+            hosts_np = issued_t["host"].to_numpy(zero_copy_only=False)
+            uniq, inverse = np.unique(hosts_np, return_inverse=True)
+            uniq_h = (hash64_np(uniq, salt="hostroute") % np.uint64(nblocks)).astype(np.int64)
+            hh = uniq_h[inverse]
+            order_ix = np.argsort(hh, kind="stable")
+            bounds = np.searchsorted(hh[order_ix], np.arange(nblocks + 1))
+            reordered = issued_t.take(pa.array(order_ix))
+            slices = [
+                reordered.slice(bounds[b], bounds[b + 1] - bounds[b])
+                for b in range(nblocks)
+                if bounds[b + 1] > bounds[b]
+            ]
         # FUSED fetch stage: extract + normalize + fragment-write happen
         # inside the task; the union output contains ONLY control rows
         # (log, page) and fragment metadata (efrag, ifrag) — one dataset

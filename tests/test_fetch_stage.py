@@ -105,3 +105,29 @@ def test_fused_mode_writes_fragments(tmp_path):
     import os
 
     assert os.path.exists(efrag["frag_path"].to_pylist()[0])
+
+
+def test_standalone_image_fetch_write(tmp_path):
+    """Non-fused image writer stage (ImageFetchWrite / make_image_write_fn):
+    refs in → fragments written task-side → metadata out; idempotent."""
+    import pyarrow.parquet as pq
+
+    from crawlkit.state.lancelike import TableStore
+
+    web = SynthWeb("t1")
+    refs = pa.table(
+        {
+            "image_id": ["img-sa-0", "img-sa-1"],
+            "caption": [web.caption("img-sa-0"), web.caption("img-sa-1")],
+        }
+    )
+    w = F.ImageFetchWrite("t1", str(tmp_path / "imgs"))
+    meta1 = w(refs).to_pylist()
+    meta2 = w(refs).to_pylist()  # retry replays the same key
+    assert meta1 == meta2 and len(meta1) == 1 and meta1[0]["rows"] == 2
+    store = TableStore(str(tmp_path / "imgs"))
+    store.commit_fragments(meta1)
+    store.commit_fragments(meta2)  # idempotent re-commit
+    t = store.read_table()
+    assert t.num_rows == 2
+    assert t.column_names == [f.name for f in F.IMAGES_SCHEMA]
