@@ -116,3 +116,15 @@ class TableStore:
 
     def count_rows(self, version: int | None = None) -> int:
         return sum(f["rows"] for f in self.manifest(version)["fragments"])
+
+    def export_partitioned_parquet(
+        self, out_dir: str, partition_cols: list[str], version: int | None = None
+    ) -> str:
+        """Export to Hive-partitioned parquet with Ray's native sink —
+        the reference's MinIO layout (S5: bucket/schema_name=X/
+        schema_version=Y/..., ``storage/handler.go:103``) re-expressed as
+        ``ds.write_parquet(partition_cols=...)``. One directory per key
+        → a consumer (or rerun) can skip finished partitions."""
+        ds = self.read_dataset(version)
+        ds.write_parquet(out_dir, partition_cols=partition_cols)
+        return out_dir

@@ -131,3 +131,15 @@ def test_standalone_image_fetch_write(tmp_path):
     t = store.read_table()
     assert t.num_rows == 2
     assert t.column_names == [f.name for f in F.IMAGES_SCHEMA]
+
+
+def test_rate_limited_fetch_path():
+    """Token-bucket politeness path: with host-hash task routing a host's
+    fetches are sequential per round, so the in-task bucket is exact.
+    High rate → no meaningful sleep, identical results."""
+    web = SynthWeb("t1")
+    fp = F.FetchParse("t1", rate_per_host=10_000.0)
+    out = fp(_frontier_batch(web, [{"url": web.seeds()[0]["url"]}]))
+    log = out.filter(pa.compute.equal(out["kind"], "log"))
+    assert log["status"].to_pylist() == [200]
+    assert fp.buckets is not None and fp.buckets.bucket("host0.test").rate == 10_000.0

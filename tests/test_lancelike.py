@@ -40,3 +40,21 @@ def test_read_as_ray_dataset(tmp_path):
     s = TableStore(str(tmp_path / "t"))
     s.append(_t(5), key="f")
     assert s.read_dataset().count() == 5
+
+
+def test_export_partitioned_parquet(tmp_path):
+    import os
+
+    import ray.data as rd
+
+    s = TableStore(str(tmp_path / "t"))
+    s.append(
+        pa.table({"k": ["a", "a", "b"], "v": [1, 2, 3]}),
+        key="f",
+    )
+    out = str(tmp_path / "hive")
+    s.export_partitioned_parquet(out, partition_cols=["k"])
+    parts = sorted(d for d in os.listdir(out) if d.startswith("k="))
+    assert parts == ["k=a", "k=b"]  # reference's Hive layout (S5)
+    back = rd.read_parquet(out).to_pandas()
+    assert sorted(back["v"].astype(int).tolist()) == [1, 2, 3]
