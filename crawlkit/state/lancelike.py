@@ -117,6 +117,47 @@ class TableStore:
     def count_rows(self, version: int | None = None) -> int:
         return sum(f["rows"] for f in self.manifest(version)["fragments"])
 
+    def compact(self, target_rows: int = 1_000_000) -> int:
+        """Compact small fragments into ~target_rows files as a NEW
+        version (Lance-style: old versions still reference the old
+        fragment files — time travel preserved; no file is deleted).
+
+        The fused fetch stage writes one fragment per task — a long
+        crawl accumulates thousands of small files; compaction restores
+        read efficiency without breaking idempotent re-commits (the
+        original keys stay recorded in prior versions)."""
+        man = self.manifest()
+        frags = man["fragments"]
+        if len(frags) <= 1:
+            return man["version"]
+        new_frags: list[dict] = []
+        bucket: list[pa.Table] = []
+        rows = 0
+
+        def flush() -> None:
+            nonlocal bucket, rows
+            if not bucket:
+                return
+            t = pa.concat_tables(bucket)
+            import hashlib
+
+            key = "compact-" + hashlib.blake2b(
+                "|".join(m["key"] for m in bucket_meta).encode(), digest_size=8
+            ).hexdigest()
+            new_frags.append(self.write_fragment(t, key))
+            bucket, rows = [], 0
+            bucket_meta.clear()
+
+        bucket_meta: list[dict] = []
+        for f in frags:
+            bucket.append(pq.read_table(f["path"]))
+            bucket_meta.append(f)
+            rows += f["rows"]
+            if rows >= target_rows:
+                flush()
+        flush()
+        return self._commit({"fragments": new_frags})
+
     def export_partitioned_parquet(
         self, out_dir: str, partition_cols: list[str], version: int | None = None
     ) -> str:

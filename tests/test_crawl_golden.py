@@ -104,3 +104,19 @@ def test_lineage_metrics_per_round(eng):
     assert sum(m["fetched"] for m in ms) == len(eng.order)
     for m in ms:
         assert {"round", "issued", "per_host", "order", "admitted"} <= m.keys()
+
+
+def test_t2_profile_golden_with_strict_budget(tmp_path):
+    """Second profile (8 seeds, 5 hosts, robots-blocked hosts, strict
+    budget → many deferral rounds): engine ≡ oracle end to end."""
+    web2 = SynthWeb("t2")
+    spec2 = refsim.CrawlSpec(host_budget_per_round=6)
+    eng2 = run_crawl(web2, spec=spec2, out_dir=str(tmp_path / "t2run"),
+                     num_seen_shards=3, fetch_concurrency=3, fetch_batch_size=8)
+    sim2 = refsim.simulate(web2, spec2)
+    assert eng2.order == sim2.order
+    assert eng2.seen == sim2.seen
+    assert _sorted_pdf(eng2.entries_table()).equals(
+        _sorted_pdf(pa.Table.from_pylist(sim2.entries, schema=eng2.entries_table().schema))
+    )
+    assert eng2.rounds > 5  # strict budget actually deferred work

@@ -58,3 +58,21 @@ def test_export_partitioned_parquet(tmp_path):
     assert parts == ["k=a", "k=b"]  # reference's Hive layout (S5)
     back = rd.read_parquet(out).to_pandas()
     assert sorted(back["v"].astype(int).tolist()) == [1, 2, 3]
+
+
+def test_compact_preserves_rows_and_time_travel(tmp_path):
+    s = TableStore(str(tmp_path / "t"))
+    for i in range(6):
+        s.append(_t(2, i * 10), key=f"f{i}")
+    v_before = s.latest_version()
+    n_frag_before = len(s.manifest()["fragments"])
+    v_after = s.compact(target_rows=5)
+    assert v_after == v_before + 1
+    assert s.count_rows() == 12  # same data
+    assert len(s.manifest()["fragments"]) < n_frag_before  # fewer files
+    # deterministic: compacting the same input again produces same keys
+    # time travel: the pre-compaction version still reads the old files
+    assert s.read_table(version=v_before).num_rows == 12
+    a = sorted(s.read_table()["a"].to_pylist())
+    b = sorted(s.read_table(version=v_before)["a"].to_pylist())
+    assert a == b
