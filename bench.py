@@ -67,7 +67,6 @@ def run_bench() -> dict:
         num_seen_shards=8,
         fetch_concurrency=max(4, num_cpus - 4),
         fetch_batch_size=64,
-        image_batch_size=128,
         track_order=False,
     )
     crawl_sec = time.perf_counter() - t0
@@ -101,7 +100,7 @@ def run_bench() -> dict:
 
     total = round(sum(timings.values()), 3)
     out = {
-        "metric": "crawl pages/sec + analytics wall time (bench web ~17k URLs; sf tables)",
+        "metric": "crawl pages/sec + analytics wall time (bench web ~100k URLs incl image payload rounds; sf tables)",
         "value": total,
         "unit": "sec",
         "queries": timings,

@@ -5,12 +5,12 @@ handler.go:17-78``) — every OpenFaaS network boundary becomes a stage
 edge in one Ray Data pipeline per round:
 
     frontier (Arrow) → [sort (priority order O1)] → [per-host budget
-    (politeness top-k)] → map_batches(FetchParse actor pool: robots,
-    retry≤5, extract M1-M6) → split by kind →
+    (politeness top-k)] → [host-hash task routing (one host = one task
+    per round → per-host sequential fetches)] → map_batches(FUSED
+    FetchParse: robots, retry≤5, timeout, extract M1-M6, vectorized
+    normalize M2, entry+image fragments WRITTEN IN-TASK) → control rows:
         fetch_log   → checkpointed parquet (M10 metrics/lineage)
-        entries     → vectorized normalize (M2) → Lance-like append (G1+S5)
-        image_refs  → map_batches(ImageFetchWrite actor pool) → fragments
-                      written task-side, manifest committed driver-side
+        efrag/ifrag → manifest commit (Lance-like append, G1+S5)
         pages       → dedup-admit against SeenSet shards (D1) → next round
 
 Determinism contract (must equal refsim.simulate — SURVEY §7.5.1):
@@ -97,10 +97,6 @@ class CrawlResult:
         return self.fetch_log_store.read_table()
 
 
-def _empty_frontier() -> pl.DataFrame:
-    return pl.from_arrow(FRONTIER_SCHEMA.empty_table())
-
-
 def _seed_frontier(web: SynthWeb) -> pl.DataFrame:
     rows = []
     for s in web.seeds():
@@ -141,8 +137,6 @@ def run_crawl(
     num_seen_shards: int = 4,
     fetch_concurrency: int = 4,
     fetch_batch_size: int = 16,
-    image_concurrency: int = 2,
-    image_batch_size: int = 64,
     resume: bool = False,
     track_order: bool = True,
     fetch_mode: str = "tasks",
