@@ -6,9 +6,12 @@ distributed summation order cannot perturb the driver's value-hash).
 """
 
 ORACLE_SQL: dict[str, str] = {
+    # NOTE: DuckDB SUM(BIGINT) yields HUGEINT which pandas renders as
+    # float64 while the engine emits int64 — every aggregate SUM below is
+    # wrapped CAST(SUM(...) AS BIGINT) so dtypes match the Ray side.
     "g1_group_merge": """
         SELECT event_type, COUNT(*) AS n,
-               SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS sum_cents
+               CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
         FROM events GROUP BY event_type
     """,
     "g2_running_max": """
@@ -66,7 +69,7 @@ ORACLE_SQL: dict[str, str] = {
     "j_hash_join": """
         SELECT o_orderkey, o_orderpriority, revenue_cents
         FROM (SELECT l_orderkey,
-                     SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents
+                     CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
               FROM lineitem GROUP BY l_orderkey) r
         JOIN orders ON l_orderkey = o_orderkey
         ORDER BY revenue_cents DESC, o_orderkey LIMIT 10
@@ -80,14 +83,14 @@ ORACLE_SQL: dict[str, str] = {
     "w_tumbling": """
         SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
                COUNT(*) AS n,
-               SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS sum_cents
+               CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
         FROM events GROUP BY event_type, hour
     """,
     "q1_pricing": """
         SELECT l_returnflag, l_linestatus,
-               SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS sum_qty,
-               SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
-               SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sum_disc_cents,
+               CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
                COUNT(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -114,7 +117,7 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "w_sliding": """
         SELECT event_type, u.win AS win, COUNT(*) AS n,
-               SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS sum_cents
+               CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
         FROM (SELECT event_type, value, epoch_us(ts) // 1800000000 AS h FROM events) t,
              UNNEST([t.h, t.h - 1]) AS u(win)
         GROUP BY event_type, u.win
@@ -128,8 +131,8 @@ ORACLE_SQL: dict[str, str] = {
             FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ), t AS (
             SELECT user_id,
-                   SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                       ROWS UNBOUNDED PRECEDING) AS session_idx
+                   CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
             FROM s
         )
         SELECT user_id, session_idx, COUNT(*) AS n_events

@@ -50,7 +50,11 @@ def test_sql_checked_query_matches_oracle(name, con):
     assert sorted(got.columns) == sorted(want.columns), (got.columns, want.columns)
     assert len(got) == len(want)
     g, w = _canon(got), _canon(want)
-    pd.testing.assert_frame_equal(g, w.astype(g.dtypes.to_dict()), check_dtype=False)
+    # the driver's value-hash is dtype-sensitive (int64 vs float64 hash
+    # differently) — pin exact dtype equality so oracle-side HUGEINT→
+    # float64 artifacts (round-1's 6 red rows) fail HERE, not at verify
+    assert list(g.dtypes) == list(w.dtypes), (g.dtypes.to_dict(), w.dtypes.to_dict())
+    pd.testing.assert_frame_equal(g, w)
 
 
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
