@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "o1_sort_topk": relational.o1_sort_topk,
         "j_broadcast_join": relational.j_broadcast_join,
         "j_hash_join": relational.j_hash_join,
+        "j_shuffle_join": relational.j_shuffle_join,
         "j_asof": relational.j_asof,
         "w_tumbling": relational.w_tumbling,
         "w_sliding": windows.w_sliding,

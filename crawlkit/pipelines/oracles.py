@@ -74,6 +74,16 @@ ORACLE_SQL: dict[str, str] = {
         JOIN orders ON l_orderkey = o_orderkey
         ORDER BY revenue_cents DESC, o_orderkey LIMIT 10
     """,
+    "j_shuffle_join": """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(revenue_cents) AS BIGINT) AS sum_rev_cents
+        FROM (SELECT l_orderkey,
+                     CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+              FROM lineitem GROUP BY l_orderkey) r
+        JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+    """,
     "j_asof": """
         SELECT e1.event_id, e1.user_id, e1.ts, e2.ts AS prior_ts
         FROM events e1
@@ -104,12 +114,14 @@ ORACLE_SQL: dict[str, str] = {
     "s_except": """
         SELECT DISTINCT user_id FROM events
         WHERE event_type = 'click'
-          AND user_id NOT IN (SELECT user_id FROM events WHERE event_type = 'purchase')
+          AND user_id NOT IN (SELECT user_id FROM events
+                              WHERE event_type = 'purchase' AND value > 90)
     """,
     "s_intersect": """
         SELECT DISTINCT user_id FROM events
         WHERE event_type = 'click'
-          AND user_id IN (SELECT user_id FROM events WHERE event_type = 'purchase')
+          AND user_id IN (SELECT user_id FROM events
+                          WHERE event_type = 'purchase' AND value > 90)
     """,
     "sample_deterministic": """
         SELECT event_id, event_type FROM events

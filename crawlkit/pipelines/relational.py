@@ -100,11 +100,28 @@ def d1_distinct(sf_dir: str) -> rd.Dataset:
 
 
 def dedup_exact_first(sf_dir: str) -> rd.Dataset:
-    """Exact content dedup: keep MIN(doc_id) per identical text
-    (hash-partition by content + per-group first — the D1 scale recipe)."""
+    """Exact content dedup: keep MIN(doc_id) per identical text.
+
+    Scale shape (round-1 VERDICT #4): the shuffle KEY is a 128-bit
+    content digest (two independent 64-bit vectorized hashes), not the
+    full document body — sort/exchange comparisons touch 16 bytes per
+    row. Texts in a digest group are identical by construction (128-bit
+    collision odds ~n²/2¹²⁹), so Min("text") recovers the content."""
+    import polars as pl
+
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return ds.groupby("text").aggregate(Min("doc_id", alias_name="doc_id")).select_columns(
-        ["doc_id", "text"]
+
+    def add_digest(t: pa.Table) -> pa.Table:
+        s = pl.from_arrow(t["text"])  # vectorized xxhash, two seeds → 128 bits
+        h1 = s.hash(seed=0x9E3779B9).to_numpy().astype(np.uint64)
+        h2 = s.hash(seed=0x85EBCA6B).to_numpy().astype(np.uint64)
+        return t.append_column("h1", pa.array(h1)).append_column("h2", pa.array(h2))
+
+    return (
+        ds.map_batches(add_digest, batch_format="pyarrow")
+        .groupby(["h1", "h2"])
+        .aggregate(Min("doc_id", alias_name="doc_id"), Min("text", alias_name="text"))
+        .select_columns(["doc_id", "text"])
     )
 
 
@@ -256,9 +273,61 @@ def j_broadcast_join(sf_dir: str) -> rd.Dataset:
     )
 
 
-def j_hash_join(sf_dir: str, k: int = 10) -> rd.Dataset:
+def j_hash_join(sf_dir: str, k: int = 10) -> pd.DataFrame:
     """Top-k orders by lineitem revenue: partial-agg revenue per order,
-    then a hash-shuffle JOIN (Ray Dataset.join) with orders."""
+    sort+limit to k rows, THEN fetch order priority for just those k keys
+    (pushdown read) — the join happens after the limit, never shuffling
+    the orders table. The full shuffle-join operator lives in
+    ``j_shuffle_join``."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(
+                pc.multiply(
+                    pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])),
+                    pa.scalar(100.0),
+                )
+            ),
+            pa.int64(),
+        )
+        df = pa.table({"l_orderkey": t["l_orderkey"], "cents": cents}).to_pandas()
+        g = df.groupby("l_orderkey", as_index=False).agg(revenue_cents=("cents", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    revenue = (
+        li.map_batches(rev_partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+    )
+    # LIMIT BEFORE JOIN (round-1 VERDICT #6): sort+limit the aggregated
+    # revenue table first — only k rows survive, so the orders side is a
+    # k-key pushdown read + tiny merge instead of a full hash-shuffle
+    # join of two sf-sized tables for 10 output rows.
+    top = (
+        revenue.sort(["revenue_cents", "l_orderkey"], descending=[True, False])
+        .limit(k)
+        .to_pandas()  # k rows — small by construction
+        .rename(columns={"l_orderkey": "o_orderkey"})
+    )
+    keys = top["o_orderkey"].tolist()
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority"],
+        filter=pc.field("o_orderkey").isin(keys),  # row-group pushdown
+    ).to_pandas()
+    out = top.merge(orders, on="o_orderkey").sort_values(
+        ["revenue_cents", "o_orderkey"], ascending=[False, True]
+    )
+    return out[["o_orderkey", "o_orderpriority", "revenue_cents"]].reset_index(drop=True)
+
+
+def j_shuffle_join(sf_dir: str) -> rd.Dataset:
+    """Revenue by order priority — a GENUINE large×large hash-shuffle
+    join (Ray ``Dataset.join``): every lineitem-revenue row must meet its
+    order row (no limit to hide behind, neither side broadcastable at
+    scale), then partial-agg by priority so the second shuffle moves only
+    |priorities|×|batches| rows."""
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
     def rev_partial(t: pa.Table) -> pa.Table:
@@ -281,18 +350,28 @@ def j_hash_join(sf_dir: str, k: int = 10) -> rd.Dataset:
         .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
     )
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
-    # join partitions: the hash-join operator runs one aggregator actor
-    # per partition — keep it modest on one node (actors = process spawns)
+    # modest partition count on one node — each join partition is an actor
     joined = revenue.join(
         orders, join_type="inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
     )
-    # the join merges key columns: the surviving key is the left-side name
-    out = (
-        joined.select_columns(["l_orderkey", "o_orderpriority", "revenue_cents"])
-        .rename_columns({"l_orderkey": "o_orderkey"})
-        .sort(["revenue_cents", "o_orderkey"], descending=[True, False])
+
+    def prio_partial(t: pa.Table) -> pa.Table:
+        df = pa.table(
+            {"o_orderpriority": t["o_orderpriority"], "cents": t["revenue_cents"]}
+        ).to_pandas()
+        g = df.groupby("o_orderpriority", as_index=False).agg(
+            n_orders=("cents", "size"), sum_rev_cents=("cents", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        joined.map_batches(prio_partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("sum_rev_cents", alias_name="sum_rev_cents"),
+        )
     )
-    return out.limit(k)
 
 
 def j_asof(sf_dir: str) -> rd.Dataset:
@@ -407,59 +486,65 @@ def u_union(sf_dir: str) -> rd.Dataset:
     return a.union(b)
 
 
-def s_except(sf_dir: str) -> rd.Dataset:
-    """EXCEPT as a broadcast ANTI-join: users who clicked but never
-    purchased. The purchaser key-set is broadcast (ray.put) and the
-    filter runs inside map_batches — the D1 frontier-vs-seen anti-join
-    shape without a shuffle (small side = key set / bloom at scale)."""
-    ds = _read(sf_dir, "events", ["user_id", "event_type"])
-    import pyarrow.parquet as pq
+def _distinct_high_value_purchasers(sf_dir: str) -> "ray.ObjectRef":
+    """Distinct user_ids with a purchase of value > 90, computed AS A RAY
+    AGGREGATION (per-batch dedup → groupby) — the fact table never lands
+    on the driver; only the small distinct-key result does, and that is
+    broadcast once via ray.put for in-batch ``pc.is_in`` membership tests.
+    (At 100 TB the broadcast side would become a bloom/cuckoo digest — the
+    same seen-set machinery as crawlkit.state.seenset.)"""
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "value"])
 
-    ev = pq.read_table(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
-    purchasers = set(
-        ev.filter(pc.equal(ev["event_type"], "purchase"))["user_id"].to_pylist()
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.equal(t["event_type"], "purchase"), pc.greater(t["value"], 90.0))
+        return t.filter(m).select(["user_id"]).group_by(["user_id"]).aggregate([])
+
+    keys = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Count(alias_name="_c"))
     )
-    ref = ray.put(purchasers)
+    arr = keys.to_pandas()["user_id"].to_numpy()  # small: |distinct purchasers|
+    return ray.put(pa.array(np.sort(arr), type=pa.int64()))
 
-    def anti(t: pa.Table) -> pa.Table:
-        p = ray.get(ref)
+
+def _click_set_op(sf_dir: str, invert: bool) -> rd.Dataset:
+    """Shared semi/anti broadcast-join body for s_except / s_intersect:
+    distinct clickers tested against the broadcast purchaser key-set with
+    vectorized ``pc.is_in`` — no Python row loop, no driver fact-table
+    read (round-1 VERDICT 'What's wrong' #2)."""
+    ref = _distinct_high_value_purchasers(sf_dir)
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def member(t: pa.Table) -> pa.Table:
+        p = ray.get(ref)  # zero-copy shared Arrow array per node
         clicks = t.filter(pc.equal(t["event_type"], "click"))
-        keep = pa.array([u not in p for u in clicks["user_id"].to_pylist()])
-        out = clicks.filter(keep)
-        return out.group_by(["user_id"]).aggregate([])  # per-batch pre-dedup
+        m = pc.is_in(clicks["user_id"], value_set=p)
+        if invert:
+            m = pc.invert(m)
+        return clicks.filter(m).select(["user_id"]).group_by(["user_id"]).aggregate([])
 
     from .dedup import pandas_with_schema
 
-    out = ds.map_batches(anti, batch_format="pyarrow").groupby("user_id").aggregate(
+    out = ds.map_batches(member, batch_format="pyarrow").groupby("user_id").aggregate(
         Count(alias_name="_c")
     )
     return pandas_with_schema(out, {"user_id": "int64"})
+
+
+def s_except(sf_dir: str) -> rd.Dataset:
+    """EXCEPT as a broadcast ANTI-join: users who clicked but never made a
+    high-value (>90) purchase — the D1 frontier-vs-seen anti-join shape
+    without a shuffle. The >90 predicate keeps the result non-empty on
+    the driver fixture (a 0-vs-0 row compare proves nothing)."""
+    return _click_set_op(sf_dir, invert=True)
 
 
 def s_intersect(sf_dir: str) -> rd.Dataset:
     """INTERSECT as a broadcast SEMI-join: users who both clicked and
-    purchased (same broadcast shape, inverted predicate)."""
-    ds = _read(sf_dir, "events", ["user_id", "event_type"])
-    import pyarrow.parquet as pq
-
-    ev = pq.read_table(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
-    purchasers = set(
-        ev.filter(pc.equal(ev["event_type"], "purchase"))["user_id"].to_pylist()
-    )
-    ref = ray.put(purchasers)
-
-    def semi(t: pa.Table) -> pa.Table:
-        p = ray.get(ref)
-        clicks = t.filter(pc.equal(t["event_type"], "click"))
-        keep = pa.array([u in p for u in clicks["user_id"].to_pylist()])
-        return clicks.filter(keep).group_by(["user_id"]).aggregate([])
-
-    from .dedup import pandas_with_schema
-
-    out = ds.map_batches(semi, batch_format="pyarrow").groupby("user_id").aggregate(
-        Count(alias_name="_c")
-    )
-    return pandas_with_schema(out, {"user_id": "int64"})
+    made a high-value purchase (same broadcast shape, inverted
+    predicate)."""
+    return _click_set_op(sf_dir, invert=False)
 
 
 def sample_deterministic(sf_dir: str, rate_pct: int = 10) -> rd.Dataset:
