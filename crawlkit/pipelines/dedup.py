@@ -95,20 +95,35 @@ def _explode_shingles(t: pa.Table) -> pa.Table:
 # --- exact n-gram Jaccard (SQL-checked with integer threshold math) -----
 
 
-def ngram_jaccard_pairs(sf_dir: str, tau_tenths: int = 2, df_cap: int | None = None) -> rd.Dataset:
-    """All doc pairs with word-3-gram Jaccard ≥ tau_tenths/10, exactly.
+def _exact_jaccard_pairs(
+    sf_dir: str,
+    tau_tenths: int,
+    df_cap: int | None = None,
+    doc_filter_ref=None,
+    pair_filter_ref=None,
+) -> pd.DataFrame:
+    """Shared exact-Jaccard pair engine: explode distinct (shingle,
+    doc_id) sharded by shingle hash → per-shard vectorized self-merge
+    emits co-occurrence pairs (pre-aggregated per shard) → global
+    groupby(pair) sums intersections → integer-exact threshold
+    (i·10 ≥ τ·(|a|+|b|−i) — no float compare anywhere).
 
-    Pipeline: explode distinct (shingle, doc_id) → per-doc shingle count
-    (broadcastable small table) → groupby(shingle).map_groups emits
-    co-occurring pairs → groupby(pair) sums intersection counts →
-    integer-exact threshold. ``df_cap`` drops shingles whose document
-    frequency exceeds the cap (hot-key / stop-shingle hatch) — None
-    keeps everything (required when an exact SQL oracle is compared).
-    """
+    ``doc_filter_ref``/``pair_filter_ref`` (ray.put'd Arrow id array /
+    pandas pair frame — SMALL by construction, they come from LSH
+    candidate generation) restrict the computation to candidate docs and
+    candidate pairs: this is the MinHash verify's join-back path — the
+    corpus itself never lands on the driver.
+    ``df_cap`` drops shingles with document frequency above the cap (the
+    hot-key / stop-shingle hatch) — None keeps everything (required when
+    an exact SQL oracle is compared)."""
+    import ray
+
     ds = _read_docs(sf_dir, ["doc_id", "text"])
     nshards = 32
 
     def explode_sharded(t: pa.Table) -> pa.Table:
+        if doc_filter_ref is not None:
+            t = t.filter(pc.is_in(t["doc_id"], value_set=ray.get(doc_filter_ref)))
         out = _explode_shingles(t)
         shard = (out["shingle"].to_numpy() % np.uint64(nshards)).astype(np.int32)
         return out.append_column("shard", pa.array(shard))
@@ -129,6 +144,8 @@ def ngram_jaccard_pairs(sf_dir: str, tau_tenths: int = 2, df_cap: int | None = N
             m.groupby(["doc_id_a", "doc_id_b"], as_index=False)
             .agg(i=("shingle", "size"), ca=("n_shingles_a", "first"), cb=("n_shingles_b", "first"))
         )
+        if pair_filter_ref is not None:  # semi-join: candidates only
+            agg = agg.merge(ray.get(pair_filter_ref), on=["doc_id_a", "doc_id_b"])
         return agg.astype(
             {"doc_id_a": "int64", "doc_id_b": "int64", "i": "int64", "ca": "int64", "cb": "int64"}
         )
@@ -164,6 +181,12 @@ def ngram_jaccard_pairs(sf_dir: str, tau_tenths: int = 2, df_cap: int | None = N
     return pandas_with_schema(
         out, {"doc_id_a": "int64", "doc_id_b": "int64", "intersection": "int64"}
     )
+
+
+def ngram_jaccard_pairs(sf_dir: str, tau_tenths: int = 2, df_cap: int | None = None) -> pd.DataFrame:
+    """All doc pairs with word-3-gram Jaccard ≥ tau_tenths/10, exactly
+    (see ``_exact_jaccard_pairs`` for the distributed shape)."""
+    return _exact_jaccard_pairs(sf_dir, tau_tenths, df_cap=df_cap)
 
 
 # --- MinHash + LSH ------------------------------------------------------
@@ -257,33 +280,27 @@ def minhash_lsh_pairs(
         .aggregate(Count(alias_name="_nbands"))
     )
 
-    # verify: exact Jaccard on the candidate pairs via broadcast shingles.
-    # Sandbox: docs table is small → ray.put the shingle dict. Scale path:
-    # join candidates back to the exploded-shingle table instead.
+    # verify: JOIN-BACK to the exploded-distinct-shingle table (round-1
+    # VERDICT #3). The candidate pair list and its involved doc ids are
+    # the SMALL LSH output — broadcast those, re-run the exact-Jaccard
+    # integer machinery restricted to candidate docs/pairs. The corpus is
+    # never materialized on the driver and there is no per-pair loop.
     import ray
 
-    docs_t = _read_docs(sf_dir, ["doc_id", "text"]).to_pandas()
-    shingle_map = {r.doc_id: _shingle_hashes(r.text or "") for r in docs_t.itertuples()}
-    ref = ray.put(shingle_map)
-
-    def verify(t: pa.Table) -> pa.Table:
-        sm = ray.get(ref)
-        a = t["doc_id_a"].to_numpy()
-        b = t["doc_id_b"].to_numpy()
-        keep = np.zeros(len(a), dtype=bool)
-        inter = np.zeros(len(a), dtype=np.int64)
-        for i in range(len(a)):
-            sa, sb = sm[a[i]], sm[b[i]]
-            iv = len(np.intersect1d(sa, sb, assume_unique=True))
-            union = len(sa) + len(sb) - iv
-            inter[i] = iv
-            keep[i] = union > 0 and iv * 10 >= tau_tenths * union
-        out = pa.table({"doc_id_a": a, "doc_id_b": b, "intersection": inter})
-        return out.filter(pa.array(keep))
-
-    out = candidates.map_batches(verify, batch_format="pyarrow")
-    return pandas_with_schema(
-        out, {"doc_id_a": "int64", "doc_id_b": "int64", "intersection": "int64"}
+    cand = pandas_with_schema(candidates, {"doc_id_a": "int64", "doc_id_b": "int64"})
+    if cand.empty:
+        return pd.DataFrame(
+            {
+                "doc_id_a": pd.Series([], dtype="int64"),
+                "doc_id_b": pd.Series([], dtype="int64"),
+                "intersection": pd.Series([], dtype="int64"),
+            }
+        )
+    involved = np.unique(np.concatenate([cand["doc_id_a"].to_numpy(), cand["doc_id_b"].to_numpy()]))
+    doc_ref = ray.put(pa.array(involved, type=pa.int64()))
+    pair_ref = ray.put(cand)
+    return _exact_jaccard_pairs(
+        sf_dir, tau_tenths, doc_filter_ref=doc_ref, pair_filter_ref=pair_ref
     )
 
 

@@ -170,7 +170,10 @@ def simulate(web: SynthWeb, spec: CrawlSpec = CrawlSpec()) -> SimResult:
                     )
                     if spec.max_depth >= 2 and a["href"]:
                         discover(a["href"], 0, 2, f["seed_id"])
-            elif f["depth"] == 2:
+            elif f["depth"] == 2 and spec.fetch_images:
+                # gate on fetch_images to stay symmetric with the engine
+                # (FetchParse skips image rows when False) — the offer
+                # fetch itself still happens either way
                 for im in parsers.parse_offer_images(r.body, f["url"]):
                     res.images.append(web.image_record(im["image_id"]))
         admit_pending(rnd + 1)

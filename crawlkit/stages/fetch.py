@@ -133,8 +133,19 @@ class FetchParse:
         self.fetch_images = fetch_images
 
     def _fetch_robots(self, url: str) -> str | None:
-        r = self.web.fetch(url)
-        return r.body if r.status == 200 else None
+        """Robots fetch goes through the SAME ≤5-attempt retry loop as
+        page fetches (a single attempt + cached fail-open allowed
+        /offer/ fetches the oracle blocks whenever the robots URL hit a
+        transient 503 — broke engine ≡ refsim at bench scale).
+        Returns the body on 200, "" on a definitive 404 (no robots file
+        → no rules, cacheable), None on transient failure (NOT cached —
+        RobotsCache retries on the next URL for that host)."""
+        r, _ = self._fetch_with_retry(url)
+        if r.status == 200:
+            return r.body
+        if r.status == 404:
+            return ""
+        return None
 
     def _fetch_with_retry(self, url: str):
         deadline = (

@@ -46,14 +46,19 @@ class RobotsCache:
     """Per-host robots rules, fetched once and cached (actor-local)."""
 
     def __init__(self, fetch_fn):
-        """``fetch_fn(url) -> str | None`` returns robots.txt body or None."""
+        """``fetch_fn(url) -> str | None``: robots.txt body ("" means a
+        definitive no-robots-file answer), None means transient failure
+        — None is NOT cached, so the next URL for the host retries
+        instead of permanently failing open."""
         self._fetch = fetch_fn
         self._rules: dict[str, list[str]] = {}
 
     def rules_for(self, host: str, scheme: str = "https") -> list[str]:
         if host not in self._rules:
             body = self._fetch(f"{scheme}://{host}/robots.txt")
-            self._rules[host] = parse_robots(body) if body else []
+            if body is None:
+                return []  # fail open this once; do not cache
+            self._rules[host] = parse_robots(body)
         return self._rules[host]
 
     def allowed(self, host: str, path: str) -> bool:

@@ -105,14 +105,35 @@ class CuckooFilter:
         return (i.astype(np.uint64) ^ fph).astype(np.int64)
 
     def add_many(self, d: np.ndarray) -> None:
+        """Bulk insert: 8 vectorized placement rounds (4 slots × 2
+        buckets, first-occurrence-per-bucket to avoid double-claims
+        within a batch), then the scalar kick loop only for the rare
+        leftovers — no per-key numpy allocation on the common path."""
+        if self.overflowed or len(d) == 0:
+            return
         fps, i1s = self._fp(d), self._i1(d)
-        for fp, i1 in zip(fps, i1s):
-            self._add_one(np.uint16(fp), int(i1))
+        i2s = self._alt(i1s, fps)
+        pending = np.arange(len(d))
+        for buckets in (i1s, i2s):
+            for s in range(4):
+                if not len(pending):
+                    return
+                b = buckets[pending]
+                cand = pending[self.table[b, s] == 0]
+                if not len(cand):
+                    continue
+                _, first = np.unique(buckets[cand], return_index=True)
+                place = cand[first]
+                self.table[buckets[place], s] = fps[place]
+                pending = np.setdiff1d(pending, place, assume_unique=False)
+        for j in pending:  # displacement (kick) path — rare below ~90% load
+            self._add_one(int(fps[j]), int(i1s[j]))
 
-    def _add_one(self, fp: np.uint16, i1: int) -> None:
+    def _add_one(self, fp: int, i1: int) -> None:
         if self.overflowed:
             return
-        i2 = int(self._alt(np.array([i1]), np.array([fp]))[0])
+        nb1 = self.nbuckets - 1
+        i2 = i1 ^ ((fp * 0x5BD1E995) & nb1)
         for i in (i1, i2):
             row = self.table[i]
             empty = np.nonzero(row == 0)[0]
@@ -123,8 +144,8 @@ class CuckooFilter:
         for _ in range(self.MAX_KICKS):
             self._rng_state = (self._rng_state * 6364136223846793005 + 1442695040888963407) & 0xFFFFFFFFFFFFFFFF
             slot = (self._rng_state >> 60) & 3
-            fp, self.table[i, slot] = self.table[i, slot], fp
-            i = int(self._alt(np.array([i]), np.array([fp]))[0])
+            fp, self.table[i, slot] = int(self.table[i, slot]), fp
+            i = i ^ ((fp * 0x5BD1E995) & nb1)
             row = self.table[i]
             empty = np.nonzero(row == 0)[0]
             if len(empty):
@@ -159,8 +180,15 @@ class SeenShardState:
     def __init__(self, capacity: int = 1 << 20):
         self.bloom = BloomFilter(capacity)
         self.cuckoo = CuckooFilter(capacity)
-        self.exact: set[int] = set()
+        # exact store keyed by the raw 16 digest bytes (C-speed hashing;
+        # no bigint object math on the hot path)
+        self.exact: set[bytes] = set()
         self._pending: list[np.ndarray] = []  # digests added since last snapshot
+
+    @staticmethod
+    def _keys(digests: np.ndarray) -> list[bytes]:
+        b = np.ascontiguousarray(digests).tobytes()
+        return [b[i : i + 16] for i in range(0, len(b), 16)]
 
     def check_and_add(self, digests: np.ndarray) -> np.ndarray:
         """(N, 2) uint64 digests → (N,) bool, True = first-ever-seen.
@@ -168,25 +196,34 @@ class SeenShardState:
         Idempotent set-union: re-delivery of the same batch (Ray task
         retry) flips rows to False, never corrupts state. Duplicates
         WITHIN the batch: only the first occurrence reports True.
+
+        Fast path: the bloom contains every key ever inserted, so a
+        bloom NEGATIVE is definitely-new — those rows are bulk-admitted
+        without touching the exact store (the exact store still decides
+        bloom positives, so false positives cost time, never
+        correctness). Within-batch duplicates are resolved first via a
+        vectorized unique-first-occurrence pass.
         """
-        if len(digests) == 0:
+        n = len(digests)
+        if n == 0:
             return np.zeros(0, dtype=bool)
-        maybe = self.bloom.maybe_contains(digests)  # False ⇒ definitely new
-        keys = (digests[:, 0].astype(object) << 64) | digests[:, 1].astype(object)
-        new = np.zeros(len(digests), dtype=bool)
-        for i, k in enumerate(keys):
-            if not maybe[i]:
-                # bloom fast path can still collide within this batch →
-                # exact set remains the decider
-                if k not in self.exact:
-                    new[i] = True
-                    self.exact.add(k)
-            else:
-                if k not in self.exact:
-                    new[i] = True
-                    self.exact.add(k)
+        # 1. first occurrence within the batch (vectorized)
+        _, first_idx = np.unique(digests, axis=0, return_index=True)
+        new = np.zeros(n, dtype=bool)
+        cand_idx = np.sort(first_idx)
+        # 2. bloom: negatives are definitely new — no exact probe
+        maybe = self.bloom.maybe_contains(digests[cand_idx])
+        new[cand_idx[~maybe]] = True
+        # 3. positives: exact store decides (bytes-key set membership)
+        pos_idx = cand_idx[maybe]
+        if len(pos_idx):
+            exact = self.exact
+            keys = self._keys(digests[pos_idx])
+            sub = np.fromiter((k not in exact for k in keys), dtype=bool, count=len(keys))
+            new[pos_idx[sub]] = True
         newd = digests[new]
         if len(newd):
+            self.exact.update(self._keys(newd))
             self.bloom.add_many(newd)
             self.cuckoo.add_many(newd)
             self._pending.append(newd.copy())
@@ -211,17 +248,31 @@ class SeenShardState:
         self._pending = []
         return len(d)
 
-    def restore(self, paths: "str | list[str]") -> int:
+    def restore(
+        self,
+        paths: "str | list[str]",
+        shard_id: int | None = None,
+        num_shards: int | None = None,
+    ) -> int:
+        """Union snapshot deltas into this shard. When ``shard_id`` /
+        ``num_shards`` are given, keep only digests that route to this
+        shard under the CURRENT modulus — this is the re-shard path: a
+        run checkpointed with a different shard count restores by having
+        every shard scan all delta files and claim its own digests."""
         if isinstance(paths, str):
             paths = [paths]
         for path in paths:
             t = pq.read_table(path)
-            hi = t["hi"].to_numpy().astype(object)
-            lo = t["lo"].to_numpy().astype(object)
+            hi = t["hi"].to_numpy()
+            lo = t["lo"].to_numpy()
             if len(hi) == 0:
                 continue
-            d = np.stack([hi.astype(np.uint64), lo.astype(np.uint64)], axis=1)
-            self.exact.update((h << 64) | l for h, l in zip(hi, lo))
+            d = np.stack([hi, lo], axis=1).astype(np.uint64)
+            if shard_id is not None and num_shards is not None:
+                d = d[(d[:, 0] % np.uint64(num_shards)).astype(np.int64) == shard_id]
+                if len(d) == 0:
+                    continue
+            self.exact.update(self._keys(d))
             self.bloom.add_many(d)
             self.cuckoo.add_many(d)
         self._pending = []
@@ -250,8 +301,8 @@ class SeenShard:
     def snapshot(self, path: str) -> int:
         return self.state.snapshot(path)
 
-    def restore(self, path: str) -> int:
-        return self.state.restore(path)
+    def restore(self, path: str, shard_id: int | None = None, num_shards: int | None = None) -> int:
+        return self.state.restore(path, shard_id=shard_id, num_shards=num_shards)
 
 
 class SeenSet:
@@ -289,19 +340,57 @@ class SeenSet:
         return sum(ray.get([s.size.remote() for s in self.shards]))
 
     def snapshot(self, dir_path: str) -> list[str]:
+        import json
         import os
 
         os.makedirs(dir_path, exist_ok=True)
         paths = [f"{dir_path}/shard-{i:04d}.parquet" for i in range(self.num_shards)]
         ray.get([s.snapshot.remote(p) for s, p in zip(self.shards, paths)])
+        # record the shard count: restore validates it (a silent count
+        # mismatch would drop higher-index deltas and re-route digests)
+        with open(f"{dir_path}/.manifest.tmp", "w") as f:
+            json.dump({"num_shards": self.num_shards}, f)
+        os.replace(f"{dir_path}/.manifest.tmp", f"{dir_path}/manifest.json")
         return paths
 
     def restore(self, dir_paths: "str | list[str]") -> int:
         """Restore from one or more per-round snapshot dirs (incremental
-        deltas — pass every round dir up to the resume point)."""
+        deltas — pass every round dir up to the resume point).
+
+        Shard-count safe: each snapshot dir's manifest records the count
+        it was written with. If every dir matches the current count, each
+        shard reads only its own delta files; otherwise EVERY shard scans
+        ALL delta files and claims the digests that route to it under the
+        current modulus (correct for any old→new count)."""
+        import glob
+        import json
+        import os
+
         if isinstance(dir_paths, str):
             dir_paths = [dir_paths]
-        per_shard = [
-            [f"{d}/shard-{i:04d}.parquet" for d in dir_paths] for i in range(self.num_shards)
-        ]
-        return sum(ray.get([s.restore.remote(ps) for s, ps in zip(self.shards, per_shard)]))
+        same_layout = True
+        for d in dir_paths:
+            mpath = f"{d}/manifest.json"
+            if os.path.exists(mpath):
+                with open(mpath) as f:
+                    if json.load(f).get("num_shards") != self.num_shards:
+                        same_layout = False
+            else:  # pre-manifest snapshot: count unknown — take the safe path
+                same_layout = False
+        if same_layout:
+            per_shard = [
+                [f"{d}/shard-{i:04d}.parquet" for d in dir_paths]
+                for i in range(self.num_shards)
+            ]
+            return sum(ray.get([s.restore.remote(ps) for s, ps in zip(self.shards, per_shard)]))
+        all_files = sorted(
+            f for d in dir_paths for f in glob.glob(f"{d}/shard-*.parquet")
+        )
+        return sum(
+            ray.get(
+                [
+                    s.restore.remote(all_files, shard_id=i, num_shards=self.num_shards)
+                    for i, s in enumerate(self.shards)
+                ]
+            )
+        )

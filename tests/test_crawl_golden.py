@@ -120,3 +120,39 @@ def test_t2_profile_golden_with_strict_budget(tmp_path):
         _sorted_pdf(pa.Table.from_pylist(sim2.entries, schema=eng2.entries_table().schema))
     )
     assert eng2.rounds > 5  # strict budget actually deferred work
+
+
+def test_robots_transient_failure_still_blocks(tmp_path):
+    """Regression (ADVICE r1): a host whose robots.txt URL is in the
+    transient-503 fail bucket must STILL block /offer/ — the robots
+    fetch goes through the same ≤5-attempt retry as page fetches, so a
+    transient failure can't cache a permanent fail-open allow."""
+    from crawlkit.synthweb import WebConfig
+
+    cfg = WebConfig(seed=33, n_seeds=4, n_hosts=3)  # host2 blocks AND its robots URL fails twice
+    web = SynthWeb(cfg)
+    assert web.host_blocks_offers("host2.test")
+    assert web.fail_attempts("https://host2.test/robots.txt") > 0
+    spec = refsim.CrawlSpec(host_budget_per_round=16)
+    eng = run_crawl(web, spec=spec, out_dir=str(tmp_path / "robots_fail"),
+                    num_seen_shards=2, fetch_concurrency=2)
+    sim = refsim.simulate(web, spec)
+    assert eng.order == sim.order
+    assert eng.seen == sim.seen
+    log = eng.fetch_log_table().to_pandas()
+    blocked = log[log.status == refsim.STATUS_ROBOTS_BLOCKED]
+    assert (blocked.host == "host2.test").any()
+
+
+def test_fetch_images_false_symmetric(tmp_path):
+    """CrawlSpec.fetch_images=False: engine AND oracle both skip image
+    payloads (refsim gating added in r2) while still fetching offers."""
+    web = SynthWeb("t1")
+    spec = refsim.CrawlSpec(host_budget_per_round=16, fetch_images=False)
+    eng = run_crawl(web, spec=spec, out_dir=str(tmp_path / "noimg"),
+                    num_seen_shards=2, fetch_concurrency=2)
+    sim = refsim.simulate(web, spec)
+    assert eng.order == sim.order
+    assert eng.seen == sim.seen
+    assert len(sim.images) == 0
+    assert eng.images_table().num_rows == 0

@@ -90,3 +90,50 @@ def test_snapshot_restore_roundtrip(tmp_path):
     assert s2.restore(p) == 500
     assert not s2.check_and_add(d).any()  # all seen after restore
     assert s2.check_and_add(url_digests(["fresh"])).all()
+
+
+def test_bloom_negative_fast_path_skips_exact_probe(monkeypatch):
+    """Bloom-negative rows must be admitted WITHOUT exact-set probes
+    (the fast path is real, not decorative)."""
+    s = SeenShardState(capacity=1 << 12)
+    s.check_and_add(url_digests([f"u{i}" for i in range(100)]))
+
+    probes = []
+    real = set.__contains__
+
+    class SpySet(set):
+        def __contains__(self, k):
+            probes.append(k)
+            return real(self, k)
+
+    s.exact = SpySet(s.exact)
+    fresh = url_digests([f"v{i}" for i in range(1000)])
+    mask = s.check_and_add(fresh)
+    assert mask.all()
+    # only bloom FALSE-POSITIVES may reach the exact store (<5% here)
+    assert len(probes) < 50
+
+
+def test_reshard_restore_reroutes(tmp_path):
+    """Restoring with a DIFFERENT shard count must still see every URL
+    (ADVICE r1: silent delta loss + re-routing under count change)."""
+    import ray
+
+    from crawlkit.state.seenset import SeenSet
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=4, include_dashboard=False)
+    urls = [f"http://h{i % 17}.test/p{i}" for i in range(300)]
+    s4 = SeenSet(num_shards=4)
+    assert s4.check_and_add_urls(urls).all()
+    snap = str(tmp_path / "seen")
+    s4.snapshot(snap)
+
+    s3 = SeenSet(num_shards=3)  # fewer shards than checkpointed
+    assert s3.restore(snap) == 300
+    assert not s3.check_and_add_urls(urls).any()  # nothing re-admitted
+    assert s3.check_and_add_urls(["http://new.test/x"]).all()
+
+    s8 = SeenSet(num_shards=8)  # more shards than checkpointed
+    assert s8.restore(snap) == 300
+    assert not s8.check_and_add_urls(urls).any()
