@@ -23,7 +23,9 @@ def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001: the documents
     training-data path (quality counts + language/quality scoring +
     exact dedup), returned as a Ray Dataset."""
+    import pyarrow as pa
     import pyarrow.compute as pc
+    import ray
 
     from crawlkit.pipelines import text
     from crawlkit.pipelines.relational import dedup_exact_first
@@ -31,13 +33,15 @@ def entry() -> Any:
     sf_dir = "/root/testdata/sf0.001"
     deduped = dedup_exact_first(sf_dir)  # (doc_id, text) survivors
     scored = text.text_score(sf_dir)  # (doc_id, lang_pred, stop_ratio, quality_score)
-    keep_ids = set(deduped.to_pandas()["doc_id"])  # small control set
+    # broadcast SEMI-join: ship only the survivor doc_id column once
+    # (ray.put) and filter with vectorized pc.is_in inside map_batches —
+    # at 100 TB this key column becomes a digest broadcast / Dataset.join
+    keep_ref = ray.put(
+        pa.array(deduped.select_columns(["doc_id"]).to_pandas()["doc_id"].to_numpy())
+    )
 
-    def keep(t):
-        import pyarrow as pa
-
-        mask = pa.array([i in keep_ids for i in t["doc_id"].to_pylist()])
-        return t.filter(mask)
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["doc_id"], value_set=ray.get(keep_ref)))
 
     return scored.map_batches(keep, batch_format="pyarrow")
 
@@ -99,7 +103,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_bpe_token_count": text.bpe_ish_token_count,
         "text_quality_counts": text.quality_counts,
         "text_score": text.text_score,  # langid + quality (rows-only)
-        "text_fingerprint": text.fingerprint,  # rolling-hash (rows-only)
+        "text_fingerprint": text.fingerprint,  # 64-bit + winnow (rows-only)
+        "text_fingerprint32": text.fingerprint32,  # SQL-checked 32-bit variant
         # --- dedup family ---
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,  # SQL-checked
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs,  # rows-only
@@ -107,10 +112,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # nearly ALL pairs are within hamming 3 (a known simhash
         # degeneracy) — pair extraction is exercised on controlled
         # corpora in tests/test_dedup.py
-        "dedup_simhash": dedup.simhash_signatures,  # rows-only
+        "dedup_simhash": dedup.simhash_signatures,  # SQL-checked (md5 bit-exact)
         "dedup_embedding": dedup.embedding_neardup_pairs,  # rows-only
         # --- similarity search ---
-        "knn_bruteforce": ann.knn_bruteforce,  # rows-only (float ranks)
+        "knn_bruteforce": ann.knn_bruteforce,  # SQL-checked (deterministic ranks)
         "knn_ivf": ann.knn_ivf,  # rows-only (approximate)
         # --- multimodal ---
         "mm_image_features": multimodal.image_features,  # rows-only

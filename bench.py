@@ -2,7 +2,7 @@
 """Benchmark harness (driver contract: prints ONE JSON line).
 
 Headline = the crawl engine (frontier pages/sec on the deterministic
-bench-profile synthetic web: 64 seeds, 256 hosts, ~17k URLs incl. the
+bench-profile synthetic web: 384 seeds, 256 hosts, ~100k URLs incl. the
 offer/image payload rounds) + representative analytics pipelines over
 ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1).
 

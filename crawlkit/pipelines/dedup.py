@@ -307,9 +307,23 @@ def minhash_lsh_pairs(
 # --- SimHash ------------------------------------------------------------
 
 
+def _md5_lower64(words: list[str]) -> np.ndarray:
+    """Per-word 64-bit hash = the low half of md5, matching DuckDB's
+    ``md5_number_lower`` exactly (bytes 8..16, little-endian) — chosen so
+    SimHash signatures are SQL-oracle-reproducible bit for bit."""
+    import hashlib
+
+    md5 = hashlib.md5
+    out = np.empty(len(words), dtype=np.uint64)
+    for i, w in enumerate(words):
+        out[i] = int.from_bytes(md5(w.encode("utf-8")).digest()[8:], "little")
+    return out
+
+
 def simhash_signatures(sf_dir: str) -> rd.Dataset:
     """64-bit SimHash per doc from word-feature hashes (vectorized:
-    popcount via bit-unpack, majority per bit)."""
+    popcount via bit-unpack, majority per bit). Word hash is
+    md5-lower64 so the DuckDB oracle can recompute signatures."""
     ds = _read_docs(sf_dir, ["doc_id", "text"])
 
     def fn(t: pa.Table) -> pa.Table:
@@ -319,9 +333,12 @@ def simhash_signatures(sf_dir: str) -> rd.Dataset:
             words = (s or "").split()
             if not words:
                 continue
-            h = hash64_np(words)
+            h = _md5_lower64(words)
             bits = np.unpackbits(h.view(np.uint8).reshape(len(h), 8), axis=1, bitorder="little")
-            votes = bits.sum(axis=0) * 2 - len(h)  # >0 → bit set
+            # signed accumulate: a uint sum would UNDERFLOW negative
+            # votes to huge positives and set every bit (r2 bug fix,
+            # caught by the DuckDB bit-exact oracle)
+            votes = bits.sum(axis=0).astype(np.int64) * 2 - len(h)  # >0 → bit set
             sig = np.packbits((votes > 0).astype(np.uint8), bitorder="little")
             out[i] = sig.view(np.int64)[0]
         return pa.table({"doc_id": ids, "simhash": out})

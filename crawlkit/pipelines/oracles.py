@@ -189,6 +189,65 @@ ORACLE_SQL: dict[str, str] = {
                len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_tokens
         FROM documents
     """,
+    # exact top-k cosine ANN ranks (query set = vec_id % 50 == 0, self
+    # excluded, ties by neighbor_id asc — deterministic ranks; both
+    # sides compute in DOUBLE from the same float32 inputs)
+    "knn_bruteforce": """
+        WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                   FROM embeddings WHERE vec_id % 50 = 0),
+             d AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                   FROM embeddings)
+        SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+               CAST(row_number() OVER (
+                    PARTITION BY q.vec_id
+                    ORDER BY list_cosine_similarity(q.e, d.e) DESC, d.vec_id) AS BIGINT) AS rank
+        FROM q, d
+        WHERE d.vec_id <> q.vec_id
+        QUALIFY rank <= 10
+    """,
+    # bit-exact SimHash: word hash = md5_number_lower (engine uses the
+    # same low-64 md5), majority vote per bit; the int64 signature is
+    # assembled as low-63 bits + an explicit sign-bit term so BIGINT
+    # never overflows
+    "dedup_simhash": r"""
+        WITH words AS (
+            SELECT doc_id,
+                   unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS w
+            FROM documents
+        ), wh AS (
+            SELECT doc_id, md5_number_lower(w) AS h FROM words
+        ), nw AS (
+            SELECT doc_id, COUNT(*) AS n FROM wh GROUP BY doc_id
+        ), bits AS (
+            SELECT wh.doc_id, t.j,
+                   SUM(CASE WHEN (h >> t.j) & 1 = 1 THEN 1 ELSE 0 END) AS ones
+            FROM wh, UNNEST(range(0, 64)) AS t(j)
+            GROUP BY wh.doc_id, t.j
+        ), sigs AS (
+            SELECT b.doc_id,
+                   CAST(SUM(CASE WHEN 2 * ones > n AND j < 63
+                                 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
+                        + SUM(CASE WHEN 2 * ones > n AND j = 63
+                                   THEN -9223372036854775808 ELSE 0 END) AS BIGINT) AS simhash
+            FROM bits b JOIN nw USING (doc_id)
+            GROUP BY b.doc_id
+        )
+        SELECT d.doc_id, COALESCE(s.simhash, 0) AS simhash
+        FROM documents d LEFT JOIN sigs s USING (doc_id)
+    """,
+    # 32-bit polynomial content fingerprint (ASCII corpus: code points ==
+    # utf-8 bytes); Horner step stays < 2^52 so BIGINT math is exact
+    "text_fingerprint32": """
+        SELECT doc_id,
+               CASE WHEN length(text) = 0 THEN 0
+                    ELSE CAST(list_reduce(
+                         list_prepend(CAST(0 AS BIGINT),
+                                      list_transform(regexp_split_to_array(text, ''),
+                                                     c -> CAST(unicode(c) + 1 AS BIGINT))),
+                         (acc, d) -> (CAST(acc AS BIGINT) * 1000003 + d) % 4294967296) AS BIGINT)
+               END AS fp32
+        FROM documents
+    """,
     # exact word-3-gram Jaccard dedup with INTEGER threshold math
     # (i*10 >= 2*(|a|+|b|-i)  ⇔  J >= 0.2) — no float compare anywhere
     "dedup_ngram_jaccard": r"""

@@ -184,6 +184,25 @@ def _window_hashes(data: bytes, window: int) -> np.ndarray:
         return (prefix[j + w] - prefix[j]) * inv_pows
 
 
+def fingerprint32(sf_dir: str) -> rd.Dataset:
+    """SQL-checkable 32-bit full-content polynomial fingerprint:
+    fp32 = (Σ (bytes[i]+1)·B^(n−1−i) mod 2⁶⁴) mod 2³², i.e. the low 32
+    bits of the 64-bit fingerprint (2³² | 2⁶⁴ makes the truncation the
+    exact mod-2³² Horner hash the DuckDB ``list_reduce`` oracle runs)."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        out = np.empty(len(texts), dtype=np.int64)
+        for i, s in enumerate(texts):
+            data = (s or "").encode("utf-8")
+            h64 = _window_hashes(data, max(len(data), 1))[0] if data else np.uint64(0)
+            out[i] = np.int64(h64 & np.uint64(0xFFFFFFFF))
+        return pa.table({"doc_id": t["doc_id"], "fp32": out})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def fingerprint(sf_dir: str, window: int = 32) -> rd.Dataset:
     """Per-doc fingerprints: full-content polynomial hash + winnowed
     min window-hash (the classic winnowing idea: the MINIMUM rolling
