@@ -68,6 +68,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return res.entries_table()
 
+    def crawl_recrawl(sf_dir: str):
+        """Cadence re-run (S2/P1): crawl a small web, then recrawl a
+        GROWN web against the persisted seen set — listings re-crawled,
+        only never-seen offers fetched. Rows-only here; byte-level
+        engine ≡ refsim(prior_seen=…) is pinned in
+        tests/test_crawl_golden.py::test_recrawl_cadence_fetches_only_new_offers."""
+        from crawlkit.pipelines.crawl import recrawl, run_crawl
+        from crawlkit.refsim import CrawlSpec
+        from crawlkit.synthweb import SynthWeb, WebConfig
+
+        spec = CrawlSpec(host_budget_per_round=32)
+        base = tempfile.mkdtemp(prefix="recrawl_q_", dir="/tmp")
+        run_crawl(SynthWeb(WebConfig(n_seeds=4, n_hosts=3, max_last_page=3)),
+                  spec=spec, out_dir=f"{base}/run1", num_seen_shards=2, fetch_concurrency=4)
+        res2 = recrawl(SynthWeb(WebConfig(n_seeds=4, n_hosts=3, max_last_page=6)),
+                       prior_dir=f"{base}/run1", out_dir=f"{base}/run2",
+                       num_seen_shards=2, fetch_concurrency=4)
+        return res2.entries_table()
+
     return {
         # --- SURVEY §2 relational operators (SQL-checked) ---
         "g1_group_merge": relational.g1_group_merge,
@@ -122,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_image_phash_neardup": multimodal.image_phash_neardup,  # rows-only
         # --- the crawl engine itself ---
         "crawl_flagship": crawl_flagship,  # rows-only (oracle = refsim in tests)
+        "crawl_recrawl": crawl_recrawl,  # rows-only (oracle = refsim prior_seen)
     }
 
 

@@ -140,12 +140,19 @@ def run_crawl(
     resume: bool = False,
     track_order: bool = True,
     fetch_mode: str = "tasks",
+    prior_seen_dirs: "list[str] | None" = None,
 ) -> CrawlResult:
     """Run the crawl to frontier exhaustion (or ``spec.max_rounds``).
 
     ``resume=True`` continues from the latest complete round checkpoint
     under ``out_dir`` (seen shards restored, frontier reloaded; stores
     are idempotent so a half-finished round replays without duplicates).
+
+    ``prior_seen_dirs``: seen snapshots of a PREVIOUS run (recrawl
+    cadence). The prior set is consulted READ-ONLY: depth ≤ 1 listing
+    URLs are re-admitted every run (cadence re-crawl), depth-2 offers
+    already fetched by a prior run are skipped — exactly
+    ``refsim.simulate(prior_seen=...)``.
     """
     if not isinstance(web, SynthWeb):
         web = SynthWeb(web)
@@ -153,6 +160,10 @@ def run_crawl(
 
     ckpt = RunCheckpoint(out_dir)
     seen = SeenSet(num_seen_shards)
+    prior: SeenSet | None = None
+    if prior_seen_dirs:
+        prior = SeenSet(num_seen_shards)
+        prior.restore(prior_seen_dirs)
     res = CrawlResult(
         out_dir=out_dir,
         entries_store=TableStore(f"{out_dir}/entries"),
@@ -322,8 +333,18 @@ def run_crawl(
                 [cand["digest_hi"].to_numpy(), cand["digest_lo"].to_numpy()], axis=1
             ).astype(np.uint64)
             mask = seen.check_and_add_digests(d)
-            fresh = cand.filter(pl.Series(mask)).select(frontier.columns)
-            admitted_canon = fresh["canon_url"].to_list()
+            admit = mask
+            if prior is not None:
+                # recrawl: first-seen-this-run rows still enter THIS
+                # run's seen set (mask), but offers the prior run
+                # fetched are not re-admitted to the frontier
+                depth2 = cand["depth"].to_numpy() >= 2
+                admit = mask & ~(depth2 & prior.contains_digests(d))
+            fresh = cand.filter(pl.Series(admit)).select(frontier.columns)
+            # "admitted" below means admitted TO THE SEEN SET (mask) —
+            # that is what res.seen/resume reconstruction needs; the
+            # frontier gets only the recrawl-filtered subset (admit)
+            admitted_canon = cand.filter(pl.Series(mask))["canon_url"].to_list()
             if track_order:
                 res.seen.update(admitted_canon)
             frontier = pl.concat([deferred, fresh], how="vertical_relaxed")
@@ -363,3 +384,23 @@ def run_crawl(
         res.rounds = rnd + 1
 
     return res
+
+
+def recrawl(
+    web: SynthWeb | WebConfig | str,
+    prior_dir: str,
+    out_dir: str,
+    spec: CrawlSpec = CrawlSpec(),
+    **kwargs,
+) -> CrawlResult:
+    """Cadence re-run (the S2/P1 cron analog, ``stack.yml:16,46,76,104``):
+    re-seed a NEW run of a (possibly grown) web against the seen set
+    persisted by the run under ``prior_dir``. Listings (depth ≤ 1) are
+    re-crawled every tick; offers already fetched by the prior run are
+    skipped (cross-run D1 semantics, ``commons/Entry.go:37``). Entry/
+    image stores may be shared with the prior run — fragment commits are
+    idempotent, so appends across runs never duplicate fragments."""
+    dirs = RunCheckpoint(prior_dir).seen_dirs()
+    if not dirs:
+        raise ValueError(f"no completed rounds under {prior_dir}")
+    return run_crawl(web, spec=spec, out_dir=out_dir, prior_seen_dirs=dirs, **kwargs)

@@ -77,11 +77,20 @@ def _fetch_with_retry(web: SynthWeb, url: str):
     return r, RETRY_ATTEMPTS
 
 
-def simulate(web: SynthWeb, spec: CrawlSpec = CrawlSpec()) -> SimResult:
+def simulate(
+    web: SynthWeb, spec: CrawlSpec = CrawlSpec(), prior_seen: "set[str] | None" = None
+) -> SimResult:
+    """``prior_seen``: the persisted seen set of a PREVIOUS run (the
+    recrawl-cadence contract, shared with the engine): this-run dedup is
+    unchanged, but frontier admission additionally skips depth-2 (offer)
+    URLs already fetched by a prior run — listings (depth ≤ 1) are due
+    for re-crawl on every cadence tick, content pages are fetched once
+    across runs (cross-run D1, ``commons/Entry.go:37``)."""
     res = SimResult()
     seeds = web.seeds()
     frontier: list[dict] = []
     pending: list[dict] = []
+    prior = prior_seen or set()
 
     def discover(url: str, priority: int, depth: int, seed_id: int) -> None:
         cu = canon.canonicalize_url_one(url)
@@ -105,6 +114,8 @@ def simulate(web: SynthWeb, spec: CrawlSpec = CrawlSpec()) -> SimResult:
             if f["canon_url"] in res.seen:
                 continue
             res.seen.add(f["canon_url"])
+            if f["depth"] >= 2 and f["canon_url"] in prior:
+                continue  # recrawl: offers fetched once across runs
             frontier.append({**f, "round_added": rnd})
         pending.clear()
 

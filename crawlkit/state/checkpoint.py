@@ -70,6 +70,12 @@ class RunCheckpoint:
     def seen_dir(self, rnd: int) -> str:
         return f"{self._rdir(rnd)}/seen"
 
+    def seen_dirs(self) -> list[str]:
+        """All per-round seen snapshot dirs up to the last complete round
+        (the incremental-delta chain a restore/recrawl unions)."""
+        last = self.latest_complete_round()
+        return [] if last is None else [self.seen_dir(r) for r in range(last + 1)]
+
     def load_metrics(self, rnd: int) -> dict:
         with open(f"{self._rdir(rnd)}/metrics.json") as f:
             return json.load(f)

@@ -229,6 +229,22 @@ class SeenShardState:
             self._pending.append(newd.copy())
         return new
 
+    def contains(self, digests: np.ndarray) -> np.ndarray:
+        """(N,) bool membership WITHOUT insertion (read-only probe — the
+        recrawl path consults the PRIOR run's set this way). Bloom
+        negatives short-circuit; positives ask the exact store."""
+        n = len(digests)
+        if n == 0:
+            return np.zeros(0, dtype=bool)
+        out = np.zeros(n, dtype=bool)
+        maybe = self.bloom.maybe_contains(digests)
+        pos = np.nonzero(maybe)[0]
+        if len(pos):
+            exact = self.exact
+            keys = self._keys(digests[pos])
+            out[pos] = np.fromiter((k in exact for k in keys), dtype=bool, count=len(keys))
+        return out
+
     def __len__(self) -> int:
         return len(self.exact)
 
@@ -295,6 +311,9 @@ class SeenShard:
     def check_and_add(self, digests: np.ndarray) -> np.ndarray:
         return self.state.check_and_add(digests)
 
+    def contains(self, digests: np.ndarray) -> np.ndarray:
+        return self.state.contains(digests)
+
     def size(self) -> int:
         return len(self.state)
 
@@ -331,6 +350,22 @@ class SeenSet:
             ix = np.nonzero(route == s)[0]
             if len(ix):
                 futs.append(self.shards[s].check_and_add.remote(d[ix]))
+                idxs.append(ix)
+        for ix, mask in zip(idxs, ray.get(futs)):
+            out[ix] = mask
+        return out
+
+    def contains_digests(self, d: np.ndarray) -> np.ndarray:
+        """Read-only membership mask (no insertion), batch-routed."""
+        if len(d) == 0:
+            return np.zeros(0, dtype=bool)
+        route = (d[:, 0] % np.uint64(self.num_shards)).astype(np.int64)
+        out = np.zeros(len(d), dtype=bool)
+        futs, idxs = [], []
+        for s in range(self.num_shards):
+            ix = np.nonzero(route == s)[0]
+            if len(ix):
+                futs.append(self.shards[s].contains.remote(d[ix]))
                 idxs.append(ix)
         for ix, mask in zip(idxs, ray.get(futs)):
             out[ix] = mask

@@ -156,3 +156,36 @@ def test_fetch_images_false_symmetric(tmp_path):
     assert eng.seen == sim.seen
     assert len(sim.images) == 0
     assert eng.images_table().num_rows == 0
+
+
+def test_recrawl_cadence_fetches_only_new_offers(tmp_path):
+    """Cross-run cadence (S2/P1): run 1 on a small web, run 2 on a GROWN
+    web against run 1's persisted seen set. Run 2 must re-crawl listings,
+    fetch ONLY never-seen offers, and match refsim.simulate(prior_seen=…)
+    byte-level."""
+    from crawlkit.pipelines.crawl import recrawl
+    from crawlkit.synthweb import WebConfig
+
+    cfg1 = WebConfig(n_seeds=4, n_hosts=3, max_last_page=3)
+    cfg2 = WebConfig(n_seeds=4, n_hosts=3, max_last_page=6)  # grown: more pages
+    web1, web2 = SynthWeb(cfg1), SynthWeb(cfg2)
+    spec = refsim.CrawlSpec(host_budget_per_round=16)
+
+    d1 = str(tmp_path / "run1")
+    eng1 = run_crawl(web1, spec=spec, out_dir=d1, num_seen_shards=2, fetch_concurrency=2)
+    sim1 = refsim.simulate(web1, spec)
+    assert eng1.order == sim1.order and eng1.seen == sim1.seen
+
+    d2 = str(tmp_path / "run2")
+    eng2 = recrawl(web2, prior_dir=d1, out_dir=d2, spec=spec,
+                   num_seen_shards=3, fetch_concurrency=2)  # different shard count on purpose
+    sim2 = refsim.simulate(web2, spec, prior_seen=sim1.seen)
+    assert eng2.order == sim2.order
+    assert eng2.seen == sim2.seen
+
+    offers1 = {u for u in eng1.order if "/offer/" in u}
+    offers2 = {u for u in eng2.order if "/offer/" in u}
+    assert offers2, "grown web must yield new offers"
+    assert offers1.isdisjoint(offers2)  # never re-fetch a fetched offer
+    listings2 = {u for u in eng2.order if "/list" in u}
+    assert listings2 & {u for u in eng1.order if "/list" in u}  # listings re-crawled
