@@ -112,6 +112,40 @@ def run_bench() -> dict:
     return out
 
 
+def _burn(n: int) -> int:
+    s = 0
+    for i in range(n):
+        s += i * i
+    return s
+
+
+def run_burn_ceiling() -> dict:
+    """Measure THIS HOST's effective parallelism at 8 and 32 procs with a
+    pure-python burn (no Ray). The sandbox is a shared-hypervisor VM
+    whose steal/SMT penalty varies hour to hour (measured ×3.65 ceiling
+    one day, ×2.6 another) — the ceiling must be measured in the same
+    breath as the engine run it normalizes."""
+    import time as _t
+    from multiprocessing import Pool
+
+    work = 3_000_000
+    t0 = _t.perf_counter()
+    _burn(work)
+    one_dt = _t.perf_counter() - t0
+
+    def eff(procs: int) -> float:
+        best = 0.0
+        for _ in range(2):
+            t0 = _t.perf_counter()
+            with Pool(procs) as p:
+                list(p.map(_burn, [work] * procs))
+            best = max(best, procs * one_dt / (_t.perf_counter() - t0))
+        return round(best, 2)
+
+    e8, e32 = eff(8), eff(32)
+    return {"eff_procs_8": e8, "eff_procs_32": e32, "ceiling_8_to_32": round(e32 / e8, 2)}
+
+
 def run_scaling() -> dict:
     import subprocess
 
@@ -127,6 +161,7 @@ def run_scaling() -> dict:
         return json.loads(p.stdout.strip().splitlines()[-1])
 
     one(8)  # warm the page cache (untimed)
+    ceiling = run_burn_ceiling()  # contemporaneous hardware ceiling
     # best-of-2 per level: this host's per-core speed varies ±30%
     # run-to-run (shared hypervisor); best-of controls that noise
     lo = min(one(8), one(8), key=lambda d: d["value"])
@@ -142,6 +177,16 @@ def run_scaling() -> dict:
         "total_sec_8": lo["value"],
         "total_sec_32": hi["value"],
         "scaling_efficiency_total": eff_total,
+        # raw ratios divided by what the host itself could do for 8→32
+        # (pure-python multiprocessing burn, measured minutes earlier) —
+        # on a real N→4N NODE cluster the denominator is 4
+        "hardware_ceiling": ceiling,
+        "scaling_efficiency_pages_normalized": round(
+            (pps_hi / pps_lo) / ceiling["ceiling_8_to_32"], 3
+        ),
+        "scaling_efficiency_total_normalized": round(
+            (lo["value"] / hi["value"]) / ceiling["ceiling_8_to_32"], 3
+        ),
         "queries_8": lo["queries"],
         "queries_32": hi["queries"],
     }

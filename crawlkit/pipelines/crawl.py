@@ -86,6 +86,9 @@ class CrawlResult:
     images_store: TableStore | None = None
     fetch_log_store: TableStore | None = None
     catalog: CatalogStore | None = None
+    # cumulative per-phase driver wall time (seconds) — the scaling
+    # bottleneck ledger; phases other than "fetch_exec" are serial
+    phase_sec: dict = field(default_factory=dict)
 
     def entries_table(self) -> pa.Table:
         return self.entries_store.read_table()
@@ -210,10 +213,39 @@ def run_crawl(
         if track_order:
             res.seen.update(seed_admitted)
 
+    import threading
+    import time as _time
+
+    def _tick(name: str, t0: float) -> float:
+        t1 = _time.perf_counter()
+        res.phase_sec[name] = res.phase_sec.get(name, 0.0) + (t1 - t0)
+        return t1
+
+    # In no-track mode, raw fetch-log rows never reach the driver: tasks
+    # write log fragments themselves and emit per-host stat rows. The
+    # driver's commit/checkpoint tail then runs in a BACKGROUND thread,
+    # overlapped with the next round's fetch — only the seen-set
+    # snapshot stays on the critical path (it must precede the next
+    # round's admission). Threads are chained (join before spawn) so
+    # manifest commits and _COMPLETE markers stay strictly ordered.
+    in_task_logs = not track_order
+    commit_thread: threading.Thread | None = None
+    commit_err: list[BaseException] = []
+
+    def _join_commit() -> None:
+        nonlocal commit_thread
+        if commit_thread is not None:
+            commit_thread.join()
+            commit_thread = None
+            if commit_err:
+                raise commit_err[0]
+
     for rnd in range(start_round, spec.max_rounds):
         if frontier.height == 0:
             break
+        _t = _time.perf_counter()
         issued, deferred = _split_budget(frontier, spec.host_budget_per_round)
+        _t = _tick("sort_budget", _t)
 
         issued_t = issued.to_arrow().cast(FRONTIER_SCHEMA)
         issued_t = issued_t.append_column("round", pa.array([rnd] * issued_t.num_rows, pa.int32()))
@@ -260,6 +292,7 @@ def run_crawl(
             "entries_root": f"{out_dir}/entries",
             "images_root": f"{out_dir}/images",
             "fetch_images": spec.fetch_images,
+            "logs_root": f"{out_dir}/fetch_log" if in_task_logs else None,
         }
         if fetch_mode == "actors":
             union_ds = in_ds.map_batches(
@@ -276,27 +309,15 @@ def run_crawl(
                 batch_format="pyarrow",
                 batch_size=fetch_batch_size,
             )
+        _t = _tick("slice_route", _t)
         control_t = pa.concat_tables(
             [ray.get(ref) for ref in union_ds.materialize().to_arrow_refs()],
             promote_options="default",
         )
-        logs = control_t.filter(pc.equal(control_t["kind"], "log"))
+        _t = _tick("fetch_exec", _t)
         pages = control_t.filter(pc.equal(control_t["kind"], "page"))
+        _join_commit()  # round r-1's tail must finish before new commits
 
-        # --- fetch log + issue order (derived from the deterministic sort,
-        # never from completion order) ---------------------------------
-        log_t = logs.select(
-            ["canon_url", "host", "status", "attempts", "error", "nbytes"]
-        ).append_column("round", pa.array([rnd] * logs.num_rows, pa.int32()))
-        res.fetch_log_store.append(log_t, key=f"log-r{rnd:04d}")
-        blocked = set(
-            logs.filter(pc.equal(logs["status"], STATUS_ROBOTS_BLOCKED))["canon_url"].to_pylist()
-        )
-        round_order = [cu for cu in issued["canon_url"].to_list() if cu not in blocked]
-        if track_order:
-            res.order.extend(round_order)
-
-        # --- payload fragments were written task-side; commit manifests -
         def _frag_metas(kind: str) -> list[dict]:
             f = control_t.filter(pc.equal(control_t["kind"], kind))
             return [
@@ -306,12 +327,65 @@ def run_crawl(
                 )
             ]
 
+        log_t = None
+        lmetas: list[dict] | None = None
+        if in_task_logs:
+            # per-host lineage from the tiny hstat rows; raw log rows
+            # were fragment-written inside the fetch tasks
+            hs = pl.from_arrow(
+                control_t.filter(pc.equal(control_t["kind"], "hstat")).select(
+                    ["host", "n_issued", "n_ok", "n_failed", "n_blocked", "nbytes"]
+                )
+            )
+            by_host = (
+                hs.group_by("host")
+                .agg(
+                    pl.col("n_issued").sum().alias("issued"),
+                    pl.col("n_ok").sum().alias("ok"),
+                    pl.col("n_failed").sum().alias("failed"),
+                    pl.col("n_blocked").sum().alias("blocked"),
+                    pl.col("nbytes").sum().alias("bytes"),
+                )
+                .to_dicts()
+            )
+            blocked_total = int(hs["n_blocked"].sum()) if hs.height else 0
+            n_fetched = issued.height - blocked_total
+            round_order: list[str] = []
+            lmetas = _frag_metas("lfrag")
+        else:
+            logs = control_t.filter(pc.equal(control_t["kind"], "log"))
+            # fetch log + issue order (derived from the deterministic
+            # sort, never from completion order)
+            log_t = logs.select(
+                ["canon_url", "host", "status", "attempts", "error", "nbytes"]
+            ).append_column("round", pa.array([rnd] * logs.num_rows, pa.int32()))
+            blocked = set(
+                logs.filter(pc.equal(logs["status"], STATUS_ROBOTS_BLOCKED))[
+                    "canon_url"
+                ].to_pylist()
+            )
+            round_order = [cu for cu in issued["canon_url"].to_list() if cu not in blocked]
+            if track_order:
+                res.order.extend(round_order)
+            by_host = (
+                pl.from_arrow(log_t)
+                .group_by("host")
+                .agg(
+                    pl.len().alias("issued"),
+                    (pl.col("status") == 200).sum().alias("ok"),
+                    (pl.col("status") == -1).sum().alias("failed"),
+                    (pl.col("status") == STATUS_ROBOTS_BLOCKED).sum().alias("blocked"),
+                    pl.col("nbytes").sum().alias("bytes"),
+                )
+                .to_dicts()
+            )
+            n_fetched = len(round_order)
+
         emetas = _frag_metas("efrag")
-        res.entries_store.commit_fragments(emetas)
         n_entries = sum(m["rows"] for m in emetas)
         imetas = _frag_metas("ifrag")
-        res.images_store.commit_fragments(imetas)
         n_images = sum(m["rows"] for m in imetas)
+        _t = _tick("log_commit", _t)
 
         # --- discoveries → dedup-admit in sort order (shared contract).
         # canon_url/host were computed IN the fetch tasks (parallel), the
@@ -350,24 +424,13 @@ def run_crawl(
             frontier = pl.concat([deferred, fresh], how="vertical_relaxed")
         else:
             frontier = deferred
+        _t = _tick("dedup_admit", _t)
 
         # --- per-partition lineage + metrics, checkpoint commit --------
-        by_host = (
-            pl.from_arrow(log_t)
-            .group_by("host")
-            .agg(
-                pl.len().alias("issued"),
-                (pl.col("status") == 200).sum().alias("ok"),
-                (pl.col("status") == -1).sum().alias("failed"),
-                (pl.col("status") == STATUS_ROBOTS_BLOCKED).sum().alias("blocked"),
-                pl.col("nbytes").sum().alias("bytes"),
-            )
-            .to_dicts()
-        )
         metrics = {
             "round": rnd,
             "issued": issued.height,
-            "fetched": len(round_order),
+            "fetched": n_fetched,
             "entries": n_entries,
             "images": n_images,
             "per_host": by_host,
@@ -379,10 +442,33 @@ def run_crawl(
             # + the deterministic sort, and seen lives in the shards
             metrics["admitted"] = seed_admitted + admitted_canon
             metrics["order"] = round_order
-        ckpt.save_round(rnd, frontier.to_arrow().cast(FRONTIER_SCHEMA), seen, metrics)
+        # seen snapshot stays ON the critical path: it must capture this
+        # round's admissions before the next round adds its own pendings
+        seen.snapshot(ckpt.seen_dir(rnd))
+        front_t = frontier.to_arrow().cast(FRONTIER_SCHEMA)
+
+        def _commit_round(
+            rnd=rnd, log_t=log_t, lmetas=lmetas, emetas=emetas,
+            imetas=imetas, front_t=front_t, metrics=metrics,
+        ):
+            try:
+                if lmetas is not None:
+                    res.fetch_log_store.commit_fragments(lmetas)
+                else:
+                    res.fetch_log_store.append(log_t, key=f"log-r{rnd:04d}")
+                res.entries_store.commit_fragments(emetas)
+                res.images_store.commit_fragments(imetas)
+                ckpt.save_round(rnd, front_t, None, metrics)  # seen already snapshot
+            except BaseException as e:  # surfaced at the next join
+                commit_err.append(e)
+
+        commit_thread = threading.Thread(target=_commit_round, daemon=True)
+        commit_thread.start()
+        _tick("checkpoint", _t)
         seed_admitted = []  # recorded once (in the first round's metrics)
         res.rounds = rnd + 1
 
+    _join_commit()
     return res
 
 

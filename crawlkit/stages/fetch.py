@@ -83,14 +83,32 @@ UNION_FIELDS: list[tuple[str, pa.DataType]] = [
     ("frag_path", pa.string()),
     ("digest_hi", pa.uint64()),
     ("digest_lo", pa.uint64()),
+    # per-host stat rows (kind=hstat, fused no-track mode): the driver
+    # aggregates these instead of touching raw log rows
+    ("n_issued", pa.int64()),
+    ("n_ok", pa.int64()),
+    ("n_failed", pa.int64()),
+    ("n_blocked", pa.int64()),
 ]
 UNION_SCHEMA = pa.schema(UNION_FIELDS)
 _COLS = [f[0] for f in UNION_FIELDS]
 
+# Fully-fused mode (entries+images+logs all written in-task) emits only
+# page/frag-meta/hstat control rows — the entry/image payload columns
+# are dead weight on the control stream (driver filters every column of
+# every control row once per round), so they are dropped entirely.
+_SLIM_SET = {
+    "kind", "canon_url", "host", "nbytes", "url", "priority", "depth",
+    "seed_id", "schema_name", "schema_version", "domain", "created",
+    "frag_key", "frag_rows", "frag_path", "digest_hi", "digest_lo",
+    "n_issued", "n_ok", "n_failed", "n_blocked",
+}
+SLIM_UNION_SCHEMA = pa.schema([(n, t) for n, t in UNION_FIELDS if n in _SLIM_SET])
 
-def _rows_to_table(rows: list[dict]) -> pa.Table:
-    arrays = {c: [r.get(c) for r in rows] for c in _COLS}
-    return pa.Table.from_pydict(arrays, schema=UNION_SCHEMA)
+
+def _rows_to_table(rows: list[dict], schema: pa.Schema = UNION_SCHEMA) -> pa.Table:
+    arrays = {c: [r.get(c) for r in rows] for c in schema.names}
+    return pa.Table.from_pydict(arrays, schema=schema)
 
 
 class FetchParse:
@@ -110,6 +128,7 @@ class FetchParse:
         images_root: str | None = None,
         fetch_timeout_s: float | None = None,
         fetch_images: bool = True,
+        logs_root: str | None = None,
     ):
         """``entries_root``/``images_root``: when given, the stage is
         FUSED — extracted entries are normalized and written as
@@ -127,6 +146,10 @@ class FetchParse:
         self.max_depth = max_depth
         self.entries_store = TableStore(entries_root) if entries_root else None
         self.images_store = TableStore(images_root) if images_root else None
+        # fused no-track mode: raw log rows are fragment-written IN-TASK
+        # and replaced by per-host stat rows — the driver never filters /
+        # appends a frontier-sized log table (serial-tail killer at scale)
+        self.logs_store = TableStore(logs_root) if logs_root else None
         # P3 analog (exec_timeout, stack.yml:136): per-item fetch deadline
         # spanning all retry attempts; exceeded → STATUS_TIMEOUT log row
         self.fetch_timeout_s = fetch_timeout_s
@@ -237,12 +260,15 @@ class FetchParse:
                     rows.append({**base, "kind": "image_ref",
                                  "image_id": im["image_id"], "caption": im["caption"]})
         if self.entries_store is not None:
-            rows = self._write_payloads(rows)
-        return _rows_to_table(rows)
+            rnd0 = cols.get("round", [0] * n)[0] if n else 0
+            rows = self._write_payloads(rows, rnd0)
+        slim = self.entries_store is not None and self.logs_store is not None
+        return _rows_to_table(rows, SLIM_UNION_SCHEMA if slim else UNION_SCHEMA)
 
-    def _write_payloads(self, rows: list[dict]) -> list[dict]:
-        """Fused mode: write entry + image fragments, swap payload rows
-        for frag-metadata rows (idempotent deterministic keys)."""
+    def _write_payloads(self, rows: list[dict], rnd: int = 0) -> list[dict]:
+        """Fused mode: write entry + image (and, in no-track mode, log)
+        fragments, swap payload rows for frag-metadata rows (idempotent
+        deterministic keys)."""
         out = [r for r in rows if r["kind"] not in ("entry", "image_ref")]
         entries = [r for r in rows if r["kind"] == "entry"]
         image_refs = [r for r in rows if r["kind"] == "image_ref"]
@@ -264,6 +290,45 @@ class FetchParse:
             meta = self.images_store.write_fragment(table, fkey)
             out.append({"kind": "ifrag", "frag_key": meta["key"],
                         "frag_rows": meta["rows"], "frag_path": meta["path"]})
+        if self.logs_store is not None:
+            logs = [r for r in out if r["kind"] == "log"]
+            out = [r for r in out if r["kind"] != "log"]
+            if logs:
+                table = pa.table(
+                    {
+                        "canon_url": pa.array([r["canon_url"] for r in logs], pa.string()),
+                        "host": pa.array([r["host"] for r in logs], pa.string()),
+                        "status": pa.array([r["status"] for r in logs], pa.int32()),
+                        "attempts": pa.array([r["attempts"] for r in logs], pa.int32()),
+                        "error": pa.array([r["error"] for r in logs], pa.string()),
+                        "nbytes": pa.array([r["nbytes"] for r in logs], pa.int64()),
+                        "round": pa.array([rnd] * len(logs), pa.int32()),
+                    }
+                )
+                fkey = stable_hash_bytes(
+                    "logfrag", *sorted(r["canon_url"] for r in logs), rnd, size=8
+                ).hex()
+                meta = self.logs_store.write_fragment(table, fkey)
+                out.append({"kind": "lfrag", "frag_key": meta["key"],
+                            "frag_rows": meta["rows"], "frag_path": meta["path"]})
+                # per-host stats replace the raw rows on the control path
+                stats: dict[str, list[int]] = {}
+                for r in logs:
+                    s = stats.setdefault(r["host"], [0, 0, 0, 0, 0])
+                    s[0] += 1
+                    st = r["status"]
+                    if st == 200:
+                        s[1] += 1
+                    elif st == STATUS_EXHAUSTED:
+                        s[2] += 1
+                    elif st == STATUS_ROBOTS_BLOCKED:
+                        s[3] += 1
+                    s[4] += r["nbytes"] or 0
+                out.extend(
+                    {"kind": "hstat", "host": h, "n_issued": s[0], "n_ok": s[1],
+                     "n_failed": s[2], "n_blocked": s[3], "nbytes": s[4]}
+                    for h, s in stats.items()
+                )
         return out
 
 
@@ -286,8 +351,12 @@ def make_fetch_parse_fn(
     entries_root: str | None = None,
     images_root: str | None = None,
     fetch_images: bool = True,
+    logs_root: str | None = None,
 ):
-    key = (repr(web_config), obey_robots, max_depth, entries_root, images_root, fetch_images)
+    key = (
+        repr(web_config), obey_robots, max_depth, entries_root, images_root,
+        fetch_images, logs_root,
+    )
 
     def fetch_parse(batch: pa.Table) -> pa.Table:
         inst = _FETCHER_CACHE.get(key)
@@ -299,6 +368,7 @@ def make_fetch_parse_fn(
                 entries_root=entries_root,
                 images_root=images_root,
                 fetch_images=fetch_images,
+                logs_root=logs_root,
             )
         return inst(batch)
 

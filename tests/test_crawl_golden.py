@@ -189,3 +189,27 @@ def test_recrawl_cadence_fetches_only_new_offers(tmp_path):
     assert offers1.isdisjoint(offers2)  # never re-fetch a fetched offer
     listings2 = {u for u in eng2.order if "/list" in u}
     assert listings2 & {u for u in eng1.order if "/list" in u}  # listings re-crawled
+
+
+def test_no_track_mode_same_stores_and_lineage(web, eng, sim, tmp_path):
+    """track_order=False switches to in-task log fragments + hstat rows
+    + overlapped commits — stores and lineage must be IDENTICAL to the
+    tracked run (only res.order/res.seen bookkeeping is dropped)."""
+    eng2 = run_crawl(web, spec=SPEC, out_dir=str(tmp_path / "notrack"),
+                     fetch_concurrency=2, num_seen_shards=2, track_order=False)
+    assert _sorted_pdf(eng2.entries_table()).equals(_sorted_pdf(eng.entries_table()))
+    assert _sorted_pdf(eng2.images_table()).equals(_sorted_pdf(eng.images_table()))
+    lt = eng2.fetch_log_table().to_pandas()
+    lt_ref = eng.fetch_log_table().to_pandas()
+    cols = sorted(lt.columns)
+    assert lt[cols].sort_values(cols).reset_index(drop=True).equals(
+        lt_ref[cols].sort_values(cols).reset_index(drop=True))
+    from crawlkit.state.checkpoint import RunCheckpoint
+
+    m2 = RunCheckpoint(eng2.out_dir).all_metrics()
+    m1 = RunCheckpoint(eng.out_dir).all_metrics()
+    assert [m["fetched"] for m in m2] == [m["fetched"] for m in m1]
+    for a, b in zip(m2, m1):
+        ka = {h["host"]: h for h in a["per_host"]}
+        kb = {h["host"]: h for h in b["per_host"]}
+        assert ka == kb
