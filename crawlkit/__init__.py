@@ -42,3 +42,23 @@ def configure_data_context() -> None:
 
 
 configure_data_context()
+
+
+def read_parquet_clean(paths, columns=None, **kwargs):
+    """``ray.data.read_parquet`` with the file's pandas metadata stripped.
+
+    ``pyarrow.Schema.__hash__`` raises on dict-valued metadata, so every
+    block read from a pandas-written parquet breaks Ray's block-schema
+    dedup fast path and logs "Failed to hash the schemas (for
+    deduplication)" from every worker. Passing an explicit metadata-free
+    schema restores the early-exit (and silences the spam)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    first = paths if isinstance(paths, str) else paths[0]
+    s = pq.read_schema(first)
+    names = columns if columns is not None else s.names
+    # Ray applies `schema` to the column-pruned batches — project it
+    s = pa.schema([s.field(n).remove_metadata() for n in names])
+    return rd.read_parquet(paths, columns=columns, schema=s, **kwargs)

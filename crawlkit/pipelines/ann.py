@@ -17,18 +17,26 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.parquet as pq
 import ray
 import ray.data as rd
 
+from .. import read_parquet_clean
+
 
 def _load_queries(sf_dir: str, every: int = 50) -> tuple[np.ndarray, np.ndarray]:
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    ids = t["vec_id"].to_numpy()
-    mask = ids % every == 0
-    emb = np.stack(t["embedding"].to_numpy(zero_copy_only=False))[mask].astype(np.float64)
+    """The query set (vec_id % every == 0, ~2%) extracted by a STREAMING
+    Ray filter — only the small query matrix lands on the driver for the
+    ray.put broadcast, never the full table."""
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array(t["vec_id"].to_numpy() % every == 0))
+
+    s = ds.map_batches(pick, batch_format="pyarrow").to_pandas().sort_values("vec_id")
+    ids = s["vec_id"].to_numpy()
+    emb = np.stack(s["embedding"].to_numpy()).astype(np.float64)
     emb /= np.maximum(np.linalg.norm(emb, axis=1), 1e-12)[:, None]
-    return ids[mask], emb
+    return ids, emb
 
 
 def knn_bruteforce(sf_dir: str, k: int = 10, query_every: int = 50) -> rd.Dataset:
@@ -39,7 +47,7 @@ def knn_bruteforce(sf_dir: str, k: int = 10, query_every: int = 50) -> rd.Datase
     """
     q_ids, q_mat = _load_queries(sf_dir, query_every)
     ref = ray.put((q_ids, q_mat))
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
     def partial_topk(t: pa.Table) -> pa.Table:
         qi, qm = ray.get(ref)
@@ -77,6 +85,23 @@ def knn_bruteforce(sf_dir: str, k: int = 10, query_every: int = 50) -> rd.Datase
     )
 
 
+def _sample_embeddings(sf_dir: str, target: int = 1024) -> np.ndarray:
+    """Deterministic UNBIASED hash-sample of the embeddings table for
+    centroid training, computed as a streaming Ray filter — only ~target
+    sampled rows land on the driver (replaces round-1's full driver-side
+    read + first-256-rows bias, which trained centroids on whatever
+    happened to be at the head of the file)."""
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    mod = max(1, ds.count() // target)  # metadata-only count for parquet
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy()
+        return t.filter(pa.array((ids * 2654435761) % mod == 0))
+
+    s = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
+    return np.stack(s["embedding"].to_numpy())[: 4 * target].astype(np.float64)
+
+
 def _lloyd_centroids(sample: np.ndarray, nlist: int, iters: int = 5) -> np.ndarray:
     """Deterministic k-means on a sample: first-nlist seeds, Lloyd steps."""
     c = sample[:nlist].copy()
@@ -100,8 +125,7 @@ def knn_ivf(
     broadcast centroids; the per-list search happens inside
     groupby(list_id).map_groups with the query set broadcast.
     """
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    sample = np.stack(t["embedding"].to_numpy(zero_copy_only=False))[:256].astype(np.float64)
+    sample = _sample_embeddings(sf_dir, target=max(1024, 16 * nlist))
     cents = _lloyd_centroids(sample, nlist)
     q_ids, q_mat = _load_queries(sf_dir, query_every)
     # which lists does each query probe?
@@ -109,7 +133,7 @@ def knn_ivf(
     probe = np.argsort(qd, axis=1)[:, :nprobe]  # (Q, nprobe)
     ref = ray.put((q_ids, q_mat, cents, probe))
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
     def assign(t: pa.Table) -> pa.Table:
         _, _, c, _ = ray.get(ref)

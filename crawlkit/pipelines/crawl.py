@@ -144,6 +144,7 @@ def run_crawl(
     track_order: bool = True,
     fetch_mode: str = "tasks",
     prior_seen_dirs: "list[str] | None" = None,
+    host_salt_cap: int = 1024,
 ) -> CrawlResult:
     """Run the crawl to frontier exhaustion (or ``spec.max_rounds``).
 
@@ -270,8 +271,28 @@ def run_crawl(
 
             hosts_np = issued_t["host"].to_numpy(zero_copy_only=False)
             uniq, inverse = np.unique(hosts_np, return_inverse=True)
-            uniq_h = (hash64_np(uniq, salt="hostroute") % np.uint64(nblocks)).astype(np.int64)
-            hh = uniq_h[inverse]
+            uniq_h = hash64_np(uniq, salt="hostroute").astype(np.uint64)
+            hh64 = uniq_h[inverse]
+            if host_salt_cap and len(issued_t):
+                # HOT-HOST SALTING (SURVEY §4 skew row): a mega-host with
+                # more than host_salt_cap rows this round is split into
+                # sub-shards routed to different tasks, so one host can't
+                # serialize a whole round while other slots idle. Rows
+                # within a sub-shard keep issue-sort order; the strict
+                # one-task-per-host politeness guarantee relaxes to
+                # per-sub-shard for hosts above the cap (an in-task token
+                # bucket should then use rate/num_subshards per host).
+                counts = np.bincount(inverse)
+                o = np.argsort(inverse, kind="stable")
+                starts = np.zeros(len(uniq) + 1, dtype=np.int64)
+                starts[1:] = np.cumsum(counts)
+                occ = np.empty(len(inverse), dtype=np.int64)
+                occ[o] = np.arange(len(inverse)) - np.repeat(starts[:-1], counts)
+                with np.errstate(over="ignore"):
+                    hh64 = hh64 + (occ // host_salt_cap).astype(np.uint64) * np.uint64(
+                        0x9E3779B97F4A7C15
+                    )
+            hh = (hh64 % np.uint64(nblocks)).astype(np.int64)
             order_ix = np.argsort(hh, kind="stable")
             bounds = np.searchsorted(hh[order_ix], np.arange(nblocks + 1))
             reordered = issued_t.take(pa.array(order_ix))
@@ -434,6 +455,7 @@ def run_crawl(
             "entries": n_entries,
             "images": n_images,
             "per_host": by_host,
+            "nblocks": len(slices),
         }
         if track_order:
             # full per-round order/admitted lists (needed to reconstruct

@@ -60,7 +60,9 @@ def ensure_schema(schema: pa.Schema):
 
 
 def _read_docs(sf_dir: str, columns: list[str]) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    from .. import read_parquet_clean
+
+    return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=columns)
 
 
 def _shingle_hashes(text: str) -> np.ndarray:
@@ -234,7 +236,8 @@ def minhash_lsh_pairs(
     prunes, the verify decides, so no false positives)."""
     ds = _read_docs(sf_dir, ["doc_id", "text"])
     sigs = ds.map_batches(MinHasher, fn_constructor_kwargs={"num_perm": num_perm},
-                          batch_format="pyarrow", batch_size=1024, concurrency=2)
+                          batch_format="pyarrow", batch_size=1024, concurrency=2,
+                          max_restarts=0)
 
     n_bands = num_perm // band_size
 
@@ -422,7 +425,9 @@ def embedding_neardup_pairs(sf_dir: str, tau: float = 0.95, n_planes: int = 12) 
     at least one of the two probed plane-subsets w.h.p. (we probe the
     full sign pattern and patterns with one bit flipped)."""
     rng = np.random.Generator(np.random.PCG64(7))
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    from .. import read_parquet_clean
+
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
     planes_holder: dict = {}
 

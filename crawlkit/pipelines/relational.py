@@ -27,8 +27,11 @@ from ray.data.aggregate import Count, Max, Min, Sum
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
-    """Column-pruned parquet read (prune at the read — SURVEY steering)."""
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    """Column-pruned parquet read (prune at the read — SURVEY steering);
+    metadata-stripped so Ray's schema-dedup fast path works."""
+    from .. import read_parquet_clean
+
+    return read_parquet_clean(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
 def _cents(col: pa.ChunkedArray | pa.Array) -> pa.Array:
@@ -311,7 +314,9 @@ def j_hash_join(sf_dir: str, k: int = 10) -> pd.DataFrame:
         .rename(columns={"l_orderkey": "o_orderkey"})
     )
     keys = top["o_orderkey"].tolist()
-    orders = rd.read_parquet(
+    from .. import read_parquet_clean
+
+    orders = read_parquet_clean(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_orderpriority"],
         filter=pc.field("o_orderkey").isin(keys),  # row-group pushdown
@@ -426,7 +431,9 @@ def w_tumbling(sf_dir: str) -> rd.Dataset:
 def q1_pricing(sf_dir: str) -> rd.Dataset:
     """TPC-H-Q1-shaped summary over lineitem: filter at the read, partial
     per-batch aggregation, final groupby over (returnflag, linestatus)."""
-    ds = rd.read_parquet(
+    from .. import read_parquet_clean
+
+    ds = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=[
             "l_returnflag",

@@ -19,7 +19,9 @@ import ray.data as rd
 
 
 def _read_docs(sf_dir: str, columns: list[str]) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    from .. import read_parquet_clean
+
+    return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=columns)
 
 
 # --- token counting (SQL-checked) ---------------------------------------
@@ -146,8 +148,11 @@ class TextScore:
 
 def text_score(sf_dir: str, concurrency: int = 2) -> rd.Dataset:
     ds = _read_docs(sf_dir, ["doc_id", "text"])
+    # max_restarts=0: the stage is deterministic and stateless-per-batch;
+    # silences ray#53727 (constructor args in object store + restarts)
     return ds.map_batches(
-        TextScore, batch_format="pandas", batch_size=2048, concurrency=concurrency
+        TextScore, batch_format="pandas", batch_size=2048, concurrency=concurrency,
+        max_restarts=0,
     )
 
 

@@ -22,7 +22,9 @@ SESSION_GAP_US = 1_800_000_000
 
 
 def _read(sf_dir: str, table: str, columns: list[str]) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    from .. import read_parquet_clean
+
+    return read_parquet_clean(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
 def _cents(col) -> np.ndarray:

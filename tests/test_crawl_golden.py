@@ -213,3 +213,24 @@ def test_no_track_mode_same_stores_and_lineage(web, eng, sim, tmp_path):
         ka = {h["host"]: h for h in a["per_host"]}
         kb = {h["host"]: h for h in b["per_host"]}
         assert ka == kb
+
+
+def test_hot_host_salting_splits_mega_host(tmp_path):
+    """A single mega-host (all seeds on one host) must be split across
+    multiple input blocks when its round exceeds host_salt_cap — and the
+    results must still match the oracle byte-level (salting only changes
+    task placement, never the deterministic sort/admission order)."""
+    from crawlkit.synthweb import WebConfig
+
+    web = SynthWeb(WebConfig(n_seeds=6, n_hosts=1, max_last_page=6))
+    spec = refsim.CrawlSpec(host_budget_per_round=10_000)
+    eng = run_crawl(web, spec=spec, out_dir=str(tmp_path / "salty"),
+                    num_seen_shards=2, fetch_concurrency=4, fetch_batch_size=16,
+                    host_salt_cap=64)
+    sim = refsim.simulate(web, spec)
+    assert eng.order == sim.order
+    assert eng.seen == sim.seen
+    from crawlkit.state.checkpoint import RunCheckpoint
+
+    ms = RunCheckpoint(eng.out_dir).all_metrics()
+    assert max(m["nblocks"] for m in ms) > 1  # the one host spread across blocks
