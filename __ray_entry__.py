@@ -87,6 +87,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
                        num_seen_shards=2, fetch_concurrency=4)
         return res2.entries_table()
 
+    def crawl_distributed(sf_dir: str):
+        """Distributed-frontier crawl (frontier as a Ray Dataset end to
+        end — budget/fetch/dedup-admit all shuffled stages, no
+        frontier-sized driver state). Rows-only; oracle parity (entries/
+        images/log/seen vs refsim) is pinned in tests/test_crawl_dist.py."""
+        from crawlkit.pipelines.crawl_dist import run_crawl_dataset
+        from crawlkit.refsim import CrawlSpec
+
+        out = tempfile.mkdtemp(prefix="crawl_dist_q_", dir="/tmp")
+        res = run_crawl_dataset(
+            "t1", spec=CrawlSpec(host_budget_per_round=32), out_dir=out,
+            num_seen_shards=2, nblocks=4,
+        )
+        return res.entries_table()
+
     return {
         # --- SURVEY §2 relational operators (SQL-checked) ---
         "g1_group_merge": relational.g1_group_merge,
@@ -142,6 +157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- the crawl engine itself ---
         "crawl_flagship": crawl_flagship,  # rows-only (oracle = refsim in tests)
         "crawl_recrawl": crawl_recrawl,  # rows-only (oracle = refsim prior_seen)
+        "crawl_distributed": crawl_distributed,  # rows-only (oracle = refsim sets)
     }
 
 

@@ -39,14 +39,15 @@ class RunCheckpoint:
     def save_round(
         self,
         rnd: int,
-        frontier: pa.Table,
-        seen_set,  # SeenSet | None
+        frontier: pa.Table | None,  # None: frontier checkpointed elsewhere
+        seen_set,  # SeenSet | None (None: snapshot already taken)
         metrics: dict,
     ) -> None:
         d = self._rdir(rnd)
         os.makedirs(d, exist_ok=True)
-        pq.write_table(frontier, f"{d}/.frontier.tmp")
-        os.replace(f"{d}/.frontier.tmp", f"{d}/frontier.parquet")
+        if frontier is not None:
+            pq.write_table(frontier, f"{d}/.frontier.tmp")
+            os.replace(f"{d}/.frontier.tmp", f"{d}/frontier.parquet")
         if seen_set is not None:
             seen_set.snapshot(f"{d}/seen")
         with open(f"{d}/.metrics.tmp", "w") as f:

@@ -1,0 +1,79 @@
+"""Distributed-frontier crawl (crawl_dist.run_crawl_dataset) must match
+the reference-semantics oracle on everything except the (untracked)
+issue-order list: final entries/images/fetch-log content, per-round
+issued counts, and the seen set as persisted in the shard snapshots."""
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from crawlkit import refsim
+from crawlkit.pipelines.crawl_dist import run_crawl_dataset
+from crawlkit.state.checkpoint import RunCheckpoint
+from crawlkit.synthweb import SynthWeb
+
+SPEC = refsim.CrawlSpec(host_budget_per_round=16)
+
+
+@pytest.fixture(scope="module")
+def web():
+    return SynthWeb("t1")
+
+
+@pytest.fixture(scope="module")
+def sim(web):
+    return refsim.simulate(web, SPEC)
+
+
+@pytest.fixture(scope="module")
+def eng(web, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("dist") / "run")
+    return run_crawl_dataset(web, spec=SPEC, out_dir=out, num_seen_shards=2, nblocks=4)
+
+
+def _sorted_pdf(t: pa.Table) -> pd.DataFrame:
+    df = t.to_pandas()
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def test_entries_match(eng, sim):
+    et = eng.entries_table()
+    st = pa.Table.from_pylist(sim.entries, schema=et.schema)
+    assert _sorted_pdf(et).equals(_sorted_pdf(st))
+
+
+def test_images_match(eng, sim):
+    it = eng.images_table()
+    st = pa.Table.from_pylist(sim.images, schema=it.schema)
+    assert _sorted_pdf(it).equals(_sorted_pdf(st))
+
+
+def test_fetch_log_matches_per_round(eng, sim):
+    got = eng.fetch_log_table().to_pandas()
+    want = pd.DataFrame(sim.fetch_log).rename(columns={"bytes": "nbytes"})
+    cols = ["canon_url", "host", "status", "attempts", "nbytes", "round"]
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].astype(g.dtypes.to_dict()).sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w)
+
+
+def test_round_lineage(eng, sim):
+    ms = RunCheckpoint(eng.out_dir).all_metrics()
+    assert len(ms) == eng.rounds
+    sim_by_round: dict[int, int] = {}
+    for r in sim.fetch_log:
+        sim_by_round[r["round"]] = sim_by_round.get(r["round"], 0) + 1
+    got_by_round = {m["round"]: m["issued"] for m in ms}
+    assert {k: v for k, v in got_by_round.items() if v} == sim_by_round
+
+
+def test_seen_snapshots_equal_oracle_seen(eng, sim, tmp_path):
+    """Union of all shard snapshot deltas == the oracle's seen set
+    (restored through a different shard count for good measure)."""
+    from crawlkit.state.seenset import SeenSet, url_digests
+
+    dirs = RunCheckpoint(eng.out_dir).seen_dirs()
+    s = SeenSet(num_shards=3)
+    n = s.restore(dirs)
+    assert n == len(sim.seen)
+    assert not s.check_and_add_urls(sorted(sim.seen)).any()
