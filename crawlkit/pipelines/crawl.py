@@ -248,7 +248,10 @@ def run_crawl(
         issued, deferred = _split_budget(frontier, spec.host_budget_per_round)
         _t = _tick("sort_budget", _t)
 
-        issued_t = issued.to_arrow().cast(FRONTIER_SCHEMA)
+        # combine_chunks: the frontier is built by polars concat/filter
+        # chains → thousands of tiny chunks; take()/append on chunked
+        # tables is O(chunks)-slow (measured ~60 s/round at 800k rows)
+        issued_t = issued.to_arrow().cast(FRONTIER_SCHEMA).combine_chunks()
         issued_t = issued_t.append_column("round", pa.array([rnd] * issued_t.num_rows, pa.int32()))
         issued_t = issued_t.append_column(
             "created", pa.array([spec.run_ts] * issued_t.num_rows, pa.string())
@@ -334,7 +337,7 @@ def run_crawl(
         control_t = pa.concat_tables(
             [ray.get(ref) for ref in union_ds.materialize().to_arrow_refs()],
             promote_options="default",
-        )
+        ).combine_chunks()
         _t = _tick("fetch_exec", _t)
         pages = control_t.filter(pc.equal(control_t["kind"], "page"))
         _join_commit()  # round r-1's tail must finish before new commits
@@ -442,9 +445,12 @@ def run_crawl(
             admitted_canon = cand.filter(pl.Series(mask))["canon_url"].to_list()
             if track_order:
                 res.seen.update(admitted_canon)
-            frontier = pl.concat([deferred, fresh], how="vertical_relaxed")
+            # rechunk: concat/filter chains fragment the frame into
+            # thousands of chunks; every downstream sort/to_arrow pays
+            # O(chunks) unless flattened once here
+            frontier = pl.concat([deferred, fresh], how="vertical_relaxed").rechunk()
         else:
-            frontier = deferred
+            frontier = deferred.rechunk()
         _t = _tick("dedup_admit", _t)
 
         # --- per-partition lineage + metrics, checkpoint commit --------

@@ -158,9 +158,12 @@ def run_crawl_dataset(
         logs_root=f"{out_dir}/fetch_log",
     )
 
-    def budget_split(g: pd.DataFrame) -> pd.DataFrame:
+    def budget_split(t: pa.Table) -> pa.Table:
         """One host: sort by the shared contract, flag the first
-        ``budget`` rows issued, salt mega-hosts across sub-blocks."""
+        ``budget`` rows issued, salt mega-hosts across sub-blocks.
+        Arrow in/out (a pandas return would attach pandas metadata and
+        break Ray's schema-dedup fast path downstream)."""
+        g = t.to_pandas()
         g = g.sort_values(
             ["depth", "seed_id", "priority", "host", "canon_url", "url"]
         ).reset_index(drop=True)
@@ -172,7 +175,7 @@ def run_crawl_dataset(
         g["hostblock"] = (
             (np.uint64(h) + salt * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(nblocks)
         ).astype(np.int64)
-        return g
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     def fetch_group(g: pa.Table) -> pa.Table:
         """One host-block: run the fused fetch stage in batch_size
@@ -209,7 +212,7 @@ def run_crawl_dataset(
     for rnd in range(spec.max_rounds):
         parts = (
             frontier_ds.groupby("host")
-            .map_groups(budget_split, batch_format="pandas")
+            .map_groups(budget_split, batch_format="pyarrow")
             .materialize()
         )
         issued = parts.map_batches(
