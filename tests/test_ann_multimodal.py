@@ -47,7 +47,11 @@ def test_knn_ivf_recall():
     recalls = []
     for qid, grp in got.groupby("query_id"):
         recalls.append(len(set(grp["neighbor_id"]) & set(want[qid])) / 10)
-    assert np.mean(recalls) >= 0.5  # nprobe=4/16 on random data
+    # unbiased hash-sampled centroids measure 0.64-0.65 at sf0.001/0.01
+    # (random gaussian vectors — the hard, clusterless case); 0.55 bar
+    # leaves noise margin while pinning the r2 improvement over the old
+    # head-of-file-biased sample
+    assert np.mean(recalls) >= 0.55
 
 
 def test_image_features_real_decode():
