@@ -110,16 +110,34 @@ class TextScore:
         self.word = re.compile(r"[A-Za-z]+")
         self.profiles = {k: v for k, v in _LANG_STOPWORDS.items()}
         self.order = ["en", "de", "fr", "es"]  # deterministic tiebreak
+        # one hash lookup per token instead of 4 set probes: word →
+        # bitmask of languages whose stopword list contains it
+        self.word2mask: dict[str, int] = {}
+        for j, lang in enumerate(self.order):
+            for w in self.profiles[lang]:
+                self.word2mask[w] = self.word2mask.get(w, 0) | (1 << j)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         texts = batch["text"].fillna("")
         toks = texts.str.lower().str.findall(self.word)
         n_tok = toks.map(len).to_numpy()
-        hits = {
-            lang: toks.map(lambda ws, sw=sw: sum(w in sw for w in ws)).to_numpy()
-            for lang, sw in self.profiles.items()
-        }
-        hit_mat = np.stack([hits[lang] for lang in self.order])
+        # flatten once, map word→lang-bitmask, count hits per (doc, lang)
+        # with bincount — no per-token Python membership loop
+        flat = pd.Series(
+            [w for ws in toks for w in ws], dtype="object"
+        )
+        doc_idx = np.repeat(np.arange(len(texts)), n_tok)
+        mask = (
+            flat.map(self.word2mask).fillna(0).astype(np.int64).to_numpy()
+            if len(flat)
+            else np.zeros(0, dtype=np.int64)
+        )
+        hit_mat = np.stack(
+            [
+                np.bincount(doc_idx[(mask >> j) & 1 == 1], minlength=len(texts))
+                for j in range(len(self.order))
+            ]
+        )
         best = hit_mat.argmax(axis=0)  # first (en) wins ties — argmax is first-max
         lang_pred = np.array(self.order, dtype=object)[best]
         lang_pred[hit_mat.max(axis=0) == 0] = "unknown"

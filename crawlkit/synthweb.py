@@ -55,6 +55,11 @@ PROFILES = {
     "frontier1m": WebConfig(
         n_seeds=5120, n_hosts=4096, max_last_page=16, articles_mod=25
     ),
+    # ~8M-URL frontier (10× seeds/2× hosts of frontier1m) — the 1e7
+    # north-rule evidence run (images off; scheduler + seen-set load)
+    "frontier8m": WebConfig(
+        n_seeds=51200, n_hosts=8192, max_last_page=16, articles_mod=25
+    ),
 }
 
 
