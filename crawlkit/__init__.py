@@ -56,7 +56,12 @@ def read_parquet_clean(paths, columns=None, **kwargs):
     import pyarrow.parquet as pq
     import ray.data as rd
 
+    import glob
+    import os
+
     first = paths if isinstance(paths, str) else paths[0]
+    if os.path.isdir(first):  # directory dataset: probe any one file
+        first = sorted(glob.glob(f"{first}/**/*.parquet", recursive=True))[0]
     s = pq.read_schema(first)
     names = columns if columns is not None else s.names
     # Ray applies `schema` to the column-pruned batches — project it

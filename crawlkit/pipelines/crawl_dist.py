@@ -119,6 +119,7 @@ def run_crawl_dataset(
     nblocks: int = 16,
     fetch_batch_size: int = 64,
     host_salt_cap: int = 1024,
+    resume: bool = False,
 ) -> CrawlResult:
     """Frontier-as-Dataset crawl to exhaustion (or spec.max_rounds).
 
@@ -126,6 +127,12 @@ def run_crawl_dataset(
     groupby(hostblock) for fetch routing, one groupby(canon_url) for
     duplicate-discovery dedup — each keyed exactly as documented in
     SURVEY §7.4. The driver never holds a frontier-sized table.
+
+    ``resume=True``: continue from the latest _COMPLETE round — seen
+    shards restored from the per-round snapshot deltas, the frontier
+    read back from that round's task-written parquet directory (fragment
+    commits are idempotent, so replaying a half-finished round never
+    duplicates rows).
     """
     if not isinstance(web, SynthWeb):
         web = SynthWeb(web)
@@ -141,10 +148,26 @@ def run_crawl_dataset(
     res.images_store = TableStore(f"{out_dir}/images")
     res.fetch_log_store = TableStore(f"{out_dir}/fetch_log")
 
-    # --- seeds (small by definition: the reference's SOURCE_URL list) ---
-    seeds_t = _seed_frontier(web).to_arrow().cast(FRONTIER_SCHEMA)
-    mask = seen.check_and_add_urls(seeds_t["canon_url"].to_pylist())
-    frontier_ds = rd.from_arrow(seeds_t.filter(pa.array(mask)))
+    start_round = 0
+    frontier_ds = None
+    if resume and (last := ckpt.latest_complete_round()) is not None:
+        seen.restore([ckpt.seen_dir(r) for r in range(last + 1)])
+        m = ckpt.load_metrics(last)
+        start_round = last + 1
+        if not m.get("frontier_rows"):
+            res.rounds = start_round
+            return res  # crawl had already drained when it was checkpointed
+        from .. import read_parquet_clean
+
+        frontier_ds = read_parquet_clean(m["frontier_dir"]).map_batches(
+            lambda t: t.select(FRONTIER_SCHEMA.names).cast(FRONTIER_SCHEMA),
+            batch_format="pyarrow",
+        )
+    if frontier_ds is None:
+        # seeds (small by definition: the reference's SOURCE_URL list)
+        seeds_t = _seed_frontier(web).to_arrow().cast(FRONTIER_SCHEMA)
+        mask = seen.check_and_add_urls(seeds_t["canon_url"].to_pylist())
+        frontier_ds = rd.from_arrow(seeds_t.filter(pa.array(mask)))
 
     shard_handles = seen.shards  # actor handles — serializable into tasks
     num_shards = seen.num_shards
@@ -209,7 +232,7 @@ def run_crawl_dataset(
     def _norm_frontier(t: pa.Table) -> pa.Table:
         return t.select(FRONTIER_SCHEMA.names).cast(FRONTIER_SCHEMA)
 
-    for rnd in range(spec.max_rounds):
+    for rnd in range(start_round, spec.max_rounds):
         parts = (
             frontier_ds.groupby("host")
             .map_groups(budget_split, batch_format="pyarrow")

@@ -77,3 +77,36 @@ def test_seen_snapshots_equal_oracle_seen(eng, sim, tmp_path):
     n = s.restore(dirs)
     assert n == len(sim.seen)
     assert not s.check_and_add_urls(sorted(sim.seen)).any()
+
+
+def test_dist_resume_from_checkpoint(web, sim, tmp_path):
+    """Kill after round 1 (max_rounds=2), resume → final stores equal an
+    uninterrupted run's, byte-level (idempotent fragment commits +
+    frontier parquet + seen snapshot restore)."""
+    out = str(tmp_path / "dresume")
+    partial = refsim.CrawlSpec(host_budget_per_round=16, max_rounds=2)
+    run_crawl_dataset(web, spec=partial, out_dir=out, num_seen_shards=2, nblocks=4)
+    full = run_crawl_dataset(web, spec=SPEC, out_dir=out, num_seen_shards=2,
+                             nblocks=4, resume=True)
+    et = full.entries_table()
+    st = pa.Table.from_pylist(sim.entries, schema=et.schema)
+    assert _sorted_pdf(et).equals(_sorted_pdf(st))
+    it = full.images_table()
+    sit = pa.Table.from_pylist(sim.images, schema=it.schema)
+    assert _sorted_pdf(it).equals(_sorted_pdf(sit))
+    got = full.fetch_log_table().to_pandas()
+    assert len(got) == len(sim.fetch_log)
+
+
+def test_dist_strict_budget_deferral(web, tmp_path):
+    """Strict budget through the DATASET path (several deferral rounds,
+    kept small — each dataset round pays 3 shuffles): entries still
+    equal the oracle."""
+    spec2 = refsim.CrawlSpec(host_budget_per_round=24, max_rounds=64)
+    eng2 = run_crawl_dataset(web, spec=spec2, out_dir=str(tmp_path / "dstrict"),
+                             num_seen_shards=3, nblocks=4)
+    sim2 = refsim.simulate(web, spec2)
+    et = eng2.entries_table()
+    st = pa.Table.from_pylist(sim2.entries, schema=et.schema)
+    assert _sorted_pdf(et).equals(_sorted_pdf(st))
+    assert eng2.rounds > 3  # strict budget actually deferred work (3 = depth rounds)
