@@ -39,6 +39,36 @@ def _cents(col: pa.ChunkedArray | pa.Array) -> pa.Array:
     return pc.cast(pc.floor(pc.multiply(col, pa.scalar(100.0))), pa.int64())
 
 
+def _sharded_agg(
+    ds: rd.Dataset, key: str, aggs: "dict[str, tuple[str, str]]", nshards: int = 32
+) -> rd.Dataset:
+    """HIGH-CARDINALITY groupby: Ray's sort-based Aggregate pays seconds
+    per block at 1e5+ distinct keys (measured 15 s for 150k orderkeys at
+    sf0.1 where this shape takes 1.5 s). Shard rows by key-hash into
+    ``nshards`` groups and aggregate each shard with ONE vectorized
+    pandas groupby — same single shuffle, boundary count nshards instead
+    of |keys|. ``aggs``: out_col → (in_col, pandas agg fn name)."""
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        k = t[key].to_numpy().astype(np.uint64)
+        with np.errstate(over="ignore"):
+            s = (k * np.uint64(2654435761)) % np.uint64(nshards)
+        return t.append_column("_shard", pa.array(s.astype(np.int64)))
+
+    def agg_shard(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.drop(columns=["_shard"])
+            .groupby(key, as_index=False)
+            .agg(**{out: pd.NamedAgg(column=c, aggfunc=f) for out, (c, f) in aggs.items()})
+        )
+
+    return (
+        ds.map_batches(add_shard, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(agg_shard, batch_format="pandas")
+    )
+
+
 # --- G1: group-merge (orchestrator merge loop, otodom/orchestrator/handler.go:100-119)
 
 
@@ -197,7 +227,17 @@ def m6_range_expand(sf_dir: str) -> rd.Dataset:
     """Per order: max linenumber m → rows (l_orderkey, page) for page in
     1..m-1 — the reference's 1..last-1 frontier expansion as dataflow."""
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
-    maxes = ds.groupby("l_orderkey").aggregate(Max("l_linenumber", alias_name="m"))
+
+    def max_partial(t: pa.Table) -> pa.Table:  # pre-agg shrinks the shuffle
+        df = pa.table({"l_orderkey": t["l_orderkey"], "m": t["l_linenumber"]}).to_pandas()
+        g = df.groupby("l_orderkey", as_index=False).agg(m=("m", "max"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    maxes = _sharded_agg(
+        ds.map_batches(max_partial, batch_format="pyarrow"),
+        "l_orderkey",
+        {"m": ("m", "max")},
+    )
 
     def expand(t: pa.Table) -> pa.Table:
         ok = t["l_orderkey"].to_numpy()
@@ -298,19 +338,34 @@ def j_hash_join(sf_dir: str, k: int = 10) -> pd.DataFrame:
         g = df.groupby("l_orderkey", as_index=False).agg(revenue_cents=("cents", "sum"))
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    revenue = (
-        li.map_batches(rev_partial, batch_format="pyarrow")
-        .groupby("l_orderkey")
-        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+    revenue = _sharded_agg(
+        li.map_batches(rev_partial, batch_format="pyarrow"),
+        "l_orderkey",
+        {"revenue_cents": ("revenue_cents", "sum")},
     )
-    # LIMIT BEFORE JOIN (round-1 VERDICT #6): sort+limit the aggregated
-    # revenue table first — only k rows survive, so the orders side is a
+    # LIMIT BEFORE JOIN (round-1 VERDICT #6): top-k the aggregated
+    # revenue first — only k rows survive, so the orders side is a
     # k-key pushdown read + tiny merge instead of a full hash-shuffle
-    # join of two sf-sized tables for 10 output rows.
+    # join of two sf-sized tables for 10 output rows. The top-k itself
+    # is per-block select_k + a ≤k×blocks driver merge (a global
+    # ds.sort here would be one more full shuffle for k rows).
+    def topk_block(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.schema(
+                [("l_orderkey", pa.int64()), ("revenue_cents", pa.int64())]
+            ).empty_table()
+        idx = pc.select_k_unstable(
+            t,
+            k=min(k, t.num_rows),
+            sort_keys=[("revenue_cents", "descending"), ("l_orderkey", "ascending")],
+        )
+        return t.take(idx)
+
     top = (
-        revenue.sort(["revenue_cents", "l_orderkey"], descending=[True, False])
-        .limit(k)
-        .to_pandas()  # k rows — small by construction
+        revenue.map_batches(topk_block, batch_format="pyarrow")
+        .to_pandas()  # ≤ k×blocks rows
+        .sort_values(["revenue_cents", "l_orderkey"], ascending=[False, True])
+        .head(k)
         .rename(columns={"l_orderkey": "o_orderkey"})
     )
     keys = top["o_orderkey"].tolist()
@@ -349,10 +404,10 @@ def j_shuffle_join(sf_dir: str) -> rd.Dataset:
         g = df.groupby("l_orderkey", as_index=False).agg(revenue_cents=("cents", "sum"))
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    revenue = (
-        li.map_batches(rev_partial, batch_format="pyarrow")
-        .groupby("l_orderkey")
-        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+    revenue = _sharded_agg(
+        li.map_batches(rev_partial, batch_format="pyarrow"),
+        "l_orderkey",
+        {"revenue_cents": ("revenue_cents", "sum")},
     )
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
     # modest partition count on one node — each join partition is an actor

@@ -265,8 +265,10 @@ def j_keyed_range(sf_dir: str, days: int = 30) -> rd.Dataset:
         out = t.filter(keep)
         return pa.table({"l_orderkey": out["l_orderkey"], "one": pa.array(np.ones(out.num_rows, dtype=np.int64))})
 
-    return (
-        j.map_batches(in_range, batch_format="pyarrow")
-        .groupby("l_orderkey")
-        .aggregate(Sum("one", alias_name="n_shipped"))
+    from .relational import _sharded_agg
+
+    return _sharded_agg(
+        j.map_batches(in_range, batch_format="pyarrow"),
+        "l_orderkey",
+        {"n_shipped": ("one", "sum")},
     )
