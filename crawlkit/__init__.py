@@ -67,3 +67,15 @@ def read_parquet_clean(paths, columns=None, **kwargs):
     # Ray applies `schema` to the column-pruned batches — project it
     s = pa.schema([s.field(n).remove_metadata() for n in names])
     return rd.read_parquet(paths, columns=columns, schema=s, **kwargs)
+
+
+def pandas_to_clean_arrow(df):
+    """pandas → Arrow WITHOUT pandas schema metadata. A map_groups /
+    map_batches UDF that returns a DataFrame gets converted by Ray with
+    pandas metadata attached, and any downstream shuffle then loses the
+    schema-dedup fast path (Schema.__hash__ raises on the metadata
+    dict). Group fns whose output feeds another groupby/join/union
+    should return this instead of the raw frame."""
+    import pyarrow as pa
+
+    return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)

@@ -166,13 +166,15 @@ def knn_ivf(
             out_q.append(np.full(len(top), qi[qidx], dtype=np.int64))
             out_n.append(ids[top])
             out_s.append(s[top])
-        return pd.DataFrame(
+        from .. import pandas_to_clean_arrow
+
+        return pandas_to_clean_arrow(pd.DataFrame(
             {
                 "query_id": np.concatenate(out_q),
                 "neighbor_id": np.concatenate(out_n),
                 "sim": np.concatenate(out_s),
             }
-        )
+        ))
 
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g[g["neighbor_id"] != g["query_id"]]

@@ -148,9 +148,11 @@ def _exact_jaccard_pairs(
         )
         if pair_filter_ref is not None:  # semi-join: candidates only
             agg = agg.merge(ray.get(pair_filter_ref), on=["doc_id_a", "doc_id_b"])
-        return agg.astype(
+        from .. import pandas_to_clean_arrow
+
+        return pandas_to_clean_arrow(agg.astype(
             {"doc_id_a": "int64", "doc_id_b": "int64", "i": "int64", "ca": "int64", "cb": "int64"}
-        )
+        ))
 
     inter = (
         pairs_src.groupby("shard")
@@ -268,12 +270,14 @@ def minhash_lsh_pairs(
         m = g.merge(g, on="band_hash", suffixes=("_l", "_r"))
         m = m[m["doc_id_l"] < m["doc_id_r"]]
         out = m[["doc_id_l", "doc_id_r"]].drop_duplicates()
-        return pd.DataFrame(
+        from .. import pandas_to_clean_arrow
+
+        return pandas_to_clean_arrow(pd.DataFrame(
             {
                 "doc_id_a": out["doc_id_l"].astype("int64").to_numpy(),
                 "doc_id_b": out["doc_id_r"].astype("int64").to_numpy(),
             }
-        )
+        ))
 
     candidates = (
         sigs.map_batches(explode_bands, batch_format="pyarrow")
@@ -395,13 +399,15 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3, bucket_cap: int = 512) -> r
         x = m["simhash_l"].to_numpy().view(np.uint64) ^ m["simhash_r"].to_numpy().view(np.uint64)
         ham = np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
         keep = ham <= max_hamming
-        return pd.DataFrame(
+        from .. import pandas_to_clean_arrow
+
+        return pandas_to_clean_arrow(pd.DataFrame(
             {
                 "doc_id_a": m["doc_id_l"].to_numpy()[keep].astype("int64"),
                 "doc_id_b": m["doc_id_r"].to_numpy()[keep].astype("int64"),
                 "hamming": ham[keep].astype(np.int64),
             }
-        ).drop_duplicates(["doc_id_a", "doc_id_b"])
+        ).drop_duplicates(["doc_id_a", "doc_id_b"]))
 
     out = (
         sigs.map_batches(explode, batch_format="pyarrow")
@@ -479,12 +485,14 @@ def embedding_neardup_pairs(sf_dir: str, tau: float = 0.95, n_planes: int = 12) 
         vr = np.stack(m["vec_r"].to_numpy())
         sims = np.einsum("ij,ij->i", vl, vr)
         keep = sims >= tau
-        return pd.DataFrame(
+        from .. import pandas_to_clean_arrow
+
+        return pandas_to_clean_arrow(pd.DataFrame(
             {
                 "vec_id_a": m["vec_id_l"].to_numpy()[keep].astype("int64"),
                 "vec_id_b": m["vec_id_r"].to_numpy()[keep].astype("int64"),
             }
-        ).drop_duplicates()
+        ).drop_duplicates())
 
     pairs = (
         ds.map_batches(bucketize, batch_format="pyarrow")

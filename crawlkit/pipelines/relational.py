@@ -55,8 +55,10 @@ def _sharded_agg(
             s = (k * np.uint64(2654435761)) % np.uint64(nshards)
         return t.append_column("_shard", pa.array(s.astype(np.int64)))
 
-    def agg_shard(g: pd.DataFrame) -> pd.DataFrame:
-        return (
+    def agg_shard(g: pd.DataFrame) -> pa.Table:
+        from .. import pandas_to_clean_arrow
+
+        return pandas_to_clean_arrow(
             g.drop(columns=["_shard"])
             .groupby(key, as_index=False)
             .agg(**{out: pd.NamedAgg(column=c, aggfunc=f) for out, (c, f) in aggs.items()})
@@ -87,7 +89,7 @@ def g1_group_merge(sf_dir: str) -> rd.Dataset:
         g = df.groupby("event_type", as_index=False).agg(
             n=("cents", "size"), sum_cents=("cents", "sum")
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     ds = _read(sf_dir, "events", ["event_type", "value"])
     partials = ds.map_batches(partial, batch_format="pyarrow")
@@ -106,7 +108,7 @@ def g2_running_max(sf_dir: str) -> rd.Dataset:
     def partial(t: pa.Table) -> pa.Table:
         df = pa.table({"user_id": t["user_id"], "cents": _cents(t["value"])}).to_pandas()
         g = df.groupby("user_id", as_index=False).agg(max_cents=("cents", "max"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     ds = _read(sf_dir, "events", ["user_id", "value"])
     return ds.map_batches(partial, batch_format="pyarrow").groupby("user_id").aggregate(
@@ -231,7 +233,7 @@ def m6_range_expand(sf_dir: str) -> rd.Dataset:
     def max_partial(t: pa.Table) -> pa.Table:  # pre-agg shrinks the shuffle
         df = pa.table({"l_orderkey": t["l_orderkey"], "m": t["l_linenumber"]}).to_pandas()
         g = df.groupby("l_orderkey", as_index=False).agg(m=("m", "max"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     maxes = _sharded_agg(
         ds.map_batches(max_partial, batch_format="pyarrow"),
@@ -308,7 +310,7 @@ def j_broadcast_join(sf_dir: str) -> rd.Dataset:
         lookup = ray.get(lookup_ref)  # zero-copy shared object per node
         names = pd.Series(t["c_nationkey"].to_numpy()).map(lookup)
         g = names.value_counts().rename_axis("r_name").reset_index(name="n_customers")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     return ds.map_batches(partial, batch_format="pyarrow").groupby("r_name").aggregate(
@@ -336,7 +338,7 @@ def j_hash_join(sf_dir: str, k: int = 10) -> pd.DataFrame:
         )
         df = pa.table({"l_orderkey": t["l_orderkey"], "cents": cents}).to_pandas()
         g = df.groupby("l_orderkey", as_index=False).agg(revenue_cents=("cents", "sum"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     revenue = _sharded_agg(
         li.map_batches(rev_partial, batch_format="pyarrow"),
@@ -402,7 +404,7 @@ def j_shuffle_join(sf_dir: str) -> rd.Dataset:
         )
         df = pa.table({"l_orderkey": t["l_orderkey"], "cents": cents}).to_pandas()
         g = df.groupby("l_orderkey", as_index=False).agg(revenue_cents=("cents", "sum"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     revenue = _sharded_agg(
         li.map_batches(rev_partial, batch_format="pyarrow"),
@@ -422,7 +424,7 @@ def j_shuffle_join(sf_dir: str) -> rd.Dataset:
         g = df.groupby("o_orderpriority", as_index=False).agg(
             n_orders=("cents", "size"), sum_rev_cents=("cents", "sum")
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     return (
         joined.map_batches(prio_partial, batch_format="pyarrow")
@@ -471,7 +473,7 @@ def w_tumbling(sf_dir: str) -> rd.Dataset:
         g = df.groupby(["event_type", "hour"], as_index=False).agg(
             n=("cents", "size"), sum_cents=("cents", "sum")
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -519,7 +521,7 @@ def q1_pricing(sf_dir: str) -> rd.Dataset:
             sum_disc_cents=("disc_cents", "sum"),
             count_order=("qty", "size"),
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")

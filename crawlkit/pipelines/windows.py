@@ -52,7 +52,7 @@ def w_sliding(sf_dir: str) -> rd.Dataset:
         g = df.groupby(["event_type", "win"], as_index=False).agg(
             n=("cents", "size"), sum_cents=("cents", "sum")
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -98,7 +98,7 @@ def topk_per_group(sf_dir: str, k: int = 3) -> rd.Dataset:
             }
         )
         df = df.sort_values(["cents", "event_id"], ascending=[False, True])
-        return pa.Table.from_pandas(df.groupby("event_type").head(k), preserve_index=False)
+        return pa.Table.from_pandas(df.groupby("event_type").head(k), preserve_index=False).replace_schema_metadata(None)
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["cents", "event_id"], ascending=[False, True]).head(k)
