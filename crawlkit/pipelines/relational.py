@@ -148,8 +148,12 @@ def dedup_exact_first(sf_dir: str) -> rd.Dataset:
 
     def add_digest(t: pa.Table) -> pa.Table:
         s = pl.from_arrow(t["text"])  # vectorized xxhash, two seeds → 128 bits
-        h1 = s.hash(seed=0x9E3779B9).to_numpy().astype(np.uint64)
-        h2 = s.hash(seed=0x85EBCA6B).to_numpy().astype(np.uint64)
+        # int64 VIEW of the uint64 hashes: Ray's sort-boundary sampling
+        # round-trips group keys through Python ints and overflows Arrow
+        # int64 on raw uint64 values (logged ArrowConversionError + slow
+        # fallback); the bit-pattern view groups identically
+        h1 = s.hash(seed=0x9E3779B9).to_numpy().astype(np.uint64).view(np.int64)
+        h2 = s.hash(seed=0x85EBCA6B).to_numpy().astype(np.uint64).view(np.int64)
         return t.append_column("h1", pa.array(h1)).append_column("h2", pa.array(h2))
 
     return (
