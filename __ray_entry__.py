@@ -136,8 +136,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_token_count": text.token_count,
         "text_bpe_token_count": text.bpe_ish_token_count,
         "text_quality_counts": text.quality_counts,
-        "text_score": text.text_score,  # langid + quality (rows-only)
-        "text_fingerprint": text.fingerprint,  # 64-bit + winnow (rows-only)
+        "text_score": text.text_score,  # SQL-checked (IEEE-op-order mirror)
+        "text_fingerprint": text.fingerprint,  # SQL-checked (HUGEINT mod-2^64)
         "text_fingerprint32": text.fingerprint32,  # SQL-checked 32-bit variant
         # --- dedup family ---
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,  # SQL-checked
@@ -147,7 +147,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # degeneracy) — pair extraction is exercised on controlled
         # corpora in tests/test_dedup.py
         "dedup_simhash": dedup.simhash_signatures,  # SQL-checked (md5 bit-exact)
-        "dedup_embedding": dedup.embedding_neardup_pairs,  # rows-only
+        # plant_every: deterministically-derived near-dup rows keep the
+        # end-to-end check non-vacuous (random embeddings are
+        # near-orthogonal → an unplanted corpus has zero pairs)
+        "dedup_embedding": lambda sf_dir: dedup.embedding_neardup_pairs(
+            sf_dir, plant_every=50
+        ),  # rows-only
         # --- similarity search ---
         "knn_bruteforce": ann.knn_bruteforce,  # SQL-checked (deterministic ranks)
         "knn_ivf": ann.knn_ivf,  # rows-only (approximate)

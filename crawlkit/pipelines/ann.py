@@ -55,19 +55,15 @@ def knn_bruteforce(sf_dir: str, k: int = 10, query_every: int = 50) -> rd.Datase
         emb = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
         emb /= np.maximum(np.linalg.norm(emb, axis=1), 1e-12)[:, None]
         sims = qm @ emb.T  # (Q, B)
-        rows_q, rows_n, rows_s = [], [], []
         kk = min(k + 1, sims.shape[1])  # +1: self may be in this batch
-        for qidx in range(len(qi)):
-            s = sims[qidx]
-            top = np.argpartition(-s, kk - 1)[:kk]
-            rows_q.append(np.full(len(top), qi[qidx], dtype=np.int64))
-            rows_n.append(ids[top])
-            rows_s.append(s[top])
+        # one axis-wise argpartition for ALL queries (round-2 VERDICT #9
+        # — replaces the per-query Python loop)
+        top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]  # (Q, kk)
         return pa.table(
             {
-                "query_id": np.concatenate(rows_q),
-                "neighbor_id": np.concatenate(rows_n),
-                "sim": np.concatenate(rows_s),
+                "query_id": np.repeat(qi.astype(np.int64), kk),
+                "neighbor_id": ids[top].ravel(),
+                "sim": np.take_along_axis(sims, top, axis=1).ravel(),
             }
         )
 
@@ -157,22 +153,16 @@ def knn_ivf(
         emb = np.stack(g["embedding"].to_numpy())
         emb = emb.astype(np.float64)
         emb /= np.maximum(np.linalg.norm(emb, axis=1), 1e-12)[:, None]
-        sims = qm[q_here] @ emb.T
-        out_q, out_n, out_s = [], [], []
+        sims = qm[q_here] @ emb.T  # (Qh, B)
         kk = min(k + 1, sims.shape[1])
-        for row, qidx in enumerate(q_here):
-            s = sims[row]
-            top = np.argpartition(-s, kk - 1)[:kk] if kk < len(s) else np.arange(len(s))
-            out_q.append(np.full(len(top), qi[qidx], dtype=np.int64))
-            out_n.append(ids[top])
-            out_s.append(s[top])
+        top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]  # axis-wise, no loop
         from .. import pandas_to_clean_arrow
 
         return pandas_to_clean_arrow(pd.DataFrame(
             {
-                "query_id": np.concatenate(out_q),
-                "neighbor_id": np.concatenate(out_n),
-                "sim": np.concatenate(out_s),
+                "query_id": np.repeat(qi[q_here].astype(np.int64), kk),
+                "neighbor_id": ids[top].ravel(),
+                "sim": np.take_along_axis(sims, top, axis=1).ravel(),
             }
         ))
 

@@ -4,33 +4,57 @@
 polars frame: correct and fast at sandbox scale, but at 10^10 URLs the
 deferred frontier alone exceeds driver RAM (round-1 VERDICT "What's
 missing" #4). This module runs the SAME round semantics with the
-frontier as a Ray ``Dataset`` end to end:
+frontier as a Ray ``Dataset`` end to end, TWO shuffles per round
+(round-2 VERDICT #1 fused the former separate budget + fetch-routing
+exchanges into one):
 
-    frontier parquet → groupby(host).map_groups(budget: sort + top-k
-    issued/deferred split + hostblock routing) → issued
-    groupby(hostblock).map_groups(FUSED fetch: one task per host-block,
-    worker-cached FetchParse, entry/image/log fragments written in-task)
+    frontier parquet → map_batches(host-hash → hostblock) →
+    groupby(hostblock).map_groups(FUSED round stage: per-host contract
+    sort + top-``budget`` issued/deferred split + chunked fused fetch —
+    robots/retry/extract/normalize with entry/image/log fragments
+    written in-task; deferred rows pass through as ``kind="defer"``
+    control rows)                                        [shuffle 1]
     → control rows → pages → per-canon first-wins dedup (PACKED-KEY
-    groupby(canon).aggregate(Min) — no per-group pandas at million-group
-    scale) → dedup-admit (seen-shard actor calls FROM INSIDE map_batches
-    tasks, batched per shard) → union(deferred) → next frontier parquet.
+    groupby(canon).aggregate(Min) — no per-group pandas at
+    million-group scale)                                 [shuffle 2]
+    → dedup-admit (seen-shard actor calls FROM INSIDE map_batches
+    tasks, batched per shard) → union(deferred) → next frontier parquet
+    (written to a temp dir + atomic rename: a replayed half-finished
+    round REPLACES rather than appends — resume never doubles rows).
 
 Driver state per round: fragment-manifest metadata + per-host stat rows
-(both O(hosts), not O(frontier)). Ordering contract: the issue ORDER
-list is not tracked (that is the no-track bench mode); everything else —
-seen set, entries, images, fetch log, per-round issued sets — is
-byte-equal to ``refsim.simulate`` (tests/test_crawl_dist.py).
+(both O(hosts), not O(frontier)). Ordering contract: with the default
+``track_order=False`` the issue-order list is not materialized (bench /
+production mode); ``track_order=True`` emits per-task ``kind="ord"``
+control rows (url + the contract sort key) so the global issue order is
+reconstructed by SORT, exactly equal to ``refsim.simulate().order``
+(tests/test_crawl_dist.py) — order is defined by the deterministic
+sort, never by completion order, so fetch concurrency cannot perturb
+it. Everything else — seen set, entries, images, fetch log, per-round
+issued sets — is byte-equal to refsim in both modes.
+
+Politeness note: all rows of a host hash to one hostblock, so fetches
+to a host are strictly sequential within a round and per-round issuance
+per host is capped at ``budget`` (the politeness contract). Driver
+mode's hot-host SALTING (which deliberately relaxes per-host
+sequentiality for throughput) is not applied here — a host's per-round
+work is already bounded by ``budget``, so the worst-case task skew is
+``budget`` fetches; spread hosts with ``nblocks`` instead.
 
 Duplicate-discovery determinism: when one canon_url is discovered
 multiple times in a round (same offer linked from two listing pages),
 the row with the SMALLEST (depth, seed_id, priority, host, canon_url,
-url) key must win (shared contract with refsim/admit_pending). Here
-every candidate row is packed into one lexicographically-ordered string
-key, so ``aggregate(Min(skey))`` picks exactly that row without a
-per-group UDF.
+url) key must win (shared contract with refsim/admit_pending). Every
+candidate row is packed — VECTORIZED Arrow string kernels, no per-row
+Python (round-2 VERDICT #1 / ADVICE) — into one lexicographically
+ordered string key, so ``aggregate(Min(skey))`` picks exactly that row
+without a per-group UDF.
 """
 
 from __future__ import annotations
+
+import os
+import shutil
 
 import numpy as np
 import pandas as pd
@@ -40,75 +64,108 @@ import ray
 import ray.data as rd
 
 from ..refsim import CrawlSpec
-from ..stages.fetch import make_fetch_parse_fn
+from ..stages.fetch import SLIM_UNION_SCHEMA, STATUS_ROBOTS_BLOCKED, make_fetch_parse_fn
 from ..state.checkpoint import RunCheckpoint
 from ..state.seenset import SeenSet
 from ..synthweb import SynthWeb, WebConfig
-from .crawl import FRONTIER_SCHEMA, CrawlResult, _seed_frontier
+from .crawl import FRONTIER_SCHEMA, SORT_KEYS, CrawlResult, _seed_frontier
 
 _SEP = "\x1f"  # sorts below every printable char → tuple-order preserving
+_CONTRACT = SORT_KEYS + ["url"]  # (depth, seed_id, priority, host, canon_url, url)
+
+# control-row schema of the fused round stage: the fetch stage's slim
+# union plus ``round_added`` (carried by deferred/ord passthrough rows)
+CTRL_SCHEMA = pa.schema(list(SLIM_UNION_SCHEMA) + [pa.field("round_added", pa.int32())])
+
+# lexicographic packing layout: zero-padded widths for the numeric
+# fields (f"{x:0Nd}" ordering == numeric ordering ONLY for non-negative
+# in-range values — asserted in _pack_keys per round-2 ADVICE)
+_PACK_FIELDS: list[tuple[str, int | None]] = [
+    ("depth", 2), ("seed_id", 10), ("priority", 10), ("host", None),
+    ("canon_url", None), ("url", None), ("schema_name", None),
+    ("schema_version", None), ("domain", None), ("digest_hi", 20), ("digest_lo", 20),
+]
 
 
 def _pack_keys(t: pa.Table) -> pa.Table:
     """Add ``skey``: one string whose lexicographic order equals the
     shared sort contract (depth, seed_id, priority, host, canon_url,
     url), with the remaining row fields appended after the ordering
-    prefix so Min(skey) carries the WHOLE winning row."""
-    cols = {c: t[c].to_pylist() for c in t.column_names}
-    n = t.num_rows
-    skey = [
-        (
-            f"{cols['depth'][i]:02d}{_SEP}{cols['seed_id'][i]:010d}{_SEP}"
-            f"{cols['priority'][i]:010d}{_SEP}{cols['host'][i]}{_SEP}"
-            f"{cols['canon_url'][i]}{_SEP}{cols['url'][i]}{_SEP}"
-            f"{cols['schema_name'][i]}{_SEP}{cols['schema_version'][i]}{_SEP}"
-            f"{cols['domain'][i]}{_SEP}{cols['digest_hi'][i]:020d}{_SEP}"
-            f"{cols['digest_lo'][i]:020d}"
-        )
-        for i in range(n)
+    prefix so Min(skey) carries the WHOLE winning row. Fully vectorized
+    (Arrow lpad/cast/join kernels — no per-row Python)."""
+    if t.num_rows:
+        # packing-soundness guards: negative / overflowing ints or an
+        # embedded separator would silently corrupt lexicographic order
+        for name, width in _PACK_FIELDS:
+            col = t[name]
+            if width is not None:
+                lo, hi = pc.min(col).as_py(), pc.max(col).as_py()
+                assert lo >= 0 and hi < 10 ** width, f"{name} out of pack range: [{lo}, {hi}]"
+            else:
+                assert not pc.any(pc.match_substring(col, _SEP)).as_py(), (
+                    f"{name} contains the \\x1f pack separator"
+                )
+    parts = [
+        pc.utf8_lpad(pc.cast(t[name], pa.string()), width, padding="0")
+        if width is not None
+        else t[name].combine_chunks()
+        for name, width in _PACK_FIELDS
     ]
-    return pa.table({"canon_url": t["canon_url"], "skey": pa.array(skey, pa.string())})
+    skey = pc.binary_join_element_wise(*parts, _SEP)
+    return pa.table({"canon_url": t["canon_url"], "skey": skey})
 
 
 def _unpack_keys(t: pa.Table, rnd: int) -> pa.Table:
     """Inverse of :func:`_pack_keys` → full frontier-schema rows plus
-    digest columns (for the admission stage)."""
-    out = {
-        "url": [], "canon_url": [], "host": [], "priority": [], "depth": [],
-        "seed_id": [], "schema_name": [], "schema_version": [], "domain": [],
-        "digest_hi": [], "digest_lo": [],
-    }
-    for skey in t["skey"].to_pylist():
-        (depth, seed_id, priority, host, canon_url, url,
-         schema_name, schema_version, domain, dhi, dlo) = skey.split(_SEP)
-        out["url"].append(url)
-        out["canon_url"].append(canon_url)
-        out["host"].append(host)
-        out["priority"].append(int(priority))
-        out["depth"].append(int(depth))
-        out["seed_id"].append(int(seed_id))
-        out["schema_name"].append(schema_name)
-        out["schema_version"].append(schema_version)
-        out["domain"].append(domain)
-        out["digest_hi"].append(int(dhi))
-        out["digest_lo"].append(int(dlo))
-    table = pa.table(
+    digest columns (for the admission stage). Vectorized
+    split_pattern + list_element + typed casts."""
+    sp = pc.split_pattern(t["skey"], _SEP)
+
+    def f(i: int):
+        return pc.list_element(sp, i)
+
+    return pa.table(
         {
-            "url": pa.array(out["url"], pa.string()),
-            "canon_url": pa.array(out["canon_url"], pa.string()),
-            "host": pa.array(out["host"], pa.string()),
-            "priority": pa.array(out["priority"], pa.int64()),
-            "depth": pa.array(out["depth"], pa.int32()),
-            "seed_id": pa.array(out["seed_id"], pa.int32()),
-            "schema_name": pa.array(out["schema_name"], pa.string()),
-            "schema_version": pa.array(out["schema_version"], pa.string()),
-            "domain": pa.array(out["domain"], pa.string()),
-            "round_added": pa.array([rnd] * t.num_rows, pa.int32()),
-            "digest_hi": pa.array(np.array(out["digest_hi"], dtype=np.uint64)),
-            "digest_lo": pa.array(np.array(out["digest_lo"], dtype=np.uint64)),
+            "url": f(5),
+            "canon_url": f(4),
+            "host": f(3),
+            "priority": pc.cast(f(2), pa.int64()),
+            "depth": pc.cast(f(0), pa.int32()),
+            "seed_id": pc.cast(f(1), pa.int32()),
+            "schema_name": f(6),
+            "schema_version": f(7),
+            "domain": f(8),
+            "round_added": pa.array(np.full(t.num_rows, rnd, dtype=np.int32)),
+            "digest_hi": pc.cast(f(9), pa.uint64()),
+            "digest_lo": pc.cast(f(10), pa.uint64()),
         }
     )
-    return table
+
+
+def _to_ctrl(t: pa.Table) -> pa.Table:
+    """Normalize any partial row set to CTRL_SCHEMA (missing columns →
+    typed nulls) so every map_groups output block unifies."""
+    cols = {}
+    for field in CTRL_SCHEMA:
+        if field.name in t.column_names:
+            col = t[field.name]
+            cols[field.name] = col if col.type == field.type else pc.cast(col, field.type)
+        else:
+            cols[field.name] = pa.nulls(t.num_rows, field.type)
+    return pa.table(cols)
+
+
+def _atomic_write_parquet(ds: rd.Dataset, final_dir: str) -> None:
+    """write_parquet to a temp dir + atomic rename over ``final_dir``:
+    Ray's writer APPENDS uuid-named files, so replaying a crashed round
+    into a fixed directory would double every frontier row (round-2
+    ADVICE). Rename is atomic; a crash mid-write leaves only the temp
+    dir, which the replay overwrites."""
+    tmp = final_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    ds.write_parquet(tmp)
+    shutil.rmtree(final_dir, ignore_errors=True)
+    os.rename(tmp, final_dir)
 
 
 def run_crawl_dataset(
@@ -118,21 +175,29 @@ def run_crawl_dataset(
     num_seen_shards: int = 8,
     nblocks: int = 16,
     fetch_batch_size: int = 64,
-    host_salt_cap: int = 1024,
     resume: bool = False,
+    track_order: bool = False,
 ) -> CrawlResult:
     """Frontier-as-Dataset crawl to exhaustion (or spec.max_rounds).
 
-    Per-round shuffles: one groupby(host) for budget, one
-    groupby(hostblock) for fetch routing, one groupby(canon_url) for
-    duplicate-discovery dedup — each keyed exactly as documented in
-    SURVEY §7.4. The driver never holds a frontier-sized table.
+    Per-round shuffles: ONE groupby(hostblock) that fuses the politeness
+    budget and the fetch routing (the split/sort happens inside the
+    group task — deterministic contract-sorted chunking, so fragment
+    keys are stable across re-executions), and one groupby(canon_url)
+    for duplicate-discovery dedup (keys documented in SURVEY §7.4). The
+    driver never holds a frontier-sized table.
 
     ``resume=True``: continue from the latest _COMPLETE round — seen
     shards restored from the per-round snapshot deltas, the frontier
-    read back from that round's task-written parquet directory (fragment
-    commits are idempotent, so replaying a half-finished round never
-    duplicates rows).
+    read back from that round's atomically-renamed parquet directory
+    (fragment commits are idempotent and the frontier dir is replaced,
+    not appended, so replaying a half-finished round never duplicates
+    rows).
+
+    ``track_order=True``: collect per-round ``kind="ord"`` control rows
+    (one per issued URL, carrying the contract sort key) and reconstruct
+    ``res.order``/``res.seen`` exactly as driver mode does — O(issued)
+    driver memory, for parity tests; leave off at scale.
     """
     if not isinstance(web, SynthWeb):
         web = SynthWeb(web)
@@ -163,11 +228,14 @@ def run_crawl_dataset(
             lambda t: t.select(FRONTIER_SCHEMA.names).cast(FRONTIER_SCHEMA),
             batch_format="pyarrow",
         )
+    seed_admitted: list[str] = []
     if frontier_ds is None:
         # seeds (small by definition: the reference's SOURCE_URL list)
         seeds_t = _seed_frontier(web).to_arrow().cast(FRONTIER_SCHEMA)
         mask = seen.check_and_add_urls(seeds_t["canon_url"].to_pylist())
-        frontier_ds = rd.from_arrow(seeds_t.filter(pa.array(mask)))
+        seeds_t = seeds_t.filter(pa.array(mask))
+        seed_admitted = seeds_t["canon_url"].to_pylist()
+        frontier_ds = rd.from_arrow(seeds_t)
 
     shard_handles = seen.shards  # actor handles — serializable into tasks
     num_shards = seen.num_shards
@@ -181,33 +249,15 @@ def run_crawl_dataset(
         logs_root=f"{out_dir}/fetch_log",
     )
 
-    def budget_split(t: pa.Table) -> pa.Table:
-        """One host: sort by the shared contract, flag the first
-        ``budget`` rows issued, salt mega-hosts across sub-blocks.
-        Arrow in/out (a pandas return would attach pandas metadata and
-        break Ray's schema-dedup fast path downstream)."""
-        g = t.to_pandas()
-        g = g.sort_values(
-            ["depth", "seed_id", "priority", "host", "canon_url", "url"]
-        ).reset_index(drop=True)
-        g["_issued"] = np.arange(len(g)) < budget
+    def route(t: pa.Table) -> pa.Table:
+        """Narrow stage before the fused shuffle: hostblock = host-hash
+        mod nblocks — all rows of one host land in ONE group task."""
         from ..hashing import hash64_np
 
-        h = int(hash64_np([g["host"].iloc[0]], salt="hostroute")[0])
-        salt = (np.arange(len(g)) // max(host_salt_cap, 1)).astype(np.uint64)
-        g["hostblock"] = (
-            (np.uint64(h) + salt * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(nblocks)
-        ).astype(np.int64)
-        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
-
-    def fetch_group(g: pa.Table) -> pa.Table:
-        """One host-block: run the fused fetch stage in batch_size
-        chunks (bounds fragment size + in-task memory)."""
-        g = g.drop_columns(["_issued", "hostblock"])
-        outs = []
-        for lo in range(0, g.num_rows, fetch_batch_size):
-            outs.append(fetch_fn(g.slice(lo, fetch_batch_size)))
-        return pa.concat_tables(outs) if outs else fetch_fn(g)
+        hosts = t["host"].to_numpy(zero_copy_only=False)
+        uniq, inverse = np.unique(hosts, return_inverse=True)
+        hb = (hash64_np(uniq, salt="hostroute") % np.uint64(nblocks)).astype(np.int64)
+        return t.append_column("hostblock", pa.array(hb[inverse]))
 
     def admit(t: pa.Table) -> pa.Table:
         """Dedup-admit INSIDE the task: route this batch's digests to
@@ -217,11 +267,11 @@ def run_crawl_dataset(
         d = np.stack(
             [t["digest_hi"].to_numpy(), t["digest_lo"].to_numpy()], axis=1
         ).astype(np.uint64)
-        route = (d[:, 0] % np.uint64(num_shards)).astype(np.int64)
+        route_s = (d[:, 0] % np.uint64(num_shards)).astype(np.int64)
         keep = np.zeros(len(d), dtype=bool)
         futs, idxs = [], []
         for s in range(num_shards):
-            ix = np.nonzero(route == s)[0]
+            ix = np.nonzero(route_s == s)[0]
             if len(ix):
                 futs.append(shard_handles[s].check_and_add.remote(d[ix]))
                 idxs.append(ix)
@@ -232,43 +282,72 @@ def run_crawl_dataset(
     def _norm_frontier(t: pa.Table) -> pa.Table:
         return t.select(FRONTIER_SCHEMA.names).cast(FRONTIER_SCHEMA)
 
-    for rnd in range(start_round, spec.max_rounds):
-        parts = (
-            frontier_ds.groupby("host")
-            .map_groups(budget_split, batch_format="pyarrow")
-            .materialize()
-        )
-        issued = parts.map_batches(
-            lambda t: t.filter(pc.equal(t["_issued"], True)), batch_format="pyarrow"
-        )
-        deferred = parts.map_batches(
-            lambda t: t.filter(pc.equal(t["_issued"], False)).drop_columns(
-                ["_issued", "hostblock"]
-            ),
-            batch_format="pyarrow",
-        ).map_batches(_norm_frontier, batch_format="pyarrow")
-        n_issued = issued.count()
-        if n_issued == 0:
-            res.rounds = rnd
-            break
+    order_frames: list[pd.DataFrame] = []  # (track_order only)
 
-        def add_round(t: pa.Table, rnd=rnd) -> pa.Table:
-            t = t.append_column("round", pa.array([rnd] * t.num_rows, pa.int32()))
-            return t.append_column(
-                "created", pa.array([spec.run_ts] * t.num_rows, pa.string())
-            )
+    for rnd in range(start_round, spec.max_rounds):
+
+        def round_fn(g: pa.Table, rnd=rnd) -> pa.Table:
+            """FUSED round stage for one host-block: contract sort →
+            per-host top-``budget`` issued/deferred split → fused fetch
+            in ``fetch_batch_size`` chunks (bounds fragment size +
+            in-task memory; chunk composition is deterministic because
+            the sort precedes the slicing — round-2 ADVICE) → deferred
+            rows emitted as ``kind="defer"`` control passthrough."""
+            df = g.drop_columns(["hostblock"]).to_pandas()
+            df = df.sort_values(_CONTRACT, kind="mergesort").reset_index(drop=True)
+            rk = df.groupby("host", sort=False).cumcount().to_numpy()
+            outs: list[pa.Table] = []
+            issued_df = df[rk < budget]
+            if len(issued_df):
+                it = (
+                    pa.Table.from_pandas(issued_df, preserve_index=False)
+                    .replace_schema_metadata(None)
+                    .select(FRONTIER_SCHEMA.names)
+                    .cast(FRONTIER_SCHEMA)
+                )
+                if track_order:
+                    outs.append(
+                        _to_ctrl(
+                            it.drop_columns(["round_added"]).append_column(
+                                "kind", pa.array(["ord"] * it.num_rows)
+                            )
+                        )
+                    )
+                it = it.append_column("round", pa.array([rnd] * it.num_rows, pa.int32()))
+                it = it.append_column(
+                    "created", pa.array([spec.run_ts] * it.num_rows, pa.string())
+                )
+                for lo in range(0, it.num_rows, fetch_batch_size):
+                    outs.append(_to_ctrl(fetch_fn(it.slice(lo, fetch_batch_size))))
+            defer_df = df[rk >= budget]
+            if len(defer_df):
+                dt = (
+                    pa.Table.from_pandas(defer_df, preserve_index=False)
+                    .replace_schema_metadata(None)
+                    .select(FRONTIER_SCHEMA.names)
+                    .cast(FRONTIER_SCHEMA)
+                    .append_column("kind", pa.array(["defer"] * len(defer_df)))
+                )
+                outs.append(_to_ctrl(dt))
+            return pa.concat_tables(outs) if outs else CTRL_SCHEMA.empty_table()
 
         control = (
-            issued.map_batches(add_round, batch_format="pyarrow")
+            frontier_ds.map_batches(route, batch_format="pyarrow")
             .groupby("hostblock")
-            .map_groups(fetch_group, batch_format="pyarrow")
+            .map_groups(round_fn, batch_format="pyarrow")
             .materialize()
         )
         # small control-plane rows → driver: fragment metas + host stats
+        # (+ ord rows when track_order) — never page/defer payload rows
         small = control.map_batches(
-            lambda t: t.filter(pc.invert(pc.equal(t["kind"], "page"))),
+            lambda t: t.filter(
+                pc.invert(pc.is_in(t["kind"], value_set=pa.array(["page", "defer"])))
+            ),
             batch_format="pyarrow",
         ).to_pandas()
+        if len(small) == 0:  # empty frontier → crawl drained
+            res.rounds = rnd
+            break
         for kind, store in (
             ("lfrag", res.fetch_log_store),
             ("efrag", res.entries_store),
@@ -281,7 +360,14 @@ def run_crawl_dataset(
                     for k, r, p in zip(f["frag_key"], f["frag_rows"], f["frag_path"])
                 ]
             )
+        if track_order:
+            o = small[small["kind"] == "ord"]
+            order_frames.append(o[_CONTRACT].assign(round=rnd))
         hs = small[small["kind"] == "hstat"]
+        n_issued = int(hs["n_issued"].sum()) if len(hs) else 0
+        if n_issued == 0:
+            res.rounds = rnd
+            break
         by_host = (
             hs.groupby("host", as_index=False)
             .agg(
@@ -293,6 +379,10 @@ def run_crawl_dataset(
         )
         blocked_total = int(hs["n_blocked"].sum()) if len(hs) else 0
 
+        deferred = control.map_batches(
+            lambda t: _norm_frontier(t.filter(pc.equal(t["kind"], "defer"))),
+            batch_format="pyarrow",
+        )
         # pages → per-canon first-wins dedup → in-task admission
         pages = control.map_batches(
             lambda t: t.filter(pc.equal(t["kind"], "page")), batch_format="pyarrow"
@@ -309,6 +399,14 @@ def run_crawl_dataset(
             .map_batches(admit, batch_format="pyarrow")
             .map_batches(_norm_frontier, batch_format="pyarrow")
         )
+        if track_order:
+            fresh = fresh.materialize()
+            for ref in fresh.to_arrow_refs():
+                t = ray.get(ref)
+                # Ray aggregates emit 0-COLUMN blocks for empty hash
+                # partitions and map_batches skips empty blocks
+                if t.num_rows and "canon_url" in t.column_names:
+                    res.seen.update(t["canon_url"].to_pylist())
         # next frontier stays a DATASET: union, materialize (object-store
         # blocks, spillable), checkpoint via task-side parquet writes —
         # the driver never holds a frontier-sized table
@@ -316,7 +414,7 @@ def run_crawl_dataset(
         n_next = nf.count()
         next_dir = f"{out_dir}/rounds/{rnd}/frontier_ds"
         if n_next:
-            nf.write_parquet(next_dir)
+            _atomic_write_parquet(nf, next_dir)
         metrics = {
             "round": rnd,
             "issued": n_issued,
@@ -335,5 +433,20 @@ def run_crawl_dataset(
             break
         frontier_ds = nf
 
-    res.seen = set()  # order/seen lists not tracked in dataset mode
+    if track_order:
+        res.seen.update(seed_admitted)
+        # issue order = per-round contract sort of the issued rows minus
+        # robots-blocked (identical to driver mode / refsim: order is
+        # DEFINED by the sort, reconstructed here from per-task ord rows)
+        log = res.fetch_log_table().to_pandas()
+        blk = log[log["status"] == STATUS_ROBOTS_BLOCKED]
+        blocked = set(zip(blk["round"], blk["canon_url"]))
+        for frame in order_frames:
+            frame = frame.sort_values(_CONTRACT, kind="mergesort")
+            r = int(frame["round"].iloc[0]) if len(frame) else 0
+            res.order.extend(
+                cu for cu in frame["canon_url"] if (r, cu) not in blocked
+            )
+    else:
+        res.seen = set()  # order/seen lists not tracked in bench mode
     return res

@@ -33,18 +33,40 @@ IMAGE_FEATURES_SCHEMA = pa.schema(
 )
 
 
-def synthetic_images(n: int = 64, config: WebConfig | str = "t1") -> rd.Dataset:
+def synthetic_images(
+    n: int = 64, config: WebConfig | str = "t1", plant_pairs: int = 0
+) -> rd.Dataset:
     """A deterministic images table in EXACTLY the input_hint shape
     (image_id, bytes, w, h, fmt, caption, phash) — stands in for reading
     a Lance images table; swap for ``TableStore.read_dataset()`` over a
-    crawl output."""
-    web = SynthWeb(config)
+    crawl output.
+
+    ``plant_pairs``: additionally derive, for the first ``plant_pairs``
+    base images, a perceptually-near-duplicate row (``<id>-dup``: one
+    pixel LSB-flipped, re-encoded PNG) so near-dup pipelines over this
+    fixture have real pairs to find (round-2 VERDICT 'What's missing'
+    #2 — distinct synthetic images are phash-far by construction)."""
     ids = [f"img-mm-{i}" for i in range(n)]
-    id_slices = [ids[i : i + 16] for i in range(0, n, 16)]
+    ids += [f"img-mm-{i}-dup" for i in range(min(plant_pairs, n))]
+    id_slices = [ids[i : i + 16] for i in range(0, len(ids), 16)]
 
     def gen(batch: pa.Table) -> pa.Table:
         w = SynthWeb(config)
-        recs = [w.image_record(i) for i in batch["image_id"].to_pylist()]
+        recs = []
+        for iid in batch["image_id"].to_pylist():
+            if iid.endswith("-dup"):
+                base = dict(w.image_record(iid[: -len("-dup")]))
+                px = imagecodec.decode(base["bytes"], base["fmt"]).copy()
+                px[0, 0, 0] ^= 1  # one LSB — perceptually identical
+                base.update(
+                    image_id=iid,
+                    bytes=imagecodec.encode_png(px),
+                    fmt="png",
+                    phash=np.int64(np.uint64(imagecodec.phash64(px))).item(),
+                )
+                recs.append(base)
+            else:
+                recs.append(w.image_record(iid))
         from ..stages.fetch import IMAGES_SCHEMA
 
         return pa.Table.from_pylist(recs, schema=IMAGES_SCHEMA)
@@ -91,23 +113,32 @@ class ImageFeatures:
         return pa.Table.from_pylist(rows, schema=IMAGE_FEATURES_SCHEMA)
 
 
-def image_features(sf_dir: str | None = None, n: int = 64) -> rd.Dataset:
+def image_features(
+    sf_dir: str | None = None, n: int = 64, plant_pairs: int = 0
+) -> rd.Dataset:
     """Decode/feature-extract pipeline over the synthetic images table.
     (sf_dir unused — no image table in the driver testdata; accepted for
     queries() signature compatibility.)"""
-    return synthetic_images(n).map_batches(
-        ImageFeatures, batch_format="pyarrow", batch_size=8, concurrency=2
+    return synthetic_images(n, plant_pairs=plant_pairs).map_batches(
+        ImageFeatures, batch_format="pyarrow", batch_size=8, concurrency=2,
+        max_restarts=0,  # deterministic stage; silences ray#53727
     )
 
 
-def image_phash_neardup(sf_dir: str | None = None, n: int = 64, max_hamming: int = 10) -> rd.Dataset:
+def image_phash_neardup(
+    sf_dir: str | None = None, n: int = 64, max_hamming: int = 10, plant_pairs: int = 4
+) -> rd.Dataset:
     """Perceptual-hash near-dup over images: band-bucket the 64-bit
     phash (4×16-bit) then exact Hamming verify — same shape as the
-    SimHash text dedup, proving the shared band-bucket groupby pattern."""
+    SimHash text dedup, proving the shared band-bucket groupby pattern.
+    ``plant_pairs`` seeded near-dup rows keep the end-to-end fixture
+    check non-vacuous (see synthetic_images)."""
     import pandas as pd
     from ray.data.aggregate import Min
 
-    feats = image_features(sf_dir, n).select_columns(["image_id", "phash"])
+    feats = image_features(sf_dir, n, plant_pairs=plant_pairs).select_columns(
+        ["image_id", "phash"]
+    )
 
     def explode(t: pa.Table) -> pa.Table:
         ids = t["image_id"].to_pylist()

@@ -3,7 +3,20 @@
 Column names and value semantics match the Ray implementations exactly
 (see ``relational.py`` — money as FLOOR(x*100) integer cents so that
 distributed summation order cannot perturb the driver's value-hash).
+
+Float-emitting oracles (``text_score``) mirror the engine's IEEE-754
+op ORDER exactly (same left-associated double arithmetic, LEAST/
+GREATEST for np.clip) so even double-valued columns hash-match bit for
+bit; the stopword list literals are generated from the same
+``text._LANG_STOPWORDS`` source the engine uses.
 """
+
+from .text import _LANG_STOPWORDS
+
+
+def _stoplist(lang: str) -> str:
+    return "[" + ", ".join("'" + w + "'" for w in sorted(_LANG_STOPWORDS[lang])) + "]"
+
 
 ORACLE_SQL: dict[str, str] = {
     # NOTE: DuckDB SUM(BIGINT) yields HUGEINT which pandas renders as
@@ -247,6 +260,93 @@ ORACLE_SQL: dict[str, str] = {
                          (acc, d) -> (CAST(acc AS BIGINT) * 1000003 + d) % 4294967296) AS BIGINT)
                END AS fp32
         FROM documents
+    """,
+    # 64-bit polynomial fingerprint + winnowed min window-hash, mod-2^64
+    # via HUGEINT (round-2 VERDICT #3); the unsigned MIN over window
+    # hashes happens in HUGEINT space BEFORE the signed-int64 view, so
+    # it equals the engine's np.uint64 min → int64 view
+    "text_fingerprint": """
+        WITH b AS (
+          SELECT doc_id,
+                 list_transform(regexp_split_to_array(text, ''),
+                                c -> CAST(unicode(c) + 1 AS HUGEINT)) AS ds,
+                 length(text) AS n
+          FROM documents
+        ), fh AS (
+          SELECT doc_id,
+                 CASE WHEN n = 0 THEN CAST(0 AS HUGEINT)
+                      ELSE list_reduce(list_prepend(CAST(0 AS HUGEINT), ds),
+                           (acc, d) -> (acc * 1000003 + d)
+                                       % CAST('18446744073709551616' AS HUGEINT))
+                 END AS vf
+          FROM b
+        ), wins AS (
+          SELECT doc_id,
+                 list_reduce(list_prepend(CAST(0 AS HUGEINT),
+                                          ds[CAST(j + 1 AS BIGINT):CAST(j + w AS BIGINT)]),
+                             (acc, d) -> (acc * 1000003 + d)
+                                         % CAST('18446744073709551616' AS HUGEINT)) AS v
+          FROM (SELECT doc_id, ds, n, LEAST(32, n) AS w FROM b WHERE n > 0),
+               UNNEST(range(0, n - w + 1)) AS t(j)
+        ), wm AS (
+          SELECT doc_id, MIN(v) AS vm FROM wins GROUP BY doc_id
+        )
+        SELECT f.doc_id,
+               CAST(CASE WHEN vf >= CAST('9223372036854775808' AS HUGEINT)
+                         THEN vf - CAST('18446744073709551616' AS HUGEINT)
+                         ELSE vf END AS BIGINT) AS fp_full,
+               CAST(CASE WHEN COALESCE(vm, 0) >= CAST('9223372036854775808' AS HUGEINT)
+                         THEN COALESCE(vm, 0) - CAST('18446744073709551616' AS HUGEINT)
+                         ELSE COALESCE(vm, 0) END AS BIGINT) AS fp_winmin
+        FROM fh f LEFT JOIN wm USING (doc_id)
+    """,
+    # language-ID + quality score: IEEE-op-order mirror of TextScore
+    # (stopword-hit counts as integers, then the identical
+    # left-associated double expression; en-first argmax tiebreak)
+    "text_score": f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 regexp_extract_all(lower(COALESCE(text, '')), '[A-Za-z]+') AS tk,
+                 COALESCE(text, '') AS txt
+          FROM documents
+        ), hits AS (
+          SELECT doc_id, txt, len(tk) AS n_tok,
+                 len(list_filter(tk, t -> list_contains({_stoplist('en')}, t))) AS h_en,
+                 len(list_filter(tk, t -> list_contains({_stoplist('de')}, t))) AS h_de,
+                 len(list_filter(tk, t -> list_contains({_stoplist('fr')}, t))) AS h_fr,
+                 len(list_filter(tk, t -> list_contains({_stoplist('es')}, t))) AS h_es
+          FROM toks
+        ), scored AS (
+          SELECT doc_id,
+                 CASE WHEN GREATEST(h_en, h_de, h_fr, h_es) = 0 THEN 'unknown'
+                      WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
+                      WHEN h_de >= h_fr AND h_de >= h_es THEN 'de'
+                      WHEN h_fr >= h_es THEN 'fr'
+                      ELSE 'es' END AS lang_pred,
+                 CAST(GREATEST(h_en, h_de, h_fr, h_es) AS DOUBLE)
+                     / CAST(GREATEST(n_tok, 1) AS DOUBLE) AS stop_ratio,
+                 CAST(length(txt) AS DOUBLE) AS n_chars,
+                 CAST(length(txt) - length(regexp_replace(txt, '[A-Za-z]', '', 'g'))
+                      AS DOUBLE) AS alpha,
+                 CAST(length(txt) - length(regexp_replace(txt, '[.,;:!?]', '', 'g'))
+                      AS DOUBLE) AS punct,
+                 n_tok
+          FROM hits
+        )
+        SELECT doc_id, lang_pred, stop_ratio,
+               LEAST(GREATEST(
+                 CAST(0.35 AS DOUBLE) * (alpha / CAST(GREATEST(n_chars, 1) AS DOUBLE))
+                 + CAST(0.25 AS DOUBLE)
+                   * LEAST(GREATEST(stop_ratio * 4, CAST(0 AS DOUBLE)), CAST(1 AS DOUBLE))
+                 + CAST(0.25 AS DOUBLE)
+                   * LEAST(GREATEST(CAST(n_tok AS DOUBLE) / CAST(50.0 AS DOUBLE),
+                                    CAST(0 AS DOUBLE)), CAST(1 AS DOUBLE))
+                 + CAST(0.15 AS DOUBLE)
+                   * (CAST(1 AS DOUBLE)
+                      - LEAST(GREATEST(punct / CAST(GREATEST(n_tok, 1) AS DOUBLE),
+                                       CAST(0 AS DOUBLE)), CAST(1 AS DOUBLE))),
+                 CAST(0 AS DOUBLE)), CAST(1 AS DOUBLE)) AS quality_score
+        FROM scored
     """,
     # exact word-3-gram Jaccard dedup with INTEGER threshold math
     # (i*10 >= 2*(|a|+|b|-i)  ⇔  J >= 0.2) — no float compare anywhere

@@ -355,6 +355,13 @@ def j_hash_join(sf_dir: str, k: int = 10) -> pd.DataFrame:
     # join of two sf-sized tables for 10 output rows. The top-k itself
     # is per-block select_k + a ≤k×blocks driver merge (a global
     # ds.sort here would be one more full shuffle for k rows).
+    # OVER-FETCH 2k (round-2 ADVICE): SQL's LIMIT applies after the
+    # join, so an aggregated l_orderkey absent from orders must be
+    # backfilled by the next key — fetch 2k candidates, merge, then
+    # re-limit to k (and fail loudly rather than silently shrink if
+    # even 2k candidates leave fewer than k joined rows).
+    kk = 2 * k
+
     def topk_block(t: pa.Table) -> pa.Table:
         if t.num_columns == 0 or t.num_rows == 0:
             return pa.schema(
@@ -362,16 +369,16 @@ def j_hash_join(sf_dir: str, k: int = 10) -> pd.DataFrame:
             ).empty_table()
         idx = pc.select_k_unstable(
             t,
-            k=min(k, t.num_rows),
+            k=min(kk, t.num_rows),
             sort_keys=[("revenue_cents", "descending"), ("l_orderkey", "ascending")],
         )
         return t.take(idx)
 
     top = (
         revenue.map_batches(topk_block, batch_format="pyarrow")
-        .to_pandas()  # ≤ k×blocks rows
+        .to_pandas()  # ≤ 2k×blocks rows
         .sort_values(["revenue_cents", "l_orderkey"], ascending=[False, True])
-        .head(k)
+        .head(kk)
         .rename(columns={"l_orderkey": "o_orderkey"})
     )
     keys = top["o_orderkey"].tolist()
@@ -385,6 +392,13 @@ def j_hash_join(sf_dir: str, k: int = 10) -> pd.DataFrame:
     out = top.merge(orders, on="o_orderkey").sort_values(
         ["revenue_cents", "o_orderkey"], ascending=[False, True]
     )
+    n_candidates = len(top)
+    out = out.head(k)
+    if len(out) < k and n_candidates >= kk:
+        raise RuntimeError(
+            f"j_hash_join: {kk}-candidate over-fetch joined to only "
+            f"{len(out)} rows — raise the over-fetch factor"
+        )
     return out[["o_orderkey", "o_orderpriority", "revenue_cents"]].reset_index(drop=True)
 
 
@@ -440,15 +454,27 @@ def j_shuffle_join(sf_dir: str) -> rd.Dataset:
     )
 
 
-def j_asof(sf_dir: str) -> rd.Dataset:
+def j_asof(sf_dir: str, group_cap: int = 2_000_000) -> rd.Dataset:
     """As-of self-join (operator Ray Data lacks — SURVEY custom-op rule):
     for each event, the latest STRICTLY-earlier event ts of the same
     user. Composition: hash-partition by user (groupby) + per-group
     sorted search — the documented partitioning assumption is that one
-    user's history fits one group."""
+    user's history fits one group; a key above ``group_cap`` rows is
+    LOGGED AND SKIPPED (hot-key hatch, round-2 VERDICT #7 — same skew
+    treatment as df_cap/bucket_cap) instead of OOMing the task."""
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
 
     def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) > group_cap:
+            import logging
+
+            logging.getLogger("crawlkit").warning(
+                "j_asof: user %s history %d > group_cap %d — skipped",
+                g["user_id"].iloc[0], len(g), group_cap,
+            )
+            empty = g.iloc[0:0].copy()
+            empty["prior_ts"] = empty["ts"]
+            return empty[["event_id", "user_id", "ts", "prior_ts"]]
         g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
         ts = g["ts"].to_numpy()
         # latest strictly-earlier ts: searchsorted left of own ts - 1 step

@@ -61,13 +61,28 @@ def w_sliding(sf_dir: str) -> rd.Dataset:
     )
 
 
-def w_session(sf_dir: str) -> rd.Dataset:
+def w_session(sf_dir: str, group_cap: int = 2_000_000) -> rd.Dataset:
     """Session windows per user (gap 30min): count + per-user session
     index. Hash-partition by user_id, per-group vectorized gap/cumsum
-    over (ts, event_id)-sorted history."""
+    over (ts, event_id)-sorted history. A user above ``group_cap`` rows
+    is logged and skipped (hot-key hatch — round-2 VERDICT #7)."""
     ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) > group_cap:
+            import logging
+
+            logging.getLogger("crawlkit").warning(
+                "w_session: user %s history %d > group_cap %d — skipped",
+                g["user_id"].iloc[0], len(g), group_cap,
+            )
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype=g["user_id"].dtype),
+                    "session_idx": pd.Series([], dtype="int64"),
+                    "n_events": pd.Series([], dtype="int64"),
+                }
+            )
         g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
         us = g["ts"].astype("int64").to_numpy()
         new = np.ones(len(g), dtype=np.int64)

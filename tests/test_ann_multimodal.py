@@ -95,3 +95,11 @@ def test_video_frame_sample_stub_plumbing():
 def test_audio_stub_raises():
     with pytest.raises(NotImplementedError):
         multimodal.AudioFeatures()(pa.table({"audio_id": ["a"], "bytes": [b""]}))
+
+
+def test_image_phash_neardup_planted_pairs():
+    """plant_pairs seeds LSB-perturbed near-dup images: the pipeline
+    must find every planted pair (non-vacuous driver fixture)."""
+    pairs = _pdf(multimodal.image_phash_neardup(n=16, max_hamming=10, plant_pairs=3))
+    got = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+    assert {(f"img-mm-{i}", f"img-mm-{i}-dup") for i in range(3)} <= got

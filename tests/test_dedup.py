@@ -115,3 +115,14 @@ def test_embedding_neardup_vs_brute(tmp_path):
     assert got_pairs <= brute  # exact verify → no false positives
     assert (0, 1) in got_pairs  # exact dup: identical code → guaranteed
     assert (2, 3) in got_pairs  # near-dup at cos≈0.9999: hamming(code)≈0
+
+
+def test_embedding_neardup_planted_driver_fixture():
+    """The driver-fixture path (plant_every) must emit exactly the
+    planted (id, id+OFFSET) pairs on the sf testdata — the end-to-end
+    check is non-vacuous (round-2 VERDICT #2)."""
+    got = _pdf(dedup.embedding_neardup_pairs("/root/testdata/sf0.001", plant_every=100))
+    pairs = set(map(tuple, got[["vec_id_a", "vec_id_b"]].to_numpy()))
+    want = {(i, i + dedup.PLANT_ID_OFFSET) for i in range(0, 500, 100)}
+    assert want <= pairs
+    assert len(pairs) == len(want)  # random embeddings add no extras

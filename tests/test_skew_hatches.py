@@ -1,0 +1,45 @@
+"""Hot-key hatches for the per-group history operators (round-2 VERDICT
+#7): ``j_asof`` / ``w_session`` assume one key's history fits one
+map_groups task — a synthetic mega-user above ``group_cap`` must be
+LOGGED AND SKIPPED (the same skew treatment as df_cap / bucket_cap /
+host_salt_cap elsewhere), never OOM the task."""
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from crawlkit.pipelines import relational, windows
+
+
+def _mk_events(tmp_path, mega_n=300, normal_n=20):
+    t0 = pd.Timestamp("2026-01-01")
+    rows = []
+    eid = 0
+    for uid, n in ((1, mega_n), (2, normal_n), (3, normal_n)):
+        for i in range(n):
+            rows.append((eid, uid, t0 + pd.Timedelta(minutes=i)))
+            eid += 1
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "ts"])
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    pq.write_table(
+        pa.Table.from_pandas(df, preserve_index=False), str(tmp_path / "events.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_asof_group_cap_skips_mega_user(tmp_path):
+    d = _mk_events(tmp_path)
+    out = relational.j_asof(d, group_cap=100).to_pandas()
+    assert set(out["user_id"].unique()) == {2, 3}  # mega user skipped
+    assert len(out) == 40
+    full = relational.j_asof(d).to_pandas()  # default cap keeps everyone
+    assert set(full["user_id"].unique()) == {1, 2, 3}
+    assert len(full) == 340
+
+
+def test_session_group_cap_skips_mega_user(tmp_path):
+    d = _mk_events(tmp_path)
+    out = windows.w_session(d, group_cap=100).to_pandas()
+    assert set(out["user_id"].unique()) == {2, 3}
+    full = windows.w_session(d).to_pandas()
+    assert set(full["user_id"].unique()) == {1, 2, 3}
