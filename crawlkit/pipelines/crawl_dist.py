@@ -15,8 +15,8 @@ exchanges into one):
     written in-task; deferred rows pass through as ``kind="defer"``
     control rows)                                        [shuffle 1]
     → control rows → pages → per-canon first-wins dedup (PACKED-KEY
-    groupby(canon).aggregate(Min) — no per-group pandas at
-    million-group scale)                                 [shuffle 2]
+    groupby(digest int64-views).aggregate(Min) — 16-byte fixed group
+    keys, no per-group pandas at million-group scale)    [shuffle 2]
     → dedup-admit (seen-shard actor calls FROM INSIDE map_batches
     tasks, batched per shard) → union(deferred) → next frontier parquet
     (written to a temp dir + atomic rename: a replayed half-finished
@@ -112,7 +112,15 @@ def _pack_keys(t: pa.Table) -> pa.Table:
         for name, width in _PACK_FIELDS
     ]
     skey = pc.binary_join_element_wise(*parts, _SEP)
-    return pa.table({"canon_url": t["canon_url"], "skey": skey})
+    # group keys: int64 VIEWS of the 128-bit canon_url digest (the
+    # system's URL identity — the seen set dedups on the same digest),
+    # not the canon_url string: the sort-shuffle exchange then compares
+    # 16 fixed bytes per row instead of variable-length URLs, and Ray's
+    # boundary sampling stays on its int fast path (see d1/dedup_exact
+    # in relational.py for the same pattern + the uint64-overflow note)
+    gk1 = t["digest_hi"].to_numpy(zero_copy_only=False).astype(np.uint64).view(np.int64)
+    gk2 = t["digest_lo"].to_numpy(zero_copy_only=False).astype(np.uint64).view(np.int64)
+    return pa.table({"gk1": pa.array(gk1), "gk2": pa.array(gk2), "skey": skey})
 
 
 def _unpack_keys(t: pa.Table, rnd: int) -> pa.Table:
@@ -153,6 +161,36 @@ def _to_ctrl(t: pa.Table) -> pa.Table:
         else:
             cols[field.name] = pa.nulls(t.num_rows, field.type)
     return pa.table(cols)
+
+
+@ray.remote(num_cpus=0)
+class _CtrlCollector:
+    """Side-channel for the per-task SMALL control rows (fragment
+    metadata, per-host stats, ord rows) so the driver does not pay a
+    second Ray execution over the materialized control dataset per round
+    (~2-3 s/round of pure executor startup, measured). Exactly-once:
+    puts are last-wins keyed by (round, hostblock) — a retried group
+    task overwrites its own rows, never appends — and every round_fn
+    task ``ray.get``s its put before returning, so when
+    ``control.materialize()`` completes, every completed task's rows are
+    already here. Control actor: ``num_cpus=0`` (never starves fetch)."""
+
+    def __init__(self) -> None:
+        self._parts: dict[tuple[int, int], bytes] = {}
+
+    def put(self, rnd: int, block_id: int, ipc: bytes) -> bool:
+        # stores serialized IPC bytes, not pa.Table: a received table is
+        # a zero-copy VIEW over plasma buffers of the put argument, and
+        # returning such views from drain() after a big round stalls for
+        # tens of seconds restoring spilled/evicted backing objects
+        # (measured 33 s at 222k fetched pages). Bytes are owned copies.
+        self._parts[(rnd, block_id)] = ipc
+        return True
+
+    def drain(self, rnd: int) -> list[bytes]:
+        out = [v for (r, _), v in self._parts.items() if r == rnd]
+        self._parts = {k: v for k, v in self._parts.items() if k[0] != rnd}
+        return out
 
 
 def _atomic_write_parquet(ds: rd.Dataset, final_dir: str) -> None:
@@ -228,6 +266,7 @@ def run_crawl_dataset(
             lambda t: t.select(FRONTIER_SCHEMA.names).cast(FRONTIER_SCHEMA),
             batch_format="pyarrow",
         )
+        n_front = int(m["frontier_rows"])
     seed_admitted: list[str] = []
     if frontier_ds is None:
         # seeds (small by definition: the reference's SOURCE_URL list)
@@ -236,9 +275,11 @@ def run_crawl_dataset(
         seeds_t = seeds_t.filter(pa.array(mask))
         seed_admitted = seeds_t["canon_url"].to_pylist()
         frontier_ds = rd.from_arrow(seeds_t)
+        n_front = seeds_t.num_rows
 
     shard_handles = seen.shards  # actor handles — serializable into tasks
     num_shards = seen.num_shards
+    collector = _CtrlCollector.remote()
     fetch_fn = make_fetch_parse_fn(
         web_cfg,
         obey_robots=spec.obey_robots,
@@ -284,6 +325,15 @@ def run_crawl_dataset(
 
     order_frames: list[pd.DataFrame] = []  # (track_order only)
 
+    import time as _time
+
+    def _phase(name: str, t0: float) -> float:
+        """Accumulate driver wall time per phase into res.phase_sec
+        (same ledger contract as driver mode — crawl.py:89)."""
+        t1 = _time.perf_counter()
+        res.phase_sec[name] = res.phase_sec.get(name, 0.0) + (t1 - t0)
+        return t1
+
     for rnd in range(start_round, spec.max_rounds):
 
         def round_fn(g: pa.Table, rnd=rnd) -> pa.Table:
@@ -292,7 +342,10 @@ def run_crawl_dataset(
             in ``fetch_batch_size`` chunks (bounds fragment size +
             in-task memory; chunk composition is deterministic because
             the sort precedes the slicing — round-2 ADVICE) → deferred
-            rows emitted as ``kind="defer"`` control passthrough."""
+            rows emitted as ``kind="defer"`` control passthrough. Small
+            control rows (frag metadata / hstat / ord) go to the
+            collector actor; only page/defer rows enter the dataset."""
+            hb = int(g["hostblock"][0].as_py())
             df = g.drop_columns(["hostblock"]).to_pandas()
             df = df.sort_values(_CONTRACT, kind="mergesort").reset_index(drop=True)
             rk = df.groupby("host", sort=False).cumcount().to_numpy()
@@ -329,22 +382,59 @@ def run_crawl_dataset(
                     .append_column("kind", pa.array(["defer"] * len(defer_df)))
                 )
                 outs.append(_to_ctrl(dt))
-            return pa.concat_tables(outs) if outs else CTRL_SCHEMA.empty_table()
+            ctrl = pa.concat_tables(outs) if outs else CTRL_SCHEMA.empty_table()
+            big_mask = pc.is_in(ctrl["kind"], value_set=pa.array(["page", "defer"]))
+            small_t = ctrl.filter(pc.invert(big_mask))
+            if small_t.num_rows:
+                # synchronous put: the task only completes once the
+                # collector holds its rows (exactly-once, see actor doc)
+                sink = pa.BufferOutputStream()
+                with pa.ipc.new_stream(sink, small_t.schema) as w:
+                    w.write_table(small_t)
+                ray.get(
+                    collector.put.remote(rnd, hb, sink.getvalue().to_pybytes())
+                )
+            return ctrl.filter(big_mask)
 
+        _t = _time.perf_counter()
+        # PARALLELISM CRITICAL: the sort-shuffle partition count (and so
+        # the number of round_fn fetch tasks AND every downstream stage's
+        # task count) follows the INPUT block count. The frontier arrives
+        # as 1-4 blocks (seeds table / union of a few aggregate outputs),
+        # which serialized whole rounds into 1-2 tasks (measured 2083
+        # pages/s before, 64-block repartition restores the fleet).
+        # Rows-per-block picked so blocks ≈ min(nblocks, frontier/2k):
+        # ~2k rows per task up to nblocks tasks (this sandbox pays
+        # ~0.1-0.2 s per task — CLAUDE.md — so splitting a 1.5k-row
+        # seed round 64 ways costs more than it buys), and past
+        # nblocks×2k rows the per-block row count grows so the task
+        # count plateaus at O(nblocks) while block size stays bounded.
+        # target_num_rows_per_block is a STREAMING split (no AllToAll
+        # barrier — a num_blocks= repartition added ~5 s/round of fixed
+        # shuffle-stage cost, measured). (n_front is tracked, never
+        # counted: seeds table size, resume metrics, or the previous
+        # round's materialized nf.count().)
+        target_blocks = max(min(nblocks, -(-n_front // 2048)), -(-n_front // 65536))
         control = (
-            frontier_ds.map_batches(route, batch_format="pyarrow")
+            frontier_ds.repartition(target_blocks)
+            .map_batches(route, batch_format="pyarrow")
             .groupby("hostblock")
             .map_groups(round_fn, batch_format="pyarrow")
             .materialize()
         )
-        # small control-plane rows → driver: fragment metas + host stats
-        # (+ ord rows when track_order) — never page/defer payload rows
-        small = control.map_batches(
-            lambda t: t.filter(
-                pc.invert(pc.is_in(t["kind"], value_set=pa.array(["page", "defer"])))
-            ),
-            batch_format="pyarrow",
-        ).to_pandas()
+        _t = _phase("round_exec", _t)
+        # small control-plane rows → driver via the collector actor
+        # (fragment metas + host stats + ord rows — never page/defer
+        # payload rows, and no second Ray execution over control)
+        parts = ray.get(collector.drain.remote(rnd))
+        small = (
+            pa.concat_tables(
+                [pa.ipc.open_stream(b).read_all() for b in parts]
+            ).to_pandas()
+            if parts
+            else CTRL_SCHEMA.empty_table().to_pandas()
+        )
+        _t = _phase("small_pull", _t)
         if len(small) == 0:  # empty frontier → crawl drained
             res.rounds = rnd
             break
@@ -378,6 +468,7 @@ def run_crawl_dataset(
             .to_dict("records")
         )
         blocked_total = int(hs["n_blocked"].sum()) if len(hs) else 0
+        _t = _phase("commit", _t)
 
         deferred = control.map_batches(
             lambda t: _norm_frontier(t.filter(pc.equal(t["kind"], "defer"))),
@@ -391,7 +482,7 @@ def run_crawl_dataset(
 
         fresh = (
             pages.map_batches(_pack_keys, batch_format="pyarrow")
-            .groupby("canon_url")
+            .groupby(["gk1", "gk2"])
             .aggregate(Min("skey", alias_name="skey"))
             .map_batches(
                 lambda t, rnd=rnd: _unpack_keys(t, rnd + 1), batch_format="pyarrow"
@@ -412,6 +503,13 @@ def run_crawl_dataset(
         # the driver never holds a frontier-sized table
         nf = deferred.union(fresh).materialize()
         n_next = nf.count()
+        _t = _phase("dedup_admit", _t)
+        if os.environ.get("CRAWLKIT_DIST_STATS"):
+            import sys as _sys
+
+            print(f"== round {rnd} control blocks={control.num_blocks()} "
+                  f"nf blocks={nf.num_blocks()} rows={n_next}\n{nf.stats()}",
+                  file=_sys.stderr)
         next_dir = f"{out_dir}/rounds/{rnd}/frontier_ds"
         if n_next:
             _atomic_write_parquet(nf, next_dir)
@@ -428,10 +526,12 @@ def run_crawl_dataset(
         }
         seen.snapshot(ckpt.seen_dir(rnd))
         ckpt.save_round(rnd, None, None, metrics)  # frontier checkpointed above
+        _t = _phase("ckpt", _t)
         res.rounds = rnd + 1
         if n_next == 0:
             break
         frontier_ds = nf
+        n_front = n_next
 
     if track_order:
         res.seen.update(seed_admitted)
