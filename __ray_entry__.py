@@ -126,6 +126,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "median_disc": windows.median_disc,
         "count_distinct_exact": windows.count_distinct_exact,
         "hll_count_distinct": windows.hll_count_distinct,  # rows-only (sketch)
+        # 2-pass Misra-Gries candidates + exact verify — EXACT output
+        "heavy_hitters": windows.heavy_hitters,  # SQL-checked
+        "mode_per_group": windows.mode_per_group,  # SQL-checked
         "j_keyed_range": windows.j_keyed_range,
         "q1_pricing": relational.q1_pricing,
         "u_union": relational.u_union,
@@ -159,6 +162,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- multimodal ---
         "mm_image_features": multimodal.image_features,  # rows-only
         "mm_image_phash_neardup": multimodal.image_phash_neardup,  # rows-only
+        "mm_image_resize": multimodal.image_resize,  # rows-only (PSNR/shape in tests)
+        "mm_image_dedup_exact": multimodal.image_dedup_exact,  # rows-only (brute oracle in tests)
         # --- the crawl engine itself ---
         "crawl_flagship": crawl_flagship,  # rows-only (oracle = refsim in tests)
         "crawl_recrawl": crawl_recrawl,  # rows-only (oracle = refsim prior_seen)

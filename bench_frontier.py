@@ -66,6 +66,10 @@ def main() -> dict:
         out[f"{name}_pages"] = pages
         out[f"{name}_pages_per_sec"] = round(pages / sec, 1)
         out[f"{name}_rounds"] = res.rounds
+        if res.phase_sec:
+            out[f"{name}_phase_sec"] = {
+                k: round(v, 1) for k, v in res.phase_sec.items()
+            }
 
     if mode in ("driver", "both"):
         one(

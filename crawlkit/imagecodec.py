@@ -114,6 +114,60 @@ def _dct_matrix(n: int = 32) -> np.ndarray:
     return _DCT32
 
 
+def box_resize(pixels: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Box-filter resize (h, w, 3) uint8 → (out_h, out_w, 3) uint8.
+
+    True area averaging when downscaling (each output pixel is the mean
+    of its integer source box — anti-aliased, unlike the index-map
+    sampling used for hashes), nearest-neighbor when upscaling a
+    dimension. Pure numpy via two reduceat passes; deterministic."""
+    assert pixels.dtype == np.uint8 and pixels.ndim == 3
+    h, w, c = pixels.shape
+    # integer box edges per output row/col (monotone, cover [0, h))
+    ye = (np.arange(out_h + 1) * h // out_h).clip(0, h)
+    xe = (np.arange(out_w + 1) * w // out_w).clip(0, w)
+    # upscale guard: empty boxes (ye[i]==ye[i+1]) → nearest sample
+    if (np.diff(ye) == 0).any() or (np.diff(xe) == 0).any():
+        yi = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+        xi = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+        return pixels[np.ix_(yi, xi)]
+    acc = np.add.reduceat(pixels.astype(np.float64), ye[:-1], axis=0)
+    acc = np.add.reduceat(acc, xe[:-1], axis=1)
+    area = np.diff(ye)[:, None, None] * np.diff(xe)[None, :, None]
+    return np.rint(acc / area).clip(0, 255).astype(np.uint8)
+
+
+def _gray32(pixels: np.ndarray, n: int = 32) -> np.ndarray:
+    gray = pixels.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    h, w = gray.shape
+    yi = (np.arange(n) * h // n).clip(0, h - 1)
+    xi = (np.arange(n) * w // n).clip(0, w - 1)
+    return gray[np.ix_(yi, xi)]
+
+
+def _bits_to_u64(bits: np.ndarray) -> int:
+    out = np.uint64(0)
+    for b in bits.astype(np.uint64).ravel():
+        out = np.uint64(out << np.uint64(1)) | np.uint64(b)
+    return int(out)
+
+
+def ahash64(pixels: np.ndarray) -> int:
+    """64-bit average hash: 8×8 gray downsample, bit = pixel > mean."""
+    small = _gray32(pixels, 8)
+    return _bits_to_u64(small > small.mean())
+
+
+def dhash64(pixels: np.ndarray) -> int:
+    """64-bit difference hash: 9×8 gray downsample, bit = px[y,x+1] > px[y,x]."""
+    gray = pixels.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    h, w = gray.shape
+    yi = (np.arange(8) * h // 8).clip(0, h - 1)
+    xi = (np.arange(9) * w // 9).clip(0, w - 1)
+    small = gray[np.ix_(yi, xi)]
+    return _bits_to_u64(small[:, 1:] > small[:, :-1])
+
+
 def phash64(pixels: np.ndarray) -> int:
     """64-bit perceptual hash: resize→32×32 gray, 2-D DCT, top-left 8×8
     (skipping DC), bits = coefficient > median."""

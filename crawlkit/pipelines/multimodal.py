@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 from .. import imagecodec
@@ -28,13 +29,18 @@ IMAGE_FEATURES_SCHEMA = pa.schema(
         ("mean_g", pa.int64()),
         ("mean_b", pa.int64()),
         ("phash", pa.int64()),
+        ("ahash", pa.int64()),  # 64-bit average hash
+        ("dhash", pa.int64()),  # 64-bit gradient (difference) hash
         ("thumb", pa.binary()),  # 16×16 PNG thumbnail
     ]
 )
 
 
 def synthetic_images(
-    n: int = 64, config: WebConfig | str = "t1", plant_pairs: int = 0
+    n: int = 64,
+    config: WebConfig | str = "t1",
+    plant_pairs: int = 0,
+    plant_exact: int = 0,
 ) -> rd.Dataset:
     """A deterministic images table in EXACTLY the input_hint shape
     (image_id, bytes, w, h, fmt, caption, phash) — stands in for reading
@@ -45,16 +51,26 @@ def synthetic_images(
     base images, a perceptually-near-duplicate row (``<id>-dup``: one
     pixel LSB-flipped, re-encoded PNG) so near-dup pipelines over this
     fixture have real pairs to find (round-2 VERDICT 'What's missing'
-    #2 — distinct synthetic images are phash-far by construction)."""
+    #2 — distinct synthetic images are phash-far by construction).
+
+    ``plant_exact``: additionally derive, for the first ``plant_exact``
+    base images, a BYTE-IDENTICAL copy row (``<id>-copy``) — the fixture
+    for exact content-digest dedup (distinct synthetic images never
+    collide by construction)."""
     ids = [f"img-mm-{i}" for i in range(n)]
     ids += [f"img-mm-{i}-dup" for i in range(min(plant_pairs, n))]
+    ids += [f"img-mm-{i}-copy" for i in range(min(plant_exact, n))]
     id_slices = [ids[i : i + 16] for i in range(0, len(ids), 16)]
 
     def gen(batch: pa.Table) -> pa.Table:
         w = SynthWeb(config)
         recs = []
         for iid in batch["image_id"].to_pylist():
-            if iid.endswith("-dup"):
+            if iid.endswith("-copy"):
+                base = dict(w.image_record(iid[: -len("-copy")]))
+                base["image_id"] = iid  # bytes/fmt/phash identical
+                recs.append(base)
+            elif iid.endswith("-dup"):
                 base = dict(w.image_record(iid[: -len("-dup")]))
                 px = imagecodec.decode(base["bytes"], base["fmt"]).copy()
                 px[0, 0, 0] ^= 1  # one LSB — perceptually identical
@@ -107,6 +123,8 @@ class ImageFeatures:
                     "mean_g": int(mean[1] * 1000),
                     "mean_b": int(mean[2] * 1000),
                     "phash": np.int64(np.uint64(imagecodec.phash64(px))).item(),
+                    "ahash": np.int64(np.uint64(imagecodec.ahash64(px))).item(),
+                    "dhash": np.int64(np.uint64(imagecodec.dhash64(px))).item(),
                     "thumb": imagecodec.encode_png(thumb),
                 }
             )
@@ -191,6 +209,137 @@ def image_phash_neardup(
         .aggregate(Min("hamming", alias_name="hamming"))
     )
     return pandas_with_schema(out, {"id_a": "object", "id_b": "object", "hamming": "int64"})
+
+
+# --- resize / re-encode -------------------------------------------------
+
+
+RESIZE_SCHEMA = pa.schema(
+    [
+        ("image_id", pa.string()),
+        ("src_w", pa.int32()),
+        ("src_h", pa.int32()),
+        ("out_w", pa.int32()),
+        ("out_h", pa.int32()),
+        ("bytes", pa.binary()),  # re-encoded PNG at the target size
+    ]
+)
+
+
+class ImageResize:
+    """Actor-pool resize stage: decode → box-filter (area-average)
+    resample → re-encode PNG. Real end to end (the PNG codec is real —
+    imagecodec.py); keep ``batch_size`` small, each row is a full image.
+
+    At 100 TB the same stage runs unchanged: binary-in/binary-out over
+    zero-copy Arrow batches, setup (codec dispatch) once per actor."""
+
+    def __init__(self, out_h: int = 64, out_w: int = 64):
+        self.out_h, self.out_w = out_h, out_w
+        self.decode = imagecodec.decode
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        rows = []
+        for iid, data, fmt in zip(
+            t["image_id"].to_pylist(), t["bytes"].to_pylist(), t["fmt"].to_pylist()
+        ):
+            px = self.decode(data, fmt)
+            small = imagecodec.box_resize(px, self.out_h, self.out_w)
+            rows.append(
+                {
+                    "image_id": iid,
+                    "src_w": px.shape[1],
+                    "src_h": px.shape[0],
+                    "out_w": small.shape[1],
+                    "out_h": small.shape[0],
+                    "bytes": imagecodec.encode_png(small),
+                }
+            )
+        return pa.Table.from_pylist(rows, schema=RESIZE_SCHEMA)
+
+
+def image_resize(
+    sf_dir: str | None = None, n: int = 64, out_h: int = 64, out_w: int = 64
+) -> rd.Dataset:
+    """Resize pipeline over the synthetic images table (sf_dir unused —
+    no image table in the driver testdata; accepted for queries()
+    signature compatibility)."""
+    return synthetic_images(n).map_batches(
+        ImageResize,
+        fn_constructor_kwargs={"out_h": out_h, "out_w": out_w},
+        batch_format="pyarrow",
+        batch_size=8,
+        concurrency=2,
+        max_restarts=0,
+    )
+
+
+# --- exact content-digest dedup ----------------------------------------
+
+
+def image_dedup_exact(
+    sf_dir: str | None = None, n: int = 64, plant_copies: int = 6
+) -> rd.Dataset:
+    """Exact image dedup: 128-bit blake2b digest of the encoded bytes,
+    groupby(digest int64-views — 16 fixed bytes/row, same shuffle-key
+    pattern as dedup_exact_first/crawl_dist), keep the MIN image_id per
+    group, emit groups with ≥2 members as (image_id, n_copies).
+
+    The digest is computed where the bytes already live (map_batches) —
+    only 16-byte keys + ids enter the shuffle, never image payloads:
+    the shape that matters at 100 TB of images."""
+    import hashlib
+
+    from ray.data.aggregate import Count, Min
+
+    imgs = synthetic_images(n, plant_exact=plant_copies).select_columns(
+        ["image_id", "bytes"]
+    )
+
+    def digest(t: pa.Table) -> pa.Table:
+        data = t["bytes"].to_pylist()
+        hi = np.empty(len(data), dtype=np.uint64)
+        lo = np.empty(len(data), dtype=np.uint64)
+        blake = hashlib.blake2b
+        for i, b in enumerate(data):
+            d = blake(b, digest_size=16).digest()
+            hi[i] = int.from_bytes(d[:8], "little")
+            lo[i] = int.from_bytes(d[8:], "little")
+        return pa.table(
+            {
+                "image_id": t["image_id"],
+                # int64 views: Ray's sort-shuffle boundary sampling
+                # overflows on uint64 (see relational.py dedup_exact)
+                "d1": pa.array(hi.view(np.int64)),
+                "d2": pa.array(lo.view(np.int64)),
+            }
+        )
+
+    grouped = (
+        imgs.map_batches(digest, batch_format="pyarrow")
+        .groupby(["d1", "d2"])
+        .aggregate(Min("image_id", alias_name="image_id"), Count(alias_name="n_copies"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:  # empty hash partition
+            return pa.schema(
+                [("image_id", pa.string()), ("n_copies", pa.int64())]
+            ).empty_table()
+        t = t.filter(pc.greater(t["n_copies"], 1))
+        return t.select(["image_id", "n_copies"]).cast(
+            pa.schema([("image_id", pa.string()), ("n_copies", pa.int64())])
+        )
+
+    from .dedup import pandas_with_schema
+
+    # small result (duplicate groups only) → schema-pinned pandas: an
+    # all-empty Dataset would otherwise surface as ZERO columns
+    # (map_batches skips empty blocks — CLAUDE.md)
+    return pandas_with_schema(
+        grouped.map_batches(finish, batch_format="pyarrow"),
+        {"image_id": "object", "n_copies": "int64"},
+    )
 
 
 # --- stubs for codecs absent in the sandbox -----------------------------

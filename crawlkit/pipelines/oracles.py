@@ -176,6 +176,17 @@ ORACLE_SQL: dict[str, str] = {
     "count_distinct_exact": """
         SELECT event_type, COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY event_type
     """,
+    "heavy_hitters": """
+        SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id
+        HAVING COUNT(*) * 200 > (SELECT COUNT(*) FROM events)
+    """,
+    "mode_per_group": """
+        SELECT event_type, CAST(user_id AS BIGINT) AS mode_user, cnt FROM (
+            SELECT event_type, user_id, COUNT(*) AS cnt
+            FROM events GROUP BY event_type, user_id
+        )
+        QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY cnt DESC, user_id) = 1
+    """,
     "j_keyed_range": """
         SELECT l_orderkey, COUNT(*) AS n_shipped
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey

@@ -261,6 +261,100 @@ def hll_count_distinct(sf_dir: str, p: int = 12) -> pd.DataFrame:
     return out.to_pandas().sort_values("event_type").reset_index(drop=True)
 
 
+def heavy_hitters(sf_dir: str, k: int = 200) -> rd.Dataset:
+    """EXACT heavy hitters (users with freq > n/k) via the classic
+    2-pass candidate/verify shape:
+
+    pass 1 — per-batch candidate generation: every user whose count in
+    the batch exceeds ``n_batch/k`` (the Misra-Gries guarantee computed
+    exactly since the batch is in memory — ≤ k candidates per batch).
+    By averaging, any user with GLOBAL freq > n/k must exceed the local
+    threshold in at least one batch, so the union of per-batch
+    candidates is a superset of the true answer: ≤ k × n_batches ids on
+    the driver, never a full groupby of the raw column.
+
+    pass 2 — broadcast the candidate set (ray.put), exact partial
+    counts of candidates only inside map_batches, tiny groupby sum,
+    integer threshold ``cnt * k > n``. Output is EXACT (SQL-checked) —
+    the sketch only prunes the shuffle from |distinct| to |candidates|.
+    """
+    import ray
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    n = ds.count()  # metadata-only for parquet
+
+    def candidates(t: pa.Table) -> pa.Table:
+        vals = t["user_id"].to_numpy()
+        uniq, cnt = np.unique(vals, return_counts=True)
+        # strict local analogue of the global threshold: cnt*k > n_batch
+        keep = cnt.astype(np.int64) * k > len(vals)
+        return pa.table({"user_id": pa.array(uniq[keep])})
+
+    cand = np.unique(
+        ds.map_batches(candidates, batch_format="pyarrow")
+        .to_pandas()["user_id"]
+        .to_numpy()
+    )
+    ref = ray.put(cand)
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        vals = t["user_id"].to_numpy()
+        vals = vals[np.isin(vals, c)]
+        uniq, cnt = np.unique(vals, return_counts=True)
+        return pa.table(
+            {"user_id": pa.array(uniq), "cnt": pa.array(cnt.astype(np.int64))}
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def thresh(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.schema(
+                [("user_id", pa.int64()), ("cnt", pa.int64())]
+            ).empty_table()
+        return t.filter(pc.greater(pc.multiply(t["cnt"], pa.scalar(k, pa.int64())), pa.scalar(n, pa.int64())))
+
+    return agg.map_batches(thresh, batch_format="pyarrow")
+
+
+def mode_per_group(sf_dir: str) -> rd.Dataset:
+    """Per-group mode: the most frequent user per event_type (ties →
+    smallest user_id). Partial (event_type, user_id) counts per batch →
+    groupby sum → per-type argmax in a tiny map_groups — the raw rows
+    never shuffle, only (type, user, cnt) triples."""
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["event_type", "user_id"])
+            .aggregate([("user_id", "count")])
+            .rename_columns(["event_type", "user_id", "cnt"])
+        )
+
+    def argmax(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cnt", "user_id"], ascending=[False, True])
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "mode_user": [int(g["user_id"].iloc[0])],
+                "cnt": [int(g["cnt"].iloc[0])],
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "user_id"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .groupby("event_type")
+        .map_groups(argmax, batch_format="pandas")
+    )
+
+
 def j_keyed_range(sf_dir: str, days: int = 30) -> rd.Dataset:
     """Keyed range join: per order, count lineitems shipped within
     [o_orderdate, o_orderdate + days). Hash-join on the key, range

@@ -103,3 +103,47 @@ def test_image_phash_neardup_planted_pairs():
     pairs = _pdf(multimodal.image_phash_neardup(n=16, max_hamming=10, plant_pairs=3))
     got = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
     assert {(f"img-mm-{i}", f"img-mm-{i}-dup") for i in range(3)} <= got
+
+
+def test_image_resize_pipeline():
+    """Resize stage: output PNG decodes at the target shape and equals a
+    driver-side box_resize of the same source (byte-deterministic)."""
+    from crawlkit.synthweb import SynthWeb
+
+    out = multimodal.image_resize(n=8, out_h=24, out_w=24).to_pandas().set_index("image_id")
+    assert len(out) == 8
+    web = SynthWeb("t1")
+    for iid in list(out.index)[:3]:
+        px = imagecodec.decode(web.image_record(iid)["bytes"])
+        got = imagecodec.decode_png(out.loc[iid, "bytes"])
+        assert got.shape == (24, 24, 3)
+        assert np.array_equal(got, imagecodec.box_resize(px, 24, 24))
+        assert out.loc[iid, "src_h"] == px.shape[0]
+
+
+def test_image_dedup_exact_planted_copies():
+    """Exact content-digest dedup finds exactly the planted byte-copies:
+    brute-force oracle = driver-side digest of the same synthetic set."""
+    got = _pdf(multimodal.image_dedup_exact(n=24, plant_copies=5))
+    got = got.sort_values("image_id").reset_index(drop=True)
+    # oracle: every planted group is (img-mm-i, img-mm-i-copy) — the
+    # min id is the base, n_copies == 2; no other collisions exist
+    assert list(got["image_id"]) == [f"img-mm-{i}" for i in sorted(range(5), key=str)]
+    assert (got["n_copies"] == 2).all()
+
+
+def test_image_dedup_exact_no_copies_empty():
+    got = _pdf(multimodal.image_dedup_exact(n=12, plant_copies=0))
+    assert len(got) == 0 and list(got.columns) == ["image_id", "n_copies"]
+
+
+def test_image_features_hash_columns():
+    """ahash/dhash columns match the codec functions on decoded pixels."""
+    from crawlkit.synthweb import SynthWeb
+
+    feats = multimodal.image_features(n=6).to_pandas().set_index("image_id")
+    web = SynthWeb("t1")
+    for iid in list(feats.index)[:3]:
+        px = imagecodec.decode(web.image_record(iid)["bytes"])
+        assert feats.loc[iid, "ahash"] == np.int64(np.uint64(imagecodec.ahash64(px)))
+        assert feats.loc[iid, "dhash"] == np.int64(np.uint64(imagecodec.dhash64(px)))

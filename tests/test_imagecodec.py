@@ -56,3 +56,42 @@ def test_image_record_invariants():
             assert imagecodec.psnr(src, dec) >= 40.0
         assert rec["caption"] == web.caption(iid)
         assert rec["phash"] == np.int64(np.uint64(imagecodec.phash64(dec))).item()
+
+
+def test_box_resize_area_average_exact():
+    """Downscale by integer factor → each output pixel is exactly the
+    rounded mean of its source box."""
+    px = _pix(8, 8, 11)
+    out = imagecodec.box_resize(px, 4, 4)
+    assert out.shape == (4, 4, 3)
+    want = np.rint(
+        px.reshape(4, 2, 4, 2, 3).astype(np.float64).mean(axis=(1, 3))
+    ).astype(np.uint8)
+    assert np.array_equal(out, want)
+
+
+def test_box_resize_upscale_nearest():
+    px = _pix(4, 4, 12)
+    out = imagecodec.box_resize(px, 8, 8)
+    assert out.shape == (8, 8, 3)
+    assert np.array_equal(out[::2, ::2], px)  # nearest keeps source samples
+
+
+def test_box_resize_non_integer_ratio():
+    px = _pix(50, 37, 13)
+    out = imagecodec.box_resize(px, 16, 16)
+    assert out.shape == (16, 16, 3) and out.dtype == np.uint8
+    # global mean preserved within quantization error
+    assert abs(float(out.mean()) - float(px.mean())) < 8.0
+
+
+def test_ahash_dhash_stability_and_similarity():
+    px = _pix(64, 64, 14)
+    for fn in (imagecodec.ahash64, imagecodec.dhash64):
+        h1 = fn(px)
+        assert h1 == fn(px.copy())
+        noisy = px.copy()
+        noisy[0, 0, 0] ^= 1  # one LSB
+        other = _pix(64, 64, 15)
+        assert imagecodec.hamming64(h1, fn(noisy)) <= 4
+        assert imagecodec.hamming64(h1, fn(other)) > 10
