@@ -112,7 +112,7 @@ def _lloyd_centroids(sample: np.ndarray, nlist: int, iters: int = 5) -> np.ndarr
 
 
 def knn_ivf(
-    sf_dir: str, k: int = 10, query_every: int = 50, nlist: int = 16, nprobe: int = 4
+    sf_dir: str, k: int = 10, query_every: int = 50, nlist: int = 16, nprobe: int = 8
 ) -> rd.Dataset:
     """IVF ANN: probe the nprobe nearest inverted lists only.
 

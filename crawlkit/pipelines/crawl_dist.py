@@ -75,7 +75,19 @@ _CONTRACT = SORT_KEYS + ["url"]  # (depth, seed_id, priority, host, canon_url, u
 
 # control-row schema of the fused round stage: the fetch stage's slim
 # union plus ``round_added`` (carried by deferred/ord passthrough rows)
-CTRL_SCHEMA = pa.schema(list(SLIM_UNION_SCHEMA) + [pa.field("round_added", pa.int32())])
+# and the packed-page key columns (kind="page" rows carry ONLY
+# gk1/gk2/skey — discovered pages are packed and locally deduped inside
+# round_fn, so the materialized control set and the dedup shuffle never
+# see full page rows; at 1M URLs this halved the dedup_admit phase)
+CTRL_SCHEMA = pa.schema(
+    list(SLIM_UNION_SCHEMA)
+    + [
+        pa.field("round_added", pa.int32()),
+        pa.field("gk1", pa.int64()),
+        pa.field("gk2", pa.int64()),
+        pa.field("skey", pa.string()),
+    ]
+)
 
 # lexicographic packing layout: zero-padded widths for the numeric
 # fields (f"{x:0Nd}" ordering == numeric ordering ONLY for non-negative
@@ -383,6 +395,27 @@ def run_crawl_dataset(
                 )
                 outs.append(_to_ctrl(dt))
             ctrl = pa.concat_tables(outs) if outs else CTRL_SCHEMA.empty_table()
+            # discovered pages: pack NOW (where the rows already are) and
+            # pre-combine per task — min skey per digest, a vectorized
+            # C++ group_by. A host's pages link to each other and all of
+            # a host lands in this one task, so most duplicate
+            # discoveries collapse HERE instead of riding the shuffle.
+            page_mask = pc.equal(ctrl["kind"], "page")
+            pages_t = ctrl.filter(page_mask)
+            packed = None
+            if pages_t.num_rows:
+                pk = _pack_keys(pages_t)
+                pk = pk.group_by(["gk1", "gk2"]).aggregate([("skey", "min")])
+                packed = _to_ctrl(
+                    pa.table(
+                        {
+                            "kind": pa.array(["page"] * pk.num_rows),
+                            "gk1": pk["gk1"],
+                            "gk2": pk["gk2"],
+                            "skey": pk["skey_min"],
+                        }
+                    )
+                )
             big_mask = pc.is_in(ctrl["kind"], value_set=pa.array(["page", "defer"]))
             small_t = ctrl.filter(pc.invert(big_mask))
             if small_t.num_rows:
@@ -394,7 +427,10 @@ def run_crawl_dataset(
                 ray.get(
                     collector.put.remote(rnd, hb, sink.getvalue().to_pybytes())
                 )
-            return ctrl.filter(big_mask)
+            defer_t = ctrl.filter(pc.equal(ctrl["kind"], "defer"))
+            if packed is not None:
+                return pa.concat_tables([packed, defer_t])
+            return defer_t
 
         _t = _time.perf_counter()
         # PARALLELISM CRITICAL: the sort-shuffle partition count (and so
@@ -427,6 +463,7 @@ def run_crawl_dataset(
         # (fragment metas + host stats + ord rows — never page/defer
         # payload rows, and no second Ray execution over control)
         parts = ray.get(collector.drain.remote(rnd))
+        _t = _phase("small_drain", _t)
         small = (
             pa.concat_tables(
                 [pa.ipc.open_stream(b).read_all() for b in parts]
@@ -434,7 +471,7 @@ def run_crawl_dataset(
             if parts
             else CTRL_SCHEMA.empty_table().to_pandas()
         )
-        _t = _phase("small_pull", _t)
+        _t = _phase("small_parse", _t)
         if len(small) == 0:  # empty frontier → crawl drained
             res.rounds = rnd
             break
@@ -474,15 +511,18 @@ def run_crawl_dataset(
             lambda t: _norm_frontier(t.filter(pc.equal(t["kind"], "defer"))),
             batch_format="pyarrow",
         )
-        # pages → per-canon first-wins dedup → in-task admission
+        # pages (already packed + task-combined in round_fn) →
+        # per-canon first-wins dedup → in-task admission
         pages = control.map_batches(
-            lambda t: t.filter(pc.equal(t["kind"], "page")), batch_format="pyarrow"
+            lambda t: t.filter(pc.equal(t["kind"], "page")).select(
+                ["gk1", "gk2", "skey"]
+            ),
+            batch_format="pyarrow",
         )
         from ray.data.aggregate import Min
 
         fresh = (
-            pages.map_batches(_pack_keys, batch_format="pyarrow")
-            .groupby(["gk1", "gk2"])
+            pages.groupby(["gk1", "gk2"])
             .aggregate(Min("skey", alias_name="skey"))
             .map_batches(
                 lambda t, rnd=rnd: _unpack_keys(t, rnd + 1), batch_format="pyarrow"

@@ -47,11 +47,11 @@ def test_knn_ivf_recall():
     recalls = []
     for qid, grp in got.groupby("query_id"):
         recalls.append(len(set(grp["neighbor_id"]) & set(want[qid])) / 10)
-    # unbiased hash-sampled centroids measure 0.64-0.65 at sf0.001/0.01
-    # (random gaussian vectors — the hard, clusterless case); 0.55 bar
-    # leaves noise margin while pinning the r2 improvement over the old
-    # head-of-file-biased sample
-    assert np.mean(recalls) >= 0.55
+    # r3 sweep at sf0.01 (clusterless gaussian vectors — the hard case;
+    # within-label cos 0.02): nprobe 4/6/8 of nlist 16 → 0.65/0.75/0.85
+    # mean recall, deterministic (fixed seeds). Default nprobe=8 → 0.7
+    # bar with margin; recall here is geometry-bound, not centroid-bound
+    assert np.mean(recalls) >= 0.7
 
 
 def test_image_features_real_decode():
