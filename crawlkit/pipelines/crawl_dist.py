@@ -4,23 +4,27 @@
 polars frame: correct and fast at sandbox scale, but at 10^10 URLs the
 deferred frontier alone exceeds driver RAM (round-1 VERDICT "What's
 missing" #4). This module runs the SAME round semantics with the
-frontier as a Ray ``Dataset`` end to end, TWO shuffles per round
-(round-2 VERDICT #1 fused the former separate budget + fetch-routing
-exchanges into one):
+frontier as a Ray ``Dataset`` end to end, ONE shuffle per round
+(round-2 VERDICT #1 fused the budget + fetch-routing exchanges; round 3
+replaced the duplicate-discovery dedup shuffle with the seen-shard
+propose/resolve exchange — seenset.py ``SeenShard.propose``):
 
     frontier parquet → map_batches(host-hash → hostblock) →
     groupby(hostblock).map_groups(FUSED round stage: per-host contract
     sort + top-``budget`` issued/deferred split + chunked fused fetch —
     robots/retry/extract/normalize with entry/image/log fragments
-    written in-task; deferred rows pass through as ``kind="defer"``
-    control rows)                                        [shuffle 1]
-    → control rows → pages → per-canon first-wins dedup (PACKED-KEY
-    groupby(digest int64-views).aggregate(Min) — 16-byte fixed group
-    keys, no per-group pandas at million-group scale)    [shuffle 2]
-    → dedup-admit (seen-shard actor calls FROM INSIDE map_batches
-    tasks, batched per shard) → union(deferred) → next frontier parquet
-    (written to a temp dir + atomic rename: a replayed half-finished
-    round REPLACES rather than appends — resume never doubles rows).
+    written in-task; discovered pages packed to (digest, skey),
+    task-locally min-combined and PROPOSED to the owning seen shards;
+    deferred rows pass through as ``kind="defer"`` control
+    rows)                                                [shuffle 1]
+    → round barrier (materialize) → RESOLVE: each shard admits its
+    never-seen proposed digests (exact, atomic, first-wins by min
+    packed key — no sort shuffle, the shards already partition by the
+    digest route) and returns the winning rows as owned Arrow tables
+    whose REFS feed ``from_arrow_refs`` → unpack → union(deferred) →
+    next frontier parquet (written to a temp dir + atomic rename: a
+    replayed half-finished round REPLACES rather than appends — resume
+    never doubles rows).
 
 Driver state per round: fragment-manifest metadata + per-host stat rows
 (both O(hosts), not O(frontier)). Ordering contract: with the default
@@ -74,20 +78,11 @@ _SEP = "\x1f"  # sorts below every printable char → tuple-order preserving
 _CONTRACT = SORT_KEYS + ["url"]  # (depth, seed_id, priority, host, canon_url, url)
 
 # control-row schema of the fused round stage: the fetch stage's slim
-# union plus ``round_added`` (carried by deferred/ord passthrough rows)
-# and the packed-page key columns (kind="page" rows carry ONLY
-# gk1/gk2/skey — discovered pages are packed and locally deduped inside
-# round_fn, so the materialized control set and the dedup shuffle never
-# see full page rows; at 1M URLs this halved the dedup_admit phase)
-CTRL_SCHEMA = pa.schema(
-    list(SLIM_UNION_SCHEMA)
-    + [
-        pa.field("round_added", pa.int32()),
-        pa.field("gk1", pa.int64()),
-        pa.field("gk2", pa.int64()),
-        pa.field("skey", pa.string()),
-    ]
-)
+# union plus ``round_added`` (carried by deferred/ord passthrough rows).
+# Discovered pages never enter the control dataset at all — they are
+# packed, task-locally min-combined and PROPOSED to the seen-shard
+# exchange inside round_fn (see the module docstring).
+CTRL_SCHEMA = pa.schema(list(SLIM_UNION_SCHEMA) + [pa.field("round_added", pa.int32())])
 
 # lexicographic packing layout: zero-padded widths for the numeric
 # fields (f"{x:0Nd}" ordering == numeric ordering ONLY for non-negative
@@ -312,26 +307,6 @@ def run_crawl_dataset(
         hb = (hash64_np(uniq, salt="hostroute") % np.uint64(nblocks)).astype(np.int64)
         return t.append_column("hostblock", pa.array(hb[inverse]))
 
-    def admit(t: pa.Table) -> pa.Table:
-        """Dedup-admit INSIDE the task: route this batch's digests to
-        the owning seen shards (one batched call per shard)."""
-        if t.num_rows == 0:
-            return t
-        d = np.stack(
-            [t["digest_hi"].to_numpy(), t["digest_lo"].to_numpy()], axis=1
-        ).astype(np.uint64)
-        route_s = (d[:, 0] % np.uint64(num_shards)).astype(np.int64)
-        keep = np.zeros(len(d), dtype=bool)
-        futs, idxs = [], []
-        for s in range(num_shards):
-            ix = np.nonzero(route_s == s)[0]
-            if len(ix):
-                futs.append(shard_handles[s].check_and_add.remote(d[ix]))
-                idxs.append(ix)
-        for ix, m in zip(idxs, ray.get(futs)):
-            keep[ix] = m
-        return t.filter(pa.array(keep)).drop_columns(["digest_hi", "digest_lo"])
-
     def _norm_frontier(t: pa.Table) -> pa.Table:
         return t.select(FRONTIER_SCHEMA.names).cast(FRONTIER_SCHEMA)
 
@@ -395,27 +370,31 @@ def run_crawl_dataset(
                 )
                 outs.append(_to_ctrl(dt))
             ctrl = pa.concat_tables(outs) if outs else CTRL_SCHEMA.empty_table()
-            # discovered pages: pack NOW (where the rows already are) and
-            # pre-combine per task — min skey per digest, a vectorized
-            # C++ group_by. A host's pages link to each other and all of
-            # a host lands in this one task, so most duplicate
-            # discoveries collapse HERE instead of riding the shuffle.
+            # discovered pages: pack NOW (where the rows already are),
+            # pre-combine per task (min skey per digest, a vectorized
+            # C++ group_by — a host's pages link to each other and all
+            # of a host lands in this one task, so most duplicate
+            # discoveries collapse here), then PROPOSE to the owning
+            # seen shards. Synchronous ray.get = the proposals are in
+            # the exchange before this task counts as complete, so the
+            # materialize() barrier below also barriers the exchange.
             page_mask = pc.equal(ctrl["kind"], "page")
             pages_t = ctrl.filter(page_mask)
-            packed = None
             if pages_t.num_rows:
                 pk = _pack_keys(pages_t)
                 pk = pk.group_by(["gk1", "gk2"]).aggregate([("skey", "min")])
-                packed = _to_ctrl(
-                    pa.table(
-                        {
-                            "kind": pa.array(["page"] * pk.num_rows),
-                            "gk1": pk["gk1"],
-                            "gk2": pk["gk2"],
-                            "skey": pk["skey_min"],
-                        }
-                    )
+                pk = pa.table(
+                    {"gk1": pk["gk1"], "gk2": pk["gk2"], "skey": pk["skey_min"]}
                 )
+                route_p = (
+                    pk["gk1"].to_numpy().view(np.uint64) % np.uint64(num_shards)
+                ).astype(np.int64)
+                futs = [
+                    shard_handles[s].propose.remote(pk.filter(pa.array(route_p == s)))
+                    for s in range(num_shards)
+                    if (route_p == s).any()
+                ]
+                ray.get(futs)
             big_mask = pc.is_in(ctrl["kind"], value_set=pa.array(["page", "defer"]))
             small_t = ctrl.filter(pc.invert(big_mask))
             if small_t.num_rows:
@@ -427,10 +406,7 @@ def run_crawl_dataset(
                 ray.get(
                     collector.put.remote(rnd, hb, sink.getvalue().to_pybytes())
                 )
-            defer_t = ctrl.filter(pc.equal(ctrl["kind"], "defer"))
-            if packed is not None:
-                return pa.concat_tables([packed, defer_t])
-            return defer_t
+            return ctrl.filter(pc.equal(ctrl["kind"], "defer"))
 
         _t = _time.perf_counter()
         # PARALLELISM CRITICAL: the sort-shuffle partition count (and so
@@ -511,23 +487,18 @@ def run_crawl_dataset(
             lambda t: _norm_frontier(t.filter(pc.equal(t["kind"], "defer"))),
             batch_format="pyarrow",
         )
-        # pages (already packed + task-combined in round_fn) →
-        # per-canon first-wins dedup → in-task admission
-        pages = control.map_batches(
-            lambda t: t.filter(pc.equal(t["kind"], "page")).select(
-                ["gk1", "gk2", "skey"]
-            ),
-            batch_format="pyarrow",
-        )
-        from ray.data.aggregate import Min
-
+        # fresh frontier: resolve the round's proposal exchange — each
+        # shard admits its never-seen proposed digests (exact, atomic)
+        # and returns the winning packed rows as an owned Arrow table.
+        # Only REFS flow through the driver (from_arrow_refs); the rows
+        # go straight from shard actors into the next pipeline's tasks.
         fresh = (
-            pages.groupby(["gk1", "gk2"])
-            .aggregate(Min("skey", alias_name="skey"))
+            rd.from_arrow_refs(
+                [s.resolve_admit.remote() for s in shard_handles]
+            )
             .map_batches(
                 lambda t, rnd=rnd: _unpack_keys(t, rnd + 1), batch_format="pyarrow"
             )
-            .map_batches(admit, batch_format="pyarrow")
             .map_batches(_norm_frontier, batch_format="pyarrow")
         )
         if track_order:

@@ -307,6 +307,7 @@ class SeenShard:
     def __init__(self, shard_id: int, capacity: int = 1 << 20):
         self.shard_id = shard_id
         self.state = SeenShardState(capacity)
+        self._prop: dict[bytes, str] = {}  # round-scoped digest → min skey
 
     def check_and_add(self, digests: np.ndarray) -> np.ndarray:
         return self.state.check_and_add(digests)
@@ -316,6 +317,54 @@ class SeenShard:
 
     def size(self) -> int:
         return len(self.state)
+
+    # --- propose/resolve: the shard doubles as a min-key exchange --------
+    #
+    # The distributed-frontier crawl must pick, among a round's duplicate
+    # discoveries of one URL, the row with the MIN packed sort key
+    # (deterministic first-wins — crawl_dist.py). Expressing that as a
+    # Dataset groupby costs a full sort shuffle per round; but the seen
+    # shards already partition by the same digest route, so the round
+    # tasks can PROPOSE (digest → min skey, an idempotent commutative
+    # min-merge, safe under Ray task retries) and the driver RESOLVES
+    # once per round after the round barrier: admission (check_and_add)
+    # + winning-row return in one batched call per shard. This is the
+    # "shared mutable index" case where an actor beats a shuffle: no
+    # sort, no extra materialization, communication volume identical.
+    # Proposal memory is O(round's fresh unique URLs / num_shards) and
+    # is freed at resolve; the documented scale hatch is spilling the
+    # proposal dict to digest-sorted runs like the exact store.
+
+    def propose(self, t: "pa.Table") -> bool:
+        """Min-merge (gk1, gk2 int64-view digest, skey) rows into the
+        round's proposal map. Idempotent; within-batch dups fine."""
+        hi = t["gk1"].to_numpy().view(np.uint64)
+        lo = t["gk2"].to_numpy().view(np.uint64)
+        keys = SeenShardState._keys(np.stack([hi, lo], axis=1))
+        skeys = t["skey"].to_pylist()
+        d = self._prop
+        for k, s in zip(keys, skeys):
+            cur = d.get(k)
+            if cur is None or s < cur:
+                d[k] = s
+        return True
+
+    def resolve_admit(self) -> "pa.Table":
+        """End-of-round: admit never-seen proposed digests into the seen
+        set and return their winning skeys (owned Arrow table → object
+        store; the driver passes the REF into from_arrow_refs, the rows
+        never land on the driver). Clears the proposal map."""
+        if not self._prop:
+            return pa.table({"skey": pa.array([], pa.string())})
+        keys = list(self._prop.keys())
+        skeys = list(self._prop.values())
+        d = np.frombuffer(b"".join(keys), dtype=np.uint64).reshape(-1, 2)
+        mask = self.state.check_and_add(d)
+        out = pa.table(
+            {"skey": pa.array([s for s, m in zip(skeys, mask) if m], pa.string())}
+        )
+        self._prop = {}
+        return out
 
     def snapshot(self, path: str) -> int:
         return self.state.snapshot(path)
