@@ -129,6 +129,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # 2-pass Misra-Gries candidates + exact verify — EXACT output
         "heavy_hitters": windows.heavy_hitters,  # SQL-checked
         "mode_per_group": windows.mode_per_group,  # SQL-checked
+        # mergeable weighted-sample sketch; rank-error bound in tests
+        "approx_quantile": windows.approx_quantile,  # rows-only (approximate)
         "j_keyed_range": windows.j_keyed_range,
         "q1_pricing": relational.q1_pricing,
         "u_union": relational.u_union,
@@ -136,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s_intersect": relational.s_intersect,
         "sample_deterministic": relational.sample_deterministic,
         # --- text analysis (SQL-checked where exact) ---
+        "text_redact": text.redact,  # SQL-checked (same RE2 class both sides)
         "text_token_count": text.token_count,
         "text_bpe_token_count": text.bpe_ish_token_count,
         "text_quality_counts": text.quality_counts,

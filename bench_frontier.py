@@ -79,11 +79,12 @@ def main() -> dict:
                 k: round(v, 1) for k, v in res.phase_sec.items()
             }
 
+    nshards = int(os.environ.get("GRAFT_SEEN_SHARDS", "8"))
     if mode in ("driver", "both"):
         one(
             "driver",
             lambda d: run_crawl(
-                profile, spec=spec, out_dir=d, num_seen_shards=8,
+                profile, spec=spec, out_dir=d, num_seen_shards=nshards,
                 fetch_concurrency=max(4, num_cpus - 4), fetch_batch_size=64,
                 track_order=False,
             ),
@@ -94,7 +95,7 @@ def main() -> dict:
         one(
             "dataset",
             lambda d: run_crawl_dataset(
-                profile, spec=spec, out_dir=d, num_seen_shards=8,
+                profile, spec=spec, out_dir=d, num_seen_shards=nshards,
                 nblocks=nblocks, fetch_batch_size=64,
             ),
         )

@@ -194,6 +194,13 @@ ORACLE_SQL: dict[str, str] = {
           AND l_shipdate < o_orderdate + INTERVAL 30 DAY
         GROUP BY l_orderkey
     """,
+    "text_redact": r"""
+        SELECT doc_id,
+               regexp_replace(
+                   regexp_replace(text, '[A-Za-z0-9.%+-]+@[A-Za-z0-9.-]+', '<email>', 'g'),
+                   '[0-9]+', '#', 'g') AS redacted
+        FROM documents
+    """,
     "text_token_count": r"""
         SELECT doc_id,
                len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_tokens

@@ -52,6 +52,22 @@ def bpe_ish_token_count(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def redact(sf_dir: str) -> rd.Dataset:
+    """PII-shaped redaction: email-like tokens → ``<email>`` then digit
+    runs → ``#`` (order matters — emails contain digits). Pure Arrow
+    RE2 kernels (replace_substring_regex), zero Python per row; DuckDB
+    oracle uses the same RE2 class so outputs match byte for byte."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    email = r"[A-Za-z0-9.%+-]+@[A-Za-z0-9.-]+"
+
+    def fn(t: pa.Table) -> pa.Table:
+        red = pc.replace_substring_regex(t["text"], pattern=email, replacement="<email>")
+        red = pc.replace_substring_regex(red, pattern=r"[0-9]+", replacement="#")
+        return pa.table({"doc_id": t["doc_id"], "redacted": red})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 # --- quality counts (SQL-checked, integers only) ------------------------
 
 

@@ -261,6 +261,76 @@ def hll_count_distinct(sf_dir: str, p: int = 12) -> pd.DataFrame:
     return out.to_pandas().sort_values("event_type").reset_index(drop=True)
 
 
+def approx_quantile(
+    sf_dir: str, qs: tuple = (0.1, 0.5, 0.9, 0.99), npoints: int = 128
+) -> pd.DataFrame:
+    """Approximate quantiles per event_type via a MERGEABLE
+    weighted-sample sketch (the scale path next to the exact
+    ``median_disc``): each (key, batch) emits ``npoints`` equally-spaced
+    order statistics of the batch, each weighted batch_n/npoints — a
+    piecewise ECDF approximation whose per-batch rank error is ≤
+    1/(2·npoints). Merging is a weighted quantile over the union of
+    points (rank error ≤ 1/npoints after merge, independent of batch
+    count). Shuffle volume: npoints × batches rows per key, never the
+    raw column. Rows-only check (approximate); the rank-error bound is
+    asserted in tests against the exact sort."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def sketch(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+                "cents": _cents(t["value"]),
+            }
+        )
+        outs = []
+        for et, g in df.groupby("event_type"):
+            v = np.sort(g["cents"].to_numpy())
+            n = len(v)
+            take = min(npoints, n)
+            # midpoints of `take` equal rank strata → unbiased ECDF steps
+            idx = ((np.arange(take) + 0.5) * n / take).astype(np.int64).clip(0, n - 1)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "event_type": et,
+                        "point": v[idx],
+                        "weight": np.full(take, n / take),
+                    }
+                )
+            )
+        out = pd.concat(outs) if outs else pd.DataFrame(
+            {"event_type": pd.Series([], dtype="object"),
+             "point": pd.Series([], dtype="int64"),
+             "weight": pd.Series([], dtype="float64")}
+        )
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("point")
+        w = g["weight"].to_numpy()
+        cum = np.cumsum(w)
+        total = cum[-1]
+        rows = []
+        for q in qs:
+            j = int(np.searchsorted(cum, q * total, side="left"))
+            rows.append(
+                {
+                    "event_type": g["event_type"].iloc[0],
+                    "q": q,
+                    "approx_cents": int(g["point"].to_numpy()[min(j, len(g) - 1)]),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    out = (
+        ds.map_batches(sketch, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(merge, batch_format="pandas")
+    )
+    return out.to_pandas().sort_values(["event_type", "q"]).reset_index(drop=True)
+
+
 def heavy_hitters(sf_dir: str, k: int = 200) -> rd.Dataset:
     """EXACT heavy hitters (users with freq > n/k) via the classic
     2-pass candidate/verify shape:

@@ -2,6 +2,7 @@
 (SURVEY §7.5.2 — approximate-only would drop never-seen URLs)."""
 
 import numpy as np
+import pyarrow as pa
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -137,3 +138,40 @@ def test_reshard_restore_reroutes(tmp_path):
     s8 = SeenSet(num_shards=8)  # more shards than checkpointed
     assert s8.restore(snap) == 300
     assert not s8.check_and_add_urls(urls).any()
+
+
+def test_propose_resolve_exchange():
+    """The shard-side min-key exchange (crawl_dist's dup-discovery
+    dedup): min-wins, idempotent under re-delivery (task retry), each
+    digest admitted exactly once across rounds, late duplicate
+    proposals filtered by the seen set at the next resolve."""
+    import ray
+
+    from crawlkit.state.seenset import SeenShard, url_digests
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=4, include_dashboard=False)
+    shard = SeenShard.remote(0)
+    d = url_digests(["u1", "u2", "u3"]).astype(np.uint64)
+
+    def tbl(idx, skeys):
+        return pa.table(
+            {
+                "gk1": pa.array(d[idx, 0].view(np.int64)),
+                "gk2": pa.array(d[idx, 1].view(np.int64)),
+                "skey": pa.array(skeys, pa.string()),
+            }
+        )
+
+    # two proposals for u1 (different sort keys) + one for u2; the
+    # whole first batch re-delivered (simulated Ray task retry)
+    b1 = tbl([0, 0, 1], ["b-late", "a-early", "m"])
+    ray.get(shard.propose.remote(b1))
+    ray.get(shard.propose.remote(b1))  # retry — idempotent
+    out = ray.get(shard.resolve_admit.remote())
+    assert sorted(out["skey"].to_pylist()) == ["a-early", "m"]  # min wins
+    # resolve cleared proposals; the digests are now SEEN
+    assert ray.get(shard.resolve_admit.remote())["skey"].to_pylist() == []
+    # a late re-proposal of u1 + a fresh u3: only u3 survives admission
+    ray.get(shard.propose.remote(tbl([0, 2], ["zzz", "fresh"])))
+    assert ray.get(shard.resolve_admit.remote())["skey"].to_pylist() == ["fresh"]

@@ -47,3 +47,32 @@ def test_session_windows_gap_semantics(tmp_path):
     out = windows.w_session(str(tmp_path)).to_pandas().sort_values("session_idx")
     assert out["n_events"].tolist() == [3, 2, 1]
     assert out["session_idx"].tolist() == [1, 2, 3]
+
+
+def test_approx_quantile_rank_error_bound():
+    """The weighted-sample sketch guarantees rank error <= 1/npoints
+    after merge: for every (event_type, q) the returned value's true
+    rank must lie within q +/- 1.5/npoints (slack for duplicate cents)."""
+    import duckdb
+
+    npoints = 64
+    got = windows.approx_quantile(SF_DIR, qs=(0.1, 0.5, 0.9), npoints=npoints)
+    con = duckdb.connect()
+    exact = con.execute(
+        f"SELECT event_type, CAST(FLOOR(value*100) AS BIGINT) AS cents "
+        f"FROM read_parquet('{SF_DIR}/events.parquet')"
+    ).df()
+    for _, row in got.iterrows():
+        v = np.sort(exact[exact["event_type"] == row["event_type"]]["cents"].to_numpy())
+        n = len(v)
+        # true rank range of the returned value (duplicates → a band)
+        lo = np.searchsorted(v, row["approx_cents"], side="left") / n
+        hi = np.searchsorted(v, row["approx_cents"], side="right") / n
+        tol = 1.5 / npoints
+        assert lo - tol <= row["q"] <= hi + tol, (row.to_dict(), lo, hi)
+
+
+def test_approx_quantile_deterministic():
+    a = windows.approx_quantile(SF_DIR)
+    b = windows.approx_quantile(SF_DIR)
+    pd.testing.assert_frame_equal(a, b)
