@@ -132,6 +132,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # mergeable weighted-sample sketch; rank-error bound in tests
         "approx_quantile": windows.approx_quantile,  # rows-only (approximate)
         "j_keyed_range": windows.j_keyed_range,
+        "w_lag_delta": windows.w_lag_delta,  # SQL-checked (LAG window)
+        "rank_dense": windows.rank_dense,  # SQL-checked (DENSE_RANK)
+        "ntile_bucket": windows.ntile_bucket,  # SQL-checked (NTILE equal-depth)
+        "rollup_agg": relational.rollup_agg,  # SQL-checked (GROUP BY ROLLUP)
+        "pivot_wide": relational.pivot_wide,  # SQL-checked (conditional-agg pivot)
+        "string_agg_segments": relational.string_agg_segments,  # SQL-checked
         "q1_pricing": relational.q1_pricing,
         "u_union": relational.u_union,
         "s_except": relational.s_except,
@@ -145,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_score": text.text_score,  # SQL-checked (IEEE-op-order mirror)
         "text_fingerprint": text.fingerprint,  # SQL-checked (HUGEINT mod-2^64)
         "text_fingerprint32": text.fingerprint32,  # SQL-checked 32-bit variant
+        "text_word_freq": text.word_freq,  # SQL-checked (corpus top-k vocabulary)
         # --- dedup family ---
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,  # SQL-checked
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs,  # rows-only
@@ -167,6 +174,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_image_phash_neardup": multimodal.image_phash_neardup,  # rows-only
         "mm_image_resize": multimodal.image_resize,  # rows-only (PSNR/shape in tests)
         "mm_image_dedup_exact": multimodal.image_dedup_exact,  # rows-only (brute oracle in tests)
+        "mm_image_histogram": multimodal.image_histogram,  # rows-only (Σbins=w·h in tests)
+        "mm_caption_filter": multimodal.caption_filter,  # rows-only (predicate oracle in tests)
         # --- the crawl engine itself ---
         "crawl_flagship": crawl_flagship,  # rows-only (oracle = refsim in tests)
         "crawl_recrawl": crawl_recrawl,  # rows-only (oracle = refsim prior_seen)

@@ -55,11 +55,18 @@ def main() -> dict:
     from crawlkit.refsim import CrawlSpec
 
     # scheduler-throughput spec: generous politeness budget (fewer
-    # rounds → less per-round fixed cost), image payloads off
-    spec = CrawlSpec(host_budget_per_round=1024, max_rounds=32, fetch_images=False)
+    # rounds → less per-round fixed cost). GRAFT_IMAGES=1 turns image
+    # payloads ON — the north-rule workload (image+caption pairs into
+    # the Lance-like store); images-off isolates pure scheduler/seen-set
+    # load but its per-page work is ~0, so 8→32 scaling on it measures
+    # Ray's fixed round costs (Amdahl), not the engine — attach scaling
+    # claims to the images-on variant.
+    images = os.environ.get("GRAFT_IMAGES", "0") == "1"
+    spec = CrawlSpec(host_budget_per_round=1024, max_rounds=32, fetch_images=images)
     out: dict = {
         "metric": "frontier pages/sec at ~1M URLs",
         "profile": profile,
+        "images": images,
         "num_cpus": num_cpus,
     }
 
@@ -141,6 +148,7 @@ def run_scaling(mode: str, reps: int = 2) -> dict:
         "metric": "frontier1m scaling efficiency N->4N "
         "(8 vs 32 CPUs, fresh processes; per-repetition contemporaneous ceiling)",
         "profile": os.environ.get("GRAFT_PROFILE", "frontier1m"),
+        "images": os.environ.get("GRAFT_IMAGES", "0") == "1",
         "best_driver_normalized": best_of("driver_scaling_efficiency_normalized"),
         "best_dataset_normalized": best_of("dataset_scaling_efficiency_normalized"),
         "repetitions": out_reps,

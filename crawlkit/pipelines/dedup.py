@@ -398,13 +398,17 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3, bucket_cap: int = 512) -> r
         m = g.merge(g, on="band_val", suffixes=("_l", "_r"))
         m = m[m["doc_id_l"] < m["doc_id_r"]]
         if m.empty:
-            return pd.DataFrame(
+            from .. import pandas_to_clean_arrow
+
+            # metadata-stripped Arrow even when empty: a raw DataFrame
+            # return gets pandas metadata attached → mixed block schemas
+            return pandas_to_clean_arrow(pd.DataFrame(
                 {
                     "doc_id_a": pd.Series([], dtype="int64"),
                     "doc_id_b": pd.Series([], dtype="int64"),
                     "hamming": pd.Series([], dtype="int64"),
                 }
-            )
+            ))
         x = m["simhash_l"].to_numpy().view(np.uint64) ^ m["simhash_r"].to_numpy().view(np.uint64)
         ham = np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
         keep = ham <= max_hamming
@@ -522,9 +526,11 @@ def embedding_neardup_pairs(
         # count each pair once: at least one side in its home bucket
         m = m[m["home_l"] | m["home_r"]]
         if m.empty:
-            return pd.DataFrame(
+            from .. import pandas_to_clean_arrow
+
+            return pandas_to_clean_arrow(pd.DataFrame(
                 {"vec_id_a": pd.Series([], dtype="int64"), "vec_id_b": pd.Series([], dtype="int64")}
-            )
+            ))
         vl = np.stack(m["vec_l"].to_numpy())
         vr = np.stack(m["vec_r"].to_numpy())
         sims = np.einsum("ij,ij->i", vl, vr)

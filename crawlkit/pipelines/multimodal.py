@@ -274,6 +274,86 @@ def image_resize(
     )
 
 
+HIST_BINS = 8
+
+HIST_SCHEMA = pa.schema(
+    [("image_id", pa.string()), ("n_px", pa.int64())]
+    + [(f"bin{i}", pa.int64()) for i in range(HIST_BINS)]
+)
+
+
+class ImageHistogram:
+    """Actor-pool grayscale-histogram stage: decode → luma → 8 equal-width
+    bins as integer COLUMNS (hash-stable, mergeable by summation). The
+    per-corpus histogram is then one tiny groupby-sum away — the standard
+    brightness/exposure statistics pass of an image training-data
+    pipeline. Invariant (pinned in tests): Σ bins == w·h per image."""
+
+    def __init__(self, bins: int = HIST_BINS):
+        self.bins = bins
+        self.decode = imagecodec.decode
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        rows = []
+        for iid, data, fmt in zip(
+            t["image_id"].to_pylist(), t["bytes"].to_pylist(), t["fmt"].to_pylist()
+        ):
+            px = self.decode(data, fmt).astype(np.float64)
+            # integer-scaled BT.601 luma → exact across platforms
+            luma = (
+                299 * px[..., 0].astype(np.int64)
+                + 587 * px[..., 1].astype(np.int64)
+                + 114 * px[..., 2].astype(np.int64)
+            ) // 1000
+            hist = np.bincount(
+                (luma.ravel() * self.bins // 256).clip(0, self.bins - 1),
+                minlength=self.bins,
+            )
+            row = {"image_id": iid, "n_px": int(luma.size)}
+            row.update({f"bin{i}": int(hist[i]) for i in range(self.bins)})
+            rows.append(row)
+        return pa.Table.from_pylist(rows, schema=HIST_SCHEMA)
+
+
+def image_histogram(sf_dir: str | None = None, n: int = 64) -> rd.Dataset:
+    """Grayscale-histogram pipeline over the synthetic images table
+    (sf_dir unused — no image table in the driver testdata)."""
+    return synthetic_images(n).map_batches(
+        ImageHistogram, batch_format="pyarrow", batch_size=8, concurrency=2,
+        max_restarts=0,
+    )
+
+
+def caption_filter(
+    sf_dir: str | None = None, n: int = 64, min_tokens: int = 3, min_alpha_ratio_pct: int = 50
+) -> rd.Dataset:
+    """LAION-style image+caption quality filter over the input_hint-shaped
+    table (image_id, bytes, w, h, fmt, caption, phash): keep rows whose
+    caption has ≥ ``min_tokens`` whitespace tokens AND an alpha ratio ≥
+    ``min_alpha_ratio_pct``% — decode-free (pure Arrow string kernels over
+    the caption column; the bytes column is never touched, so nothing
+    megapixel-sized moves for a metadata-only filter). Output keeps the
+    image metadata columns for the downstream decode stage."""
+    imgs = synthetic_images(n)
+
+    def keep(t: pa.Table) -> pa.Table:
+        cap = t["caption"]
+        n_tok = pc.cast(pc.count_substring_regex(cap, r"\S+"), pa.int64())
+        n_chars = pc.cast(pc.utf8_length(cap), pa.int64())
+        n_alpha = pc.cast(pc.count_substring_regex(cap, "[A-Za-z]"), pa.int64())
+        m = pc.and_(
+            pc.greater_equal(n_tok, pa.scalar(min_tokens, pa.int64())),
+            pc.greater_equal(
+                pc.multiply(n_alpha, pa.scalar(100, pa.int64())),
+                pc.multiply(n_chars, pa.scalar(min_alpha_ratio_pct, pa.int64())),
+            ),
+        )
+        out = t.append_column("n_cap_tokens", n_tok).filter(m)
+        return out.select(["image_id", "w", "h", "fmt", "caption", "n_cap_tokens"])
+
+    return imgs.map_batches(keep, batch_format="pyarrow")
+
+
 # --- exact content-digest dedup ----------------------------------------
 
 

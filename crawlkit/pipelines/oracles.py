@@ -366,6 +366,62 @@ ORACLE_SQL: dict[str, str] = {
                  CAST(0 AS DOUBLE)), CAST(1 AS DOUBLE)) AS quality_score
         FROM scored
     """,
+    "w_lag_delta": """
+        WITH c AS (
+          SELECT CAST(event_id AS BIGINT) AS event_id,
+                 CAST(user_id AS BIGINT) AS user_id, ts,
+                 CAST(FLOOR(value * 100) AS BIGINT) AS cents
+          FROM events
+        ), l AS (
+          SELECT event_id, user_id, cents,
+                 lag(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_cents
+          FROM c
+        )
+        SELECT event_id, user_id, cents, prev_cents,
+               cents - prev_cents AS delta_cents
+        FROM l WHERE prev_cents IS NOT NULL
+    """,
+    "rank_dense": """
+        SELECT p_partkey, p_brand,
+               CAST(FLOOR(p_retailprice * 100) AS BIGINT) AS cents,
+               CAST(dense_rank() OVER (
+                    PARTITION BY p_brand
+                    ORDER BY CAST(FLOOR(p_retailprice * 100) AS BIGINT) DESC) AS BIGINT) AS drank
+        FROM part
+    """,
+    "ntile_bucket": """
+        SELECT o_orderkey, o_orderpriority,
+               CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents,
+               CAST(ntile(4) OVER (
+                    PARTITION BY o_orderpriority
+                    ORDER BY CAST(FLOOR(o_totalprice * 100) AS BIGINT), o_orderkey) AS BIGINT) AS bucket
+        FROM orders
+    """,
+    "rollup_agg": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+               COUNT(*) AS n_rows
+        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    "pivot_wide": """
+        SELECT o_orderstatus,
+               CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+               CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+               CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS n_other
+        FROM orders GROUP BY o_orderstatus
+    """,
+    "string_agg_segments": """
+        SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+               string_agg(c_mktsegment, ',' ORDER BY c_mktsegment) AS segments
+        FROM (SELECT DISTINCT c_nationkey, c_mktsegment FROM customer)
+        GROUP BY c_nationkey
+    """,
+    "text_word_freq": """
+        SELECT w AS word, COUNT(*) AS cnt
+        FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+              FROM documents) t
+        GROUP BY w ORDER BY cnt DESC, w LIMIT 20
+    """,
     # exact word-3-gram Jaccard dedup with INTEGER threshold math
     # (i*10 >= 2*(|a|+|b|-i)  ⇔  J >= 0.2) — no float compare anywhere
     "dedup_ngram_jaccard": r"""

@@ -565,6 +565,116 @@ def q1_pricing(sf_dir: str) -> rd.Dataset:
     )
 
 
+def rollup_agg(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus): revenue cents + row
+    counts at all three levels (pair, per-flag subtotal, grand total).
+
+    Ray-Data shape: ONE pass over the fact table (per-batch partial agg →
+    tiny groupby on the pair); the subtotal and grand-total levels are
+    derived from the |pairs|-sized aggregate (≤ |flag|×|status| rows — a
+    driver-side fold over an already-reduced result, the same cost class
+    as a top-k merge, NOT a second fact-table scan)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        disc = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        df = pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "cents": pc.cast(pc.floor(pc.multiply(disc, pa.scalar(100.0))), pa.int64()),
+            }
+        ).to_pandas()
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_disc_cents=("cents", "sum"), n_rows=("cents", "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_extendedprice", "l_discount"])
+    base = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_disc_cents", alias_name="sum_disc_cents"),
+            Sum("n_rows", alias_name="n_rows"),
+        )
+        .to_pandas()  # |flag|×|status| rows — small by construction
+    )
+    lvl1 = base.groupby("l_returnflag", as_index=False).agg(
+        sum_disc_cents=("sum_disc_cents", "sum"), n_rows=("n_rows", "sum")
+    )
+    lvl1["l_linestatus"] = None
+    lvl0 = pd.DataFrame(
+        {
+            "l_returnflag": [None],
+            "l_linestatus": [None],
+            "sum_disc_cents": [base["sum_disc_cents"].sum()],
+            "n_rows": [base["n_rows"].sum()],
+        }
+    )
+    out = pd.concat([base, lvl1, lvl0], ignore_index=True)
+    return out[["l_returnflag", "l_linestatus", "sum_disc_cents", "n_rows"]].astype(
+        {"sum_disc_cents": "int64", "n_rows": "int64"}
+    )
+
+
+def pivot_wide(sf_dir: str) -> rd.Dataset:
+    """PIVOT as conditional aggregation: per order status, counts of
+    urgent / high / other priorities as COLUMNS (the wide reshape).
+    Per-batch vectorized conditional counts → tiny groupby sum — the raw
+    table never shuffles, only |status|×|batches| partial rows."""
+    ds = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        pr = t["o_orderpriority"]
+        urgent = pc.cast(pc.equal(pr, "1-URGENT"), pa.int64())
+        high = pc.cast(pc.equal(pr, "2-HIGH"), pa.int64())
+        other = pc.cast(
+            pc.invert(pc.is_in(pr, value_set=pa.array(["1-URGENT", "2-HIGH"]))), pa.int64()
+        )
+        df = pa.table(
+            {"o_orderstatus": t["o_orderstatus"], "u": urgent, "h": high, "o": other}
+        ).to_pandas()
+        g = df.groupby("o_orderstatus", as_index=False).agg(
+            n_urgent=("u", "sum"), n_high=("h", "sum"), n_other=("o", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderstatus")
+        .aggregate(
+            Sum("n_urgent", alias_name="n_urgent"),
+            Sum("n_high", alias_name="n_high"),
+            Sum("n_other", alias_name="n_other"),
+        )
+    )
+
+
+def string_agg_segments(sf_dir: str) -> rd.Dataset:
+    """Per-group ordered string aggregation: the comma-joined SORTED set
+    of distinct market segments per nation (the collect_set→sort→join
+    shape). Per-batch pre-dedup shrinks the shuffle to distinct pairs;
+    the join happens per group in a tiny map_groups."""
+    ds = _read(sf_dir, "customer", ["c_nationkey", "c_mktsegment"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return t.group_by(["c_nationkey", "c_mktsegment"]).aggregate([])
+
+    def join_sorted(g: pd.DataFrame) -> pd.DataFrame:
+        segs = ",".join(sorted(g["c_mktsegment"].unique()))
+        return pd.DataFrame(
+            {"c_nationkey": [int(g["c_nationkey"].iloc[0])], "segments": [segs]}
+        ).astype({"c_nationkey": "int64"})
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["c_nationkey", "c_mktsegment"])
+        .aggregate(Count(alias_name="_c"))
+        .groupby("c_nationkey")
+        .map_groups(join_sorted, batch_format="pandas")
+    )
+
+
 # --- set ops ------------------------------------------------------------
 
 

@@ -16,6 +16,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
+from ray.data.aggregate import Sum
 
 
 def _read_docs(sf_dir: str, columns: list[str]) -> rd.Dataset:
@@ -89,6 +90,56 @@ def quality_counts(sf_dir: str) -> rd.Dataset:
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def word_freq(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Corpus-level top-k word frequencies (lowercase [a-z]+ tokens) —
+    the vocabulary/statistics pass of a training-data pipeline.
+
+    Shape: per-batch explode+count partials (vectorized polars
+    extract_all; the shuffle moves (word, cnt) partials, never tokens) →
+    groupby(word) sum → per-block select_k prefilter → ≤ k×blocks-row
+    driver merge with the (cnt desc, word asc) tiebreak."""
+    import polars as pl
+
+    ds = _read_docs(sf_dir, ["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = pl.from_arrow(t["text"]).rename("text")
+        counts = (
+            s.str.to_lowercase()
+            .str.extract_all(r"[a-z]+")
+            .explode()
+            .drop_nulls()
+            .value_counts()
+        )
+        out = counts.to_arrow().rename_columns(["word", "cnt"])
+        return pa.table(
+            {"word": out["word"].cast(pa.string()), "cnt": out["cnt"].cast(pa.int64())}
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def topk_block(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.schema([("word", pa.string()), ("cnt", pa.int64())]).empty_table()
+        idx = pc.select_k_unstable(
+            t, k=min(k, t.num_rows),
+            sort_keys=[("cnt", "descending"), ("word", "ascending")],
+        )
+        return t.select(["word", "cnt"]).take(idx)
+
+    return (
+        agg.map_batches(topk_block, batch_format="pyarrow")
+        .to_pandas()  # ≤ k×blocks rows
+        .sort_values(["cnt", "word"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
 
 
 # --- quality score + language ID (actor-pool stage; rows-only check) ----

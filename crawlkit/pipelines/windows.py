@@ -425,6 +425,133 @@ def mode_per_group(sf_dir: str) -> rd.Dataset:
     )
 
 
+def w_lag_delta(sf_dir: str, group_cap: int = 2_000_000) -> rd.Dataset:
+    """LAG window op: per user (ordered by ts, event_id) the previous
+    event's cents and the delta — the sessionize/feature-diff shape a
+    training-data pipeline uses for per-entity sequence features.
+    Hash-partition by user_id + per-group vectorized shift; rows without
+    a predecessor are dropped (keeps every column non-null int64 so the
+    SQL compare is dtype-exact). Same ``group_cap`` hot-key hatch as
+    w_session."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "event_id": t["event_id"],
+                "cents": pa.array(_cents(t["value"])),
+            }
+        )
+
+    def lag(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) > group_cap:
+            import logging
+
+            logging.getLogger("crawlkit").warning(
+                "w_lag_delta: user %s history %d > group_cap %d — skipped",
+                g["user_id"].iloc[0], len(g), group_cap,
+            )
+            g = g.iloc[0:0]
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        c = g["cents"].to_numpy()
+        out = pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy()[1:],
+                "user_id": g["user_id"].to_numpy()[1:],
+                "cents": c[1:],
+                "prev_cents": c[:-1],
+                "delta_cents": c[1:] - c[:-1],
+            }
+        )
+        from .. import pandas_to_clean_arrow
+
+        return pandas_to_clean_arrow(out.astype(
+            {"event_id": "int64", "user_id": "int64", "cents": "int64",
+             "prev_cents": "int64", "delta_cents": "int64"}
+        ))
+
+    out = (
+        ds.map_batches(to_cents, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(lag, batch_format="pandas")
+    )
+    from .dedup import pandas_with_schema
+
+    return pandas_with_schema(
+        out,
+        {"event_id": "int64", "user_id": "int64", "cents": "int64",
+         "prev_cents": "int64", "delta_cents": "int64"},
+    )
+
+
+def rank_dense(sf_dir: str) -> rd.Dataset:
+    """DENSE_RANK per group: parts ranked within p_brand by retail price
+    (cents desc). Hash-partition by brand + per-group vectorized rank —
+    ties share a rank, so no tiebreak column is needed for determinism."""
+    ds = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_retailprice"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_partkey": t["p_partkey"],
+                "p_brand": t["p_brand"],
+                "cents": pa.array(_cents(t["p_retailprice"])),
+            }
+        )
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["drank"] = g["cents"].rank(method="dense", ascending=False).astype("int64")
+        from .. import pandas_to_clean_arrow
+
+        return pandas_to_clean_arrow(g[["p_partkey", "p_brand", "cents", "drank"]])
+
+    return (
+        ds.map_batches(to_cents, batch_format="pyarrow")
+        .groupby("p_brand")
+        .map_groups(rank, batch_format="pandas")
+    )
+
+
+def ntile_bucket(sf_dir: str, k: int = 4) -> rd.Dataset:
+    """NTILE(k) per group: orders bucketed into k equal-depth tiles
+    within o_orderpriority, ordered by (totalprice cents, o_orderkey) —
+    the equal-frequency binning step of feature pipelines. Exact SQL
+    NTILE semantics: the first ``n % k`` buckets get ``ceil(n/k)`` rows."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_orderpriority": t["o_orderpriority"],
+                "cents": pa.array(_cents(t["o_totalprice"])),
+            }
+        )
+
+    def tile(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cents", "o_orderkey"]).reset_index(drop=True)
+        n = len(g)
+        q, r = divmod(n, k)
+        i = np.arange(n, dtype=np.int64)
+        big = (q + 1) * r  # rows covered by the r larger buckets
+        bucket = np.where(
+            i < big, i // max(q + 1, 1) + 1, r + (i - big) // max(q, 1) + 1
+        )
+        g["bucket"] = bucket.astype("int64")
+        from .. import pandas_to_clean_arrow
+
+        return pandas_to_clean_arrow(g[["o_orderkey", "o_orderpriority", "cents", "bucket"]])
+
+    return (
+        ds.map_batches(to_cents, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .map_groups(tile, batch_format="pandas")
+    )
+
+
 def j_keyed_range(sf_dir: str, days: int = 30) -> rd.Dataset:
     """Keyed range join: per order, count lineitems shipped within
     [o_orderdate, o_orderdate + days). Hash-join on the key, range

@@ -147,3 +147,42 @@ def test_image_features_hash_columns():
         px = imagecodec.decode(web.image_record(iid)["bytes"])
         assert feats.loc[iid, "ahash"] == np.int64(np.uint64(imagecodec.ahash64(px)))
         assert feats.loc[iid, "dhash"] == np.int64(np.uint64(imagecodec.dhash64(px)))
+
+
+def test_image_histogram_sums_to_pixel_count():
+    """Σ bins == w·h per image, and bins match a driver-side recompute
+    of the same integer-luma binning (byte-deterministic)."""
+    from crawlkit.synthweb import SynthWeb
+
+    out = multimodal.image_histogram(n=8).to_pandas().set_index("image_id")
+    assert len(out) == 8
+    bins = [f"bin{i}" for i in range(multimodal.HIST_BINS)]
+    assert (out[bins].sum(axis=1) == out["n_px"]).all()
+    web = SynthWeb("t1")
+    for iid in list(out.index)[:3]:
+        rec = web.image_record(iid)
+        px = imagecodec.decode(rec["bytes"], rec["fmt"]).astype(np.int64)
+        luma = (299 * px[..., 0] + 587 * px[..., 1] + 114 * px[..., 2]) // 1000
+        want = np.bincount(
+            (luma.ravel() * multimodal.HIST_BINS // 256).clip(0, multimodal.HIST_BINS - 1),
+            minlength=multimodal.HIST_BINS,
+        )
+        assert list(out.loc[iid, bins]) == list(want)
+        assert out.loc[iid, "n_px"] == luma.size
+
+
+def test_caption_filter_matches_predicate_oracle():
+    """caption_filter ≡ a driver-side recompute of the same predicate
+    over the same synthetic table (and never touches bytes)."""
+    import re
+
+    got = multimodal.caption_filter(n=32, min_tokens=3).to_pandas()
+    src = multimodal.synthetic_images(32).to_pandas()
+    want = []
+    for _, r in src.iterrows():
+        n_tok = len(re.findall(r"\S+", r["caption"]))
+        n_alpha = len(re.findall("[A-Za-z]", r["caption"]))
+        if n_tok >= 3 and n_alpha * 100 >= len(r["caption"]) * 50:
+            want.append((r["image_id"], n_tok))
+    assert sorted(zip(got["image_id"], got["n_cap_tokens"])) == sorted(want)
+    assert "bytes" not in got.columns
