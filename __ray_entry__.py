@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "j_broadcast_join": relational.j_broadcast_join,
         "j_hash_join": relational.j_hash_join,
         "j_shuffle_join": relational.j_shuffle_join,
+        "j_left_outer": relational.j_left_outer,  # SQL-checked (outer join)
         "j_asof": relational.j_asof,
         "w_tumbling": relational.w_tumbling,
         "w_sliding": windows.w_sliding,
@@ -143,6 +144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s_except": relational.s_except,
         "s_intersect": relational.s_intersect,
         "sample_deterministic": relational.sample_deterministic,
+        "stratified_sample": relational.stratified_sample,  # SQL-checked
         # --- text analysis (SQL-checked where exact) ---
         "text_redact": text.redact,  # SQL-checked (same RE2 class both sides)
         "text_token_count": text.token_count,
@@ -152,8 +154,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_fingerprint": text.fingerprint,  # SQL-checked (HUGEINT mod-2^64)
         "text_fingerprint32": text.fingerprint32,  # SQL-checked 32-bit variant
         "text_word_freq": text.word_freq,  # SQL-checked (corpus top-k vocabulary)
+        "text_top_keyword": text.top_keyword,  # SQL-checked (integer tf×rarity)
         # --- dedup family ---
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,  # SQL-checked
+        # connected components over the pair graph (recursive-CTE oracle)
+        "dedup_clusters": dedup.dedup_clusters,  # SQL-checked
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs,  # rows-only
         # signatures, not pairs: the driver corpus is uniform-vocab, so
         # nearly ALL pairs are within hamming 3 (a known simhash

@@ -103,7 +103,8 @@ def _exact_jaccard_pairs(
     df_cap: int | None = None,
     doc_filter_ref=None,
     pair_filter_ref=None,
-) -> pd.DataFrame:
+    as_dataset: bool = False,
+) -> pd.DataFrame | rd.Dataset:
     """Shared exact-Jaccard pair engine: explode distinct (shingle,
     doc_id) sharded by shingle hash → per-shard vectorized self-merge
     emits co-occurrence pairs (pre-aggregated per shard) → global
@@ -182,6 +183,8 @@ def _exact_jaccard_pairs(
         )
 
     out = inter.map_batches(threshold, batch_format="pyarrow")
+    if as_dataset:  # keep the pair graph distributed (dedup_clusters)
+        return out
     return pandas_with_schema(
         out, {"doc_id_a": "int64", "doc_id_b": "int64", "intersection": "int64"}
     )
@@ -551,3 +554,128 @@ def embedding_neardup_pairs(
     )
     out = pairs.groupby(["vec_id_a", "vec_id_b"]).aggregate(Count(alias_name="_n"))
     return pandas_with_schema(out, {"vec_id_a": "int64", "vec_id_b": "int64"})
+
+
+# --- connected-components clustering over near-dup pairs -----------------
+
+
+def _nonempty_blocks(ds: "rd.Dataset", schema: pa.Schema) -> "rd.Dataset":
+    """``Dataset.join`` inputs must not carry Ray's 0-COLUMN
+    empty-partition blocks (Acero: 'no match for key field'), and
+    map_batches SKIPS empty blocks so they cannot be normalized
+    in-stream. Rebuild the (already-materialized) dataset from its
+    non-empty block refs — metadata-only (num_rows from BlockMetadata):
+    block payloads never leave the object store."""
+    refs = []
+    for bundle in ds.materialize().iter_internal_ref_bundles():
+        for block_ref, meta in bundle.blocks:
+            if (meta.num_rows or 0) > 0:
+                refs.append(block_ref)
+    if not refs:
+        return rd.from_arrow(schema.empty_table())
+    return rd.from_arrow_refs(refs)
+
+
+def dedup_clusters(sf_dir: str, tau_tenths: int = 2, max_iters: int = 12) -> pd.DataFrame:
+    """Connected components over the exact-Jaccard near-dup pair graph —
+    the step AFTER pair verification in every production dedup pipeline
+    (pairs → clusters → keep min-id representative per cluster).
+
+    Distributed min-label propagation, Dataset-native: the pair graph
+    stays a Dataset end to end (at 100 TB the LSH-pruned pair graph is
+    far smaller than the corpus but can still be billions of edges — a
+    driver union-find does not exist at that size). Each iteration is
+    label(v) ← min over in-neighbors u of label(u), i.e. ONE
+    ``Dataset.join`` (edges×labels, hash-partitioned) + ONE
+    groupby(node).Min — iterations bound by component diameter (near-dup
+    components are shallow; ``max_iters`` guards pathology and raises
+    rather than returning a half-converged labeling). Convergence is
+    detected by the monotone Σlabels (min-merge strictly decreases it
+    until fixpoint) — a scalar aggregate, no change-detection join.
+
+    Output: (doc_id, cluster_id=min doc_id of the component) for every
+    doc in ≥1 pair. Oracle: DuckDB recursive CTE over the SAME pair SQL.
+    """
+    from ray.data.aggregate import Sum as _Sum
+
+    edge_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+    label_schema = pa.schema([("node", pa.int64()), ("label", pa.int64())])
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return edge_schema.empty_table()
+        a = t["doc_id_a"].to_numpy()
+        b = t["doc_id_b"].to_numpy()
+        return pa.table(
+            {"src": np.concatenate([a, b]), "dst": np.concatenate([b, a])}, schema=edge_schema
+        )
+
+    edges = _nonempty_blocks(  # materialized: reused every iteration
+        _exact_jaccard_pairs(sf_dir, tau_tenths, as_dataset=True).map_batches(
+            both_dirs, batch_format="pyarrow"
+        ),
+        edge_schema,
+    )
+    empty = pd.DataFrame(
+        {"doc_id": pd.Series([], dtype="int64"), "cluster_id": pd.Series([], dtype="int64")}
+    )
+    if edges.count() == 0:
+        return empty
+
+    def init_label(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return label_schema.empty_table()
+        return pa.table({"node": t["src"], "label": t["src"]}, schema=label_schema)
+
+    def fix_schema(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return label_schema.empty_table()
+        return t.select(["node", "label"]).cast(label_schema).replace_schema_metadata(None)
+
+    labels = _nonempty_blocks(
+        edges.map_batches(init_label, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Min("label", alias_name="label"))
+        .map_batches(fix_schema, batch_format="pyarrow"),
+        label_schema,
+    )
+    prev_sum = labels.aggregate(_Sum("label"))["sum(label)"]
+    converged = False
+    for _ in range(max_iters):
+        msgs = edges.join(
+            labels, join_type="inner", num_partitions=4, on=("src",), right_on=("node",)
+        )
+
+        def msg_project(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or t.num_rows == 0:
+                return label_schema.empty_table()
+            return pa.table({"node": t["dst"], "label": t["label"]}, schema=label_schema)
+
+        labels = _nonempty_blocks(
+            msgs.map_batches(msg_project, batch_format="pyarrow")
+            .union(labels)
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .map_batches(fix_schema, batch_format="pyarrow"),
+            label_schema,
+        )
+        cur_sum = labels.aggregate(_Sum("label"))["sum(label)"]
+        if cur_sum == prev_sum:
+            converged = True
+            break
+        prev_sum = cur_sum
+    if not converged:
+        raise RuntimeError(
+            f"dedup_clusters: no fixpoint in {max_iters} iterations — "
+            "component diameter exceeds the bound; raise max_iters"
+        )
+
+    def rename(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.schema([("doc_id", pa.int64()), ("cluster_id", pa.int64())]).empty_table()
+        return t.select(["node", "label"]).rename_columns(["doc_id", "cluster_id"])
+
+    return pandas_with_schema(
+        labels.map_batches(rename, batch_format="pyarrow"),
+        {"doc_id": "int64", "cluster_id": "int64"},
+    )

@@ -422,6 +422,79 @@ ORACLE_SQL: dict[str, str] = {
               FROM documents) t
         GROUP BY w ORDER BY cnt DESC, w LIMIT 20
     """,
+    "j_left_outer": """
+        SELECT c_custkey, c_mktsegment,
+               CAST(COALESCE(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)), -1) AS BIGINT) AS sum_spent_cents
+        FROM customer LEFT OUTER JOIN (
+            SELECT o_custkey, o_totalprice FROM orders WHERE o_orderpriority = '1-URGENT'
+        ) o ON o.o_custkey = c_custkey
+        GROUP BY c_custkey, c_mktsegment
+    """,
+    "stratified_sample": """
+        SELECT CAST(event_id AS BIGINT) AS event_id, event_type,
+               CAST(user_id AS BIGINT) AS user_id
+        FROM events
+        WHERE (event_id * 2654435761) % 100 <
+              CASE WHEN event_type = 'purchase' THEN 100
+                   WHEN event_type = 'click' THEN 25 ELSE 10 END
+    """,
+    "text_top_keyword": r"""
+        WITH toks AS (
+          SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+          FROM documents
+        ), tf AS (
+          SELECT doc_id, word, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+        ), dfreq AS (
+          SELECT word, COUNT(*) AS df FROM tf GROUP BY 1
+        )
+        SELECT CAST(tf.doc_id AS BIGINT) AS doc_id, tf.word,
+               CAST(tf.tf AS BIGINT) AS tf, CAST(dfreq.df AS BIGINT) AS df,
+               CAST(tf.tf * 1000000 // dfreq.df AS BIGINT) AS score
+        FROM tf JOIN dfreq USING (word)
+        QUALIFY row_number() OVER (
+            PARTITION BY tf.doc_id
+            ORDER BY tf.tf * 1000000 // dfreq.df DESC, tf.word ASC) = 1
+    """,
+    # connected components over the SAME exact-Jaccard pair graph as
+    # dedup_ngram_jaccard: recursive min-label reachability
+    "dedup_clusters": r"""
+        WITH RECURSIVE words AS (
+            SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+            FROM documents
+        ), sh0 AS (
+            SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+            FROM words, UNNEST(range(1, len(ws) - 1)) AS t(i)
+            WHERE len(ws) >= 3
+            UNION ALL
+            SELECT doc_id, array_to_string(ws, ' ') AS shingle
+            FROM words WHERE len(ws) BETWEEN 1 AND 2
+        ), dsh AS (
+            SELECT DISTINCT doc_id, shingle FROM sh0
+        ), cnt AS (
+            SELECT doc_id, COUNT(*) AS c FROM dsh GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS intersection
+            FROM dsh a JOIN dsh b USING (shingle)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), pairs AS (
+            SELECT doc_id_a, doc_id_b
+            FROM inter
+            JOIN cnt ca ON ca.doc_id = inter.doc_id_a
+            JOIN cnt cb ON cb.doc_id = inter.doc_id_b
+            WHERE intersection * 10 >= 2 * (ca.c + cb.c - intersection)
+        ), edges AS (
+            SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+            UNION ALL
+            SELECT doc_id_b, doc_id_a FROM pairs
+        ), reach(node, label) AS (
+            SELECT DISTINCT src, src FROM edges
+            UNION
+            SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+        )
+        SELECT CAST(node AS BIGINT) AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY node
+    """,
     # exact word-3-gram Jaccard dedup with INTEGER threshold math
     # (i*10 >= 2*(|a|+|b|-i)  ⇔  J >= 0.2) — no float compare anywhere
     "dedup_ngram_jaccard": r"""

@@ -675,6 +675,82 @@ def string_agg_segments(sf_dir: str) -> rd.Dataset:
     )
 
 
+def j_left_outer(sf_dir: str) -> rd.Dataset:
+    """LEFT OUTER join (completes the join family): every customer with
+    their total URGENT-order spend in cents, customers without urgent
+    orders preserved (the urgent restriction keeps the NULL path
+    non-vacuous — every TPC-H customer has SOME order). The
+    null-producing side is COALESCEd to -1 on BOTH sides so the driver's
+    dtype-strict compare stays int64 (DuckDB's .df() would float-ify a
+    nullable BIGINT). Ray shape: predicate pushed to the parquet read,
+    then the orders side is pre-reduced to one row per custkey (partial
+    agg, high-cardinality sharded groupby) BEFORE the shuffle join, so
+    the outer join moves |customers| + |custkeys-with-urgent-orders|
+    rows, never raw orders."""
+    from .. import read_parquet_clean
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        # the filter column must be in the projection for Ray's scanner
+        columns=["o_custkey", "o_totalprice", "o_orderpriority"],
+        filter=pc.field("o_orderpriority") == "1-URGENT",
+    )
+
+    def spend_partial(t: pa.Table) -> pa.Table:
+        df = pa.table(
+            {"o_custkey": t["o_custkey"], "cents": _cents(t["o_totalprice"])}
+        ).to_pandas()
+        g = df.groupby("o_custkey", as_index=False).agg(sum_spent_cents=("cents", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+    spend = _sharded_agg(
+        orders.map_batches(spend_partial, batch_format="pyarrow"),
+        "o_custkey",
+        {"sum_spent_cents": ("sum_spent_cents", "sum")},
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = cust.join(
+        spend,
+        join_type="left_outer",
+        num_partitions=8,
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        spent = pc.fill_null(
+            pc.cast(t["sum_spent_cents"], pa.int64()), pa.scalar(-1, pa.int64())
+        )
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "c_mktsegment": t["c_mktsegment"],
+                "sum_spent_cents": spent,
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def stratified_sample(sf_dir: str) -> rd.Dataset:
+    """Class-balancing stratified sample (training-data prep): keep 100%
+    of rare 'purchase' events, 25% of 'click', 10% of the rest — rates
+    applied with the same deterministic Knuth-multiplicative bucket as
+    ``sample_deterministic`` so the SQL oracle reproduces the exact row
+    set. Pure per-batch filter: no shuffle, rates broadcast in the
+    closure."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "user_id"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy()
+        bucket = (eid * 2654435761) % 100
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        rate = np.where(et == "purchase", 100, np.where(et == "click", 25, 10))
+        return t.filter(pa.array(bucket < rate))
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
 # --- set ops ------------------------------------------------------------
 
 

@@ -142,6 +142,102 @@ def word_freq(sf_dir: str, k: int = 20) -> pd.DataFrame:
     )
 
 
+def top_keyword(sf_dir: str, nshards: int = 32) -> rd.Dataset:
+    """Per-document keyword extraction (TF×rarity): for each doc the
+    token maximizing the integer score ``tf * 1_000_000 // df`` (df =
+    corpus document frequency) — the exact-arithmetic surrogate of
+    tf-idf, so the DuckDB oracle matches bit-for-bit (float idf would
+    be order-dependent).
+
+    Shape: per-batch polars explode → (doc_id, word, tf) — final, not
+    partial, since a doc never spans batches → df via per-batch partial
+    + groupby(word) Sum (vocab-sized) → genuine shuffle join tf×df on
+    word (``Dataset.join``; df is NOT broadcast because at corpus scale
+    the vocabulary is itself large) → per-doc argmax via the sharded
+    reduce pattern (hash(doc)→32 shards, one vectorized
+    sort+drop_duplicates per shard — not |docs| tiny pandas groups)."""
+    import polars as pl
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def tf_batch(t: pa.Table) -> pa.Table:
+        d = pl.from_arrow(t.select(["doc_id", "text"]))
+        e = (
+            d.with_columns(
+                pl.col("text").str.to_lowercase().str.extract_all(r"[a-z]+").alias("word")
+            )
+            .drop("text")
+            .explode("word")
+            .drop_nulls()
+            .group_by(["doc_id", "word"])
+            .len()
+        )
+        out = e.to_arrow().replace_schema_metadata(None)
+        return pa.table(
+            {
+                "doc_id": out["doc_id"].cast(pa.int64()),
+                "word": out["word"].cast(pa.string()),
+                "tf": out["len"].cast(pa.int64()),
+            }
+        )
+
+    tf = ds.map_batches(tf_batch, batch_format="pyarrow")
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        # (doc_id, word) rows are distinct → per-batch count per word
+        return (
+            pa.table({"word_r": t["word"]})
+            .group_by("word_r")
+            .aggregate([("word_r", "count")])
+            .rename_columns(["word_r", "df"])
+        )
+
+    df = (
+        tf.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("word_r")
+        .aggregate(Sum("df", alias_name="df"))
+    )
+    joined = tf.join(
+        df, join_type="inner", num_partitions=8, on=("word",), right_on=("word_r",)
+    )
+
+    def score_and_shard(t: pa.Table) -> pa.Table:
+        tf_np = t["tf"].to_numpy()
+        df_np = t["df"].to_numpy()
+        score = tf_np * 1_000_000 // df_np
+        doc = t["doc_id"].to_numpy().astype(np.uint64)
+        with np.errstate(over="ignore"):
+            shard = ((doc * np.uint64(2654435761)) % np.uint64(nshards)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "word": t["word"],
+                "tf": t["tf"],
+                "df": t["df"],
+                "score": pa.array(score, pa.int64()),
+                "_shard": pa.array(shard),
+            }
+        )
+
+    def pick_top(g: pd.DataFrame) -> pa.Table:
+        from .. import pandas_to_clean_arrow
+
+        g = g.sort_values(
+            ["doc_id", "score", "word"], ascending=[True, False, True], kind="mergesort"
+        ).drop_duplicates("doc_id", keep="first")
+        return pandas_to_clean_arrow(
+            g[["doc_id", "word", "tf", "df", "score"]].astype(
+                {"doc_id": "int64", "tf": "int64", "df": "int64", "score": "int64"}
+            )
+        )
+
+    return (
+        joined.map_batches(score_and_shard, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(pick_top, batch_format="pandas")
+    )
+
+
 # --- quality score + language ID (actor-pool stage; rows-only check) ----
 
 _LANG_STOPWORDS: dict[str, frozenset[str]] = {

@@ -126,3 +126,35 @@ def test_embedding_neardup_planted_driver_fixture():
     want = {(i, i + dedup.PLANT_ID_OFFSET) for i in range(0, 500, 100)}
     assert want <= pairs
     assert len(pairs) == len(want)  # random embeddings add no extras
+
+
+def _mk_chain_corpus(tmp_path, n_chain=5, words_per=12, step=4):
+    """Docs 1..n_chain overlap pairwise in a CHAIN (consecutive J≈0.43,
+    skip-one J≈0.11): at tau=0.3 the pair graph is a path, so clustering
+    must be TRANSITIVE (min label walks the whole chain — exercises
+    multiple propagation iterations). Docs 100/101 are exact dups
+    (second component); 200 is a singleton (must not appear)."""
+    vocab = [f"w{i}" for i in range(100)]
+    texts, ids = [], []
+    for i in range(n_chain):
+        ids.append(i + 1)
+        texts.append(" ".join(vocab[step * i : step * i + words_per]))
+    ids += [100, 101, 200]
+    dup = " ".join(vocab[60:72])
+    texts += [dup, dup, " ".join(vocab[80:92][::-1])]
+    docs = pa.table({"doc_id": ids, "text": texts})
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_dedup_clusters_transitive_chain(tmp_path):
+    d = _mk_chain_corpus(tmp_path)
+    got = dedup.dedup_clusters(d, tau_tenths=3)
+    by_doc = dict(zip(got["doc_id"], got["cluster_id"]))
+    # chain 1-2-3-4-5 is ONE component labeled by its min id
+    assert {by_doc[i] for i in range(1, 6)} == {1}
+    # exact-dup pair is its own component
+    assert by_doc[100] == 100 and by_doc[101] == 100
+    # singleton never appears (no incident pair)
+    assert 200 not in by_doc
+    assert len(by_doc) == 7
