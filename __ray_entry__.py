@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_quantile": windows.approx_quantile,  # rows-only (approximate)
         "j_keyed_range": windows.j_keyed_range,
         "w_lag_delta": windows.w_lag_delta,  # SQL-checked (LAG window)
+        "w_rolling_sum": windows.w_rolling_sum,  # SQL-checked (ROWS window)
         "rank_dense": windows.rank_dense,  # SQL-checked (DENSE_RANK)
         "ntile_bucket": windows.ntile_bucket,  # SQL-checked (NTILE equal-depth)
         "rollup_agg": relational.rollup_agg,  # SQL-checked (GROUP BY ROLLUP)

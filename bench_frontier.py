@@ -110,10 +110,14 @@ def main() -> dict:
     return out
 
 
-def run_scaling(mode: str, reps: int = 2) -> dict:
+def run_scaling(mode: str, reps: int | None = None) -> dict:
     import subprocess
 
-    from bench import run_burn_ceiling
+    from bench import run_burn_ceiling, scale_levels
+
+    if reps is None:
+        reps = int(os.environ.get("GRAFT_SCALE_REPS", "2"))
+    nlo, nhi = scale_levels()
 
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
@@ -125,18 +129,18 @@ def run_scaling(mode: str, reps: int = 2) -> dict:
 
     out_reps = []
     for _ in range(reps):
-        ceiling = run_burn_ceiling()
-        lo, hi = one(8), one(32)
+        ceiling = run_burn_ceiling(nlo, nhi)
+        lo, hi = one(nlo), one(nhi)
         rep: dict = {"hardware_ceiling": ceiling}
         for m in ("driver", "dataset"):
             if f"{m}_pages_per_sec" not in lo:
                 continue
             pps_lo, pps_hi = lo[f"{m}_pages_per_sec"], hi[f"{m}_pages_per_sec"]
-            rep[f"{m}_pages_per_sec_8"] = pps_lo
-            rep[f"{m}_pages_per_sec_32"] = pps_hi
-            rep[f"{m}_scaling_efficiency"] = round((pps_hi / pps_lo) / 4.0, 3)
+            rep[f"{m}_pages_per_sec_{nlo}"] = pps_lo
+            rep[f"{m}_pages_per_sec_{nhi}"] = pps_hi
+            rep[f"{m}_scaling_efficiency"] = round((pps_hi / pps_lo) / (nhi / nlo), 3)
             rep[f"{m}_scaling_efficiency_normalized"] = round(
-                (pps_hi / pps_lo) / ceiling["ceiling_8_to_32"], 3
+                (pps_hi / pps_lo) / ceiling["ceiling_ratio"], 3
             )
         out_reps.append(rep)
 
@@ -144,10 +148,12 @@ def run_scaling(mode: str, reps: int = 2) -> dict:
         vals = [r[key] for r in out_reps if key in r]
         return max(vals) if vals else None
 
+    profile = os.environ.get("GRAFT_PROFILE", "frontier1m")
     return {
-        "metric": "frontier1m scaling efficiency N->4N "
-        "(8 vs 32 CPUs, fresh processes; per-repetition contemporaneous ceiling)",
-        "profile": os.environ.get("GRAFT_PROFILE", "frontier1m"),
+        "metric": f"{profile} scaling efficiency N->4N "
+        f"({nlo} vs {nhi} CPUs, fresh processes; per-repetition contemporaneous ceiling)",
+        "profile": profile,
+        "levels": [nlo, nhi],
         "images": os.environ.get("GRAFT_IMAGES", "0") == "1",
         "best_driver_normalized": best_of("driver_scaling_efficiency_normalized"),
         "best_dataset_normalized": best_of("dataset_scaling_efficiency_normalized"),

@@ -381,6 +381,18 @@ ORACLE_SQL: dict[str, str] = {
                cents - prev_cents AS delta_cents
         FROM l WHERE prev_cents IS NOT NULL
     """,
+    "w_rolling_sum": """
+        WITH c AS (
+          SELECT CAST(event_id AS BIGINT) AS event_id,
+                 CAST(user_id AS BIGINT) AS user_id, ts,
+                 CAST(FLOOR(value * 100) AS BIGINT) AS cents
+          FROM events
+        )
+        SELECT event_id, user_id, cents,
+               CAST(SUM(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll_cents
+        FROM c
+    """,
     "rank_dense": """
         SELECT p_partkey, p_brand,
                CAST(FLOOR(p_retailprice * 100) AS BIGINT) AS cents,

@@ -486,6 +486,65 @@ def w_lag_delta(sf_dir: str, group_cap: int = 2_000_000) -> rd.Dataset:
     )
 
 
+def w_rolling_sum(sf_dir: str, window: int = 3, group_cap: int = 2_000_000) -> rd.Dataset:
+    """Rolling ROW-window aggregate (completes the window family next to
+    lag/tumbling/sliding/session): per user, ordered by (ts, event_id),
+    the sum of cents over the current row and ``window-1`` preceding —
+    the per-entity moving-feature shape. Hash-partition by user +
+    per-group vectorized cumsum difference (no per-row loop); same
+    ``group_cap`` hot-key hatch as w_session."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "event_id": t["event_id"],
+                "cents": pa.array(_cents(t["value"])),
+            }
+        )
+
+    def roll(g: pd.DataFrame) -> pa.Table:
+        if len(g) > group_cap:
+            import logging
+
+            logging.getLogger("crawlkit").warning(
+                "w_rolling_sum: user %s history %d > group_cap %d — skipped",
+                g["user_id"].iloc[0], len(g), group_cap,
+            )
+            g = g.iloc[0:0]
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        c = g["cents"].to_numpy()
+        cs = np.concatenate([[0], np.cumsum(c)])
+        lo = np.maximum(np.arange(len(c)) - (window - 1), 0)
+        out = pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": g["user_id"].to_numpy(),
+                "cents": c,
+                "roll_cents": cs[1:] - cs[lo],
+            }
+        )
+        from .. import pandas_to_clean_arrow
+
+        return pandas_to_clean_arrow(out.astype(
+            {"event_id": "int64", "user_id": "int64", "cents": "int64", "roll_cents": "int64"}
+        ))
+
+    out = (
+        ds.map_batches(to_cents, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(roll, batch_format="pandas")
+    )
+    from .dedup import pandas_with_schema
+
+    return pandas_with_schema(
+        out,
+        {"event_id": "int64", "user_id": "int64", "cents": "int64", "roll_cents": "int64"},
+    )
+
+
 def rank_dense(sf_dir: str) -> rd.Dataset:
     """DENSE_RANK per group: parts ranked within p_brand by retail price
     (cents desc). Hash-partition by brand + per-group vectorized rank —
