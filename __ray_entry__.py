@@ -119,6 +119,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "j_hash_join": relational.j_hash_join,
         "j_shuffle_join": relational.j_shuffle_join,
         "j_left_outer": relational.j_left_outer,  # SQL-checked (outer join)
+        "j_full_outer": relational.j_full_outer,  # SQL-checked (both null paths)
+        "j_bloom_semi": relational.j_bloom_semi,  # SQL-checked (bloom prefilter + exact)
+        "corr_moments": relational.corr_moments,  # SQL-checked (exact int64 moments)
         "j_asof": relational.j_asof,
         "w_tumbling": relational.w_tumbling,
         "w_sliding": windows.w_sliding,
@@ -136,6 +139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "w_lag_delta": windows.w_lag_delta,  # SQL-checked (LAG window)
         "w_rolling_sum": windows.w_rolling_sum,  # SQL-checked (ROWS window)
         "rank_dense": windows.rank_dense,  # SQL-checked (DENSE_RANK)
+        "w_percent_rank": windows.w_percent_rank,  # SQL-checked (exact rationals)
         "ntile_bucket": windows.ntile_bucket,  # SQL-checked (NTILE equal-depth)
         "rollup_agg": relational.rollup_agg,  # SQL-checked (GROUP BY ROLLUP)
         "pivot_wide": relational.pivot_wide,  # SQL-checked (conditional-agg pivot)
@@ -156,10 +160,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_fingerprint32": text.fingerprint32,  # SQL-checked 32-bit variant
         "text_word_freq": text.word_freq,  # SQL-checked (corpus top-k vocabulary)
         "text_top_keyword": text.top_keyword,  # SQL-checked (integer tf×rarity)
+        # batched model inference: hashed bag-of-words linear scorer
+        "text_classify": text.text_classify,  # SQL-checked (md5 weights)
         # --- dedup family ---
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,  # SQL-checked
+        # doc-level duplicate-span statistic (substring-dedup à la Lee et al.)
+        "dup_span_fraction": dedup.dup_span_fraction,  # SQL-checked
         # connected components over the pair graph (recursive-CTE oracle)
         "dedup_clusters": dedup.dedup_clusters,  # SQL-checked
+        # the corpus AFTER dedup (drop non-representative cluster members)
+        "dedup_survivors": dedup.dedup_survivors,  # SQL-checked
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs,  # rows-only
         # signatures, not pairs: the driver corpus is uniform-vocab, so
         # nearly ALL pairs are within hamming 3 (a known simhash
@@ -174,6 +184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),  # rows-only
         # --- similarity search ---
         "knn_bruteforce": ann.knn_bruteforce,  # SQL-checked (deterministic ranks)
+        "emb_centroid": ann.emb_centroid,  # SQL-checked (exact micro-unit moments)
         "knn_ivf": ann.knn_ivf,  # rows-only (approximate)
         # --- multimodal ---
         "mm_image_features": multimodal.image_features,  # rows-only

@@ -180,3 +180,44 @@ def knn_ivf(
         .groupby("query_id")
         .map_groups(final_topk, batch_format="pandas")
     )
+
+
+def emb_centroid(sf_dir: str) -> rd.Dataset:
+    """Per-label centroid MOMENTS of the embedding column: for every
+    (label, dim) the exact int64 Σ floor(e·10⁶) and row count — the
+    mergeable sufficient statistics of a distributed k-class centroid /
+    mean-embedding computation (the float centroid is sum_micro/n, one
+    division the consumer applies; integral micro-units make the
+    distributed sum order-independent, same trick as value-cents).
+    Shape: per-batch vectorized per-label partial sums (np.add.at on the
+    quantized matrix — labels×64 rows leave each batch, never vectors)
+    → tiny groupby((label, dim)) sum. float32→float64 cast and the ·1e6
+    double multiply mirror the oracle's CAST(e AS DOUBLE)*1000000
+    bit-for-bit, so floor() agrees exactly."""
+    from ray.data.aggregate import Sum
+
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        labels = t["label"].to_numpy().astype(np.int64)
+        mat = np.stack(t["embedding"].to_numpy(zero_copy_only=False))
+        dim = mat.shape[1]
+        q = np.floor(mat.astype(np.float64) * 1e6).astype(np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), dim), dtype=np.int64)
+        np.add.at(sums, inv, q)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {
+                "label": np.repeat(uniq, dim),
+                "dim": np.tile(np.arange(dim, dtype=np.int64), len(uniq)),
+                "sum_micro": sums.reshape(-1),
+                "n": np.repeat(counts, dim),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .aggregate(Sum("sum_micro", alias_name="sum_micro"), Sum("n", alias_name="n"))
+    )

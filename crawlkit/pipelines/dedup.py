@@ -679,3 +679,97 @@ def dedup_clusters(sf_dir: str, tau_tenths: int = 2, max_iters: int = 12) -> pd.
         labels.map_batches(rename, batch_format="pyarrow"),
         {"doc_id": "int64", "cluster_id": "int64"},
     )
+
+
+def dup_span_fraction(sf_dir: str, w: int = 5, nshards: int = 32) -> rd.Dataset:
+    """Duplicate n-gram span scoring — the document-level statistic
+    behind substring-level training-data dedup (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): for every doc, how many
+    of its positional word-``w``-grams occur ≥2 times in the WHOLE corpus
+    (counting multiplicity, so a phrase repeated inside one doc counts
+    too). Downstream pipelines drop or trim docs with a high n_dup /
+    n_grams ratio.
+
+    Distribution shape (the 100-TB story): positional grams leave the
+    doc as 64-bit HASHES (16-byte rows), sharded by gram hash — every
+    occurrence of a gram lands in ONE shard, so the per-shard pandas
+    transform('size') IS the corpus-wide occurrence count; per-doc
+    partial (total, dup) counts are pre-aggregated inside the shard
+    before the tiny O(|docs|) groupby(doc_id) sum. One gram-sharded
+    shuffle + one id-sharded groupby — gram STRINGS never shuffle.
+
+    The SQL oracle counts on the gram STRING; the engine on its 64-bit
+    hash — identical output absent a hash collision (P ≈ n²/2⁶⁵; the
+    same standing assumption as every fingerprint/minhash op here).
+    Docs with < w words emit nothing (mirrored in the oracle).
+    """
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def explode_positional(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        per: list[np.ndarray] = []
+        for s in t["text"].to_pylist():
+            words = (s or "").split()
+            if len(words) < w:
+                per.append(np.empty(0, dtype=np.uint64))
+                continue
+            grams = [" ".join(words[j : j + w]) for j in range(len(words) - w + 1)]
+            per.append(hash64_np(grams))  # positional — NOT deduped
+        counts = np.array([len(p) for p in per], dtype=np.int64)
+        gram = np.concatenate(per) if per else np.empty(0, dtype=np.uint64)
+        return pa.table(
+            {
+                "doc_id": np.repeat(ids, counts),
+                "gram": gram,
+                "shard": (gram % np.uint64(nshards)).astype(np.int32),
+            }
+        )
+
+    def shard_partial(g: pd.DataFrame) -> pa.Table:
+        from .. import pandas_to_clean_arrow
+
+        occ = g.groupby("gram")["doc_id"].transform("size")
+        agg = (
+            pd.DataFrame({"doc_id": g["doc_id"], "dup": (occ >= 2).astype("int64")})
+            .groupby("doc_id", as_index=False)
+            .agg(n_grams=("dup", "size"), n_dup=("dup", "sum"))
+        )
+        return pandas_to_clean_arrow(agg.astype({"doc_id": "int64", "n_grams": "int64"}))
+
+    from .relational import _sharded_agg
+
+    return _sharded_agg(
+        ds.map_batches(explode_positional, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(shard_partial, batch_format="pandas"),
+        "doc_id",
+        {"n_grams": ("n_grams", "sum"), "n_dup": ("n_dup", "sum")},
+    )
+
+
+def dedup_survivors(sf_dir: str, tau_tenths: int = 2) -> rd.Dataset:
+    """Near-dup dedup APPLIED: the corpus after dropping every
+    non-representative member of each Jaccard cluster (the doc that
+    training-data pipelines actually feed downstream — clusters/pairs
+    are diagnostics, this is the output table). Representative = the
+    cluster's min doc_id, matching ``dedup_clusters``' label choice.
+
+    Shape: the cluster table is O(near-duplicated docs) — tiny relative
+    to the corpus even at 100 TB (it is the *output* of LSH+verify, not
+    the corpus) — so the drop set broadcasts once via ``ray.put`` and
+    the corpus-sized side streams through a vectorized ``pc.is_in``
+    anti-filter; no corpus shuffle. If the drop set ever outgrew a
+    broadcast, the same join-back shape as ``minhash_lsh_pairs``'
+    verify applies (Dataset.join on doc_id)."""
+    import ray
+
+    clusters = dedup_clusters(sf_dir, tau_tenths)  # small pd.DataFrame
+    drop = clusters.loc[clusters["doc_id"] != clusters["cluster_id"], "doc_id"].to_numpy()
+    drop_ref = ray.put(pa.array(drop, pa.int64()))
+    ds = _read_docs(sf_dir, ["doc_id", "n_chars"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        mask = pc.invert(pc.is_in(t["doc_id"], value_set=ray.get(drop_ref)))
+        return t.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -507,8 +507,154 @@ ORACLE_SQL: dict[str, str] = {
         SELECT CAST(node AS BIGINT) AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster_id
         FROM reach GROUP BY node
     """,
+    # hashed bag-of-words linear classifier: weight(w) = md5_lower64(w)
+    # % 1001 − 500 (same md5 low half as dedup_simhash), integer score
+    "text_classify": r"""
+        WITH words AS (
+            SELECT doc_id,
+                   unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS w
+            FROM documents
+        ), tw AS (
+            SELECT doc_id,
+                   CAST(md5_number_lower(w) % 1001 AS BIGINT) - 500 AS wt
+            FROM words
+        ), sc AS (
+            SELECT doc_id, CAST(SUM(wt) AS BIGINT) AS score FROM tw GROUP BY doc_id
+        )
+        SELECT d.doc_id, COALESCE(sc.score, 0) AS score,
+               CASE WHEN COALESCE(sc.score, 0) > 0 THEN 'pos' ELSE 'neg' END AS label
+        FROM documents d LEFT JOIN sc USING (doc_id)
+    """,
+    # dedup APPLIED: corpus minus non-representative cluster members
+    # (same recursive-CTE clustering as dedup_clusters, then anti-join)
+    "dedup_survivors": r"""
+        WITH RECURSIVE words AS (
+            SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+            FROM documents
+        ), sh0 AS (
+            SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+            FROM words, UNNEST(range(1, len(ws) - 1)) AS t(i)
+            WHERE len(ws) >= 3
+            UNION ALL
+            SELECT doc_id, array_to_string(ws, ' ') AS shingle
+            FROM words WHERE len(ws) BETWEEN 1 AND 2
+        ), dsh AS (
+            SELECT DISTINCT doc_id, shingle FROM sh0
+        ), cnt AS (
+            SELECT doc_id, COUNT(*) AS c FROM dsh GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS intersection
+            FROM dsh a JOIN dsh b USING (shingle)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), pairs AS (
+            SELECT doc_id_a, doc_id_b
+            FROM inter
+            JOIN cnt ca ON ca.doc_id = inter.doc_id_a
+            JOIN cnt cb ON cb.doc_id = inter.doc_id_b
+            WHERE intersection * 10 >= 2 * (ca.c + cb.c - intersection)
+        ), edges AS (
+            SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+            UNION ALL
+            SELECT doc_id_b, doc_id_a FROM pairs
+        ), reach(node, label) AS (
+            SELECT DISTINCT src, src FROM edges
+            UNION
+            SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+        ), dropped AS (
+            SELECT node FROM reach GROUP BY node HAVING MIN(label) <> node
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_chars AS BIGINT) AS n_chars
+        FROM documents
+        WHERE doc_id NOT IN (SELECT node FROM dropped)
+    """,
     # exact word-3-gram Jaccard dedup with INTEGER threshold math
     # (i*10 >= 2*(|a|+|b|-i)  ⇔  J >= 0.2) — no float compare anywhere
+    "j_full_outer": """
+        WITH b AS (
+            SELECT c_custkey, c_mktsegment FROM customer
+            WHERE c_mktsegment = 'BUILDING'
+        ), s AS (
+            SELECT o_custkey,
+                   CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spent
+            FROM orders WHERE o_orderpriority = '1-URGENT'
+            GROUP BY o_custkey
+        )
+        SELECT CAST(COALESCE(b.c_custkey, s.o_custkey) AS BIGINT) AS custkey,
+               COALESCE(b.c_mktsegment, '(none)') AS seg,
+               CAST(COALESCE(s.spent, -1) AS BIGINT) AS sum_spent_cents
+        FROM b FULL OUTER JOIN s ON b.c_custkey = s.o_custkey
+    """,
+    "corr_moments": """
+        WITH xy AS (
+            SELECT event_type,
+                   CAST(FLOOR(value * 100) AS BIGINT) AS x,
+                   CAST(user_id AS BIGINT) AS y
+            FROM events
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM xy GROUP BY event_type
+    """,
+    "j_bloom_semi": """
+        SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+               CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS price_cents
+        FROM lineitem
+        WHERE l_orderkey IN (
+            SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        )
+    """,
+    "w_percent_rank": """
+        WITH c AS (
+            SELECT event_id, event_type,
+                   CAST(FLOOR(value * 100) AS BIGINT) AS cents
+            FROM events
+        )
+        SELECT CAST(event_id AS BIGINT) AS event_id, event_type,
+               CAST(RANK() OVER w - 1 AS BIGINT) AS pr_num,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) - 1 AS BIGINT) AS pr_den,
+               CAST(COUNT(*) OVER (
+                    PARTITION BY event_type ORDER BY cents
+                    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cd_num
+        FROM c
+        WINDOW w AS (PARTITION BY event_type ORDER BY cents)
+    """,
+    "emb_centroid": """
+        SELECT CAST(label AS BIGINT) AS label,
+               CAST(i - 1 AS BIGINT) AS dim,
+               CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT)
+                   AS sum_micro,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+        GROUP BY label, i
+    """,
+    # positional 5-gram duplicate-span statistic (Lee et al. substring
+    # dedup): gram occurrence counted WITH multiplicity corpus-wide; the
+    # engine counts on a 64-bit gram hash (collision-free assumption)
+    "dup_span_fraction": r"""
+        WITH words AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+            FROM documents
+        ), grams AS (
+            SELECT doc_id,
+                   ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+                         || ' ' || ws[i+4] AS gram
+            FROM words, UNNEST(range(1, len(ws) - 3)) AS t(i)
+            WHERE len(ws) >= 5
+        ), occ AS (
+            SELECT doc_id, COUNT(*) OVER (PARTITION BY gram) AS c FROM grams
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+        FROM occ GROUP BY doc_id
+    """,
     "dedup_ngram_jaccard": r"""
         WITH words AS (
             SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws

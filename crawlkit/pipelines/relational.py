@@ -841,3 +841,185 @@ def sample_deterministic(sf_dir: str, rate_pct: int = 10) -> rd.Dataset:
         return t.filter(pa.array(bucket < rate_pct))
 
     return ds.map_batches(pick, batch_format="pyarrow")
+
+
+# --- full-outer join (completes the join family) ------------------------
+
+
+def j_full_outer(sf_dir: str) -> rd.Dataset:
+    """FULL OUTER join: BUILDING-segment customers × per-custkey URGENT
+    order spend. Both null paths are non-vacuous by construction —
+    BUILDING customers without urgent orders survive with -1 cents
+    (left-only), urgent-order custkeys outside BUILDING survive with
+    segment '(none)' (right-only). Ray shape mirrors ``j_left_outer``:
+    predicate pushed to both reads, the orders side pre-reduced to one
+    row per custkey before the shuffle join. The right key is duplicated
+    into a data column before the join because ``Dataset.join`` merges
+    key columns (left-null rows would otherwise lose the key)."""
+    from .. import read_parquet_clean
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_totalprice", "o_orderpriority"],
+        filter=pc.field("o_orderpriority") == "1-URGENT",
+    )
+
+    def spend_partial(t: pa.Table) -> pa.Table:
+        df = pa.table(
+            {"o_custkey": t["o_custkey"], "cents": _cents(t["o_totalprice"])}
+        ).to_pandas()
+        g = df.groupby("o_custkey", as_index=False).agg(sum_spent_cents=("cents", "sum"))
+        g["okey"] = g["o_custkey"]  # survives the join's key-column merge
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+    spend = _sharded_agg(
+        orders.map_batches(spend_partial, batch_format="pyarrow"),
+        "o_custkey",
+        {"sum_spent_cents": ("sum_spent_cents", "sum"), "okey": ("okey", "first")},
+    )
+    from .. import read_parquet_clean as _rpc
+
+    cust = _rpc(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"],
+        filter=pc.field("c_mktsegment") == "BUILDING",
+    )
+    joined = cust.join(
+        spend,
+        join_type="full_outer",
+        num_partitions=8,
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        custkey = pc.coalesce(
+            pc.cast(t["c_custkey"], pa.int64()), pc.cast(t["okey"], pa.int64())
+        )
+        seg = pc.coalesce(t["c_mktsegment"], pa.scalar("(none)"))
+        spent = pc.fill_null(
+            pc.cast(t["sum_spent_cents"], pa.int64()), pa.scalar(-1, pa.int64())
+        )
+        return pa.table({"custkey": custkey, "seg": seg, "sum_spent_cents": spent})
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+# --- correlation / covariance moments (distributed two-variable stats) --
+
+
+def corr_moments(sf_dir: str) -> rd.Dataset:
+    """Per-event-type covariance/correlation MOMENTS between value-cents
+    and user_id: (n, Σx, Σy, Σx², Σy², Σxy) as exact int64 — the
+    mergeable sufficient statistics every distributed corr/covar/linear
+    regression reduces to (corr itself is one float division the
+    consumer applies; keeping the moments integral makes the result
+    order-independent and hash-comparable). Shape: per-batch vectorized
+    partials → tiny groupby(event_type) sum, same as ``g1_group_merge``.
+    int64 safety: |x|≤1e5 cents, |y|≤~1e5 ids → Σxy < 1e10·rows, fine
+    past sf1e3."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+                "x": _cents(t["value"]).to_numpy(),
+                "y": t["user_id"].to_numpy(),
+            }
+        )
+        df["xx"] = df["x"] * df["x"]
+        df["yy"] = df["y"] * df["y"]
+        df["xy"] = df["x"] * df["y"]
+        g = df.groupby("event_type", as_index=False).agg(
+            n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+            sxx=("xx", "sum"), syy=("yy", "sum"), sxy=("xy", "sum"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+    ds = _read(sf_dir, "events", ["event_type", "value", "user_id"])
+    return ds.map_batches(partial, batch_format="pyarrow").groupby("event_type").aggregate(
+        Sum("n", alias_name="n"), Sum("sx", alias_name="sx"), Sum("sy", alias_name="sy"),
+        Sum("sxx", alias_name="sxx"), Sum("syy", alias_name="syy"),
+        Sum("sxy", alias_name="sxy"),
+    )
+
+
+# --- bloom-filter semi join (IO-pruning prefilter + exact confirm) ------
+
+
+def j_bloom_semi(sf_dir: str) -> rd.Dataset:
+    """Semi join lineitem ⋉ urgent orders via a BROADCAST BLOOM FILTER
+    prefilter + exact confirm — the scale pattern for joining a 100-TB
+    fact table against a small key side without shuffling the fact
+    table: build a bloom bitmap over the build side's keys (distributed
+    partial bitmaps OR-merged — the bitmap is a few MB regardless of
+    fact-table size), ``ray.put`` it once, and drop non-member fact rows
+    inside ``map_batches`` before any exact work. The exact ``pc.is_in``
+    confirm (the build-side key set is also broadcast) removes the
+    bloom's false positives so the output equals the SQL semi join
+    bit-for-bit; at scale the confirm stage is where a shuffle join
+    would slot in, operating on the ~1% of rows the bloom admits."""
+    import ray
+
+    from .. import read_parquet_clean
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority"],
+        filter=pc.field("o_orderpriority") == "1-URGENT",
+    )
+    nkeys = max(orders.count(), 1)
+    m_words = max(1, (nkeys * 16) // 64)  # ~16 bits/key → <0.1% FP at k=4
+
+    def batch_bitmap(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy().astype(np.uint64)
+        words = np.zeros(m_words, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            h1 = k * np.uint64(0x9E3779B97F4A7C15)
+            h2 = (k * np.uint64(0xC2B2AE3D27D4EB4F)) | np.uint64(1)
+            for i in range(4):
+                bit = (h1 + np.uint64(i) * h2) % np.uint64(m_words * 64)
+        # vectorized OR of per-key bits into the word array
+                np.bitwise_or.at(
+                    words, (bit >> np.uint64(6)).astype(np.int64),
+                    np.uint64(1) << (bit & np.uint64(63)),
+                )
+        return pa.table({"words": pa.array([words], pa.list_(pa.uint64(), m_words))})
+
+    # OR-merge the per-batch bitmaps (each m_words·8 bytes; the merge is
+    # O(batches · bitmap) on the driver — bitmap size is independent of
+    # fact-table size, so this stays cheap at any scale)
+    parts = [
+        np.asarray(row["words"], dtype=np.uint64)
+        for row in orders.map_batches(batch_bitmap, batch_format="pyarrow").take_all()
+    ]
+    bloom = np.bitwise_or.reduce(np.stack(parts), axis=0) if parts else np.zeros(
+        m_words, dtype=np.uint64
+    )
+    keys_exact = pa.array(
+        orders.select_columns(["o_orderkey"]).to_pandas()["o_orderkey"].to_numpy()
+    )
+    bloom_ref = ray.put(bloom)
+    keys_ref = ray.put(keys_exact)
+
+    def probe(t: pa.Table) -> pa.Table:
+        words = ray.get(bloom_ref)
+        k = t["l_orderkey"].to_numpy().astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h1 = k * np.uint64(0x9E3779B97F4A7C15)
+            h2 = (k * np.uint64(0xC2B2AE3D27D4EB4F)) | np.uint64(1)
+            hit = np.ones(len(k), dtype=bool)
+            for i in range(4):
+                bit = (h1 + np.uint64(i) * h2) % np.uint64(m_words * 64)
+                hit &= (
+                    words[(bit >> np.uint64(6)).astype(np.int64)]
+                    >> (bit & np.uint64(63))
+                ) & np.uint64(1) > 0
+        t = t.filter(pa.array(hit))  # bloom prefilter (no false negatives)
+        t = t.filter(pc.is_in(t["l_orderkey"], value_set=ray.get(keys_ref)))
+        return pa.table(
+            {"l_orderkey": t["l_orderkey"], "price_cents": _cents(t["l_extendedprice"])}
+        )
+
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"])
+    return line.map_batches(probe, batch_format="pyarrow")

@@ -407,3 +407,58 @@ def fingerprint(sf_dir: str, window: int = 32) -> rd.Dataset:
         return pa.table({"doc_id": t["doc_id"], "fp_full": full, "fp_winmin": winmin})
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# --- hashed-linear classifier (batched model inference, SQL-checked) ----
+
+
+class HashedLinearClassifier:
+    """Batched MODEL-INFERENCE stage: a hashed bag-of-words linear
+    classifier (the fastText-style quality/topic-filter shape every
+    training-data pipeline runs at scale). The "model" is a hashed
+    weight table — weight(w) = md5_lower64(w) % 1001 − 500 — so there is
+    no weight file to load, yet the stage exercises the real pattern:
+    stateful actor (the word→weight cache persists ACROSS batches, so a
+    Zipf-distributed corpus hashes each frequent word once per actor,
+    not once per batch), vectorized per-batch scoring (np.unique →
+    hash-only-misses → np.add.at), integer scores (order-independent,
+    hash-comparable). md5 keeps it DuckDB-reproducible bit for bit —
+    swap ``_weights_for`` for a real embedding-table lookup and the Ray
+    plumbing is unchanged."""
+
+    def __init__(self):
+        self._cache: dict[str, int] = {}
+
+    def _weights_for(self, uniq: np.ndarray) -> np.ndarray:
+        from ..pipelines.dedup import _md5_lower64
+
+        miss = [w for w in uniq.tolist() if w not in self._cache]
+        if miss:
+            hw = (_md5_lower64(miss) % np.uint64(1001)).astype(np.int64) - 500
+            self._cache.update(zip(miss, hw.tolist()))
+        return np.array([self._cache[w] for w in uniq.tolist()], dtype=np.int64)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        words_per = [(s or "").split() for s in t["text"].to_pylist()]
+        lens = np.array([len(w) for w in words_per], dtype=np.int64)
+        scores = np.zeros(len(ids), dtype=np.int64)
+        flat = [w for ws in words_per for w in ws]
+        if flat:
+            uniq, inv = np.unique(np.array(flat, dtype=object), return_inverse=True)
+            w_all = self._weights_for(uniq)[inv]
+            np.add.at(scores, np.repeat(np.arange(len(ids)), lens), w_all)
+        label = np.where(scores > 0, "pos", "neg")
+        return pa.table(
+            {"doc_id": ids, "score": scores, "label": pa.array(label.tolist())}
+        )
+
+
+def text_classify(sf_dir: str, concurrency: int = 2) -> rd.Dataset:
+    """Hashed-linear classify over documents (actor pool — the model
+    cache is per-actor state built across batches)."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    return ds.map_batches(
+        HashedLinearClassifier, batch_format="pyarrow", concurrency=concurrency,
+        max_restarts=0,
+    )

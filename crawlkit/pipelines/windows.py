@@ -637,3 +637,61 @@ def j_keyed_range(sf_dir: str, days: int = 30) -> rd.Dataset:
         "l_orderkey",
         {"n_shipped": ("one", "sum")},
     )
+
+
+def w_percent_rank(sf_dir: str, group_cap: int = 4_000_000) -> rd.Dataset:
+    """PERCENT_RANK / CUME_DIST as EXACT RATIONALS: per event_type
+    (ordered by value-cents) each event's (rank−1, n−1, rows≤current) —
+    the float percent_rank/cume_dist is one division away, but emitting
+    the integer numerators/denominator keeps the distributed result
+    order-independent and hash-comparable (float window outputs are not).
+    Hash-partition by event_type + per-group vectorized pandas rank
+    (method='min' ↔ RANK(), method='max' ↔ rows-≤-current). Same
+    ``group_cap`` hot-key hatch as w_session (event_type groups are few
+    and big — the cap here guards a degenerate single-type corpus)."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "event_type": t["event_type"],
+                "cents": pa.array(_cents(t["value"])),
+            }
+        )
+
+    def prank(g: pd.DataFrame) -> pa.Table:
+        from .. import pandas_to_clean_arrow
+
+        if len(g) > group_cap:
+            import logging
+
+            logging.getLogger("crawlkit").warning(
+                "w_percent_rank: type %s history %d > group_cap %d — skipped",
+                g["event_type"].iloc[0], len(g), group_cap,
+            )
+            g = g.iloc[0:0]
+        c = g["cents"]
+        out = pd.DataFrame(
+            {
+                "event_id": g["event_id"],
+                "event_type": g["event_type"],
+                "pr_num": c.rank(method="min").astype("int64") - 1,
+                "pr_den": np.int64(max(len(g) - 1, 0)),
+                "cd_num": c.rank(method="max").astype("int64"),
+            }
+        )
+        return pandas_to_clean_arrow(out.astype({"event_id": "int64", "pr_den": "int64"}))
+
+    out = (
+        ds.map_batches(to_cents, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(prank, batch_format="pandas")
+    )
+    from .dedup import pandas_with_schema
+
+    return pandas_with_schema(
+        out,
+        {"event_id": "int64", "event_type": "object", "pr_num": "int64",
+         "pr_den": "int64", "cd_num": "int64"},
+    )
