@@ -140,6 +140,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "w_rolling_sum": windows.w_rolling_sum,  # SQL-checked (ROWS window)
         "rank_dense": windows.rank_dense,  # SQL-checked (DENSE_RANK)
         "w_percent_rank": windows.w_percent_rank,  # SQL-checked (exact rationals)
+        # ordered view→click→purchase funnel (event-sequence analytics)
+        "funnel_conversion": windows.funnel_conversion,  # SQL-checked
         "ntile_bucket": windows.ntile_bucket,  # SQL-checked (NTILE equal-depth)
         "rollup_agg": relational.rollup_agg,  # SQL-checked (GROUP BY ROLLUP)
         "pivot_wide": relational.pivot_wide,  # SQL-checked (conditional-agg pivot)
@@ -193,6 +195,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_image_dedup_exact": multimodal.image_dedup_exact,  # rows-only (brute oracle in tests)
         "mm_image_histogram": multimodal.image_histogram,  # rows-only (Σbins=w·h in tests)
         "mm_caption_filter": multimodal.caption_filter,  # rows-only (predicate oracle in tests)
+        # ViT-style patch extraction (reconstruction oracle in tests)
+        "mm_image_patchify": multimodal.image_patchify,  # rows-only
+        # per-channel mergeable moments + corpus-wide normalization reduce
+        "mm_image_channel_stats": multimodal.image_channel_stats,  # rows-only (numpy oracle in tests)
+        "mm_image_corpus_norm": multimodal.image_corpus_norm,  # rows-only (numpy oracle in tests)
         # --- the crawl engine itself ---
         "crawl_flagship": crawl_flagship,  # rows-only (oracle = refsim in tests)
         "crawl_recrawl": crawl_recrawl,  # rows-only (oracle = refsim prior_seen)

@@ -474,3 +474,131 @@ class VideoFrameSample:
                 [("video_id", pa.string()), ("frame_idx", pa.int64()), ("frame_png", pa.binary())]
             ),
         )
+
+
+class ImagePatchify:
+    """ViT-style patch extraction: decode → split into non-overlapping
+    P×P pixel patches → one row per patch with the raw P·P·3 uint8
+    tensor as a binary column (row-major), ready for a downstream
+    embedding/training stage. Edge remainders are DROPPED (floor(w/P)·
+    floor(h/P) patches — the standard ViT convention; resize first if
+    full coverage is needed). Output rows are small and fixed-width, so
+    unlike the input the output repacks into normal-sized blocks."""
+
+    def __init__(self, patch: int = 16):
+        self.patch = patch
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        p = self.patch
+        ids, pys, pxs, blobs, means = [], [], [], [], []
+        fmts = t["fmt"].to_pylist()
+        for i, data in enumerate(t["bytes"].to_pylist()):
+            px = imagecodec.decode(data, fmts[i])
+            ny, nx = px.shape[0] // p, px.shape[1] // p
+            if ny == 0 or nx == 0:
+                continue
+            # one vectorized reshape per image: (ny,p,nx,p,3) → (ny,nx,p,p,3)
+            grid = (
+                px[: ny * p, : nx * p]
+                .reshape(ny, p, nx, p, 3)
+                .transpose(0, 2, 1, 3, 4)
+            )
+            flat = grid.reshape(ny * nx, p * p * 3)
+            iid = t["image_id"][i].as_py()
+            ids.extend([iid] * (ny * nx))
+            yy, xx = np.divmod(np.arange(ny * nx), nx)
+            pys.append(yy)
+            pxs.append(xx)
+            buf = flat.tobytes(order="C")  # one copy per image
+            step = p * p * 3
+            blobs.extend(buf[k * step : (k + 1) * step] for k in range(ny * nx))
+            means.append(grid.reshape(ny * nx, -1).mean(axis=1, dtype=np.float64))
+        if not ids:
+            return pa.schema(
+                [("image_id", pa.string()), ("py", pa.int64()), ("px", pa.int64()),
+                 ("patch", pa.binary()), ("mean_milli", pa.int64())]
+            ).empty_table()
+        return pa.table(
+            {
+                "image_id": pa.array(ids),
+                "py": np.concatenate(pys).astype(np.int64),
+                "px": np.concatenate(pxs).astype(np.int64),
+                "patch": pa.array(blobs, pa.binary()),
+                "mean_milli": np.floor(np.concatenate(means) * 1000).astype(np.int64),
+            }
+        )
+
+
+def image_patchify(
+    sf_dir: str | None = None, n: int = 64, patch: int = 16
+) -> rd.Dataset:
+    """Patch-extraction pipeline over the synthetic images table
+    (sf_dir unused — signature compatibility). Actor pool with SMALL
+    input batches (megapixel rows) fanning out to many small rows."""
+    return synthetic_images(n).map_batches(
+        ImagePatchify, fn_constructor_kwargs={"patch": patch},
+        batch_format="pyarrow", batch_size=8, concurrency=2,
+        max_restarts=0,
+    )
+
+
+class ImageChannelStats:
+    """Per-image per-channel mergeable MOMENTS (n, sum, sumsq, min, max
+    — all exact int64): the sufficient statistics for corpus-wide
+    normalization constants (mean/std per channel) that image-training
+    pipelines compute over the full dataset. Emitting moments rather
+    than floats keeps the downstream reduction order-independent; the
+    global reduce is a tiny groupby(channel) sum over 3 rows/image."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        fmts = t["fmt"].to_pylist()
+        ids, chans, ns, ss, sqs, mns, mxs = [], [], [], [], [], [], []
+        for i, data in enumerate(t["bytes"].to_pylist()):
+            px = imagecodec.decode(data, fmts[i]).reshape(-1, 3).astype(np.int64)
+            iid = t["image_id"][i].as_py()
+            ids.extend([iid] * 3)
+            chans.extend(["r", "g", "b"])
+            ns.extend([px.shape[0]] * 3)
+            ss.extend(px.sum(axis=0).tolist())
+            sqs.extend((px * px).sum(axis=0).tolist())
+            mns.extend(px.min(axis=0).tolist())
+            mxs.extend(px.max(axis=0).tolist())
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "channel": pa.array(chans, pa.string()),
+                "n": pa.array(ns, pa.int64()),
+                "s": pa.array(ss, pa.int64()),
+                "ss": pa.array(sqs, pa.int64()),
+                "mn": pa.array(mns, pa.int64()),
+                "mx": pa.array(mxs, pa.int64()),
+            }
+        )
+
+
+def image_channel_stats(sf_dir: str | None = None, n: int = 64) -> rd.Dataset:
+    """Per-image channel moments over the synthetic images table."""
+    return synthetic_images(n).map_batches(
+        ImageChannelStats, batch_format="pyarrow", batch_size=8, concurrency=2,
+        max_restarts=0,
+    )
+
+
+def image_corpus_norm(sf_dir: str | None = None, n: int = 64) -> rd.Dataset:
+    """Corpus-wide per-channel normalization constants: the global
+    reduce over ``image_channel_stats`` moments (Σn, Σs, Σss, min, max
+    per channel — mean/std are one division away on the consumer side).
+    The shuffle moves 3 rows per image; pixels never leave the stage."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    return (
+        image_channel_stats(sf_dir, n)
+        .groupby("channel")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("s", alias_name="s"),
+            Sum("ss", alias_name="ss"),
+            Min("mn", alias_name="mn"),
+            Max("mx", alias_name="mx"),
+        )
+    )

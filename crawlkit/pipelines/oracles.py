@@ -507,6 +507,32 @@ ORACLE_SQL: dict[str, str] = {
         SELECT CAST(node AS BIGINT) AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster_id
         FROM reach GROUP BY node
     """,
+    # ordered funnel: users completing each prefix view→click→purchase
+    # with strictly-increasing first-completion timestamps, each step
+    # within a 24-hour window of the previous step's completion
+    "funnel_conversion": """
+        WITH v AS (
+            SELECT user_id, MIN(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ), c AS (
+            SELECT e.user_id, MIN(e.ts) AS t2
+            FROM events e JOIN v ON v.user_id = e.user_id
+            WHERE e.event_type = 'click' AND e.ts > v.t1
+              AND e.ts <= v.t1 + INTERVAL 24 HOUR
+            GROUP BY e.user_id
+        ), p AS (
+            SELECT e.user_id, MIN(e.ts) AS t3
+            FROM events e JOIN c ON c.user_id = e.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > c.t2
+              AND e.ts <= c.t2 + INTERVAL 24 HOUR
+            GROUP BY e.user_id
+        )
+        SELECT stage, CAST(n_users AS BIGINT) AS n_users FROM (
+            SELECT 'view' AS stage, COUNT(*) AS n_users FROM v
+            UNION ALL SELECT 'view>click', COUNT(*) FROM c
+            UNION ALL SELECT 'view>click>purchase', COUNT(*) FROM p
+        )
+    """,
     # hashed bag-of-words linear classifier: weight(w) = md5_lower64(w)
     # % 1001 − 500 (same md5 low half as dedup_simhash), integer score
     "text_classify": r"""

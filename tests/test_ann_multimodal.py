@@ -186,3 +186,58 @@ def test_caption_filter_matches_predicate_oracle():
             want.append((r["image_id"], n_tok))
     assert sorted(zip(got["image_id"], got["n_cap_tokens"])) == sorted(want)
     assert "bytes" not in got.columns
+
+
+def test_image_patchify_reconstructs():
+    """Patch rows reassemble to the original pixels (crop to the patch
+    grid), and patch count == floor(w/P)·floor(h/P) per image."""
+    import numpy as np
+
+    from crawlkit.synthweb import SynthWeb
+
+    p = 16
+    rows = _pdf(multimodal.image_patchify(n=8, patch=p))
+    web = SynthWeb("t1")
+    for iid, grp in rows.groupby("image_id"):
+        px = imagecodec.decode(web.image_record(iid)["bytes"])
+        ny, nx = px.shape[0] // p, px.shape[1] // p
+        assert len(grp) == ny * nx
+        rec = np.zeros((ny * p, nx * p, 3), dtype=np.uint8)
+        for _, r in grp.iterrows():
+            tile = np.frombuffer(r["patch"], dtype=np.uint8).reshape(p, p, 3)
+            rec[r["py"] * p : (r["py"] + 1) * p, r["px"] * p : (r["px"] + 1) * p] = tile
+        assert np.array_equal(rec, px[: ny * p, : nx * p])
+        # mean_milli matches the numpy mean of the tile
+        r0 = grp.iloc[0]
+        tile0 = np.frombuffer(r0["patch"], dtype=np.uint8).reshape(-1)
+        assert r0["mean_milli"] == int(np.floor(tile0.mean(dtype=np.float64) * 1000))
+
+
+def test_image_channel_stats_match_numpy():
+    from crawlkit.synthweb import SynthWeb
+
+    stats = _pdf(multimodal.image_channel_stats(n=8)).set_index(["image_id", "channel"])
+    web = SynthWeb("t1")
+    import numpy as np
+
+    for iid in ["img-mm-0", "img-mm-5"]:
+        px = imagecodec.decode(web.image_record(iid)["bytes"]).reshape(-1, 3).astype(np.int64)
+        for c, j in (("r", 0), ("g", 1), ("b", 2)):
+            row = stats.loc[(iid, c)]
+            assert row["n"] == px.shape[0]
+            assert row["s"] == px[:, j].sum()
+            assert row["ss"] == (px[:, j] ** 2).sum()
+            assert row["mn"] == px[:, j].min()
+            assert row["mx"] == px[:, j].max()
+
+
+def test_image_corpus_norm_is_global_reduce():
+    """corpus_norm == the pandas reduce of channel_stats (merge law)."""
+    per = _pdf(multimodal.image_channel_stats(n=8))
+    glob = _pdf(multimodal.image_corpus_norm(n=8)).set_index("channel")
+    want = per.groupby("channel").agg(
+        n=("n", "sum"), s=("s", "sum"), ss=("ss", "sum"), mn=("mn", "min"), mx=("mx", "max")
+    )
+    for c in ["r", "g", "b"]:
+        for col in ["n", "s", "ss", "mn", "mx"]:
+            assert glob.loc[c, col] == want.loc[c, col], (c, col)
