@@ -200,6 +200,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-channel mergeable moments + corpus-wide normalization reduce
         "mm_image_channel_stats": multimodal.image_channel_stats,  # rows-only (numpy oracle in tests)
         "mm_image_corpus_norm": multimodal.image_corpus_norm,  # rows-only (numpy oracle in tests)
+        # the north-star per-row invariant: decoded pixels ≡ reference
+        # (exact / PSNR≥40dB lossy) + caption equality, as a pipeline
+        "mm_image_verify": multimodal.image_verify,  # rows-only (corrupt-row oracle in tests)
         # --- the crawl engine itself ---
         "crawl_flagship": crawl_flagship,  # rows-only (oracle = refsim in tests)
         "crawl_recrawl": crawl_recrawl,  # rows-only (oracle = refsim prior_seen)

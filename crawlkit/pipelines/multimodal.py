@@ -602,3 +602,77 @@ def image_corpus_norm(sf_dir: str | None = None, n: int = 64) -> rd.Dataset:
             Max("mx", alias_name="mx"),
         )
     )
+
+
+IMAGE_VERIFY_SCHEMA = pa.schema(
+    [
+        ("image_id", pa.string()),
+        ("pixels_ok", pa.bool_()),     # exact (lossless) or PSNR≥40dB (lossy)
+        ("pixels_exact", pa.bool_()),
+        ("psnr_milli", pa.int64()),    # PSNR·1000 (int; -1 = exact/∞)
+        ("caption_ok", pa.bool_()),
+        ("phash_ok", pa.bool_()),
+    ]
+)
+
+
+class ImageVerify:
+    """Per-row INVARIANT VERIFICATION stage (the north-star clause:
+    'decoded pixels match the reference allclose — PSNR≥40dB for lossy
+    formats — and captions match exactly'): decode each stored
+    image+caption row and compare against the reference render.
+
+    The reference generator is held per-actor (``__init__``, once) and
+    each row's reference pixels are re-rendered deterministically — the
+    sandbox stand-in for reading the reference system's stored row; the
+    comparison is row-local either way, so the stage is an
+    embarrassingly-parallel actor-pool ``map_batches`` with NO shuffle
+    at any corpus size. Emits one verdict row per image (bools + PSNR
+    as int milli-dB), so the downstream 'all rows pass' check is a tiny
+    aggregate."""
+
+    def __init__(self, config: WebConfig | str = "t1"):
+        self.web = SynthWeb(config)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        rows = []
+        fmts = t["fmt"].to_pylist()
+        caps = t["caption"].to_pylist()
+        phashes = t["phash"].to_pylist()
+        for i, data in enumerate(t["bytes"].to_pylist()):
+            iid = t["image_id"][i].as_py()
+            base_id = iid.split("-dup")[0].split("-copy")[0]
+            px = imagecodec.decode(data, fmts[i])
+            ref = self.web.image_pixels(base_id)
+            exact = px.shape == ref.shape and bool(np.array_equal(px, ref))
+            if exact:
+                p_milli, ok = -1, True
+            elif px.shape == ref.shape:
+                p = imagecodec.psnr(px, ref)
+                p_milli = int(p * 1000) if np.isfinite(p) else -1
+                ok = p >= 40.0
+            else:
+                p_milli, ok = 0, False
+            rows.append(
+                {
+                    "image_id": iid,
+                    "pixels_ok": ok,
+                    "pixels_exact": exact,
+                    "psnr_milli": p_milli,
+                    "caption_ok": caps[i] == self.web.caption(base_id),
+                    "phash_ok": phashes[i]
+                    == np.int64(np.uint64(imagecodec.phash64(px))).item(),
+                }
+            )
+        return pa.Table.from_pylist(rows, schema=IMAGE_VERIFY_SCHEMA)
+
+
+def image_verify(sf_dir: str | None = None, n: int = 64) -> rd.Dataset:
+    """Per-row reference verification over the synthetic images table
+    (sf_dir unused — signature compatibility). The same stage verifies a
+    crawl run's stored images (tests/test_ann_multimodal.py feeds it a
+    ``run_crawl`` output table)."""
+    return synthetic_images(n).map_batches(
+        ImageVerify, batch_format="pyarrow", batch_size=8, concurrency=2,
+        max_restarts=0,
+    )

@@ -241,3 +241,59 @@ def test_image_corpus_norm_is_global_reduce():
     for c in ["r", "g", "b"]:
         for col in ["n", "s", "ss", "mn", "mx"]:
             assert glob.loc[c, col] == want.loc[c, col], (c, col)
+
+
+def test_image_verify_all_pass_and_detects_corruption():
+    """Every synthetic row verifies (exact for png, PSNR≥40dB for the
+    lossy stand-in, caption + phash equal); a corrupted row is caught."""
+    import numpy as np
+    import pyarrow as pa
+
+    out = _pdf(multimodal.image_verify(n=16)).set_index("image_id")
+    assert len(out) == 16
+    assert out["pixels_ok"].all() and out["caption_ok"].all() and out["phash_ok"].all()
+    # lossy rows went through the PSNR path, lossless the exact path
+    assert out["pixels_exact"].any()
+    lossy = out.loc[~out["pixels_exact"]]
+    assert len(lossy) > 0 and (lossy["psnr_milli"] >= 40_000).all()
+
+    # corrupt one row: wrong caption + perturbed pixels re-encoded
+    from crawlkit.pipelines.multimodal import ImageVerify
+    from crawlkit.synthweb import SynthWeb
+    from crawlkit import imagecodec
+    from crawlkit.stages.fetch import IMAGES_SCHEMA
+
+    web = SynthWeb("t1")
+    rec = dict(web.image_record("img-mm-3"))
+    px = imagecodec.decode(rec["bytes"], rec["fmt"]).copy()
+    px[: px.shape[0] // 2] = 0  # destroy half the image (PSNR ≪ 40)
+    rec.update(bytes=imagecodec.encode_png(px), fmt="png", caption="WRONG")
+    verdict = ImageVerify()(pa.Table.from_pylist([rec], schema=IMAGES_SCHEMA)).to_pylist()[0]
+    assert not verdict["pixels_ok"] and not verdict["caption_ok"]
+    assert 0 <= verdict["psnr_milli"] < 40_000
+
+
+def test_image_verify_over_crawl_store(ray_session, tmp_path):
+    """The SAME verify stage validates a crawl run's stored image rows
+    end-to-end (run_crawl → images table → ImageVerify): the north-star
+    invariant holds for every row the engine persisted."""
+    import ray.data as rd
+
+    from crawlkit.pipelines.crawl import run_crawl
+    from crawlkit.pipelines.multimodal import ImageVerify
+    from crawlkit.refsim import CrawlSpec
+
+    res = run_crawl(
+        "t1", spec=CrawlSpec(host_budget_per_round=16),
+        out_dir=str(tmp_path / "verify_store"), num_seen_shards=2, fetch_concurrency=2,
+    )
+    images = res.images_table()
+    assert images.num_rows > 0
+    out = (
+        rd.from_arrow(images)
+        .map_batches(ImageVerify, batch_format="pyarrow", batch_size=8,
+                     concurrency=2, max_restarts=0)
+        .to_pandas()
+    )
+    assert len(out) == images.num_rows
+    assert out["pixels_ok"].all() and out["caption_ok"].all() and out["phash_ok"].all()
