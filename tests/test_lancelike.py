@@ -76,3 +76,56 @@ def test_compact_preserves_rows_and_time_travel(tmp_path):
     a = sorted(s.read_table()["a"].to_pylist())
     b = sorted(s.read_table(version=v_before)["a"].to_pylist())
     assert a == b
+
+
+def test_datasink_write_read_roundtrip(ray_session, tmp_path):
+    """ds.write_datasink(LanceLikeDatasink) commits one version whose
+    rows equal the dataset; re-writing IDENTICAL data commits zero new
+    rows (content-derived fragment keys → re-runs are no-ops)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawlkit.state.lancelike import LanceLikeDatasink, TableStore
+
+    root = str(tmp_path / "sinked")
+    ds = rd.range(1000).map_batches(
+        lambda t: pa.table({"id": t["id"], "sq": t["id"].to_numpy() ** 2}),
+        batch_format="pyarrow",
+    )
+    sink = LanceLikeDatasink(root)
+    ds.write_datasink(sink)
+    store = TableStore(root)
+    assert store.count_rows() == 1000
+    got = store.read_table().to_pandas().sort_values("id").reset_index(drop=True)
+    assert (got["sq"] == got["id"] ** 2).all()
+    v1 = store.latest_version()
+
+    # whole-run re-run over identical input: same keys, nothing re-commits
+    ds2 = rd.range(1000).map_batches(
+        lambda t: pa.table({"id": t["id"], "sq": t["id"].to_numpy() ** 2}),
+        batch_format="pyarrow",
+    )
+    LanceLikeDatasink.__init__(sink, root)  # fresh sink, same root
+    ds2.write_datasink(sink)
+    assert store.count_rows() == 1000
+    # appending DIFFERENT rows does land as a new version
+    rd.range(50).map_batches(
+        lambda t: pa.table({"id": t["id"].to_numpy() + 10_000, "sq": t["id"].to_numpy()}),
+        batch_format="pyarrow",
+    ).write_datasink(LanceLikeDatasink(root))
+    assert store.count_rows() == 1050
+    assert store.latest_version() > v1
+
+
+def test_datasink_uncommitted_fragments_invisible(tmp_path):
+    """A fragment written without commit (crash before
+    on_write_complete) is invisible to every reader."""
+    import pyarrow as pa
+
+    from crawlkit.state.lancelike import TableStore, _content_key
+
+    store = TableStore(str(tmp_path / "crash"))
+    t = pa.table({"a": [1, 2, 3]})
+    store.write_fragment(t, _content_key(t, "w"))  # no commit
+    assert store.count_rows() == 0
+    assert store.read_table().num_rows == 0
