@@ -47,7 +47,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from crawlkit.pipelines import ann, dedup, multimodal, relational, text, windows
+    from crawlkit.pipelines import ann, dedup, graph, multimodal, relational, text, windows
 
     def crawl_flagship(sf_dir: str):
         """The crawl engine end-to-end on the deterministic synthetic web
@@ -172,6 +172,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": dedup.dedup_clusters,  # SQL-checked
         # the corpus AFTER dedup (drop non-representative cluster members)
         "dedup_survivors": dedup.dedup_survivors,  # SQL-checked
+        # --- graph analytics ---
+        # integer power iteration over the md5-derived doc link graph
+        "pagerank": graph.pagerank,  # SQL-checked (exact int arithmetic)
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs,  # rows-only
         # signatures, not pairs: the driver corpus is uniform-vocab, so
         # nearly ALL pairs are within hamming 3 (a known simhash

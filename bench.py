@@ -97,6 +97,10 @@ def run_bench() -> dict:
     timed("text_score", text.text_score)
     timed("dedup_minhash_lsh", dedup.minhash_lsh_pairs)
     timed("knn_bruteforce", ann.knn_bruteforce)
+    # round-3 additions (totals are NOT comparable to BENCH_r01/r02 —
+    # compare per-query; see BASELINE.md round-3 notes)
+    timed("dup_span_fraction", dedup.dup_span_fraction)
+    timed("text_classify", text.text_classify)
 
     total = round(sum(timings.values()), 3)
     out = {

@@ -1,0 +1,181 @@
+"""Graph analytics over document/link graphs — the crawl-adjacent
+distributed ops (PageRank-style authority propagation).
+
+``pagerank`` runs INTEGER power iteration: contributions are
+``r // outdeg`` (exact integer division) and the damping step is
+``150_000 + (Σcontrib · 85) // 100`` — every arithmetic step is closed
+over int64, so the distributed sums are order-independent and the
+result is bit-identical to the DuckDB oracle (float PageRank would
+hash-differ by summation order). The graph is hash-derived from the
+documents table with the same md5-lower64 rule on both sides
+(``dedup._md5_lower64`` ↔ DuckDB ``md5_number_lower``), the standard
+deterministic-fixture trick used across this repo.
+
+Distribution shape (the 100-TB story): edges are built once by a
+vectorized ``map_batches`` over the node table and materialized (reused
+every iteration, exactly like ``dedup.dedup_clusters``' edge table);
+each iteration is ONE shuffle — join ranks⨝edges on src, partial
+per-batch contribution sums, then groupby(dst) — so K iterations cost
+K shuffles of (node,int64) pairs, never the corpus. Orphan nodes (no
+in-edges) hold exactly the teleport mass from iteration 1 on, so their
+rows are computed once and unioned in per iteration — no per-iteration
+backfill join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+TELEPORT = 150_000  # floor(0.15 · 1e6) — integer damping, scale 1e6
+R0 = 1_000_000
+
+
+def _read_nodes(sf_dir: str) -> rd.Dataset:
+    from .. import read_parquet_clean
+
+    return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+
+def pagerank(sf_dir: str, iters: int = 5) -> rd.Dataset:
+    """Integer PageRank over the md5-derived doc link graph:
+    outdeg(v) = 1 + md5(v ∥ '-d') % 3, the j-th edge of v points at
+    md5(v ∥ '-e' ∥ j) % N. Returns (doc_id, rank) for every doc after
+    ``iters`` damped iterations (rank scale 1e6)."""
+    from .dedup import _md5_lower64
+    from .dedup import _nonempty_blocks
+
+    nodes = _read_nodes(sf_dir)
+    n_docs = nodes.count()  # tiny: one column of ids
+
+    edge_schema = pa.schema(
+        [("src", pa.int64()), ("dst", pa.int64()), ("outdeg", pa.int64())]
+    )
+    rank_schema = pa.schema([("node", pa.int64()), ("r", pa.int64())])
+
+    def build_edges(t: pa.Table) -> pa.Table:
+        v = t["doc_id"].to_numpy()
+        outdeg = (
+            _md5_lower64([f"{x}-d" for x in v.tolist()]) % np.uint64(3)
+        ).astype(np.int64) + 1
+        src = np.repeat(v, outdeg)
+        js = np.concatenate([np.arange(d) for d in outdeg]) if len(v) else np.empty(0, np.int64)
+        dst = (
+            _md5_lower64([f"{s}-e{j}" for s, j in zip(src.tolist(), js.tolist())])
+            % np.uint64(n_docs)
+        ).astype(np.int64)
+        return pa.table(
+            {"src": src, "dst": dst, "outdeg": np.repeat(outdeg, outdeg)},
+            schema=edge_schema,
+        )
+
+    edges = _nonempty_blocks(
+        nodes.map_batches(build_edges, batch_format="pyarrow"), edge_schema
+    )
+
+    def init_ranks(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"node": t["doc_id"], "r": np.full(t.num_rows, R0, dtype=np.int64)},
+            schema=rank_schema,
+        )
+
+    ranks = _nonempty_blocks(
+        nodes.map_batches(init_ranks, batch_format="pyarrow"), rank_schema
+    )
+
+    def contrib(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return rank_schema.empty_table()
+        # partial pre-aggregation per batch before the groupby shuffle
+        df = pd.DataFrame(
+            {
+                "node": t["dst"].to_numpy(),
+                "r": t["r"].to_numpy() // t["outdeg"].to_numpy(),
+            }
+        )
+        g = df.groupby("node", as_index=False)["r"].sum()
+        return pa.table(
+            {"node": g["node"].to_numpy(), "r": g["r"].to_numpy().astype(np.int64)},
+            schema=rank_schema,
+        )
+
+    # distinct column names for the one-time orphan join: Dataset.join
+    # breaks on same-name keys on both sides (CLAUDE.md invariant)
+    damp_schema = pa.schema([("sn", pa.int64()), ("sr", pa.int64())])
+
+    def damp(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return rank_schema.empty_table()
+        s = t["r"].to_numpy()
+        return pa.table(
+            {"node": t["node"], "r": TELEPORT + (s * 85) // 100}, schema=rank_schema
+        )
+
+    # Orphan nodes (no in-edges) hold EXACTLY the teleport mass from
+    # iteration 1 onward, and the in-edge node set is fixed — so the
+    # orphan rows are computed ONCE (one left-outer join) and unioned
+    # into every iteration's ranks, instead of a per-iteration
+    # node-table backfill join (iters+0 joins instead of 2·iters).
+    def orphan_rows(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return rank_schema.empty_table()
+        import pyarrow.compute as pc
+
+        keep = t.filter(pc.is_null(t["sr"]))
+        return pa.table(
+            {
+                "node": pc.cast(keep["node"], pa.int64()),
+                "r": np.full(keep.num_rows, TELEPORT, dtype=np.int64),
+            },
+            schema=rank_schema,
+        )
+
+    in_deg = _nonempty_blocks(
+        edges.select_columns(["dst"])
+        .groupby("dst")
+        .aggregate(Sum("dst", alias_name="sr"))  # value unused; marks presence
+        .map_batches(
+            lambda t: pa.table(
+                {"sn": pa.compute.cast(t["dst"], pa.int64()),
+                 "sr": pa.compute.cast(t["sr"], pa.int64())}
+            )
+            if t.num_columns and t.num_rows
+            else pa.schema([("sn", pa.int64()), ("sr", pa.int64())]).empty_table(),
+            batch_format="pyarrow",
+        ),
+        damp_schema,
+    )
+    orphans = _nonempty_blocks(
+        nodes.map_batches(init_ranks, batch_format="pyarrow")
+        .select_columns(["node"])
+        .join(in_deg, join_type="left_outer", num_partitions=4,
+              on=("node",), right_on=("sn",))
+        .map_batches(orphan_rows, batch_format="pyarrow"),
+        rank_schema,
+    )
+
+    for _ in range(iters):
+        summed = (
+            edges.join(ranks, join_type="inner", num_partitions=2,
+                       on=("src",), right_on=("node",))
+            .map_batches(contrib, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Sum("r", alias_name="r"))
+            .map_batches(damp, batch_format="pyarrow")
+        )
+        ranks = _nonempty_blocks(summed.union(orphans), rank_schema)
+
+    def rename(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.schema([("doc_id", pa.int64()), ("rank", pa.int64())]).empty_table()
+        return t.rename_columns(["doc_id", "rank"])
+
+    from .dedup import pandas_with_schema
+
+    return pandas_with_schema(
+        ranks.map_batches(rename, batch_format="pyarrow"),
+        {"doc_id": "int64", "rank": "int64"},
+    )

@@ -709,3 +709,47 @@ ORACLE_SQL: dict[str, str] = {
         WHERE intersection * 10 >= 2 * (ca.c + cb.c - intersection)
     """,
 }
+
+
+def _pagerank_sql(iters: int = 5) -> str:
+    """Unrolled integer power iteration matching ``graph.pagerank``:
+    every step is closed over integer arithmetic (``//`` division,
+    ``(Σ·85)//100`` damping) so engine and oracle agree bit for bit.
+    Same md5-lower64 edge derivation as the engine."""
+    steps = []
+    prev = "r0"
+    for i in range(1, iters + 1):
+        steps.append(
+            f""", r{i} AS (
+            SELECT n.v AS node,
+                   CAST(150000 + COALESCE(s.s85, 0) AS BIGINT) AS r
+            FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node, (SUM(r.r // e.outdeg) * 85) // 100 AS s85
+                FROM edges e JOIN {prev} r ON r.node = e.src
+                GROUP BY e.dst
+            ) s ON s.node = n.v
+        )"""
+        )
+        prev = f"r{i}"
+    return f"""
+        WITH nodes AS (
+            SELECT CAST(doc_id AS BIGINT) AS v FROM documents
+        ), deg AS (
+            SELECT v,
+                   1 + CAST(md5_number_lower(CAST(v AS VARCHAR) || '-d') % 3 AS BIGINT)
+                       AS outdeg
+            FROM nodes
+        ), edges AS (
+            SELECT d.v AS src, d.outdeg,
+                   CAST(md5_number_lower(
+                            CAST(d.v AS VARCHAR) || '-e' || CAST(t.j AS VARCHAR)
+                        ) % (SELECT COUNT(*) FROM nodes) AS BIGINT) AS dst
+            FROM deg d, UNNEST(range(0, d.outdeg)) AS t(j)
+        ), r0 AS (
+            SELECT v AS node, CAST(1000000 AS BIGINT) AS r FROM nodes
+        ){''.join(steps)}
+        SELECT node AS doc_id, r AS rank FROM {prev}
+    """
+
+
+ORACLE_SQL["pagerank"] = _pagerank_sql(5)
