@@ -121,7 +121,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "j_left_outer": relational.j_left_outer,  # SQL-checked (outer join)
         "j_full_outer": relational.j_full_outer,  # SQL-checked (both null paths)
         "j_bloom_semi": relational.j_bloom_semi,  # SQL-checked (bloom prefilter + exact)
+        # anti polarity: bloom MISS passes free, exact check only on hits
+        "j_bloom_anti": relational.j_bloom_anti,  # SQL-checked
         "corr_moments": relational.corr_moments,  # SQL-checked (exact int64 moments)
+        "cube_agg": relational.cube_agg,  # SQL-checked (GROUP BY CUBE, one fact pass)
         "j_asof": relational.j_asof,
         "w_tumbling": relational.w_tumbling,
         "w_sliding": windows.w_sliding,
@@ -142,6 +145,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "w_percent_rank": windows.w_percent_rank,  # SQL-checked (exact rationals)
         # ordered view→click→purchase funnel (event-sequence analytics)
         "funnel_conversion": windows.funnel_conversion,  # SQL-checked
+        "w_first_last": windows.w_first_last,  # SQL-checked (FIRST/LAST_VALUE)
+        # weekly cohort-retention triangle (distinct users per offset)
+        "cohort_retention": windows.cohort_retention,  # SQL-checked
         "ntile_bucket": windows.ntile_bucket,  # SQL-checked (NTILE equal-depth)
         "rollup_agg": relational.rollup_agg,  # SQL-checked (GROUP BY ROLLUP)
         "pivot_wide": relational.pivot_wide,  # SQL-checked (conditional-agg pivot)
@@ -164,6 +170,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_top_keyword": text.top_keyword,  # SQL-checked (integer tf×rarity)
         # batched model inference: hashed bag-of-words linear scorer
         "text_classify": text.text_classify,  # SQL-checked (md5 weights)
+        # feature-hashing embedding: integer sparse core + dense vector
+        "text_embed_counts": text.embed_counts,  # SQL-checked
+        "text_embed": text.text_embed,  # rows-only (unit-norm property in tests)
         # --- dedup family ---
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,  # SQL-checked
         # doc-level duplicate-span statistic (substring-dedup à la Lee et al.)

@@ -231,8 +231,57 @@ def run_scaling() -> dict:
     }
 
 
+def run_stats(out_path: str = "/tmp/crawlkit_stats.txt") -> dict:
+    """Per-stage ``ds.stats()`` audit of the heaviest analytics
+    pipelines (the iterate-until-compute-dominates methodology): runs
+    each at sf0.1, writes the full Ray Data stage breakdowns to
+    ``out_path``, prints one JSON line with wall times + the file."""
+    import logging
+
+    import ray
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    from crawlkit.pipelines import ann, dedup, relational, text
+
+    ray.data.range(1_000_000).map_batches(lambda b: b).count()
+    targets = {
+        "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
+        "q1_pricing": relational.q1_pricing,
+        "j_hash_join": relational.j_hash_join,
+        "dup_span_fraction": dedup.dup_span_fraction,
+        "text_classify": text.text_classify,
+        "knn_bruteforce": ann.knn_bruteforce,
+    }
+    walls: dict[str, float] = {}
+    with open(out_path, "w") as f:
+        for name, fn in targets.items():
+            t0 = time.perf_counter()
+            res = fn(sf_dir)
+            import pandas as pd
+
+            if isinstance(res, pd.DataFrame):
+                stats = f"(driver-side result; {len(res)} rows — no Dataset stats)"
+            else:
+                res = res.materialize()
+                stats = res.stats()
+            walls[name] = round(time.perf_counter() - t0, 3)
+            f.write(f"===== {name} ({walls[name]} s) =====\n{stats}\n\n")
+    ray.shutdown()
+    return {"metric": "per-stage ds.stats() audit", "queries": walls,
+            "stats_file": out_path, "sf": sf_dir, "num_cpus": num_cpus}
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--stats" in sys.argv:
+        print(json.dumps(run_stats()))
     else:
         print(json.dumps(run_bench()))

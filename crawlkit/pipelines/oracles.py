@@ -507,6 +507,70 @@ ORACLE_SQL: dict[str, str] = {
         SELECT CAST(node AS BIGINT) AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster_id
         FROM reach GROUP BY node
     """,
+    # feature-hashing sparse embedding: bucket = md5 % 64, sign = bit 63
+    "text_embed_counts": r"""
+        WITH words AS (
+            SELECT doc_id,
+                   unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS w
+            FROM documents
+        ), hashed AS (
+            SELECT doc_id,
+                   CAST(md5_number_lower(w) % 64 AS BIGINT) AS bucket,
+                   CASE WHEN (md5_number_lower(w) >> 63) & 1 = 1 THEN -1 ELSE 1 END AS sign
+            FROM words
+        )
+        SELECT doc_id, bucket, CAST(SUM(sign) AS BIGINT) AS signed_cnt
+        FROM hashed
+        GROUP BY doc_id, bucket
+        HAVING SUM(sign) <> 0
+    """,
+    "cube_agg": """
+        WITH f AS (
+            SELECT event_type,
+                   CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS BIGINT) AS dow,
+                   CAST(FLOOR(value * 100) AS BIGINT) AS cents
+            FROM events
+        )
+        SELECT COALESCE(event_type, '(all)') AS event_type,
+               CAST(COALESCE(dow, -1) AS BIGINT) AS dow,
+               CAST(SUM(cents) AS BIGINT) AS sum_cents,
+               COUNT(*) AS n
+        FROM f GROUP BY CUBE(event_type, dow)
+    """,
+    "j_bloom_anti": """
+        SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+               CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS price_cents
+        FROM lineitem
+        WHERE l_orderkey NOT IN (
+            SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        )
+    """,
+    "w_first_last": """
+        WITH o AS (
+            SELECT user_id, event_id, CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+                   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY user_id) AS cnt
+            FROM events
+        )
+        SELECT f.user_id, f.event_id AS first_event_id, l.event_id AS last_event_id,
+               f.cents AS first_cents, l.cents AS last_cents
+        FROM (SELECT * FROM o WHERE rn = 1) f
+        JOIN (SELECT * FROM o WHERE rn = cnt) l USING (user_id)
+    """,
+    "cohort_retention": """
+        WITH w AS (
+            SELECT DISTINCT user_id,
+                   epoch_us(ts) // 604800000000 AS wk
+            FROM events
+        ), c AS (
+            SELECT user_id, MIN(wk) AS cw FROM w GROUP BY user_id
+        )
+        SELECT CAST(c.cw AS BIGINT) AS cohort_week,
+               CAST(w.wk - c.cw AS BIGINT) AS week_offset,
+               COUNT(*) AS n_users
+        FROM w JOIN c USING (user_id)
+        GROUP BY 1, 2
+    """,
     # ordered funnel: users completing each prefix view→click→purchase
     # with strictly-increasing first-completion timestamps, each step
     # within a 24-hour window of the previous step's completion

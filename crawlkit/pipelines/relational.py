@@ -947,18 +947,41 @@ def corr_moments(sf_dir: str) -> rd.Dataset:
 # --- bloom-filter semi join (IO-pruning prefilter + exact confirm) ------
 
 
-def j_bloom_semi(sf_dir: str) -> rd.Dataset:
-    """Semi join lineitem ⋉ urgent orders via a BROADCAST BLOOM FILTER
-    prefilter + exact confirm — the scale pattern for joining a 100-TB
-    fact table against a small key side without shuffling the fact
-    table: build a bloom bitmap over the build side's keys (distributed
-    partial bitmaps OR-merged — the bitmap is a few MB regardless of
-    fact-table size), ``ray.put`` it once, and drop non-member fact rows
-    inside ``map_batches`` before any exact work. The exact ``pc.is_in``
-    confirm (the build-side key set is also broadcast) removes the
-    bloom's false positives so the output equals the SQL semi join
-    bit-for-bit; at scale the confirm stage is where a shuffle join
-    would slot in, operating on the ~1% of rows the bloom admits."""
+def _bloom_set_bits(keys: np.ndarray, words: np.ndarray) -> None:
+    """Set the 4 double-hash bloom bits of each key into ``words``
+    (vectorized; in place)."""
+    m_bits = np.uint64(len(words) * 64)
+    with np.errstate(over="ignore"):
+        h1 = keys * np.uint64(0x9E3779B97F4A7C15)
+        h2 = (keys * np.uint64(0xC2B2AE3D27D4EB4F)) | np.uint64(1)
+        for i in range(4):
+            bit = (h1 + np.uint64(i) * h2) % m_bits
+            np.bitwise_or.at(
+                words, (bit >> np.uint64(6)).astype(np.int64),
+                np.uint64(1) << (bit & np.uint64(63)),
+            )
+
+
+def _bloom_hits(keys: np.ndarray, words: np.ndarray) -> np.ndarray:
+    """Membership mask (may contain false POSITIVES, never negatives)."""
+    m_bits = np.uint64(len(words) * 64)
+    hit = np.ones(len(keys), dtype=bool)
+    with np.errstate(over="ignore"):
+        h1 = keys * np.uint64(0x9E3779B97F4A7C15)
+        h2 = (keys * np.uint64(0xC2B2AE3D27D4EB4F)) | np.uint64(1)
+        for i in range(4):
+            bit = (h1 + np.uint64(i) * h2) % m_bits
+            hit &= (
+                words[(bit >> np.uint64(6)).astype(np.int64)] >> (bit & np.uint64(63))
+            ) & np.uint64(1) > 0
+    return hit
+
+
+def _urgent_order_bloom(sf_dir: str):
+    """Distributed bloom build over urgent-order keys: per-batch partial
+    bitmaps OR-merged (each m_words·8 bytes — bitmap size is independent
+    of fact-table size, so the driver merge stays cheap at any scale).
+    Returns (bloom_ref, keys_ref, m_words) broadcast handles."""
     import ray
 
     from .. import read_parquet_clean
@@ -972,23 +995,10 @@ def j_bloom_semi(sf_dir: str) -> rd.Dataset:
     m_words = max(1, (nkeys * 16) // 64)  # ~16 bits/key → <0.1% FP at k=4
 
     def batch_bitmap(t: pa.Table) -> pa.Table:
-        k = t["o_orderkey"].to_numpy().astype(np.uint64)
         words = np.zeros(m_words, dtype=np.uint64)
-        with np.errstate(over="ignore"):
-            h1 = k * np.uint64(0x9E3779B97F4A7C15)
-            h2 = (k * np.uint64(0xC2B2AE3D27D4EB4F)) | np.uint64(1)
-            for i in range(4):
-                bit = (h1 + np.uint64(i) * h2) % np.uint64(m_words * 64)
-        # vectorized OR of per-key bits into the word array
-                np.bitwise_or.at(
-                    words, (bit >> np.uint64(6)).astype(np.int64),
-                    np.uint64(1) << (bit & np.uint64(63)),
-                )
+        _bloom_set_bits(t["o_orderkey"].to_numpy().astype(np.uint64), words)
         return pa.table({"words": pa.array([words], pa.list_(pa.uint64(), m_words))})
 
-    # OR-merge the per-batch bitmaps (each m_words·8 bytes; the merge is
-    # O(batches · bitmap) on the driver — bitmap size is independent of
-    # fact-table size, so this stays cheap at any scale)
     parts = [
         np.asarray(row["words"], dtype=np.uint64)
         for row in orders.map_batches(batch_bitmap, batch_format="pyarrow").take_all()
@@ -999,22 +1009,28 @@ def j_bloom_semi(sf_dir: str) -> rd.Dataset:
     keys_exact = pa.array(
         orders.select_columns(["o_orderkey"]).to_pandas()["o_orderkey"].to_numpy()
     )
-    bloom_ref = ray.put(bloom)
-    keys_ref = ray.put(keys_exact)
+    return ray.put(bloom), ray.put(keys_exact)
+
+
+def j_bloom_semi(sf_dir: str) -> rd.Dataset:
+    """Semi join lineitem ⋉ urgent orders via a BROADCAST BLOOM FILTER
+    prefilter + exact confirm — the scale pattern for joining a 100-TB
+    fact table against a small key side without shuffling the fact
+    table: build a bloom bitmap over the build side's keys (distributed
+    partial bitmaps OR-merged), ``ray.put`` it once, and drop non-member
+    fact rows inside ``map_batches`` before any exact work. The exact
+    ``pc.is_in`` confirm (the build-side key set is also broadcast)
+    removes the bloom's false positives so the output equals the SQL
+    semi join bit-for-bit; at scale the confirm stage is where a shuffle
+    join would slot in, operating on the ~1% of rows the bloom admits."""
+    import ray
+
+    bloom_ref, keys_ref = _urgent_order_bloom(sf_dir)
 
     def probe(t: pa.Table) -> pa.Table:
-        words = ray.get(bloom_ref)
-        k = t["l_orderkey"].to_numpy().astype(np.uint64)
-        with np.errstate(over="ignore"):
-            h1 = k * np.uint64(0x9E3779B97F4A7C15)
-            h2 = (k * np.uint64(0xC2B2AE3D27D4EB4F)) | np.uint64(1)
-            hit = np.ones(len(k), dtype=bool)
-            for i in range(4):
-                bit = (h1 + np.uint64(i) * h2) % np.uint64(m_words * 64)
-                hit &= (
-                    words[(bit >> np.uint64(6)).astype(np.int64)]
-                    >> (bit & np.uint64(63))
-                ) & np.uint64(1) > 0
+        hit = _bloom_hits(
+            t["l_orderkey"].to_numpy().astype(np.uint64), ray.get(bloom_ref)
+        )
         t = t.filter(pa.array(hit))  # bloom prefilter (no false negatives)
         t = t.filter(pc.is_in(t["l_orderkey"], value_set=ray.get(keys_ref)))
         return pa.table(
@@ -1023,3 +1039,86 @@ def j_bloom_semi(sf_dir: str) -> rd.Dataset:
 
     line = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"])
     return line.map_batches(probe, batch_format="pyarrow")
+
+
+def j_bloom_anti(sf_dir: str) -> rd.Dataset:
+    """ANTI join lineitem ▷ urgent orders with the same broadcast bloom —
+    but the polarity flips WHERE the exact check is needed: a bloom MISS
+    proves non-membership (no false negatives) so those rows pass
+    straight through with zero further work; only bloom HITS — true
+    members plus the ~0.1% false positives — consult the exact key set,
+    and only the false positives among them are kept. The exact-check
+    cost is O(|members| + FP), not O(fact table): the asymmetry that
+    makes bloom anti-joins nearly free when most fact rows don't match."""
+    import ray
+
+    bloom_ref, keys_ref = _urgent_order_bloom(sf_dir)
+
+    def probe(t: pa.Table) -> pa.Table:
+        hit = _bloom_hits(
+            t["l_orderkey"].to_numpy().astype(np.uint64), ray.get(bloom_ref)
+        )
+        misses = t.filter(pa.array(~hit))  # proven non-members: keep
+        maybe = t.filter(pa.array(hit))
+        fp = maybe.filter(  # exact check ONLY on the bloom-hit slice
+            pc.invert(pc.is_in(maybe["l_orderkey"], value_set=ray.get(keys_ref)))
+        )
+        out = pa.concat_tables([misses, fp])
+        return pa.table(
+            {"l_orderkey": out["l_orderkey"], "price_cents": _cents(out["l_extendedprice"])}
+        )
+
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"])
+    return line.map_batches(probe, batch_format="pyarrow")
+
+
+def cube_agg(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY CUBE(event_type, dow): value-cents + counts at all four
+    grouping levels (pair, per-type, per-dow, grand total), dow =
+    day-of-week from the epoch ((days + 4) % 7; 1970-01-01 = Thursday).
+    Rolled-up dimensions are encoded as '(all)' / -1 on BOTH sides —
+    integer NULLs would come back float64 from the oracle and
+    dtype-mismatch the driver hash.
+
+    Same shape as ``rollup_agg``: ONE fact pass (per-batch partials →
+    tiny pair groupby), the other three cube levels folded from the
+    |types|×7-row aggregate driver-side — never a second scan."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy()
+        dow = ((us // 86_400_000_000) + 4) % 7
+        df = pd.DataFrame(
+            {
+                "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+                "dow": dow.astype(np.int64),
+                "cents": _cents(t["value"]).to_numpy(),
+            }
+        )
+        g = df.groupby(["event_type", "dow"], as_index=False).agg(
+            sum_cents=("cents", "sum"), n=("cents", "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    base = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "dow"])
+        .aggregate(Sum("sum_cents", alias_name="sum_cents"), Sum("n", alias_name="n"))
+        .to_pandas()  # |types|×7 rows — small by construction
+    )
+    by_type = base.groupby("event_type", as_index=False).agg(
+        sum_cents=("sum_cents", "sum"), n=("n", "sum")
+    )
+    by_type["dow"] = -1
+    by_dow = base.groupby("dow", as_index=False).agg(
+        sum_cents=("sum_cents", "sum"), n=("n", "sum")
+    )
+    by_dow["event_type"] = "(all)"
+    total = pd.DataFrame(
+        {"event_type": ["(all)"], "dow": [-1],
+         "sum_cents": [base["sum_cents"].sum()], "n": [base["n"].sum()]}
+    )
+    out = pd.concat([base, by_type, by_dow, total], ignore_index=True)
+    return out[["event_type", "dow", "sum_cents", "n"]].astype(
+        {"dow": "int64", "sum_cents": "int64", "n": "int64"}
+    )

@@ -462,3 +462,83 @@ def text_classify(sf_dir: str, concurrency: int = 2) -> rd.Dataset:
         HashedLinearClassifier, batch_format="pyarrow", concurrency=concurrency,
         max_restarts=0,
     )
+
+
+# --- feature-hashing embeddings (the hashing trick) ----------------------
+
+
+def embed_counts(sf_dir: str, dim: int = 64) -> rd.Dataset:
+    """Feature-hashing (hashing-trick) SPARSE embedding: per doc, each
+    token hashes to bucket ``md5_lower64(w) % dim`` with sign
+    ``±1 = md5 bit 63``; output is the signed count per non-empty
+    (doc_id, bucket) — the exact integer sufficient statistics of the
+    classic hashed bag-of-words embedding (Weinberger et al., feature
+    hashing). SQL-checked: md5 on both sides, integer sums. One
+    vectorized pass (np.unique → hash per distinct word → np.add.at),
+    no shuffle at all — the groupby is per-doc within the batch."""
+    from .dedup import _md5_lower64
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        words_per = [(s or "").split() for s in t["text"].to_pylist()]
+        lens = np.array([len(w) for w in words_per], dtype=np.int64)
+        flat = [w for ws in words_per for w in ws]
+        if not flat:
+            return pa.schema(
+                [("doc_id", pa.int64()), ("bucket", pa.int64()),
+                 ("signed_cnt", pa.int64())]
+            ).empty_table()
+        uniq, inv = np.unique(np.array(flat, dtype=object), return_inverse=True)
+        h = _md5_lower64(list(uniq))
+        bucket = (h % np.uint64(dim)).astype(np.int64)[inv]
+        sign = np.where((h >> np.uint64(63)) & np.uint64(1) > 0, -1, 1).astype(
+            np.int64
+        )[inv]
+        doc_idx = np.repeat(np.arange(len(ids)), lens)
+        acc = np.zeros((len(ids), dim), dtype=np.int64)
+        np.add.at(acc, (doc_idx, bucket), sign)
+        nz_doc, nz_b = np.nonzero(acc)
+        return pa.table(
+            {
+                "doc_id": ids[nz_doc].astype(np.int64),
+                "bucket": nz_b.astype(np.int64),
+                "signed_cnt": acc[nz_doc, nz_b],
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def text_embed(sf_dir: str, dim: int = 64) -> rd.Dataset:
+    """DENSE L2-normalized hashed embedding per doc (the float vector a
+    downstream ANN / clustering stage consumes; ``embed_counts`` is its
+    SQL-checked integer core). All-zero docs stay zero vectors."""
+    from .dedup import _md5_lower64
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        words_per = [(s or "").split() for s in t["text"].to_pylist()]
+        lens = np.array([len(w) for w in words_per], dtype=np.int64)
+        acc = np.zeros((len(ids), dim), dtype=np.float64)
+        flat = [w for ws in words_per for w in ws]
+        if flat:
+            uniq, inv = np.unique(np.array(flat, dtype=object), return_inverse=True)
+            h = _md5_lower64(list(uniq))
+            bucket = (h % np.uint64(dim)).astype(np.int64)[inv]
+            sign = np.where((h >> np.uint64(63)) & np.uint64(1) > 0, -1.0, 1.0)[inv]
+            doc_idx = np.repeat(np.arange(len(ids)), lens)
+            np.add.at(acc, (doc_idx, bucket), sign)
+        norm = np.maximum(np.linalg.norm(acc, axis=1), 1e-12)
+        emb = (acc / norm[:, None]).astype(np.float32)
+        return pa.table(
+            {
+                "doc_id": ids.astype(np.int64),
+                "embedding": pa.array(list(emb), pa.list_(pa.float32(), dim)),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -752,3 +752,123 @@ def funnel_conversion(
         .groupby("stage")
         .aggregate(Sum("n_users", alias_name="n_users"))
     )
+
+
+def w_first_last(sf_dir: str, nshards: int = 32) -> rd.Dataset:
+    """FIRST_VALUE / LAST_VALUE per user (ordered by ts, event_id): each
+    user's first and last event id and value-cents — the
+    session-boundary projection product analytics runs per entity.
+    Shape: hash-shard by user (co-location contract), ONE vectorized
+    pandas sort + groupby first/last per shard, no window materialized."""
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy().astype(np.uint64)
+        with np.errstate(over="ignore"):
+            s = (u * np.uint64(2654435761)) % np.uint64(nshards)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_id": t["event_id"],
+                "ts": t["ts"],
+                "cents": pa.array(_cents(t["value"])),
+                "_shard": pa.array(s.astype(np.int64)),
+            }
+        )
+
+    def shard_first_last(g: pd.DataFrame) -> pa.Table:
+        from .. import pandas_to_clean_arrow
+
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        agg = g.groupby("user_id", as_index=False).agg(
+            first_event_id=("event_id", "first"),
+            last_event_id=("event_id", "last"),
+            first_cents=("cents", "first"),
+            last_cents=("cents", "last"),
+        )
+        return pandas_to_clean_arrow(
+            agg.astype(
+                {"user_id": "int64", "first_event_id": "int64",
+                 "last_event_id": "int64", "first_cents": "int64",
+                 "last_cents": "int64"}
+            )
+        )
+
+    from .dedup import ensure_schema
+
+    out_schema = pa.schema(
+        [("user_id", pa.int64()), ("first_event_id", pa.int64()),
+         ("last_event_id", pa.int64()), ("first_cents", pa.int64()),
+         ("last_cents", pa.int64())]
+    )
+    return (
+        ds.map_batches(add_shard, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(shard_first_last, batch_format="pandas")
+        # empty shards emit 0-column blocks — normalize (CLAUDE.md)
+        .map_batches(ensure_schema(out_schema), batch_format="pyarrow")
+    )
+
+
+def cohort_retention(sf_dir: str, nshards: int = 32) -> rd.Dataset:
+    """Weekly cohort-retention matrix: cohort_week = the epoch-week of a
+    user's FIRST event; for every (cohort_week, week_offset) the number
+    of distinct cohort users active that week — the standard retention
+    triangle.
+
+    Shape: hash-shard by user so each user's whole history is in one
+    shard; the per-shard pandas pass computes each user's cohort and
+    DISTINCT (cohort, offset) memberships, so the per-shard counts are
+    already distinct-user counts and the global reduce is a tiny
+    groupby(cohort_week, week_offset) SUM — COUNT(DISTINCT) without
+    shuffling user ids twice."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    US_PER_WEEK = 7 * 86_400_000_000
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy().astype(np.uint64)
+        wk = t["ts"].cast(pa.int64()).to_numpy() // US_PER_WEEK
+        with np.errstate(over="ignore"):
+            s = (u * np.uint64(2654435761)) % np.uint64(nshards)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "wk": wk.astype(np.int64),
+                "_shard": pa.array(s.astype(np.int64)),
+            }
+        )
+
+    def shard_counts(g: pd.DataFrame) -> pa.Table:
+        from .. import pandas_to_clean_arrow
+
+        g = g.drop_duplicates(["user_id", "wk"])
+        cohort = g.groupby("user_id")["wk"].transform("min")
+        counts = (
+            pd.DataFrame(
+                {"cohort_week": cohort, "week_offset": g["wk"] - cohort}
+            )
+            .groupby(["cohort_week", "week_offset"], as_index=False)
+            .size()
+            .rename(columns={"size": "n_users"})
+        )
+        return pandas_to_clean_arrow(
+            counts.astype(
+                {"cohort_week": "int64", "week_offset": "int64", "n_users": "int64"}
+            )
+        )
+
+    from .dedup import ensure_schema
+
+    mid_schema = pa.schema(
+        [("cohort_week", pa.int64()), ("week_offset", pa.int64()),
+         ("n_users", pa.int64())]
+    )
+    return (
+        ds.map_batches(add_shard, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(shard_counts, batch_format="pandas")
+        # empty shards emit 0-column blocks — normalize (CLAUDE.md)
+        .map_batches(ensure_schema(mid_schema), batch_format="pyarrow")
+        .groupby(["cohort_week", "week_offset"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    )

@@ -113,3 +113,27 @@ def test_winnow_fingerprint_robust_to_local_edit(tmp_path):
 
     assert w2 in _window_hashes(edited.encode(), 32)
     assert w1 in _window_hashes(base.encode(), 32)
+
+
+def test_text_embed_unit_norm_and_matches_counts():
+    """Dense hashed embedding: unit L2 norm (or exactly zero), and its
+    unnormalized integer core equals embed_counts' sparse rows."""
+    dense = text.text_embed(SF_DIR).to_pandas().set_index("doc_id")
+    sparse = text.embed_counts(SF_DIR).to_pandas()
+    mats = np.stack(dense["embedding"].to_numpy())
+    norms = np.linalg.norm(mats, axis=1)
+    assert ((np.abs(norms - 1.0) < 1e-6) | (norms == 0.0)).all()
+    # reconstruct: dense * ||counts|| rounds back to the signed counts
+    for doc_id, grp in sparse.groupby("doc_id"):
+        vec = np.zeros(64, dtype=np.int64)
+        vec[grp["bucket"].to_numpy()] = grp["signed_cnt"].to_numpy()
+        d = mats[dense.index.get_loc(doc_id)].astype(np.float64)
+        n = np.linalg.norm(vec.astype(np.float64))
+        assert np.allclose(d * n, vec, atol=1e-3)
+
+
+def test_text_embed_deterministic():
+    a = text.text_embed(SF_DIR).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = text.text_embed(SF_DIR).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert a["doc_id"].equals(b["doc_id"])
+    assert all(np.array_equal(x, y) for x, y in zip(a["embedding"], b["embedding"]))
