@@ -47,7 +47,9 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from crawlkit.pipelines import ann, dedup, graph, multimodal, relational, text, windows
+    from crawlkit.pipelines import (
+        ann, dedup, graph, mixing, multimodal, relational, text, windows,
+    )
 
     def crawl_flagship(sf_dir: str):
         """The crawl engine end-to-end on the deterministic synthetic web
@@ -181,6 +183,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": dedup.dedup_clusters,  # SQL-checked
         # the corpus AFTER dedup (drop non-representative cluster members)
         "dedup_survivors": dedup.dedup_survivors,  # SQL-checked
+        # eval-set n-gram-overlap decontamination (broadcast bench set)
+        "decontaminate": dedup.decontaminate,  # SQL-checked
+        # deterministic hash-based train/val/test assignment
+        "split_assign": mixing.split_assign,  # SQL-checked (md5 coin)
+        # source-weighted mixture downsample (deterministic Bernoulli)
+        "mix_sample": mixing.mix_sample,  # SQL-checked (md5 coin)
         # --- graph analytics ---
         # integer power iteration over the md5-derived doc link graph
         "pagerank": graph.pagerank,  # SQL-checked (exact int arithmetic)

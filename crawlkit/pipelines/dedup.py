@@ -773,3 +773,75 @@ def dedup_survivors(sf_dir: str, tau_tenths: int = 2) -> rd.Dataset:
         return t.filter(mask)
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def decontaminate(sf_dir: str, bench_mod: int = 97) -> rd.Dataset:
+    """Benchmark DECONTAMINATION: flag corpus docs sharing any word
+    n-gram with a held-out eval set — the pre-training hygiene pass that
+    keeps test data out of training data (the n-gram-overlap protocol
+    popularized by GPT-3/PaLM data cards). The "benchmark" here is the
+    deterministic slice ``doc_id % bench_mod == 0`` of the same corpus
+    (self-contained fixture; in production it would be the real eval
+    suites).
+
+    Scale shape: the benchmark side is SMALL by construction (eval sets
+    are MBs, corpora are TBs) — its distinct shingle-hash set is built
+    distributed (per-batch ``np.unique``), unioned on the driver
+    (O(|benchmark shingles|), not corpus), and broadcast once via
+    ``ray.put``; the corpus-sized side then streams through one
+    vectorized ``np.isin`` membership pass per batch. No shuffle at all.
+    Output: contaminated docs only (doc_id, n_contaminated overlapping
+    distinct shingles, n_shingles total distinct shingles)."""
+    import ray
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def bench_shingles(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        keep = ids % bench_mod == 0
+        per = [
+            _shingle_hashes(s or "")
+            for s in t.filter(pa.array(keep))["text"].to_pylist()
+        ]
+        u = (
+            np.unique(np.concatenate(per))
+            if per
+            else np.empty(0, dtype=np.uint64)
+        )
+        return pa.table({"shingle": u})
+
+    parts = docs.map_batches(bench_shingles, batch_format="pyarrow").take_all()
+    bench = np.unique(
+        np.array([r["shingle"] for r in parts], dtype=np.uint64)
+    )
+    bench_ref = ray.put(bench)  # sorted — np.isin uses binary search
+
+    empty = pa.schema(
+        [("doc_id", pa.int64()), ("n_contaminated", pa.int64()),
+         ("n_shingles", pa.int64())]
+    ).empty_table()
+
+    def contam(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        sel = np.nonzero(ids % bench_mod != 0)[0]
+        texts = t["text"].to_pylist()
+        per = [_shingle_hashes(texts[i] or "") for i in sel]
+        counts = np.array([len(p) for p in per], dtype=np.int64)
+        if len(counts) == 0 or counts.sum() == 0:
+            return empty
+        # ONE membership pass for the whole batch (binary search against
+        # the sorted broadcast set), then per-doc segment sums
+        flat = np.concatenate(per)
+        hitmask = np.isin(flat, ray.get(bench_ref))
+        doc_idx = np.repeat(np.arange(len(sel)), counts)
+        hits = np.bincount(doc_idx, weights=hitmask, minlength=len(sel)).astype(np.int64)
+        keep = hits > 0
+        return pa.table(
+            {
+                "doc_id": ids[sel][keep].astype(np.int64),
+                "n_contaminated": hits[keep],
+                "n_shingles": counts[keep],
+            }
+        )
+
+    return docs.map_batches(contam, batch_format="pyarrow")

@@ -745,6 +745,51 @@ ORACLE_SQL: dict[str, str] = {
                CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
         FROM occ GROUP BY doc_id
     """,
+    # eval-set decontamination: same shingle construction as
+    # dedup_ngram_jaccard; benchmark slice = doc_id % 97 == 0
+    "decontaminate": r"""
+        WITH words AS (
+            SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+            FROM documents
+        ), sh0 AS (
+            SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+            FROM words, UNNEST(range(1, len(ws) - 1)) AS t(i)
+            WHERE len(ws) >= 3
+            UNION ALL
+            SELECT doc_id, array_to_string(ws, ' ') AS shingle
+            FROM words WHERE len(ws) BETWEEN 1 AND 2
+        ), dsh AS (
+            SELECT DISTINCT doc_id, shingle FROM sh0
+        ), bench AS (
+            SELECT DISTINCT shingle FROM dsh WHERE doc_id % 97 = 0
+        ), cnt AS (
+            SELECT doc_id, COUNT(*) AS c FROM dsh WHERE doc_id % 97 <> 0 GROUP BY doc_id
+        ), hits AS (
+            SELECT d.doc_id, COUNT(*) AS h
+            FROM dsh d JOIN bench USING (shingle)
+            WHERE d.doc_id % 97 <> 0 GROUP BY d.doc_id
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(h AS BIGINT) AS n_contaminated,
+               CAST(c AS BIGINT) AS n_shingles
+        FROM hits JOIN cnt USING (doc_id)
+    """,
+    "split_assign": """
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 AS BIGINT) AS bucket,
+               CASE WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 80 THEN 'train'
+                    WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    """,
+    "mix_sample": """
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
+        FROM documents
+        WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 1000 <
+              CASE lang WHEN 'en' THEN 1000 WHEN 'de' THEN 600
+                        WHEN 'fr' THEN 600 WHEN 'es' THEN 400
+                        WHEN 'zh' THEN 300 ELSE 250 END
+    """,
     "dedup_ngram_jaccard": r"""
         WITH words AS (
             SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws

@@ -1,0 +1,81 @@
+"""Dataset-assembly ops: deterministic split, source mixing,
+eval-set decontamination."""
+
+import numpy as np
+
+from crawlkit.pipelines import dedup, mixing
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_split_assign_deterministic_and_exhaustive():
+    a = mixing.split_assign(SF_DIR).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = mixing.split_assign(SF_DIR).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+    # every doc assigned exactly once, buckets consistent with names
+    assert a["doc_id"].is_unique
+    assert ((a["bucket"] < 80) == (a["split"] == "train")).all()
+    assert (((a["bucket"] >= 80) & (a["bucket"] < 90)) == (a["split"] == "val")).all()
+    # rough proportions (hash uniformity at n=500: generous bands)
+    frac_train = (a["split"] == "train").mean()
+    assert 0.7 < frac_train < 0.9
+
+
+def test_split_assign_partition_invariant():
+    """The same doc gets the same split regardless of custom pcts."""
+    a = mixing.split_assign(SF_DIR, train_pct=50, val_pct=25).to_pandas()
+    assert set(a["split"]) == {"train", "val", "test"}
+    assert ((a["bucket"] < 50) == (a["split"] == "train")).all()
+
+
+def test_mix_sample_respects_rates():
+    docs = dedup._read_docs(SF_DIR, ["doc_id", "lang"]).to_pandas()
+    kept = mixing.mix_sample(SF_DIR).to_pandas()
+    # en keeps everything (rate 1000); zh keeps a strict subset
+    n_en = (docs["lang"] == "en").sum()
+    assert (kept["lang"] == "en").sum() == n_en
+    n_zh, k_zh = (docs["lang"] == "zh").sum(), (kept["lang"] == "zh").sum()
+    assert 0 < k_zh < n_zh
+    # kept ids are a subset of the corpus and unique
+    assert kept["doc_id"].is_unique
+    assert set(kept["doc_id"]) <= set(docs["doc_id"])
+
+
+def test_decontaminate_no_bench_no_output():
+    """A modulus larger than every doc_id gives an empty benchmark
+    except doc 0 — decontamination then flags only docs overlapping
+    doc 0's shingles; with bench_mod beyond the id range plus skipping
+    doc 0 impossible, use the real check: flagged docs never include
+    benchmark docs and counts are sane."""
+    out = dedup.decontaminate(SF_DIR).to_pandas()
+    assert len(out) > 0  # fixture is non-vacuous by construction
+    assert (out["doc_id"] % 97 != 0).all()
+    assert (out["n_contaminated"] >= 1).all()
+    assert (out["n_contaminated"] <= out["n_shingles"]).all()
+
+
+def test_decontaminate_flags_planted_copy(tmp_path):
+    """A verbatim copy of a benchmark doc is 100% contaminated."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = {
+        0: "alpha beta gamma delta epsilon zeta",          # benchmark (0 % 97 == 0)
+        1: "alpha beta gamma delta epsilon zeta",          # full copy → all shingles hit
+        2: "one two three four five six",                  # clean
+        3: "gamma delta epsilon unrelated tail words",     # partial overlap
+    }
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(texts), pa.int64()),
+            "text": pa.array(list(texts.values())),
+            "lang": pa.array(["en"] * 4),
+            "source": pa.array(["t"] * 4),
+            "n_chars": pa.array([len(v) for v in texts.values()], pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = dedup.decontaminate(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert out.loc[1, "n_contaminated"] == out.loc[1, "n_shingles"]  # full copy
+    assert 2 not in out.index                                        # clean doc
+    assert 0 < out.loc[3, "n_contaminated"] < out.loc[3, "n_shingles"]
