@@ -189,6 +189,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_assign": mixing.split_assign,  # SQL-checked (md5 coin)
         # source-weighted mixture downsample (deterministic Bernoulli)
         "mix_sample": mixing.mix_sample,  # SQL-checked (md5 coin)
+        # flagship composition: dedup → decontam → mix → split manifest
+        "assemble_corpus": mixing.assemble_corpus,  # SQL-checked
         # --- graph analytics ---
         # integer power iteration over the md5-derived doc link graph
         "pagerank": graph.pagerank,  # SQL-checked (exact int arithmetic)

@@ -82,3 +82,71 @@ def mix_sample(sf_dir: str, rates: dict[str, int] | None = None) -> rd.Dataset:
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def assemble_corpus(
+    sf_dir: str,
+    tau_tenths: int = 2,
+    bench_mod: int = 97,
+    rates: dict[str, int] | None = None,
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> rd.Dataset:
+    """END-TO-END training-corpus assembly — the flagship composition a
+    reference user actually runs: near-dup dedup (keep each Jaccard
+    cluster's min-id representative) → eval-set exclusion + n-gram
+    decontamination → source-weighted mixture downsample → deterministic
+    train/val/test split. Output: (doc_id, lang, split) — the corpus
+    manifest a trainer consumes.
+
+    Scale shape: the two drop sets are OUTPUTS of the dedup/decontam
+    stages (O(near-dups) and O(contaminated) — ~1% of corpus each, not
+    corpus-sized), so they broadcast once via ``ray.put``; the corpus
+    itself streams through ONE vectorized map pass (bench-slice filter,
+    ``pc.is_in`` anti-filters, two md5 coins). If a drop set ever
+    outgrew a broadcast, the join-back shape from
+    ``minhash_lsh_pairs``' verify applies. The split coin is salted
+    (``id || ':split'``) so it is independent of the mix coin. Fully
+    SQL-checked: every stage reuses an already-green oracle CTE."""
+    import ray
+    import pyarrow.compute as pc
+
+    from .dedup import decontaminate, dedup_clusters
+
+    clusters = dedup_clusters(sf_dir, tau_tenths)  # small pd.DataFrame
+    drop_dups = clusters.loc[
+        clusters["doc_id"] != clusters["cluster_id"], "doc_id"
+    ].to_numpy()
+    contam = decontaminate(sf_dir, bench_mod).to_pandas()["doc_id"].to_numpy()
+    drop = np.union1d(drop_dups.astype(np.int64), contam.astype(np.int64))
+    drop_ref = ray.put(pa.array(drop, pa.int64()))
+    rates = MIX_RATES if rates is None else rates
+    names = np.array(["train", "val", "test"])
+
+    ds = _read_docs(sf_dir, ["doc_id", "lang"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        t = t.filter(pa.array(t["doc_id"].to_numpy() % bench_mod != 0))
+        t = t.filter(pc.invert(pc.is_in(t["doc_id"], value_set=ray.get(drop_ref))))
+        ids = t["doc_id"].to_numpy()
+        langs = t["lang"].to_pylist()
+        rate = np.array([rates.get(l, DEFAULT_RATE) for l in langs], dtype=np.int64)
+        coin = (_id_hash(ids) % np.uint64(1000)).astype(np.int64)
+        keep = coin < rate
+        ids = ids[keep]
+        langs = [l for l, k in zip(langs, keep) if k]
+        sbucket = (
+            _md5_lower64([f"{int(i)}:split" for i in ids]) % np.uint64(100)
+        ).astype(np.int64)
+        code = np.where(
+            sbucket < train_pct, 0, np.where(sbucket < train_pct + val_pct, 1, 2)
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids.astype(np.int64), pa.int64()),
+                "lang": pa.array(langs, pa.string()),
+                "split": pa.array(names[code].tolist(), pa.string()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")

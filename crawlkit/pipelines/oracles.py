@@ -745,6 +745,65 @@ ORACLE_SQL: dict[str, str] = {
                CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
         FROM occ GROUP BY doc_id
     """,
+    # end-to-end corpus assembly: dedup-survivor ∩ decontaminated ∩
+    # mix-sampled docs with salted split coins — composes the
+    # dedup_clusters and decontaminate CTEs verbatim
+    "assemble_corpus": r"""
+        WITH RECURSIVE words AS (
+            SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+            FROM documents
+        ), sh0 AS (
+            SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+            FROM words, UNNEST(range(1, len(ws) - 1)) AS t(i)
+            WHERE len(ws) >= 3
+            UNION ALL
+            SELECT doc_id, array_to_string(ws, ' ') AS shingle
+            FROM words WHERE len(ws) BETWEEN 1 AND 2
+        ), dsh AS (
+            SELECT DISTINCT doc_id, shingle FROM sh0
+        ), cnt AS (
+            SELECT doc_id, COUNT(*) AS c FROM dsh GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS intersection
+            FROM dsh a JOIN dsh b USING (shingle)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), pairs AS (
+            SELECT doc_id_a, doc_id_b
+            FROM inter
+            JOIN cnt ca ON ca.doc_id = inter.doc_id_a
+            JOIN cnt cb ON cb.doc_id = inter.doc_id_b
+            WHERE intersection * 10 >= 2 * (ca.c + cb.c - intersection)
+        ), edges AS (
+            SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+            UNION ALL
+            SELECT doc_id_b, doc_id_a FROM pairs
+        ), reach(node, label) AS (
+            SELECT DISTINCT src, src FROM edges
+            UNION
+            SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+        ), dropdup AS (
+            SELECT node AS doc_id FROM reach GROUP BY node
+            HAVING node <> MIN(label)
+        ), bench_sh AS (
+            SELECT DISTINCT shingle FROM dsh WHERE doc_id % 97 = 0
+        ), contam AS (
+            SELECT DISTINCT d.doc_id FROM dsh d JOIN bench_sh USING (shingle)
+            WHERE d.doc_id % 97 <> 0
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+               CASE WHEN md5_number_lower(CAST(doc_id AS VARCHAR) || ':split') % 100 < 80 THEN 'train'
+                    WHEN md5_number_lower(CAST(doc_id AS VARCHAR) || ':split') % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+        WHERE doc_id % 97 <> 0
+          AND doc_id NOT IN (SELECT doc_id FROM dropdup)
+          AND doc_id NOT IN (SELECT doc_id FROM contam)
+          AND md5_number_lower(CAST(doc_id AS VARCHAR)) % 1000 <
+              CASE lang WHEN 'en' THEN 1000 WHEN 'de' THEN 600
+                        WHEN 'fr' THEN 600 WHEN 'es' THEN 400
+                        WHEN 'zh' THEN 300 ELSE 250 END
+    """,
     # eval-set decontamination: same shingle construction as
     # dedup_ngram_jaccard; benchmark slice = doc_id % 97 == 0
     "decontaminate": r"""

@@ -79,3 +79,17 @@ def test_decontaminate_flags_planted_copy(tmp_path):
     assert out.loc[1, "n_contaminated"] == out.loc[1, "n_shingles"]  # full copy
     assert 2 not in out.index                                        # clean doc
     assert 0 < out.loc[3, "n_contaminated"] < out.loc[3, "n_shingles"]
+
+
+def test_assemble_corpus_policy():
+    """Assembly drops benchmark docs, dup non-representatives, and
+    contaminated docs; survivors carry mix+split assignments."""
+    out = mixing.assemble_corpus(SF_DIR).to_pandas()
+    assert len(out) > 0
+    assert (out["doc_id"] % 97 != 0).all()
+    contam = set(dedup.decontaminate(SF_DIR).to_pandas()["doc_id"])
+    assert contam.isdisjoint(out["doc_id"])
+    clusters = dedup.dedup_clusters(SF_DIR)
+    nonrep = set(clusters.loc[clusters["doc_id"] != clusters["cluster_id"], "doc_id"])
+    assert nonrep.isdisjoint(out["doc_id"])
+    assert set(out["split"]) <= {"train", "val", "test"}
