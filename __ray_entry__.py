@@ -175,6 +175,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # feature-hashing embedding: integer sparse core + dense vector
         "text_embed_counts": text.embed_counts,  # SQL-checked
         "text_embed": text.text_embed,  # rows-only (unit-norm property in tests)
+        # distributed BPE vocabulary training (iterative merge learning);
+        # rows-only: brute-force-reference parity pinned in tests/test_bpe.py
+        "bpe_train": lambda sf_dir: text.bpe_train(sf_dir, num_merges=10),
         # --- dedup family ---
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,  # SQL-checked
         # doc-level duplicate-span statistic (substring-dedup à la Lee et al.)

@@ -542,3 +542,135 @@ def text_embed(sf_dir: str, dim: int = 64) -> rd.Dataset:
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# --- BPE vocabulary training (distributed iterative merge learning) ------
+
+
+def _bpe_pair_counts(t: pa.Table) -> pa.Table:
+    """Per-batch PARTIAL weighted adjacent-pair counts over (syms, cnt)
+    rows — the map side of one BPE iteration. The per-word loop is the
+    nature of the algorithm, but it runs over the DISTINCT-WORD
+    frequency table (the classic Sennrich formulation), which is orders
+    of magnitude smaller than the corpus: counts are weighted by word
+    frequency instead of touching every corpus token."""
+    acc: dict[tuple[str, str], int] = {}
+    cnts = t["cnt"].to_numpy()
+    for syms, c in zip(t["syms"].to_pylist(), cnts):
+        c = int(c)
+        for i in range(len(syms) - 1):
+            k = (syms[i], syms[i + 1])
+            acc[k] = acc.get(k, 0) + c
+    if not acc:
+        return pa.schema(
+            [("a", pa.string()), ("b", pa.string()), ("n", pa.int64())]
+        ).empty_table()
+    ks = list(acc)
+    return pa.table(
+        {
+            "a": pa.array([k[0] for k in ks], pa.string()),
+            "b": pa.array([k[1] for k in ks], pa.string()),
+            "n": pa.array([acc[k] for k in ks], pa.int64()),
+        }
+    )
+
+
+def bpe_train(sf_dir: str, num_merges: int = 30) -> pd.DataFrame:
+    """Distributed BPE VOCABULARY TRAINING (Sennrich et al., subword
+    NMT): learn the top-``num_merges`` byte-pair merges over the corpus.
+    Output: (rank, left, right, pair_count) — the merge table a
+    tokenizer ships.
+
+    Ray-Data shape per the standard distributed formulation:
+    1. ONE corpus pass builds the distinct-word frequency table
+       (map_batches partial counts → groupby(word) Sum) — after this the
+       corpus is never read again; all iterations run over the
+       word-frequency Dataset, which is vocabulary-sized, not
+       corpus-sized.
+    2. Each of the ``num_merges`` iterations is: map_batches partial
+       pair-count (weighted by word freq) → driver reduce of the SMALL
+       (pairs × batches) partial table → deterministic argmax
+       (count desc, then lexicographic — retries/replays pick the same
+       merge) → map_batches merge-apply → ``materialize()`` so the next
+       iteration's lineage stays flat instead of replaying all prior
+       merges.
+    Words carry the standard '</w>' end-of-word marker on their final
+    symbol."""
+    from ray.data.aggregate import Sum as _Sum
+
+    docs = _read_docs(sf_dir, ["text"])
+
+    def word_counts(t: pa.Table) -> pa.Table:
+        flat: list[str] = []
+        for s in t["text"].to_pylist():
+            flat.extend((s or "").split())
+        if not flat:
+            return pa.schema(
+                [("word", pa.string()), ("cnt", pa.int64())]
+            ).empty_table()
+        uniq, counts = np.unique(np.array(flat, dtype=object), return_counts=True)
+        return pa.table(
+            {"word": pa.array(list(uniq), pa.string()),
+             "cnt": pa.array(counts.astype(np.int64), pa.int64())}
+        )
+
+    wf = (
+        docs.map_batches(word_counts, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(_Sum("cnt", alias_name="cnt"))
+    )
+
+    def to_syms(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.schema(
+                [("syms", pa.list_(pa.string())), ("cnt", pa.int64())]
+            ).empty_table()
+        syms = [
+            list(w[:-1]) + [w[-1] + "</w>"] if w else []
+            for w in t["word"].to_pylist()
+        ]
+        return pa.table(
+            {"syms": pa.array(syms, pa.list_(pa.string())), "cnt": t["cnt"]}
+        )
+
+    cur = wf.map_batches(to_syms, batch_format="pyarrow").materialize()
+
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(num_merges):
+        parts = cur.map_batches(_bpe_pair_counts, batch_format="pyarrow").take_all()
+        if not parts:
+            break
+        agg = (
+            pd.DataFrame(parts)
+            .groupby(["a", "b"], as_index=False)["n"].sum()
+            .sort_values(["n", "a", "b"], ascending=[False, True, True])
+        )
+        if agg.empty or agg.iloc[0]["n"] < 2:
+            break  # nothing repeats — further merges are noise
+        best_a, best_b, best_n = (
+            str(agg.iloc[0]["a"]), str(agg.iloc[0]["b"]), int(agg.iloc[0]["n"])
+        )
+        merges.append((rank, best_a, best_b, best_n))
+        merged = best_a + best_b
+
+        def apply_merge(t: pa.Table, a=best_a, b=best_b, m=merged) -> pa.Table:
+            out = []
+            for syms in t["syms"].to_pylist():
+                i, n, res = 0, len(syms), []
+                while i < n:
+                    if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                        res.append(m)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                out.append(res)
+            return pa.table(
+                {"syms": pa.array(out, pa.list_(pa.string())), "cnt": t["cnt"]}
+            )
+
+        cur = cur.map_batches(apply_merge, batch_format="pyarrow").materialize()
+
+    return pd.DataFrame(
+        merges, columns=["rank", "left", "right", "pair_count"]
+    ).astype({"rank": "int64", "pair_count": "int64"})
