@@ -178,6 +178,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # distributed BPE vocabulary training (iterative merge learning);
         # rows-only: brute-force-reference parity pinned in tests/test_bpe.py
         "bpe_train": lambda sf_dir: text.bpe_train(sf_dir, num_merges=10),
+        # train-then-apply: per-doc token counts under the learned vocab
+        # (actor-pool encode with a per-actor word memo); rows-only
+        "bpe_tokenize": lambda sf_dir: text.bpe_tokenize_counts(sf_dir, num_merges=10),
         # --- dedup family ---
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,  # SQL-checked
         # doc-level duplicate-span statistic (substring-dedup à la Lee et al.)

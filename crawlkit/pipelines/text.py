@@ -674,3 +674,78 @@ def bpe_train(sf_dir: str, num_merges: int = 30) -> pd.DataFrame:
     return pd.DataFrame(
         merges, columns=["rank", "left", "right", "pair_count"]
     ).astype({"rank": "int64", "pair_count": "int64"})
+
+
+class BpeTokenizer:
+    """Actor-pool BPE ENCODE stage: applies a learned merge table (rank
+    priority, standard greedy lowest-rank-first) to every doc and emits
+    per-doc BPE token counts — the data-budgeting number a training
+    pipeline schedules by.
+
+    Stateful-actor shape: the merge-rank dict is built once per actor in
+    ``__init__`` from the broadcast merge table, and a per-WORD memo
+    grows across batches — tokenization is a pure function of the word,
+    and corpus word frequency is Zipfian, so the memo's hit rate
+    approaches 1 after the first batches (the classic tokenizer-server
+    optimization)."""
+
+    def __init__(self, merges_ref):
+        import ray
+
+        merges = ray.get(merges_ref)  # small (rank, left, right) table
+        self.ranks = {
+            (l, r): k for k, l, r in zip(merges["rank"], merges["left"], merges["right"])
+        }
+        self.memo: dict[str, int] = {}
+
+    def _encode_len(self, word: str) -> int:
+        n = self.memo.get(word)
+        if n is not None:
+            return n
+        syms = list(word[:-1]) + [word[-1] + "</w>"] if word else []
+        while len(syms) > 1:
+            best_i, best_rank = -1, None
+            for i in range(len(syms) - 1):
+                r = self.ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_i, best_rank = i, r
+            if best_rank is None:
+                break
+            syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+        n = len(syms)
+        self.memo[word] = n
+        return n
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        out = np.empty(t.num_rows, dtype=np.int64)
+        for j, s in enumerate(t["text"].to_pylist()):
+            out[j] = sum(self._encode_len(w) for w in (s or "").split())
+        return pa.table({"doc_id": t["doc_id"], "n_bpe_tokens": pa.array(out)})
+
+
+def bpe_tokenize_counts(
+    sf_dir: str, num_merges: int = 10, concurrency: int = 2
+) -> rd.Dataset:
+    """Train-then-apply: learn ``num_merges`` BPE merges
+    (:func:`bpe_train`), broadcast the merge table once, and stream the
+    corpus through the :class:`BpeTokenizer` actor pool → per-doc BPE
+    token counts. Rows-only query (iterative training has no SQL form);
+    engine ≡ brute-force reference pinned in tests/test_bpe.py."""
+    import ray
+
+    merges = bpe_train(sf_dir, num_merges=num_merges)
+    merges_ref = ray.put(
+        {
+            "rank": merges["rank"].tolist(),
+            "left": merges["left"].tolist(),
+            "right": merges["right"].tolist(),
+        }
+    )
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    return ds.map_batches(
+        BpeTokenizer,
+        fn_constructor_kwargs={"merges_ref": merges_ref},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        max_restarts=0,
+    )

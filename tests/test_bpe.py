@@ -58,3 +58,32 @@ def test_bpe_train_deterministic():
     assert a.equals(b)
     # learned merges compose: later merges may reference earlier outputs
     assert (a["pair_count"] >= 2).all()
+
+
+def test_bpe_tokenize_counts_matches_bruteforce():
+    """Per-doc BPE token counts ≡ brute-force encode with the same
+    merge table (greedy lowest-rank-first)."""
+    texts_tbl = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    texts = texts_tbl["text"].to_pylist()
+    merges = _brute_bpe(texts, 6)
+    ranks = {(a, b): r for r, a, b, _ in merges}
+
+    def encode_len(word):
+        syms = list(word[:-1]) + [word[-1] + "</w>"] if word else []
+        while len(syms) > 1:
+            best_i, best_r = -1, None
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best_r is None or r < best_r):
+                    best_i, best_r = i, r
+            if best_r is None:
+                break
+            syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+        return len(syms)
+
+    want = {
+        int(d): sum(encode_len(w) for w in (s or "").split())
+        for d, s in zip(texts_tbl["doc_id"].to_pylist(), texts)
+    }
+    got = text.bpe_tokenize_counts(SF_DIR, num_merges=6).to_pandas()
+    assert dict(zip(got["doc_id"], got["n_bpe_tokens"])) == want
