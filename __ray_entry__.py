@@ -48,7 +48,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from crawlkit.pipelines import (
-        ann, dedup, graph, mixing, multimodal, relational, text, windows,
+        ann, dedup, graph, mixing, ml, multimodal, relational, text, windows,
     )
 
     def crawl_flagship(sf_dir: str):
@@ -197,6 +197,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mix_sample": mixing.mix_sample,  # SQL-checked (md5 coin)
         # flagship composition: dedup → decontam → mix → split manifest
         "assemble_corpus": mixing.assemble_corpus,  # SQL-checked
+        # --- distributed model training (closed form) ---
+        # mergeable X^T X / X^T y sufficient statistics, exact integers
+        "gram_matrix": ml.gram_matrix,  # SQL-checked
+        # ridge language probe solved from the stats + scored in 1 pass
+        "train_linear_probe": ml.train_linear_probe,  # rows-only (numpy parity in tests)
         # --- graph analytics ---
         # integer power iteration over the md5-derived doc link graph
         "pagerank": graph.pagerank,  # SQL-checked (exact int arithmetic)

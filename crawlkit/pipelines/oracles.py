@@ -745,6 +745,45 @@ ORACLE_SQL: dict[str, str] = {
                CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
         FROM occ GROUP BY doc_id
     """,
+    # distributed-trainer sufficient statistics: upper-triangle Gram
+    # matrix of the 16-dim hashed features + X^T y rows (j = -1);
+    # dense grid so structurally-zero entries match the engine's dense
+    # per-batch partials
+    "gram_matrix": r"""
+        WITH words AS (
+            SELECT doc_id,
+                   unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS w
+            FROM documents
+        ), hashed AS (
+            SELECT doc_id,
+                   CAST(md5_number_lower(w) % 16 AS BIGINT) AS bucket,
+                   CASE WHEN (md5_number_lower(w) >> 63) & 1 = 1 THEN -1 ELSE 1 END AS sign
+            FROM words
+        ), counts AS (
+            SELECT doc_id, bucket, CAST(SUM(sign) AS BIGINT) AS c
+            FROM hashed GROUP BY doc_id, bucket
+        ), gram AS (
+            SELECT a.bucket AS i, b.bucket AS j, SUM(a.c * b.c) AS g
+            FROM counts a JOIN counts b USING (doc_id)
+            WHERE a.bucket <= b.bucket
+            GROUP BY 1, 2
+        ), xty AS (
+            SELECT c.bucket AS i,
+                   SUM(c.c * CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END) AS g
+            FROM counts c JOIN documents d USING (doc_id)
+            GROUP BY 1
+        ), grid AS (
+            SELECT ii.range AS i, jj.range AS j
+            FROM range(16) ii, range(16) jj WHERE ii.range <= jj.range
+        )
+        SELECT CAST(grid.i AS BIGINT) AS i, CAST(grid.j AS BIGINT) AS j,
+               CAST(COALESCE(gram.g, 0) AS BIGINT) AS g
+        FROM grid LEFT JOIN gram ON gram.i = grid.i AND gram.j = grid.j
+        UNION ALL
+        SELECT CAST(ii.range AS BIGINT) AS i, CAST(-1 AS BIGINT) AS j,
+               CAST(COALESCE(xty.g, 0) AS BIGINT) AS g
+        FROM range(16) ii LEFT JOIN xty ON xty.i = ii.range
+    """,
     # end-to-end corpus assembly: dedup-survivor ∩ decontaminated ∩
     # mix-sampled docs with salted split coins — composes the
     # dedup_clusters and decontaminate CTEs verbatim

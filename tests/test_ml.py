@@ -1,0 +1,45 @@
+"""Closed-form distributed training: Gram-matrix stats and ridge probe
+vs single-process numpy on the same data."""
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from crawlkit.pipelines import ml
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _full_matrices(dim: int):
+    t = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["text", "lang"])
+    X = ml._hashed_features(t["text"].to_pylist(), dim)
+    y = (np.asarray(t["lang"].to_pylist()) == "en").astype(np.int64)
+    return X, y
+
+
+def test_gram_matrix_matches_numpy():
+    X, y = _full_matrices(ml.DIM)
+    G, xty = X.T @ X, X.T @ y
+    got = ml.gram_matrix(SF_DIR).to_pandas()
+    gm = got[got["j"] >= 0].set_index(["i", "j"])["g"]
+    for (i, j), g in gm.items():
+        assert g == G[i, j], (i, j)
+    xv = got[got["j"] == -1].set_index("i")["g"]
+    assert (xv.sort_index().to_numpy() == xty).all()
+    # dense: every upper-triangle cell + every xty entry present exactly once
+    assert len(got) == ml.DIM * (ml.DIM + 1) // 2 + ml.DIM
+
+
+def test_train_linear_probe_matches_closed_form():
+    X, y = _full_matrices(ml.DIM)
+    Xb = np.concatenate([X, np.ones((len(X), 1), dtype=np.int64)], axis=1)
+    G = Xb.T @ Xb
+    w_ref = np.linalg.solve(
+        G.astype(np.float64) + np.eye(ml.DIM + 1), (Xb.T @ y).astype(np.float64)
+    )
+    out = ml.train_linear_probe(SF_DIR).set_index("feature")["value"]
+    w_got = out.drop("accuracy_milli").to_numpy()
+    assert np.allclose(w_got, w_ref, rtol=1e-10, atol=1e-12)
+    acc = out["accuracy_milli"]
+    # better than the majority-class baseline on the fixture
+    base = 1000.0 * max(y.mean(), 1 - y.mean())
+    assert acc >= base
