@@ -202,6 +202,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gram_matrix": ml.gram_matrix,  # SQL-checked
         # ridge language probe solved from the stats + scored in 1 pass
         "train_linear_probe": ml.train_linear_probe,  # rows-only (numpy parity in tests)
+        # distributed Lloyd over embeddings (order-independent quantized
+        # reduces); rows-only — single-process-Lloyd parity in tests
+        "kmeans_embeddings": ml.kmeans_embeddings,
         # --- graph analytics ---
         # integer power iteration over the md5-derived doc link graph
         "pagerank": graph.pagerank,  # SQL-checked (exact int arithmetic)

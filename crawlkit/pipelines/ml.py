@@ -139,3 +139,97 @@ def train_linear_probe(
         }
     )
     return out
+
+
+# --- distributed k-means (Lloyd) over the embeddings table ---------------
+
+_KM_SCALE = np.int64(1) << np.int64(24)  # fixed-point quantum for reduces
+
+
+def _km_partials(t: pa.Table, cents: np.ndarray) -> pa.Table:
+    """One batch's Lloyd partials: per-cluster QUANTIZED coordinate sums
+    (int64 fixed-point ×2^24) + counts + quantized inertia. Integer
+    partials make the driver reduce order-INDEPENDENT — float partial
+    sums would make centroid trajectories depend on task arrival order,
+    breaking the repo's determinism invariant (same trick as the
+    FLOOR(×100) cents convention)."""
+    X = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    # argmin over ||x-c||² = argmin over -2xCᵀ + ||c||² (drop ||x||²)
+    d2 = -2.0 * (X @ cents.T) + (cents * cents).sum(axis=1)
+    assign = d2.argmin(axis=1)
+    k, dim = cents.shape
+    sums = np.zeros((k, dim), dtype=np.float64)
+    np.add.at(sums, assign, X)
+    counts = np.bincount(assign, minlength=k).astype(np.int64)
+    inert = float((d2[np.arange(len(X)), assign] + (X * X).sum(axis=1)).sum())
+    return pa.table(
+        {
+            "qsums": pa.array(
+                [np.rint(sums * float(_KM_SCALE)).astype(np.int64).ravel()],
+                pa.list_(pa.int64(), k * dim),
+            ),
+            "counts": pa.array([counts], pa.list_(pa.int64(), k)),
+            "qinertia": pa.array([int(round(inert * float(_KM_SCALE)))], pa.int64()),
+        }
+    )
+
+
+def kmeans_embeddings(
+    sf_dir: str, k: int = 8, max_iters: int = 10
+) -> rd.Dataset:
+    """Distributed K-MEANS (Lloyd) over the embedding column — the
+    full-corpus version of the driver-side sampled Lloyd that trains the
+    IVF index: every iteration is ONE streaming pass of per-batch
+    partials (k×d quantized sums + counts — kilobytes per batch,
+    independent of corpus size) reduced on the driver; centroids are
+    broadcast per iteration via ``ray.put``. Converges when the
+    quantized centroids are bit-identical between iterations (exact —
+    no epsilon). Init is the k vectors with the smallest vec_id
+    (deterministic, partition-independent). Output: (vec_id, cluster)
+    assignment under the final centroids. Rows-only query: float linear
+    algebra has no SQL form; parity with a single-process Lloyd using
+    the same quantized updates is pinned in tests/test_ml.py."""
+    import ray
+
+    from .. import read_parquet_clean
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    seed = (
+        ds.sort("vec_id")
+        .limit(k)
+        .to_pandas()["embedding"]
+        .to_numpy()
+    )
+    cents = np.stack(seed).astype(np.float64)
+    dim = cents.shape[1]
+
+    for _ in range(max_iters):
+        qs = np.zeros((k, dim), dtype=np.int64)
+        cnt = np.zeros(k, dtype=np.int64)
+        for row in ds.map_batches(
+            lambda t, c=cents: _km_partials(t, c), batch_format="pyarrow"
+        ).take_all():
+            qs += np.asarray(row["qsums"], dtype=np.int64).reshape(k, dim)
+            cnt += np.asarray(row["counts"], dtype=np.int64)
+        new = cents.copy()
+        nz = cnt > 0
+        new[nz] = qs[nz] / (float(_KM_SCALE) * cnt[nz, None])
+        if np.array_equal(
+            np.rint(new * float(_KM_SCALE)), np.rint(cents * float(_KM_SCALE))
+        ):
+            break
+        cents = new
+
+    cents_ref = ray.put(cents)
+
+    def final_assign(t: pa.Table) -> pa.Table:
+        c = ray.get(cents_ref)
+        X = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        a = (-2.0 * (X @ c.T) + (c * c).sum(axis=1)).argmin(axis=1)
+        return pa.table(
+            {"vec_id": t["vec_id"], "cluster": pa.array(a.astype(np.int64))}
+        )
+
+    return ds.map_batches(final_assign, batch_format="pyarrow")

@@ -43,3 +43,39 @@ def test_train_linear_probe_matches_closed_form():
     # better than the majority-class baseline on the fixture
     base = 1000.0 * max(y.mean(), 1 - y.mean())
     assert acc >= base
+
+
+def test_kmeans_matches_single_process_lloyd():
+    """Distributed Lloyd ≡ single-process Lloyd with the same seed and
+    the same fixed-point quantized centroid updates."""
+    t = pq.read_table(
+        f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    order = np.argsort(t["vec_id"].to_numpy())
+    X = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)[order]
+    vec_ids = t["vec_id"].to_numpy()[order]
+    k, scale = 8, float(ml._KM_SCALE)
+    cents = X[:k].copy()
+    for _ in range(10):
+        d2 = -2.0 * (X @ cents.T) + (cents * cents).sum(axis=1)
+        a = d2.argmin(axis=1)
+        new = cents.copy()
+        for c in range(k):
+            m = a == c
+            if m.any():
+                q = np.rint(X[m].sum(axis=0) * scale).astype(np.int64)
+                new[c] = q / (scale * m.sum())
+        if np.array_equal(np.rint(new * scale), np.rint(cents * scale)):
+            break
+        cents = new
+    want = dict(zip(vec_ids, (-2.0 * (X @ cents.T) + (cents * cents).sum(axis=1)).argmin(axis=1)))
+
+    got = ml.kmeans_embeddings(SF_DIR, k=8, max_iters=10).to_pandas()
+    assert dict(zip(got["vec_id"], got["cluster"])) == want
+    assert got["cluster"].nunique() > 1  # non-degenerate on the fixture
+
+
+def test_kmeans_deterministic():
+    a = ml.kmeans_embeddings(SF_DIR, k=4).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    b = ml.kmeans_embeddings(SF_DIR, k=4).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    assert a.equals(b)
