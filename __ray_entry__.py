@@ -208,6 +208,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- graph analytics ---
         # integer power iteration over the md5-derived doc link graph
         "pagerank": graph.pagerank,  # SQL-checked (exact int arithmetic)
+        # wedge-check triangle counting (groupby-wedges + shuffle join)
+        "triangle_count": graph.triangle_count,  # SQL-checked
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs,  # rows-only
         # signatures, not pairs: the driver corpus is uniform-vocab, so
         # nearly ALL pairs are within hamming 3 (a known simhash

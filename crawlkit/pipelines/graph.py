@@ -179,3 +179,83 @@ def pagerank(sf_dir: str, iters: int = 5) -> rd.Dataset:
         ranks.map_batches(rename, batch_format="pyarrow"),
         {"doc_id": "int64", "rank": "int64"},
     )
+
+
+def triangle_count(sf_dir: str) -> pd.DataFrame:
+    """Distributed TRIANGLE COUNTING over the (undirected view of the)
+    md5-derived doc graph — the standard wedge-check formulation
+    (compact-forward / Cohen's MapReduce algorithm): canonicalize edges
+    to u < v and dedupe; group by the LOWER endpoint and emit each
+    neighbor pair as a wedge; close wedges with one genuine
+    ``Dataset.join`` against the edge set; every matched wedge is
+    exactly one triangle (each triangle's wedge is emitted only at its
+    minimum vertex, so no multiple counting and no division by 3).
+
+    Scale notes: wedge volume is Σ deg(u)²/2 — the md5 graph's outdeg is
+    ≤3 so it stays linear here, and production graphs pre-split hot
+    vertices (the same hot-key hatch family as ``bucket_cap``/``df_cap``
+    elsewhere). Wedge/edge keys pack (v, w) into one int64 (v<<32|w);
+    beyond 2³¹ nodes the key becomes the 2×int64 digest pair the exact
+    dedup already uses. Oracle: three-way DuckDB self-join u<v<w."""
+    from .dedup import _md5_lower64, _nonempty_blocks
+
+    nodes = _read_nodes(sf_dir)
+    n_docs = nodes.count()
+    assert n_docs < (1 << 31), "int64 key packing — see docstring"
+
+    edge_schema = pa.schema([("u", pa.int64()), ("v", pa.int64())])
+
+    def build_undirected(t: pa.Table) -> pa.Table:
+        src = t["doc_id"].to_numpy()
+        outdeg = (
+            _md5_lower64([f"{x}-d" for x in src.tolist()]) % np.uint64(3)
+        ).astype(np.int64) + 1
+        s = np.repeat(src, outdeg)
+        js = (
+            np.concatenate([np.arange(d) for d in outdeg])
+            if len(src)
+            else np.empty(0, np.int64)
+        )
+        d = (
+            _md5_lower64([f"{a}-e{j}" for a, j in zip(s.tolist(), js.tolist())])
+            % np.uint64(n_docs)
+        ).astype(np.int64)
+        u = np.minimum(s, d)
+        v = np.maximum(s, d)
+        keep = u != v  # drop self-loops
+        return pa.table({"u": u[keep], "v": v[keep]}, schema=edge_schema)
+
+    edges = _nonempty_blocks(
+        nodes.map_batches(build_undirected, batch_format="pyarrow"), edge_schema
+    ).groupby(["u", "v"]).aggregate(Sum("u", alias_name="_d"))  # distinct undirected edges
+    edges = edges.drop_columns(["_d"])
+
+    def wedges(g: pd.DataFrame) -> pa.Table:
+        ns = np.sort(g["v"].to_numpy().astype(np.int64))
+        if len(ns) < 2:
+            return pa.schema([("wkey", pa.int64())]).empty_table()
+        i, j = np.triu_indices(len(ns), k=1)
+        return pa.table({"wkey": (ns[i] << np.int64(32)) | ns[j]})
+
+    def edge_keys(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.schema([("ekey", pa.int64()), ("_one", pa.int64())]).empty_table()
+        u = t["u"].to_numpy().astype(np.int64)
+        v = t["v"].to_numpy().astype(np.int64)
+        return pa.table(
+            {"ekey": (u << np.int64(32)) | v, "_one": np.ones(len(u), np.int64)}
+        )
+
+    wedge_ds = _nonempty_blocks(
+        edges.groupby("u").map_groups(wedges, batch_format="pandas"),
+        pa.schema([("wkey", pa.int64())]),
+    )
+    ekey_ds = _nonempty_blocks(
+        edges.map_batches(edge_keys, batch_format="pyarrow"),
+        pa.schema([("ekey", pa.int64()), ("_one", pa.int64())]),
+    )
+    closed = wedge_ds.join(
+        ekey_ds, join_type="inner", num_partitions=4,
+        on=("wkey",), right_on=("ekey",),
+    )
+    return pd.DataFrame({"n_triangles": [closed.count()]}).astype("int64")

@@ -960,3 +960,29 @@ def _pagerank_sql(iters: int = 5) -> str:
 
 
 ORACLE_SQL["pagerank"] = _pagerank_sql(5)
+
+# triangle count over the undirected view of the same md5-derived graph:
+# canonical u<v distinct edges, classic three-way self-join u<v<w
+ORACLE_SQL["triangle_count"] = """
+    WITH nodes AS (
+        SELECT CAST(doc_id AS BIGINT) AS v FROM documents
+    ), deg AS (
+        SELECT v,
+               1 + CAST(md5_number_lower(CAST(v AS VARCHAR) || '-d') % 3 AS BIGINT)
+                   AS outdeg
+        FROM nodes
+    ), dir_edges AS (
+        SELECT d.v AS src,
+               CAST(md5_number_lower(
+                        CAST(d.v AS VARCHAR) || '-e' || CAST(t.j AS VARCHAR)
+                    ) % (SELECT COUNT(*) FROM nodes) AS BIGINT) AS dst
+        FROM deg d, UNNEST(range(0, d.outdeg)) AS t(j)
+    ), und AS (
+        SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+        FROM dir_edges WHERE src <> dst
+    )
+    SELECT COUNT(*) AS n_triangles
+    FROM und e1
+    JOIN und e2 ON e2.u = e1.u AND e2.v > e1.v
+    JOIN und e3 ON e3.u = e1.v AND e3.v = e2.v
+"""
