@@ -126,6 +126,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # anti polarity: bloom MISS passes free, exact check only on hits
         "j_bloom_anti": relational.j_bloom_anti,  # SQL-checked
         "corr_moments": relational.corr_moments,  # SQL-checked (exact int64 moments)
+        # rank correlation via histogram ranking (no global sort)
+        "spearman_moments": relational.spearman_moments,  # SQL-checked
         "cube_agg": relational.cube_agg,  # SQL-checked (GROUP BY CUBE, one fact pass)
         "j_asof": relational.j_asof,
         "w_tumbling": relational.w_tumbling,

@@ -961,6 +961,26 @@ def _pagerank_sql(iters: int = 5) -> str:
 
 ORACLE_SQL["pagerank"] = _pagerank_sql(5)
 
+# Spearman moments: doubled average ranks (2*RANK() + cnt - 1) keep
+# tied-rank halves integral; six exact-int sufficient statistics
+ORACLE_SQL["spearman_moments"] = """
+    WITH r AS (
+        SELECT
+            2 * RANK() OVER (ORDER BY l_quantity)
+              + COUNT(*) OVER (PARTITION BY l_quantity) - 1 AS x2,
+            2 * RANK() OVER (ORDER BY CAST(FLOOR(l_discount * 100) AS BIGINT))
+              + COUNT(*) OVER (PARTITION BY CAST(FLOOR(l_discount * 100) AS BIGINT)) - 1 AS y2
+        FROM lineitem
+    )
+    SELECT COUNT(*) AS n,
+           CAST(SUM(x2) AS BIGINT) AS sum_x2,
+           CAST(SUM(y2) AS BIGINT) AS sum_y2,
+           CAST(SUM(x2 * x2) AS BIGINT) AS sum_x2x2,
+           CAST(SUM(y2 * y2) AS BIGINT) AS sum_y2y2,
+           CAST(SUM(x2 * y2) AS BIGINT) AS sum_x2y2
+    FROM r
+"""
+
 # triangle count over the undirected view of the same md5-derived graph:
 # canonical u<v distinct edges, classic three-way self-join u<v<w
 ORACLE_SQL["triangle_count"] = """

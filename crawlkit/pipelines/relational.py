@@ -1122,3 +1122,77 @@ def cube_agg(sf_dir: str) -> pd.DataFrame:
     return out[["event_type", "dow", "sum_cents", "n"]].astype(
         {"dow": "int64", "sum_cents": "int64", "n": "int64"}
     )
+
+
+def spearman_moments(sf_dir: str) -> pd.DataFrame:
+    """SPEARMAN rank-correlation moments between l_quantity and
+    l_discount-cents — exact integers via DISTRIBUTED RANKING WITHOUT A
+    GLOBAL SORT: pass 1 builds the per-column value histogram (a
+    groupby over the ~50/~11 DISTINCT values — the rank map is
+    O(cardinality), not O(rows), so it broadcasts at any corpus size);
+    the driver converts counts to doubled average ranks
+    (2·avg_rank = 2·cum_before + cnt + 1 — doubling keeps tied-rank
+    halves integral); pass 2 looks ranks up via ``np.searchsorted`` and
+    accumulates the six sufficient statistics as int64. Spearman ρ is
+    one float division the consumer applies; keeping moments integral
+    makes the result order-independent and hash-comparable (same
+    convention as ``corr_moments``).
+
+    int64 bound: rank2 ≤ 2n → Σ(x2·y2) ≤ 4n³; exact up to n ≈ 1.3e6
+    rows per the assert (beyond that the moments move to the 2×int64
+    digest-pair representation the exact dedup already uses)."""
+    import ray
+
+    ds = _read(sf_dir, "lineitem", ["l_quantity", "l_discount"])
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        q = t["l_quantity"].to_numpy().astype(np.int64)
+        d = _cents(t["l_discount"]).to_numpy()
+        qs, qc = np.unique(q, return_counts=True)
+        ds_, dc = np.unique(d, return_counts=True)
+        return pa.table(
+            {
+                "col": pa.array(["q"] * len(qs) + ["d"] * len(ds_)),
+                "value": np.concatenate([qs, ds_]),
+                "cnt": np.concatenate([qc, dc]).astype(np.int64),
+            }
+        )
+
+    hist = (
+        ds.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby(["col", "value"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()  # O(distinct values) — tiny by construction
+    )
+
+    def rank2_map(sub: pd.DataFrame):
+        sub = sub.sort_values("value")
+        vals = sub["value"].to_numpy()
+        cnt = sub["cnt"].to_numpy()
+        cum_before = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+        return vals, (2 * cum_before + cnt + 1).astype(np.int64)
+
+    qv, qr = rank2_map(hist[hist["col"] == "q"])
+    dv, dr = rank2_map(hist[hist["col"] == "d"])
+    n_total = int(hist.loc[hist["col"] == "q", "cnt"].sum())
+    assert n_total < 1_300_000, "int64 moment bound — see docstring"
+    maps_ref = ray.put((qv, qr, dv, dr))
+
+    def moments(t: pa.Table) -> pa.Table:
+        qv_, qr_, dv_, dr_ = ray.get(maps_ref)
+        x = qr_[np.searchsorted(qv_, t["l_quantity"].to_numpy().astype(np.int64))]
+        y = dr_[np.searchsorted(dv_, _cents(t["l_discount"]).to_numpy())]
+        return pa.table(
+            {
+                "n": pa.array([len(x)], pa.int64()),
+                "sum_x2": pa.array([int(x.sum())], pa.int64()),
+                "sum_y2": pa.array([int(y.sum())], pa.int64()),
+                "sum_x2x2": pa.array([int((x * x).sum())], pa.int64()),
+                "sum_y2y2": pa.array([int((y * y).sum())], pa.int64()),
+                "sum_x2y2": pa.array([int((x * y).sum())], pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(moments, batch_format="pyarrow").take_all()
+    out = pd.DataFrame(parts).sum().to_frame().T.astype("int64")
+    return out[["n", "sum_x2", "sum_y2", "sum_x2x2", "sum_y2y2", "sum_x2y2"]]
