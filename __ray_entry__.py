@@ -183,6 +183,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # train-then-apply: per-doc token counts under the learned vocab
         # (actor-pool encode with a per-actor word memo); rows-only
         "bpe_tokenize": lambda sf_dir: text.bpe_tokenize_counts(sf_dir, num_merges=10),
+        # sharded inverted-index build with a df-band pruning hatch
+        "inverted_index": text.inverted_index,  # SQL-checked
         # --- dedup family ---
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,  # SQL-checked
         # doc-level duplicate-span statistic (substring-dedup à la Lee et al.)

@@ -961,6 +961,21 @@ def _pagerank_sql(iters: int = 5) -> str:
 
 ORACLE_SQL["pagerank"] = _pagerank_sql(5)
 
+# inverted index: sorted posting lists for terms in the df band
+ORACLE_SQL["inverted_index"] = r"""
+    WITH words AS (
+        SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS term
+        FROM documents
+    ), pairs AS (
+        SELECT DISTINCT term, doc_id FROM words
+    )
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+    FROM pairs GROUP BY term
+    HAVING COUNT(*) BETWEEN 2 AND 1000
+"""
+
 # Spearman moments: doubled average ranks (2*RANK() + cnt - 1) keep
 # tied-rank halves integral; six exact-int sufficient statistics
 ORACLE_SQL["spearman_moments"] = """

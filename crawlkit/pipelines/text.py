@@ -749,3 +749,74 @@ def bpe_tokenize_counts(
         concurrency=concurrency,
         max_restarts=0,
     )
+
+
+def inverted_index(
+    sf_dir: str, min_df: int = 2, max_df: int = 1000
+) -> rd.Dataset:
+    """Sharded INVERTED-INDEX build — the search-engine product of a
+    crawl corpus: for every term with document frequency in
+    [min_df, max_df], its document-frequency count and the full sorted
+    posting list (comma-joined doc_ids). The df band is the standard
+    index-pruning hatch: stopword-frequency terms (df > max_df here;
+    Zipf's head) would make single postings corpus-sized — production
+    indexes chunk those, diagnostics drop them — and hapax terms carry
+    no retrieval signal.
+
+    Shape: per-batch DISTINCT (term, doc_id) explode (np.unique on the
+    packed pair) → ONE groupby(term) shuffle whose payload is the pair
+    stream, with posting assembly vectorized inside map_groups. The
+    shuffle key is the term string; at 100 TB the same digest-key trick
+    as the exact dedup (hash64 the term, keep one exemplar string)
+    halves the shuffle bytes — documented, not needed at fixture scale.
+    SQL-checked: DuckDB string_agg over the same distinct pairs."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        words_per = [(s or "").split() for s in t["text"].to_pylist()]
+        lens = np.array([len(w) for w in words_per], dtype=np.int64)
+        flat = np.array(
+            [w for ws in words_per for w in ws], dtype=object
+        )
+        if len(flat) == 0:
+            return pa.schema(
+                [("term", pa.string()), ("doc_id", pa.int64())]
+            ).empty_table()
+        doc = np.repeat(ids, lens)
+        pairs = pd.DataFrame({"term": flat, "doc_id": doc}).drop_duplicates()
+        return pa.table(
+            {
+                "term": pa.array(pairs["term"].tolist(), pa.string()),
+                "doc_id": pairs["doc_id"].to_numpy().astype(np.int64),
+            }
+        )
+
+    def postings(g: pd.DataFrame) -> pa.Table:
+        from .. import pandas_to_clean_arrow
+
+        # multiple batches may re-emit the same (term, doc) pair
+        g = g.drop_duplicates(["term", "doc_id"]).sort_values(["term", "doc_id"])
+        # df-band filter BEFORE string assembly, so Zipf-head terms never
+        # pay the posting-join cost
+        df_counts = g.groupby("term")["doc_id"].transform("size")
+        g = g[(df_counts >= min_df) & (df_counts <= max_df)]
+        agg = g.groupby("term", as_index=False).agg(
+            df=("doc_id", "size"),
+            postings=("doc_id", lambda s: ",".join(map(str, s))),
+        )
+        return pandas_to_clean_arrow(
+            agg.astype({"term": "string", "df": "int64", "postings": "string"})
+        )
+
+    from .dedup import ensure_schema
+
+    out_schema = pa.schema(
+        [("term", pa.string()), ("df", pa.int64()), ("postings", pa.string())]
+    )
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("term")
+        .map_groups(postings, batch_format="pandas")
+        .map_batches(ensure_schema(out_schema), batch_format="pyarrow")
+    )
