@@ -101,6 +101,10 @@ def run_bench() -> dict:
     # compare per-query; see BASELINE.md round-3 notes)
     timed("dup_span_fraction", dedup.dup_span_fraction)
     timed("text_classify", text.text_classify)
+    # round-3 session-3: the flagship corpus-assembly composition
+    from crawlkit.pipelines import mixing
+
+    timed("assemble_corpus", mixing.assemble_corpus)
 
     total = round(sum(timings.values()), 3)
     out = {

@@ -149,40 +149,46 @@ def _exact_jaccard_pairs(
         )
         if pair_filter_ref is not None:  # semi-join: candidates only
             agg = agg.merge(ray.get(pair_filter_ref), on=["doc_id_a", "doc_id_b"])
+        # route the cross-shard combine by PAIR hash: a pair seen in
+        # several shingle-shards must meet in one place, but Ray's
+        # generic Aggregate over the two-int64 key was the pipeline's
+        # hotspot (~10x this whole stage) — the repo's standard
+        # hash-shard + per-shard vectorized pandas reduce replaces it
+        a64 = agg["doc_id_a"].to_numpy(dtype=np.int64, na_value=0).astype(np.uint64)
+        b64 = agg["doc_id_b"].to_numpy(dtype=np.int64, na_value=0).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            agg["pshard"] = (
+                ((a64 * np.uint64(0x9E3779B97F4A7C15)) ^ b64) % np.uint64(nshards)
+            ).astype(np.int64)
         from .. import pandas_to_clean_arrow
 
         return pandas_to_clean_arrow(agg.astype(
-            {"doc_id_a": "int64", "doc_id_b": "int64", "i": "int64", "ca": "int64", "cb": "int64"}
+            {"doc_id_a": "int64", "doc_id_b": "int64", "i": "int64", "ca": "int64",
+             "cb": "int64", "pshard": "int64"}
         ))
 
-    inter = (
+    def combine_threshold(g: pd.DataFrame) -> pd.DataFrame:
+        """One call per PAIR shard: sum the per-shingle-shard partial
+        intersections of each pair, then the integer-exact threshold."""
+        m = g.groupby(["doc_id_a", "doc_id_b"], as_index=False).agg(
+            i=("i", "sum"), ca=("ca", "first"), cb=("cb", "first")
+        )
+        union = m["ca"] + m["cb"] - m["i"]
+        m = m[m["i"] * 10 >= union * tau_tenths]
+        from .. import pandas_to_clean_arrow
+
+        return pandas_to_clean_arrow(
+            m[["doc_id_a", "doc_id_b", "i"]]
+            .rename(columns={"i": "intersection"})
+            .astype({"doc_id_a": "int64", "doc_id_b": "int64", "intersection": "int64"})
+        )
+
+    out = (
         pairs_src.groupby("shard")
         .map_groups(emit_pairs, batch_format="pandas")
-        .groupby(["doc_id_a", "doc_id_b"])
-        .aggregate(
-            Sum("i", alias_name="i"),
-            Min("ca", alias_name="ca"),  # constant per doc — Min is a carry
-            Min("cb", alias_name="cb"),
-        )
+        .groupby("pshard")
+        .map_groups(combine_threshold, batch_format="pandas")
     )
-
-    def threshold(t: pa.Table) -> pa.Table:
-        if t.num_columns == 0:
-            return pa.schema(
-                [("doc_id_a", pa.int64()), ("doc_id_b", pa.int64()), ("intersection", pa.int64())]
-            ).empty_table()
-        i = t["i"]
-        union = pc.subtract(pc.add(t["ca"], t["cb"]), i)
-        keep = pc.greater_equal(
-            pc.multiply(i, pa.scalar(10, pa.int64())),
-            pc.multiply(union, pa.scalar(tau_tenths, pa.int64())),
-        )
-        out = t.filter(keep)
-        return out.select(["doc_id_a", "doc_id_b", "i"]).rename_columns(
-            ["doc_id_a", "doc_id_b", "intersection"]
-        )
-
-    out = inter.map_batches(threshold, batch_format="pyarrow")
     if as_dataset:  # keep the pair graph distributed (dedup_clusters)
         return out
     return pandas_with_schema(
@@ -576,7 +582,10 @@ def _nonempty_blocks(ds: "rd.Dataset", schema: pa.Schema) -> "rd.Dataset":
     return rd.from_arrow_refs(refs)
 
 
-def dedup_clusters(sf_dir: str, tau_tenths: int = 2, max_iters: int = 12) -> pd.DataFrame:
+def dedup_clusters(
+    sf_dir: str, tau_tenths: int = 2, max_iters: int = 12,
+    driver_cc_cap: int = 2_000_000,
+) -> pd.DataFrame:
     """Connected components over the exact-Jaccard near-dup pair graph —
     the step AFTER pair verification in every production dedup pipeline
     (pairs → clusters → keep min-id representative per cluster).
@@ -619,8 +628,42 @@ def dedup_clusters(sf_dir: str, tau_tenths: int = 2, max_iters: int = 12) -> pd.
     empty = pd.DataFrame(
         {"doc_id": pd.Series([], dtype="int64"), "cluster_id": pd.Series([], dtype="int64")}
     )
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         return empty
+    if n_edges <= driver_cc_cap:
+        # SMALL-GRAPH FAST PATH: a near-dup pair graph this size fits the
+        # driver trivially (it is the OUTPUT of verification, ~1% of
+        # corpus) — union-find beats ~max_iters × (join + groupby Min)
+        # executor rounds by ~10 s of pure scheduling overhead. Labels
+        # are identical to the propagation loop (min doc_id per
+        # component); the Dataset-native loop below remains the
+        # billions-of-edges path.
+        e = edges.to_pandas()
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for s, d in zip(e["src"].tolist(), e["dst"].tolist()):
+            rs, rd = find(s), find(d)
+            if rs != rd:
+                # union by MIN root so the final find is the min label
+                parent[max(rs, rd)] = min(rs, rd)
+        nodes_ = pd.unique(pd.concat([e["src"], e["dst"]]))
+        return (
+            pd.DataFrame(
+                {"doc_id": nodes_, "cluster_id": [find(int(v)) for v in nodes_]}
+            )
+            .astype({"doc_id": "int64", "cluster_id": "int64"})
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
 
     def init_label(t: pa.Table) -> pa.Table:
         if t.num_columns == 0 or t.num_rows == 0:

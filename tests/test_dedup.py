@@ -158,3 +158,14 @@ def test_dedup_clusters_transitive_chain(tmp_path):
     # singleton never appears (no incident pair)
     assert 200 not in by_doc
     assert len(by_doc) == 7
+
+
+def test_dedup_clusters_driver_and_dataset_paths_agree():
+    """The small-graph union-find fast path and the Dataset-native
+    min-label propagation loop produce identical labelings."""
+    sf = "/root/testdata/sf0.001"
+    fast = dedup.dedup_clusters(sf)  # fast path (fixture is small)
+    dist = dedup.dedup_clusters(sf, driver_cc_cap=0)  # force loop
+    f = fast.sort_values("doc_id").reset_index(drop=True)
+    d = dist.sort_values("doc_id").reset_index(drop=True)
+    assert f.equals(d)
