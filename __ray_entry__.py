@@ -201,6 +201,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mix_sample": mixing.mix_sample,  # SQL-checked (md5 coin)
         # flagship composition: dedup → decontam → mix → split manifest
         "assemble_corpus": mixing.assemble_corpus,  # SQL-checked
+        # per-group uniform sample via smallest-k stable coins
+        "group_sample": mixing.group_sample,  # SQL-checked
         # --- distributed model training (closed form) ---
         # mergeable X^T X / X^T y sufficient statistics, exact integers
         "gram_matrix": ml.gram_matrix,  # SQL-checked

@@ -15,6 +15,7 @@ bit for bit; a production path would swap in the cheaper xxhash-style
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
@@ -150,3 +151,64 @@ def assemble_corpus(
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def group_sample(sf_dir: str, k: int = 20, nshards: int = 32) -> rd.Dataset:
+    """Deterministic PER-GROUP UNIFORM SAMPLE: for every language, the
+    ``k`` docs with the smallest md5 coin — "give me a balanced
+    inspection subset of every source" without a global sort or an RNG.
+    The coin ordering is a uniform random permutation (md5 is a PRF of
+    the id) yet fully reproducible and partition-invariant; ties cannot
+    occur (the coin is the 64-bit hash of a unique id).
+
+    Shape: hash-shard by group → per-shard vectorized head-k (each
+    shard holds all of a group's rows) → driver-free; the per-group
+    winner set is k·|groups| rows. SQL oracle: QUALIFY row_number()
+    OVER (PARTITION BY lang ORDER BY coin, doc_id) <= k."""
+    ds = _read_docs(sf_dir, ["doc_id", "lang"])
+
+    def add_coin(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        langs = t["lang"].to_pylist()
+        coin = _id_hash(ids).astype(np.int64) & np.int64(0x7FFFFFFFFFFFFFFF)
+        # stable group→shard route (Python's hash() is process-seeded —
+        # it would split a group across shards between workers)
+        uniq = sorted(set(langs))
+        smap = {
+            l: int(h % np.uint64(nshards))
+            for l, h in zip(uniq, _md5_lower64(uniq))
+        }
+        shard = np.array([smap[l] for l in langs], dtype=np.int64)
+        # PARTIAL head-k inside the batch: a batch can contribute at most
+        # k winners per group, so the shuffle ships k·|groups| rows per
+        # batch instead of the corpus (same partial-before-shuffle rule
+        # as every aggregate here)
+        df = pd.DataFrame(
+            {"doc_id": ids.astype(np.int64), "lang": langs, "coin": coin,
+             "_shard": shard}
+        ).sort_values(["lang", "coin", "doc_id"])
+        df = df.groupby("lang", as_index=False, sort=False).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+    def head_k(g: pd.DataFrame) -> pa.Table:
+        from .. import pandas_to_clean_arrow
+
+        g = g.sort_values(["lang", "coin", "doc_id"])
+        out = g.groupby("lang", as_index=False, sort=False).head(k)
+        return pandas_to_clean_arrow(
+            out[["doc_id", "lang", "coin"]].astype(
+                {"doc_id": "int64", "lang": "string", "coin": "int64"}
+            )
+        )
+
+    from .dedup import ensure_schema
+
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("lang", pa.string()), ("coin", pa.int64())]
+    )
+    return (
+        ds.map_batches(add_coin, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(head_k, batch_format="pandas")
+        .map_batches(ensure_schema(out_schema), batch_format="pyarrow")
+    )

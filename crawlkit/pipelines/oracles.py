@@ -976,6 +976,17 @@ ORACLE_SQL["inverted_index"] = r"""
     HAVING COUNT(*) BETWEEN 2 AND 1000
 """
 
+# per-group uniform sample: smallest-k md5 coins per language
+ORACLE_SQL["group_sample"] = """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+           CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) & 9223372036854775807 AS BIGINT) AS coin
+    FROM documents
+    QUALIFY row_number() OVER (
+        PARTITION BY lang
+        ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)) & 9223372036854775807, doc_id
+    ) <= 20
+"""
+
 # Spearman moments: doubled average ranks (2*RANK() + cnt - 1) keep
 # tied-rank halves integral; six exact-int sufficient statistics
 ORACLE_SQL["spearman_moments"] = """

@@ -93,3 +93,21 @@ def test_assemble_corpus_policy():
     nonrep = set(clusters.loc[clusters["doc_id"] != clusters["cluster_id"], "doc_id"])
     assert nonrep.isdisjoint(out["doc_id"])
     assert set(out["split"]) <= {"train", "val", "test"}
+
+
+def test_group_sample_balanced_and_deterministic():
+    out = mixing.group_sample(SF_DIR, k=5).to_pandas()
+    per = out.groupby("lang").size()
+    docs = dedup._read_docs(SF_DIR, ["doc_id", "lang"]).to_pandas()
+    avail = docs.groupby("lang").size()
+    for lang, n in per.items():
+        assert n == min(5, avail[lang])
+    again = mixing.group_sample(SF_DIR, k=5).to_pandas()
+    a = out.sort_values(["lang", "doc_id"]).reset_index(drop=True)
+    b = again.sort_values(["lang", "doc_id"]).reset_index(drop=True)
+    assert a.equals(b)
+    # the sample is the k smallest coins of each group
+    coins = dict(zip(docs["doc_id"], mixing._id_hash(docs["doc_id"].to_numpy()).astype("int64") & 0x7FFFFFFFFFFFFFFF))
+    for lang, grp in out.groupby("lang"):
+        pool = sorted(coins[d] for d in docs.loc[docs["lang"] == lang, "doc_id"])
+        assert sorted(grp["coin"]) == pool[: len(grp)]
