@@ -195,6 +195,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_survivors": dedup.dedup_survivors,  # SQL-checked
         # eval-set n-gram-overlap decontamination (broadcast bench set)
         "decontaminate": dedup.decontaminate,  # SQL-checked
+        # streaming first-wins dedup through the crawl seen-set actors
+        "dedup_incremental": dedup.dedup_incremental,  # SQL-checked
         # deterministic hash-based train/val/test assignment
         "split_assign": mixing.split_assign,  # SQL-checked (md5 coin)
         # source-weighted mixture downsample (deterministic Bernoulli)

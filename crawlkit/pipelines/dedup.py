@@ -888,3 +888,42 @@ def decontaminate(sf_dir: str, bench_mod: int = 97) -> rd.Dataset:
         )
 
     return docs.map_batches(contam, batch_format="pyarrow")
+
+
+def dedup_incremental(
+    sf_dir: str, num_shards: int = 4, microbatch: int = 256
+) -> pd.DataFrame:
+    """STREAMING exact dedup through the crawl engine's SEEN-SET SHARD
+    ACTORS — the stateful-ingest twin of the batch ``dedup_exact_first``:
+    documents arrive in doc_id-ordered micro-batches (the
+    streaming-ingest simulation; in production this is the consumer edge
+    of a queue), each batch's content digests are computed vectorized,
+    the digests are batch-routed to the K shard actors
+    (``check_and_add`` = exact, serialized, first-wins admission — the
+    same machinery that dedups 10^10 URLs in the crawler), and only
+    first-seen docs survive.
+
+    The driver loop here IS the design, not an anti-pattern: streaming
+    admission is inherently a sequential exchange against shared mutable
+    state, and the driver ships only digests (32 bytes/doc) while
+    hashing stays in the batch. First-wins under doc_id arrival order ≡
+    min-doc_id-per-text, so the stateful path is checked by the same
+    DuckDB oracle as the batch operator — the crawl engine's state
+    machinery and the relational dedup provably agree."""
+    from ..state.seenset import SeenSet, url_digests
+
+    seen = SeenSet(num_shards=num_shards)
+    ds = _read_docs(sf_dir, ["doc_id", "text"]).sort("doc_id")
+    keep_ids: list[np.ndarray] = []
+    keep_texts: list[list[str]] = []
+    for t in ds.iter_batches(batch_size=microbatch, batch_format="pyarrow"):
+        texts = t["text"].to_pylist()
+        mask = seen.check_and_add_digests(url_digests(texts))
+        keep_ids.append(t["doc_id"].to_numpy()[mask])
+        keep_texts.append([x for x, m in zip(texts, mask) if m])
+    return pd.DataFrame(
+        {
+            "doc_id": np.concatenate(keep_ids) if keep_ids else np.empty(0, np.int64),
+            "text": [x for part in keep_texts for x in part],
+        }
+    ).astype({"doc_id": "int64", "text": "object"})

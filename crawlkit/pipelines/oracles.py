@@ -976,6 +976,11 @@ ORACLE_SQL["inverted_index"] = r"""
     HAVING COUNT(*) BETWEEN 2 AND 1000
 """
 
+# streaming first-wins dedup ≡ batch min-id dedup under doc_id arrival
+ORACLE_SQL["dedup_incremental"] = """
+    SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text
+"""
+
 # per-group uniform sample: smallest-k md5 coins per language
 ORACLE_SQL["group_sample"] = """
     SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,

@@ -169,3 +169,28 @@ def test_dedup_clusters_driver_and_dataset_paths_agree():
     f = fast.sort_values("doc_id").reset_index(drop=True)
     d = dist.sort_values("doc_id").reset_index(drop=True)
     assert f.equals(d)
+
+
+def test_dedup_incremental_first_wins_across_microbatches(tmp_path):
+    """Planted duplicates that straddle micro-batch boundaries: only the
+    first (min doc_id) arrival of each text survives the seen-set
+    admission — including duplicates within ONE micro-batch."""
+    import pyarrow.parquet as pq_
+
+    n = 40
+    texts = [f"unique text number {i}" if i % 3 else "repeated body" for i in range(n)]
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(n)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * n),
+            "source": pa.array(["t"] * n),
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        }
+    )
+    pq_.write_table(t, tmp_path / "documents.parquet")
+    out = dedup.dedup_incremental(str(tmp_path), num_shards=2, microbatch=7)
+    # every non-multiple-of-3 id is unique; of the repeated body only id 0
+    want = sorted(i for i in range(n) if i % 3) + [0]
+    assert sorted(out["doc_id"]) == sorted(want)
+    assert (out.loc[out["text"] == "repeated body", "doc_id"] == 0).all()

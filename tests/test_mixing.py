@@ -111,3 +111,23 @@ def test_group_sample_balanced_and_deterministic():
     for lang, grp in out.groupby("lang"):
         pool = sorted(coins[d] for d in docs.loc[docs["lang"] == lang, "doc_id"])
         assert sorted(grp["coin"]) == pool[: len(grp)]
+
+
+def test_assemble_corpus_partitioned_export_roundtrip(tmp_path):
+    """The flagship manifest exports as Hive-partitioned parquet (one
+    directory per split — a failed run can skip finished partitions)
+    and reads back equal."""
+    import ray.data as rd
+
+    want = mixing.assemble_corpus(SF_DIR).to_pandas()
+    out = str(tmp_path / "corpus")
+    mixing.assemble_corpus(SF_DIR).write_parquet(out, partition_cols=["split"])
+    import os
+
+    subdirs = sorted(d for d in os.listdir(out) if d.startswith("split="))
+    assert subdirs == sorted(f"split={s}" for s in want["split"].unique())
+    back = rd.read_parquet(out).to_pandas()
+    a = want.sort_values("doc_id").reset_index(drop=True)
+    b = back[["doc_id", "lang", "split"]].sort_values("doc_id").reset_index(drop=True)
+    b["split"] = b["split"].astype(str)
+    assert a.equals(b)
