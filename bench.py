@@ -252,7 +252,7 @@ def run_stats(out_path: str = "/tmp/crawlkit_stats.txt") -> dict:
 
     ray.data.DataContext.get_current().enable_progress_bars = False
     logging.getLogger("ray.data").setLevel(logging.ERROR)
-    from crawlkit.pipelines import ann, dedup, relational, text
+    from crawlkit.pipelines import ann, dedup, mixing, relational, text
 
     ray.data.range(1_000_000).map_batches(lambda b: b).count()
     targets = {
@@ -262,6 +262,7 @@ def run_stats(out_path: str = "/tmp/crawlkit_stats.txt") -> dict:
         "dup_span_fraction": dedup.dup_span_fraction,
         "text_classify": text.text_classify,
         "knn_bruteforce": ann.knn_bruteforce,
+        "assemble_corpus": mixing.assemble_corpus,
     }
     walls: dict[str, float] = {}
     with open(out_path, "w") as f:

@@ -818,7 +818,7 @@ def dedup_survivors(sf_dir: str, tau_tenths: int = 2) -> rd.Dataset:
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
-def decontaminate(sf_dir: str, bench_mod: int = 97) -> rd.Dataset:
+def decontaminate(sf_dir: str, bench_mod: int = 97) -> pd.DataFrame:
     """Benchmark DECONTAMINATION: flag corpus docs sharing any word
     n-gram with a held-out eval set — the pre-training hygiene pass that
     keeps test data out of training data (the n-gram-overlap protocol
@@ -887,7 +887,14 @@ def decontaminate(sf_dir: str, bench_mod: int = 97) -> rd.Dataset:
             }
         )
 
-    return docs.map_batches(contam, batch_format="pyarrow")
+    # contaminated-doc diagnostics are SMALL by construction (≈ eval-set
+    # leak rate of the corpus); pandas_with_schema also pins the schema
+    # when the result is EMPTY — Ray's to_pandas drops all columns on an
+    # all-empty Dataset, which breaks downstream consumers
+    return pandas_with_schema(
+        docs.map_batches(contam, batch_format="pyarrow"),
+        {"doc_id": "int64", "n_contaminated": "int64", "n_shingles": "int64"},
+    )
 
 
 def dedup_incremental(

@@ -118,7 +118,7 @@ def assemble_corpus(
     drop_dups = clusters.loc[
         clusters["doc_id"] != clusters["cluster_id"], "doc_id"
     ].to_numpy()
-    contam = decontaminate(sf_dir, bench_mod).to_pandas()["doc_id"].to_numpy()
+    contam = decontaminate(sf_dir, bench_mod)["doc_id"].to_numpy()
     drop = np.union1d(drop_dups.astype(np.int64), contam.astype(np.int64))
     drop_ref = ray.put(pa.array(drop, pa.int64()))
     rates = MIX_RATES if rates is None else rates

@@ -266,8 +266,9 @@ ORACLE_SQL: dict[str, str] = {
         SELECT d.doc_id, COALESCE(s.simhash, 0) AS simhash
         FROM documents d LEFT JOIN sigs s USING (doc_id)
     """,
-    # 32-bit polynomial content fingerprint (ASCII corpus: code points ==
-    # utf-8 bytes); Horner step stays < 2^52 so BIGINT math is exact
+    # 32-bit polynomial content fingerprint over unicode CODEPOINTS
+    # (engine hashes codepoints too — matches beyond ASCII); Horner step
+    # stays < 2^52 so BIGINT math is exact
     "text_fingerprint32": """
         SELECT doc_id,
                CASE WHEN length(text) = 0 THEN 0

@@ -343,11 +343,17 @@ _FP_BASE = np.uint64(1_000_003)  # odd → invertible mod 2^64
 _FP_INV = np.uint64(pow(1_000_003, -1, 1 << 64))
 
 
-def _window_hashes(data: bytes, window: int) -> np.ndarray:
+def _window_hashes(data: "bytes | np.ndarray", window: int) -> np.ndarray:
     """All rolling polynomial window-hashes of ``data`` (mod 2^64),
     fully vectorized: prefix sums of d[i]·B^(n-1-i) with uint64
-    wraparound; W[j] = (S[j+w]−S[j])·B^−(n−j−w)."""
-    d = np.frombuffer(data, dtype=np.uint8).astype(np.uint64) + np.uint64(1)
+    wraparound; W[j] = (S[j+w]−S[j])·B^−(n−j−w). ``data`` is raw bytes
+    or a uint64 symbol array (e.g. unicode CODEPOINTS — the fingerprint
+    ops hash codepoints so the DuckDB ``unicode(c)`` oracles match on
+    non-ASCII text, not just the ASCII fixture)."""
+    if isinstance(data, (bytes, bytearray)):
+        d = np.frombuffer(data, dtype=np.uint8).astype(np.uint64) + np.uint64(1)
+    else:
+        d = data.astype(np.uint64) + np.uint64(1)
     n = len(d)
     w = min(window, n)
     if n == 0:
@@ -381,8 +387,8 @@ def fingerprint32(sf_dir: str) -> rd.Dataset:
         texts = t["text"].to_pylist()
         out = np.empty(len(texts), dtype=np.int64)
         for i, s in enumerate(texts):
-            data = (s or "").encode("utf-8")
-            h64 = _window_hashes(data, max(len(data), 1))[0] if data else np.uint64(0)
+            cp = np.fromiter(map(ord, s or ""), dtype=np.uint64)
+            h64 = _window_hashes(cp, max(len(cp), 1))[0] if len(cp) else np.uint64(0)
             out[i] = np.int64(h64 & np.uint64(0xFFFFFFFF))
         return pa.table({"doc_id": t["doc_id"], "fp32": out})
 
@@ -400,9 +406,9 @@ def fingerprint(sf_dir: str, window: int = 32) -> rd.Dataset:
         full = np.empty(len(texts), dtype=np.int64)
         winmin = np.empty(len(texts), dtype=np.int64)
         for i, s in enumerate(texts):
-            data = (s or "").encode("utf-8")
-            full[i] = _window_hashes(data, max(len(data), 1))[:1].view(np.int64)[0]
-            wh = _window_hashes(data, window)
+            cp = np.fromiter(map(ord, s or ""), dtype=np.uint64)
+            full[i] = _window_hashes(cp, max(len(cp), 1))[:1].view(np.int64)[0]
+            wh = _window_hashes(cp, window)
             winmin[i] = wh.min(keepdims=True).view(np.int64)[0]
         return pa.table({"doc_id": t["doc_id"], "fp_full": full, "fp_winmin": winmin})
 

@@ -47,7 +47,7 @@ def test_decontaminate_no_bench_no_output():
     doc 0's shingles; with bench_mod beyond the id range plus skipping
     doc 0 impossible, use the real check: flagged docs never include
     benchmark docs and counts are sane."""
-    out = dedup.decontaminate(SF_DIR).to_pandas()
+    out = dedup.decontaminate(SF_DIR)
     assert len(out) > 0  # fixture is non-vacuous by construction
     assert (out["doc_id"] % 97 != 0).all()
     assert (out["n_contaminated"] >= 1).all()
@@ -75,7 +75,7 @@ def test_decontaminate_flags_planted_copy(tmp_path):
         }
     )
     pq.write_table(t, tmp_path / "documents.parquet")
-    out = dedup.decontaminate(str(tmp_path)).to_pandas().set_index("doc_id")
+    out = dedup.decontaminate(str(tmp_path)).set_index("doc_id")
     assert out.loc[1, "n_contaminated"] == out.loc[1, "n_shingles"]  # full copy
     assert 2 not in out.index                                        # clean doc
     assert 0 < out.loc[3, "n_contaminated"] < out.loc[3, "n_shingles"]
@@ -87,7 +87,7 @@ def test_assemble_corpus_policy():
     out = mixing.assemble_corpus(SF_DIR).to_pandas()
     assert len(out) > 0
     assert (out["doc_id"] % 97 != 0).all()
-    contam = set(dedup.decontaminate(SF_DIR).to_pandas()["doc_id"])
+    contam = set(dedup.decontaminate(SF_DIR)["doc_id"])
     assert contam.isdisjoint(out["doc_id"])
     clusters = dedup.dedup_clusters(SF_DIR)
     nonrep = set(clusters.loc[clusters["doc_id"] != clusters["cluster_id"], "doc_id"])
