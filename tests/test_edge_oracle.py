@@ -96,3 +96,100 @@ def test_edge_corpus_matches_oracle(name, edge_dir, edge_con):
     g, w = _canon(got), _canon(want)
     assert list(g.dtypes) == list(w.dtypes), (g.dtypes.to_dict(), w.dtypes.to_dict())
     pd.testing.assert_frame_equal(g, w)
+
+
+# --- events-table edge corpus: timestamp TIES, boundary values, single
+# user, same-hour bursts — where window tie-breaks and boundary
+# comparisons live ---------------------------------------------------------
+
+import datetime as _dt
+
+_T0 = _dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+@pytest.fixture(scope="module")
+def edge_events_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("edge_events")
+    rows = [
+        # user 1: three events at the IDENTICAL timestamp (tie-break by
+        # event_id), values at the 50.0 / 90.0 filter boundaries
+        (0, _T0, 1, "click", 50.0),
+        (1, _T0, 1, "purchase", 90.0),
+        (2, _T0, 1, "purchase", 90.01),
+        # user 2: a view→click→purchase funnel inside one hour, then a
+        # session gap of exactly 30 minutes (boundary of the 1800s rule)
+        (3, _T0, 2, "view", 1.0),
+        (4, _T0 + _dt.timedelta(minutes=10), 2, "click", 2.0),
+        (5, _T0 + _dt.timedelta(minutes=20), 2, "purchase", 3.0),
+        (6, _T0 + _dt.timedelta(minutes=50), 2, "view", 4.0),
+        # user 3: single event (windows of size one, LAG null path)
+        (7, _T0 + _dt.timedelta(hours=2), 3, "error", 0.009),  # floor→0 cents
+        # user 4: descending event_id vs ascending ts (order separation)
+        (9, _T0 + _dt.timedelta(hours=3), 4, "click", 77.77),
+        (8, _T0 + _dt.timedelta(hours=3, minutes=1), 4, "click", 77.77),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([f'{{"k": {r[0]}}}' for r in rows]),
+        }
+    )
+    pq.write_table(t, d / "events.parquet")
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def edge_events_con(edge_events_dir):
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{edge_events_dir}/events.parquet')"
+    )
+    return c
+
+
+EVENT_QUERIES = [
+    "g1_group_merge",
+    "g2_running_max",
+    "d1_distinct",
+    "f1_filter",
+    "m13_json_extract",
+    "o1_sort_topk",
+    "u_union",
+    "s_except",
+    "s_intersect",
+    "sample_deterministic",
+    "w_tumbling",
+    "w_sliding",
+    "w_session",
+    "w_lag_delta",
+    "w_rolling_sum",
+    "w_first_last",
+    "w_percent_rank",
+    "topk_per_group",
+    "median_disc",
+    "count_distinct_exact",
+    "heavy_hitters",
+    "mode_per_group",
+    "funnel_conversion",
+    "cohort_retention",
+    "corr_moments",
+    "cube_agg",
+]
+
+
+@pytest.mark.parametrize("name", sorted(set(EVENT_QUERIES)))
+def test_edge_events_matches_oracle(name, edge_events_dir, edge_events_con):
+    queries, oracles = entrymod.queries(), entrymod.oracle_sql()
+    got = queries[name](edge_events_dir)
+    if not isinstance(got, pd.DataFrame):
+        got = got.to_pandas()
+    want = edge_events_con.execute(oracles[name]).df()
+    assert sorted(got.columns) == sorted(want.columns)
+    assert len(got) == len(want), (len(got), len(want))
+    g, w = _canon(got), _canon(want)
+    assert list(g.dtypes) == list(w.dtypes), (g.dtypes.to_dict(), w.dtypes.to_dict())
+    pd.testing.assert_frame_equal(g, w)
