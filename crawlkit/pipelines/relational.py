@@ -424,10 +424,18 @@ def j_shuffle_join(sf_dir: str) -> rd.Dataset:
         g = df.groupby("l_orderkey", as_index=False).agg(revenue_cents=("cents", "sum"))
         return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
-    revenue = _sharded_agg(
-        li.map_batches(rev_partial, batch_format="pyarrow"),
-        "l_orderkey",
-        {"revenue_cents": ("revenue_cents", "sum")},
+    from .dedup import _nonempty_blocks
+
+    # Dataset.join inputs must not carry 0-column empty-partition blocks
+    # (Acero: 'Invalid'/'no match for key field') — small inputs with
+    # empty agg partitions hit this, so filter block refs (metadata-only)
+    revenue = _nonempty_blocks(
+        _sharded_agg(
+            li.map_batches(rev_partial, batch_format="pyarrow"),
+            "l_orderkey",
+            {"revenue_cents": ("revenue_cents", "sum")},
+        ),
+        pa.schema([("l_orderkey", pa.int64()), ("revenue_cents", pa.int64())]),
     )
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
     # modest partition count on one node — each join partition is an actor

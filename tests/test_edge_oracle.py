@@ -193,3 +193,94 @@ def test_edge_events_matches_oracle(name, edge_events_dir, edge_events_con):
     g, w = _canon(got), _canon(want)
     assert list(g.dtypes) == list(w.dtypes), (g.dtypes.to_dict(), w.dtypes.to_dict())
     pd.testing.assert_frame_equal(g, w)
+
+
+# --- lineitem/orders edge corpus: the q1 shipdate boundary (<=), empty
+# m6 ranges (max linenumber = 1), floor-to-zero cents, dangling join
+# keys (orderkey absent from orders), quantity/discount rank ties -------
+
+
+@pytest.fixture(scope="module")
+def edge_tpch_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("edge_tpch")
+    li = [
+        # okey, lineno, qty, extprice, disc, tax, rf, ls, shipdate
+        (1, 1, 1.0, 0.009, 0.0, 0.0, "A", "F", _dt.datetime(1998, 9, 2)),   # boundary date IN; floor→0 cents
+        (1, 2, 1.0, 100.0, 0.1, 0.0, "A", "F", _dt.datetime(1998, 9, 3)),   # boundary date OUT
+        (2, 1, 5.0, 200.0, 0.05, 0.0, "N", "O", _dt.datetime(1997, 1, 1)),  # max lineno = 1 → m6 empty range
+        (3, 1, 5.0, 300.0, 0.05, 0.0, "N", "O", _dt.datetime(1997, 6, 1)),  # qty tie with okey 2
+        (3, 2, 50.0, 400.0, 0.0, 0.0, "R", "F", _dt.datetime(1996, 1, 1)),
+        (4, 1, 50.0, 999.99, 0.1, 0.0, "R", "F", _dt.datetime(1995, 1, 1)), # okey 4 DANGLING (not in orders)
+    ]
+    t = pa.table(
+        {
+            "l_orderkey": pa.array([r[0] for r in li], pa.int64()),
+            "l_partkey": pa.array([1] * len(li), pa.int64()),
+            "l_suppkey": pa.array([1] * len(li), pa.int64()),
+            "l_linenumber": pa.array([r[1] for r in li], pa.int64()),
+            "l_quantity": pa.array([r[2] for r in li], pa.float64()),
+            "l_extendedprice": pa.array([r[3] for r in li], pa.float64()),
+            "l_discount": pa.array([r[4] for r in li], pa.float64()),
+            "l_tax": pa.array([r[5] for r in li], pa.float64()),
+            "l_returnflag": pa.array([r[6] for r in li]),
+            "l_linestatus": pa.array([r[7] for r in li]),
+            "l_shipdate": pa.array([r[8] for r in li], pa.timestamp("us")),
+        }
+    )
+    pq.write_table(t, d / "lineitem.parquet")
+    od = [
+        (1, "1-URGENT", "O", 100.0),
+        (2, "3-MEDIUM", "F", 200.0),
+        (3, "1-URGENT", "O", 300.0),
+        # okey 4 deliberately absent (dangling lineitem side)
+        (5, "1-URGENT", "O", 500.0),  # order with no lineitems
+    ]
+    t = pa.table(
+        {
+            "o_orderkey": pa.array([r[0] for r in od], pa.int64()),
+            "o_custkey": pa.array([1] * len(od), pa.int64()),
+            "o_orderstatus": pa.array([r[2] for r in od]),
+            "o_totalprice": pa.array([r[3] for r in od], pa.float64()),
+            "o_orderdate": pa.array([_dt.datetime(1995, 1, 1)] * len(od), pa.timestamp("us")),
+            "o_orderpriority": pa.array([r[1] for r in od]),
+        }
+    )
+    pq.write_table(t, d / "orders.parquet")
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def edge_tpch_con(edge_tpch_dir):
+    c = duckdb.connect()
+    for tbl in ("lineitem", "orders"):
+        c.execute(
+            f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{edge_tpch_dir}/{tbl}.parquet')"
+        )
+    return c
+
+
+TPCH_QUERIES = [
+    "q1_pricing",
+    "m6_range_expand",
+    "j_hash_join",
+    "j_shuffle_join",
+    "j_bloom_semi",
+    "j_bloom_anti",
+    "spearman_moments",
+    "rollup_agg",
+    "pivot_wide",
+]
+
+
+@pytest.mark.parametrize("name", TPCH_QUERIES)
+def test_edge_tpch_matches_oracle(name, edge_tpch_dir, edge_tpch_con):
+    queries, oracles = entrymod.queries(), entrymod.oracle_sql()
+    got = queries[name](edge_tpch_dir)
+    if not isinstance(got, pd.DataFrame):
+        got = got.to_pandas()
+    want = edge_tpch_con.execute(oracles[name]).df()
+    assert sorted(got.columns) == sorted(want.columns)
+    assert len(got) == len(want), (len(got), len(want))
+    g, w = _canon(got), _canon(want)
+    assert list(g.dtypes) == list(w.dtypes), (g.dtypes.to_dict(), w.dtypes.to_dict())
+    pd.testing.assert_frame_equal(g, w)
