@@ -711,10 +711,15 @@ def j_left_outer(sf_dir: str) -> rd.Dataset:
         g = df.groupby("o_custkey", as_index=False).agg(sum_spent_cents=("cents", "sum"))
         return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
-    spend = _sharded_agg(
-        orders.map_batches(spend_partial, batch_format="pyarrow"),
-        "o_custkey",
-        {"sum_spent_cents": ("sum_spent_cents", "sum")},
+    from .dedup import _nonempty_blocks
+
+    spend = _nonempty_blocks(  # join inputs: no 0-column empty blocks
+        _sharded_agg(
+            orders.map_batches(spend_partial, batch_format="pyarrow"),
+            "o_custkey",
+            {"sum_spent_cents": ("sum_spent_cents", "sum")},
+        ),
+        pa.schema([("o_custkey", pa.int64()), ("sum_spent_cents", pa.int64())]),
     )
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     joined = cust.join(
@@ -880,10 +885,16 @@ def j_full_outer(sf_dir: str) -> rd.Dataset:
         g["okey"] = g["o_custkey"]  # survives the join's key-column merge
         return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
-    spend = _sharded_agg(
-        orders.map_batches(spend_partial, batch_format="pyarrow"),
-        "o_custkey",
-        {"sum_spent_cents": ("sum_spent_cents", "sum"), "okey": ("okey", "first")},
+    from .dedup import _nonempty_blocks
+
+    spend = _nonempty_blocks(  # join inputs: no 0-column empty blocks
+        _sharded_agg(
+            orders.map_batches(spend_partial, batch_format="pyarrow"),
+            "o_custkey",
+            {"sum_spent_cents": ("sum_spent_cents", "sum"), "okey": ("okey", "first")},
+        ),
+        pa.schema([("o_custkey", pa.int64()), ("sum_spent_cents", pa.int64()),
+                   ("okey", pa.int64())]),
     )
     from .. import read_parquet_clean as _rpc
 

@@ -181,7 +181,15 @@ def top_keyword(sf_dir: str, nshards: int = 32) -> rd.Dataset:
             }
         )
 
-    tf = ds.map_batches(tf_batch, batch_format="pyarrow")
+    from .dedup import _nonempty_blocks
+
+    # join inputs must carry neither 0-column nor 0-row stray blocks
+    # (all-empty-doc batches produce empty tf blocks; Ray's hash join
+    # rejects them) — metadata-only block filter, payloads stay in plasma
+    tf = _nonempty_blocks(
+        ds.map_batches(tf_batch, batch_format="pyarrow"),
+        pa.schema([("doc_id", pa.int64()), ("word", pa.string()), ("tf", pa.int64())]),
+    )
 
     def df_partial(t: pa.Table) -> pa.Table:
         # (doc_id, word) rows are distinct → per-batch count per word
@@ -192,10 +200,11 @@ def top_keyword(sf_dir: str, nshards: int = 32) -> rd.Dataset:
             .rename_columns(["word_r", "df"])
         )
 
-    df = (
+    df = _nonempty_blocks(  # join inputs: no 0-column empty blocks
         tf.map_batches(df_partial, batch_format="pyarrow")
         .groupby("word_r")
-        .aggregate(Sum("df", alias_name="df"))
+        .aggregate(Sum("df", alias_name="df")),
+        pa.schema([("word_r", pa.string()), ("df", pa.int64())]),
     )
     joined = tf.join(
         df, join_type="inner", num_partitions=8, on=("word",), right_on=("word_r",)

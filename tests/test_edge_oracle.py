@@ -64,6 +64,7 @@ DOC_QUERIES = [
     "mix_sample",
     "group_sample",
     "inverted_index",
+    "text_top_keyword",
     "text_embed_counts",
     "gram_matrix",
     "text_token_count",
@@ -211,6 +212,8 @@ def edge_tpch_dir(tmp_path_factory):
         (3, 1, 5.0, 300.0, 0.05, 0.0, "N", "O", _dt.datetime(1997, 6, 1)),  # qty tie with okey 2
         (3, 2, 50.0, 400.0, 0.0, 0.0, "R", "F", _dt.datetime(1996, 1, 1)),
         (4, 1, 50.0, 999.99, 0.1, 0.0, "R", "F", _dt.datetime(1995, 1, 1)), # okey 4 DANGLING (not in orders)
+        # okey 5-free; okey 2 shipped within 30 days of o_orderdate → non-empty range join
+        (2, 2, 7.0, 10.0, 0.0, 0.0, "N", "O", _dt.datetime(1995, 1, 15)),
     ]
     t = pa.table(
         {
@@ -246,13 +249,28 @@ def edge_tpch_dir(tmp_path_factory):
         }
     )
     pq.write_table(t, d / "orders.parquet")
+    cu = [
+        (1, "BUILDING"),   # urgent spend exists
+        (2, "BUILDING"),   # no urgent orders → left-null path
+        (3, "MACHINERY"),  # urgent spend outside BUILDING → right-only path
+    ]
+    t = pa.table(
+        {
+            "c_custkey": pa.array([r[0] for r in cu], pa.int64()),
+            "c_name": pa.array([f"c{r[0]}" for r in cu]),
+            "c_nationkey": pa.array([0] * len(cu), pa.int64()),
+            "c_acctbal": pa.array([0.0] * len(cu), pa.float64()),
+            "c_mktsegment": pa.array([r[1] for r in cu]),
+        }
+    )
+    pq.write_table(t, d / "customer.parquet")
     return str(d)
 
 
 @pytest.fixture(scope="module")
 def edge_tpch_con(edge_tpch_dir):
     c = duckdb.connect()
-    for tbl in ("lineitem", "orders"):
+    for tbl in ("lineitem", "orders", "customer"):
         c.execute(
             f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{edge_tpch_dir}/{tbl}.parquet')"
         )
@@ -269,6 +287,9 @@ TPCH_QUERIES = [
     "spearman_moments",
     "rollup_agg",
     "pivot_wide",
+    "j_keyed_range",
+    "j_left_outer",
+    "j_full_outer",
 ]
 
 
