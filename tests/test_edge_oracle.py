@@ -305,3 +305,69 @@ def test_edge_tpch_matches_oracle(name, edge_tpch_dir, edge_tpch_con):
     g, w = _canon(got), _canon(want)
     assert list(g.dtypes) == list(w.dtypes), (g.dtypes.to_dict(), w.dtypes.to_dict())
     pd.testing.assert_frame_equal(g, w)
+
+
+# --- embeddings edge corpus: exact-duplicate vectors (cosine TIES →
+# vec_id tie-break), antipodal pairs, negative components, tiny values
+# near the 1e-6 centroid quantum ------------------------------------------
+
+import numpy as np
+
+
+@pytest.fixture(scope="module")
+def edge_emb_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("edge_emb")
+    dim = 64
+    base = np.linspace(-1.0, 1.0, dim, dtype=np.float32)
+    rows = {
+        0: base,                        # query (vec_id % 50 == 0)
+        1: base.copy(),                 # EXACT duplicate of the query
+        2: -base,                       # antipodal (cosine −1)
+        3: np.roll(base, 1),            # near-tie neighbor
+        4: np.roll(base, 2),
+        5: np.roll(base, 5),
+        6: np.roll(base, 7),
+        50: np.roll(base, 3),           # second query
+        51: np.roll(base, 3).copy(),    # its exact duplicate
+        # NOTE deliberately absent: ε-magnitude and scaled-parallel
+        # vectors — their cosines differ from a competitor's only in the
+        # last float bits, where engine (normalized matmul) and DuckDB
+        # (list_cosine_similarity) may legitimately round opposite ways
+        # and flip an order that is a true tie in real arithmetic. Exact
+        # DUPLICATES are kept: within each system the duplicate's sim is
+        # computed identically, so the id tie-break decides in both.
+    }
+    t = pa.table(
+        {
+            "vec_id": pa.array(sorted(rows), pa.int64()),
+            "embedding": pa.array(
+                [rows[k].tolist() for k in sorted(rows)], pa.list_(pa.float32())
+            ),
+            "label": pa.array([k % 3 for k in sorted(rows)], pa.int32()),
+        }
+    )
+    pq.write_table(t, d / "embeddings.parquet")
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def edge_emb_con(edge_emb_dir):
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{edge_emb_dir}/embeddings.parquet')"
+    )
+    return c
+
+
+@pytest.mark.parametrize("name", ["knn_bruteforce", "emb_centroid"])
+def test_edge_embeddings_matches_oracle(name, edge_emb_dir, edge_emb_con):
+    queries, oracles = entrymod.queries(), entrymod.oracle_sql()
+    got = queries[name](edge_emb_dir)
+    if not isinstance(got, pd.DataFrame):
+        got = got.to_pandas()
+    want = edge_emb_con.execute(oracles[name]).df()
+    assert sorted(got.columns) == sorted(want.columns)
+    assert len(got) == len(want), (len(got), len(want))
+    g, w = _canon(got), _canon(want)
+    assert list(g.dtypes) == list(w.dtypes)
+    pd.testing.assert_frame_equal(g, w)
