@@ -778,13 +778,17 @@ def inverted_index(
     indexes chunk those, diagnostics drop them — and hapax terms carry
     no retrieval signal.
 
-    Shape: per-batch DISTINCT (term, doc_id) explode (np.unique on the
-    packed pair) → ONE groupby(term) shuffle whose payload is the pair
-    stream, with posting assembly vectorized inside map_groups. The
-    shuffle key is the term string; at 100 TB the same digest-key trick
-    as the exact dedup (hash64 the term, keep one exemplar string)
-    halves the shuffle bytes — documented, not needed at fixture scale.
+    Shape: per-batch DISTINCT (term, doc_id) explode → terms hash-route
+    to ``nshards`` coarse shards (a groupby keyed on the raw term string
+    = one sort boundary per DISTINCT term — measured 40 s at 46k terms
+    where the sharded shape takes ~3 s; same lesson as ``_sharded_agg``)
+    → posting assembly vectorized inside one map_groups call per shard.
+    At 100 TB the digest-key trick from the exact dedup (hash64 the
+    term, keep one exemplar string) also halves the shuffle bytes.
     SQL-checked: DuckDB string_agg over the same distinct pairs."""
+    from ..hashing import hash64_np
+
+    nshards = 32
     ds = _read_docs(sf_dir, ["doc_id", "text"])
 
     def explode(t: pa.Table) -> pa.Table:
@@ -796,14 +800,18 @@ def inverted_index(
         )
         if len(flat) == 0:
             return pa.schema(
-                [("term", pa.string()), ("doc_id", pa.int64())]
+                [("term", pa.string()), ("doc_id", pa.int64()),
+                 ("_shard", pa.int64())]
             ).empty_table()
         doc = np.repeat(ids, lens)
         pairs = pd.DataFrame({"term": flat, "doc_id": doc}).drop_duplicates()
+        uniq = pairs["term"].unique()
+        smap = dict(zip(uniq, (hash64_np(list(uniq)) % np.uint64(nshards)).astype(np.int64)))
         return pa.table(
             {
                 "term": pa.array(pairs["term"].tolist(), pa.string()),
                 "doc_id": pairs["doc_id"].to_numpy().astype(np.int64),
+                "_shard": pa.array(pairs["term"].map(smap).to_numpy(), pa.int64()),
             }
         )
 
@@ -811,7 +819,8 @@ def inverted_index(
         from .. import pandas_to_clean_arrow
 
         # multiple batches may re-emit the same (term, doc) pair
-        g = g.drop_duplicates(["term", "doc_id"]).sort_values(["term", "doc_id"])
+        g = g.drop(columns=["_shard"]).drop_duplicates(["term", "doc_id"])
+        g = g.sort_values(["term", "doc_id"])
         # df-band filter BEFORE string assembly, so Zipf-head terms never
         # pay the posting-join cost
         df_counts = g.groupby("term")["doc_id"].transform("size")
@@ -831,7 +840,7 @@ def inverted_index(
     )
     return (
         ds.map_batches(explode, batch_format="pyarrow")
-        .groupby("term")
+        .groupby("_shard")
         .map_groups(postings, batch_format="pandas")
         .map_batches(ensure_schema(out_schema), batch_format="pyarrow")
     )
