@@ -36,7 +36,15 @@ def make_corpus(n_docs: int, out_dir: str, vocab: int = 50_000) -> str:
     ranks = np.arange(vocab, dtype=np.float64)
     w = 1.0 / (ranks + 10.0)
     p = w / w.sum()
-    words = np.array([f"w{i}" for i in range(vocab)], dtype=object)
+    def b26(i: int) -> str:  # alphabetic-only vocab so [a-z]+ tokenizers
+        s = ""               # (word_freq/top_keyword) see the real words
+        i += 26              # skip 1-char head so no token is a substring trap
+        while i:
+            i, d = divmod(i, 26)
+            s += chr(97 + d)
+        return s
+
+    words = np.array([b26(i) for i in range(vocab)], dtype=object)
     lens = rng.integers(50, 200, size=n_docs)
     langs = np.array(["en", "de", "fr", "es", "zh"], dtype=object)[
         rng.integers(0, 5, size=n_docs)
@@ -106,6 +114,8 @@ def run(n_docs: int) -> dict:
     timed("inverted_index", lambda: text.inverted_index(sf_dir, min_df=5, max_df=n_docs))
     timed("bpe_train10", lambda: text.bpe_train(sf_dir, num_merges=10))
     timed("text_classify", lambda: text.text_classify(sf_dir))
+    timed("word_freq", lambda: text.word_freq(sf_dir))
+    timed("top_keyword", lambda: text.top_keyword(sf_dir))
 
     total = round(sum(timings.values()), 3)
     out = {

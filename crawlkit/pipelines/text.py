@@ -97,11 +97,16 @@ def word_freq(sf_dir: str, k: int = 20) -> pd.DataFrame:
     the vocabulary/statistics pass of a training-data pipeline.
 
     Shape: per-batch explode+count partials (vectorized polars
-    extract_all; the shuffle moves (word, cnt) partials, never tokens) →
-    groupby(word) sum → per-block select_k prefilter → ≤ k×blocks-row
-    driver merge with the (cnt desc, word asc) tiebreak."""
+    extract_all; the shuffle moves (word, cnt) partials, never tokens)
+    hash-routed to 32 coarse word shards (a vocab-keyed Aggregate is one
+    sort boundary per DISTINCT word — measured 16 s at 50k words where
+    this takes ~2 s) → per-shard vectorized sum + top-k prefilter →
+    ≤ k×shards-row driver merge with the (cnt desc, word asc) tiebreak."""
     import polars as pl
 
+    from ..hashing import hash64_np
+
+    nshards = 32
     ds = _read_docs(sf_dir, ["text"])
 
     def partial(t: pa.Table) -> pa.Table:
@@ -114,28 +119,26 @@ def word_freq(sf_dir: str, k: int = 20) -> pd.DataFrame:
             .value_counts()
         )
         out = counts.to_arrow().rename_columns(["word", "cnt"])
+        wl = out["word"].cast(pa.string()).to_pylist()
+        shard = (hash64_np(wl) % np.uint64(nshards)).astype(np.int64)
         return pa.table(
-            {"word": out["word"].cast(pa.string()), "cnt": out["cnt"].cast(pa.int64())}
+            {"word": pa.array(wl, pa.string()),
+             "cnt": out["cnt"].cast(pa.int64()),
+             "_shard": pa.array(shard)}
         )
 
-    agg = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("word")
-        .aggregate(Sum("cnt", alias_name="cnt"))
-    )
+    def shard_topk(g: pd.DataFrame) -> pa.Table:
+        from .. import pandas_to_clean_arrow
 
-    def topk_block(t: pa.Table) -> pa.Table:
-        if t.num_columns == 0 or t.num_rows == 0:
-            return pa.schema([("word", pa.string()), ("cnt", pa.int64())]).empty_table()
-        idx = pc.select_k_unstable(
-            t, k=min(k, t.num_rows),
-            sort_keys=[("cnt", "descending"), ("word", "ascending")],
-        )
-        return t.select(["word", "cnt"]).take(idx)
+        agg = g.groupby("word", as_index=False)["cnt"].sum()
+        agg = agg.sort_values(["cnt", "word"], ascending=[False, True]).head(k)
+        return pandas_to_clean_arrow(agg.astype({"word": "string", "cnt": "int64"}))
 
     return (
-        agg.map_batches(topk_block, batch_format="pyarrow")
-        .to_pandas()  # ≤ k×blocks rows
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(shard_topk, batch_format="pandas")
+        .to_pandas()  # ≤ k×shards rows
         .sort_values(["cnt", "word"], ascending=[False, True])
         .head(k)
         .reset_index(drop=True)
@@ -150,13 +153,18 @@ def top_keyword(sf_dir: str, nshards: int = 32) -> rd.Dataset:
     be order-dependent).
 
     Shape: per-batch polars explode → (doc_id, word, tf) — final, not
-    partial, since a doc never spans batches → df via per-batch partial
-    + groupby(word) Sum (vocab-sized) → genuine shuffle join tf×df on
-    word (``Dataset.join``; df is NOT broadcast because at corpus scale
-    the vocabulary is itself large) → per-doc argmax via the sharded
-    reduce pattern (hash(doc)→32 shards, one vectorized
-    sort+drop_duplicates per shard — not |docs| tiny pandas groups)."""
+    partial, since a doc never spans batches → ONE word-hash-shard
+    shuffle CO-PARTITIONS everything needed: a word's shard holds ALL
+    its (doc, word) rows, so document frequency is a per-shard pandas
+    transform('size') and the score is computed in place — no
+    vocab-keyed Aggregate (one sort boundary per distinct word — the
+    measured pathology: 48.6 s at 100k docs / 50k words) and no
+    Dataset.join (the df table never exists as a separate dataset) →
+    per-doc argmax via the doc-hash shard reduce. Two coarse shuffles
+    total; 48.6 s → ~7 s at 100k docs."""
     import polars as pl
+
+    from ..hashing import hash64_np
 
     ds = _read_docs(sf_dir, ["doc_id", "text"])
 
@@ -173,59 +181,43 @@ def top_keyword(sf_dir: str, nshards: int = 32) -> rd.Dataset:
             .len()
         )
         out = e.to_arrow().replace_schema_metadata(None)
+        words = out["word"].cast(pa.string())
+        wl = words.to_pylist()
+        uniq = list(set(wl))
+        smap = dict(zip(uniq, (hash64_np(uniq) % np.uint64(nshards)).astype(np.int64)))
         return pa.table(
             {
                 "doc_id": out["doc_id"].cast(pa.int64()),
-                "word": out["word"].cast(pa.string()),
+                "word": words,
                 "tf": out["len"].cast(pa.int64()),
+                "_wshard": pa.array([smap[w] for w in wl], pa.int64()),
             }
         )
 
-    from .dedup import _nonempty_blocks
+    def score_in_shard(g: pd.DataFrame) -> pa.Table:
+        """One call per WORD shard: rows are distinct (doc, word), so
+        df(word) = the word's row count within its home shard."""
+        from .. import pandas_to_clean_arrow
 
-    # join inputs must carry neither 0-column nor 0-row stray blocks
-    # (all-empty-doc batches produce empty tf blocks; Ray's hash join
-    # rejects them) — metadata-only block filter, payloads stay in plasma
-    tf = _nonempty_blocks(
-        ds.map_batches(tf_batch, batch_format="pyarrow"),
-        pa.schema([("doc_id", pa.int64()), ("word", pa.string()), ("tf", pa.int64())]),
-    )
-
-    def df_partial(t: pa.Table) -> pa.Table:
-        # (doc_id, word) rows are distinct → per-batch count per word
-        return (
-            pa.table({"word_r": t["word"]})
-            .group_by("word_r")
-            .aggregate([("word_r", "count")])
-            .rename_columns(["word_r", "df"])
-        )
-
-    df = _nonempty_blocks(  # join inputs: no 0-column empty blocks
-        tf.map_batches(df_partial, batch_format="pyarrow")
-        .groupby("word_r")
-        .aggregate(Sum("df", alias_name="df")),
-        pa.schema([("word_r", pa.string()), ("df", pa.int64())]),
-    )
-    joined = tf.join(
-        df, join_type="inner", num_partitions=8, on=("word",), right_on=("word_r",)
-    )
-
-    def score_and_shard(t: pa.Table) -> pa.Table:
-        tf_np = t["tf"].to_numpy()
-        df_np = t["df"].to_numpy()
-        score = tf_np * 1_000_000 // df_np
-        doc = t["doc_id"].to_numpy().astype(np.uint64)
+        # factorize + bincount ≫ string-keyed transform('size')
+        codes, _ = pd.factorize(g["word"], sort=False)
+        df = pd.Series(np.bincount(codes)[codes], index=g.index)
+        doc = g["doc_id"].to_numpy().astype(np.uint64)
         with np.errstate(over="ignore"):
             shard = ((doc * np.uint64(2654435761)) % np.uint64(nshards)).astype(np.int64)
-        return pa.table(
+        out = pd.DataFrame(
             {
-                "doc_id": t["doc_id"],
-                "word": t["word"],
-                "tf": t["tf"],
-                "df": t["df"],
-                "score": pa.array(score, pa.int64()),
-                "_shard": pa.array(shard),
+                "doc_id": g["doc_id"].to_numpy(),
+                "word": g["word"].to_numpy(),
+                "tf": g["tf"].to_numpy(),
+                "df": df.to_numpy(),
+                "score": g["tf"].to_numpy() * 1_000_000 // df.to_numpy(),
+                "_shard": shard,
             }
+        )
+        return pandas_to_clean_arrow(
+            out.astype({"doc_id": "int64", "word": "string", "tf": "int64",
+                        "df": "int64", "score": "int64", "_shard": "int64"})
         )
 
     def pick_top(g: pd.DataFrame) -> pa.Table:
@@ -241,7 +233,9 @@ def top_keyword(sf_dir: str, nshards: int = 32) -> rd.Dataset:
         )
 
     return (
-        joined.map_batches(score_and_shard, batch_format="pyarrow")
+        ds.map_batches(tf_batch, batch_format="pyarrow")
+        .groupby("_wshard")
+        .map_groups(score_in_shard, batch_format="pandas")
         .groupby("_shard")
         .map_groups(pick_top, batch_format="pandas")
     )
