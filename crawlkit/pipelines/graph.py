@@ -27,6 +27,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 from ray.data.aggregate import Sum
 
@@ -225,34 +226,73 @@ def triangle_count(sf_dir: str) -> pd.DataFrame:
         keep = u != v  # drop self-loops
         return pa.table({"u": u[keep], "v": v[keep]}, schema=edge_schema)
 
+    # ONE u-hash-shard shuffle co-locates every edge of u: the shard task
+    # dedups (u,v) AND emits wedges per u with a vectorized segment sweep
+    # — replaces a 2-int64-key distinct Aggregate (one sort boundary per
+    # edge) plus a per-VERTEX map_groups (one Ray group per u), the same
+    # measured pathologies fixed in the pair-engine / inverted_index.
+    nshards = 32
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.schema(
+                [("u", pa.int64()), ("v", pa.int64()), ("_shard", pa.int64())]
+            ).empty_table()
+        u = t["u"].to_numpy().astype(np.uint64)
+        with np.errstate(over="ignore"):
+            sh = ((u * np.uint64(2654435761)) % np.uint64(nshards)).astype(np.int64)
+        return t.append_column("_shard", pa.array(sh))
+
     edges = _nonempty_blocks(
         nodes.map_batches(build_undirected, batch_format="pyarrow"), edge_schema
-    ).groupby(["u", "v"]).aggregate(Sum("u", alias_name="_d"))  # distinct undirected edges
-    edges = edges.drop_columns(["_d"])
+    ).map_batches(add_shard, batch_format="pyarrow")
 
-    def wedges(g: pd.DataFrame) -> pa.Table:
-        ns = np.sort(g["v"].to_numpy().astype(np.int64))
-        if len(ns) < 2:
-            return pa.schema([("wkey", pa.int64())]).empty_table()
-        i, j = np.triu_indices(len(ns), k=1)
-        return pa.table({"wkey": (ns[i] << np.int64(32)) | ns[j]})
+    def shard_wedges_and_edges(g: pd.DataFrame) -> pa.Table:
+        """Per u-shard: distinct (u,v) + wedge emit per u (segment sweep
+        over the u-sorted edge list — no per-vertex task boundary)."""
+        from .. import pandas_to_clean_arrow
 
-    def edge_keys(t: pa.Table) -> pa.Table:
-        if t.num_columns == 0 or t.num_rows == 0:
-            return pa.schema([("ekey", pa.int64()), ("_one", pa.int64())]).empty_table()
-        u = t["u"].to_numpy().astype(np.int64)
-        v = t["v"].to_numpy().astype(np.int64)
-        return pa.table(
-            {"ekey": (u << np.int64(32)) | v, "_one": np.ones(len(u), np.int64)}
-        )
+        g = g.drop_duplicates(["u", "v"]).sort_values(["u", "v"])
+        u = g["u"].to_numpy().astype(np.int64)
+        v = g["v"].to_numpy().astype(np.int64)
+        ekeys = (u << np.int64(32)) | v
+        wkeys: list[np.ndarray] = []
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        ends = np.r_[starts[1:], len(u)]
+        for a, b in zip(starts, ends):
+            if b - a >= 2:
+                ns = v[a:b]  # sorted already
+                i, j = np.triu_indices(b - a, k=1)
+                wkeys.append((ns[i] << np.int64(32)) | ns[j])
+        wk = np.concatenate(wkeys) if wkeys else np.empty(0, np.int64)
+        # one table, two roles: kind 0 = distinct edge key, kind 1 = wedge
+        return pandas_to_clean_arrow(pd.DataFrame(
+            {"key": np.concatenate([ekeys, wk]),
+             "kind": np.concatenate([np.zeros(len(ekeys), np.int64),
+                                     np.ones(len(wk), np.int64)])}
+        ).astype({"key": "int64", "kind": "int64"}))
+
+    both = _nonempty_blocks(
+        edges.groupby("_shard").map_groups(
+            shard_wedges_and_edges, batch_format="pandas"
+        ),
+        pa.schema([("key", pa.int64()), ("kind", pa.int64())]),
+    ).materialize()
+
+    def split(kind: int, name: str):
+        def fn(t: pa.Table) -> pa.Table:
+            out = t.filter(pc.equal(t["kind"], kind))
+            return pa.table({name: out["key"]})
+
+        return fn
 
     wedge_ds = _nonempty_blocks(
-        edges.groupby("u").map_groups(wedges, batch_format="pandas"),
+        both.map_batches(split(1, "wkey"), batch_format="pyarrow"),
         pa.schema([("wkey", pa.int64())]),
     )
     ekey_ds = _nonempty_blocks(
-        edges.map_batches(edge_keys, batch_format="pyarrow"),
-        pa.schema([("ekey", pa.int64()), ("_one", pa.int64())]),
+        both.map_batches(split(0, "ekey"), batch_format="pyarrow"),
+        pa.schema([("ekey", pa.int64())]),
     )
     closed = wedge_ds.join(
         ekey_ds, join_type="inner", num_partitions=4,
