@@ -135,6 +135,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "w_session": windows.w_session,
         "topk_per_group": windows.topk_per_group,
         "median_disc": windows.median_disc,
+        # exact p50+p95 via cardinality-sized histogram (no group ship)
+        "percentile_hist": windows.percentile_hist,  # SQL-checked
         "count_distinct_exact": windows.count_distinct_exact,
         "hll_count_distinct": windows.hll_count_distinct,  # rows-only (sketch)
         # 2-pass Misra-Gries candidates + exact verify — EXACT output

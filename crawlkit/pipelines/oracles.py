@@ -977,6 +977,15 @@ ORACLE_SQL["inverted_index"] = r"""
     HAVING COUNT(*) BETWEEN 2 AND 1000
 """
 
+# exact per-group percentiles via distributed histogram (no group
+# materialization); index convention = DuckDB quantile_disc
+ORACLE_SQL["percentile_hist"] = """
+    SELECT event_type,
+           quantile_disc(CAST(FLOOR(value * 100) AS BIGINT), 0.5) AS p50_cents,
+           quantile_disc(CAST(FLOOR(value * 100) AS BIGINT), 0.95) AS p95_cents
+    FROM events GROUP BY event_type
+"""
+
 # streaming first-wins dedup ≡ batch min-id dedup under doc_id arrival
 ORACLE_SQL["dedup_incremental"] = """
     SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text

@@ -872,3 +872,55 @@ def cohort_retention(sf_dir: str, nshards: int = 32) -> rd.Dataset:
         .groupby(["cohort_week", "week_offset"])
         .aggregate(Sum("n_users", alias_name="n_users"))
     )
+
+
+def percentile_hist(sf_dir: str, q_pcts: tuple[int, ...] = (50, 95)) -> pd.DataFrame:
+    """EXACT per-group percentiles WITHOUT materializing any group: the
+    distributed-histogram trick (same as ``spearman_moments``' rank
+    maps) — per-batch (event_type, cents) histogram partials → one
+    groupby over O(|types|·|distinct cents|) rows (cardinality-sized,
+    never row-count-sized) → the driver walks each type's cumulative
+    counts to the quantile indices. Returns every requested percentile
+    in ONE corpus pass; contrast ``median_disc``, which ships each
+    group's full row set to one task (exactness via completeness) — this
+    shape is exact via COUNTS and is the one that survives 100 TB.
+    Index convention pinned to DuckDB ``quantile_disc``:
+    idx = ceil(q·n) − 1 on the ascending sort."""
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+                "cents": _cents(t["value"]),
+            }
+        )
+        g = df.groupby(["event_type", "cents"], as_index=False).size()
+        g = g.rename(columns={"size": "cnt"})
+        from .. import pandas_to_clean_arrow
+
+        return pandas_to_clean_arrow(
+            g.astype({"event_type": "string", "cents": "int64", "cnt": "int64"})
+        )
+
+    hist = (
+        ds.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby(["event_type", "cents"])
+        .aggregate(_Sum("cnt", alias_name="cnt"))
+        .to_pandas()  # O(|types| × |distinct cents|) — cardinality-sized
+    )
+    rows = []
+    for et, g in hist.groupby("event_type"):
+        g = g.sort_values("cents")
+        vals = g["cents"].to_numpy()
+        cum = g["cnt"].to_numpy().cumsum()
+        n = int(cum[-1])
+        row = {"event_type": et}
+        for q in q_pcts:
+            idx = -(-q * n // 100) - 1  # ceil(q·n/100) − 1, integer-exact
+            row[f"p{q}_cents"] = int(vals[np.searchsorted(cum, idx + 1)])
+        rows.append(row)
+    out = pd.DataFrame(rows).sort_values("event_type").reset_index(drop=True)
+    return out.astype({f"p{q}_cents": "int64" for q in q_pcts})

@@ -172,6 +172,7 @@ EVENT_QUERIES = [
     "w_percent_rank",
     "topk_per_group",
     "median_disc",
+    "percentile_hist",
     "count_distinct_exact",
     "heavy_hitters",
     "mode_per_group",
