@@ -187,6 +187,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_tokenize": lambda sf_dir: text.bpe_tokenize_counts(sf_dir, num_merges=10),
         # sharded inverted-index build with a df-band pruning hatch
         "inverted_index": text.inverted_index,  # SQL-checked
+        # top-k bigram collocations by integer PMI (broadcast unigrams)
+        "collocations": text.collocations,  # SQL-checked
         # --- dedup family ---
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,  # SQL-checked
         # doc-level duplicate-span statistic (substring-dedup à la Lee et al.)

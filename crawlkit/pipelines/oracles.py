@@ -977,6 +977,32 @@ ORACLE_SQL["inverted_index"] = r"""
     HAVING COUNT(*) BETWEEN 2 AND 1000
 """
 
+# top-k bigram collocations by integer PMI surrogate (Church & Hanks):
+# rank by c_xy*1e12 // (c_x*c_y) — global N factors cancel in ranking
+ORACLE_SQL["collocations"] = r"""
+    WITH words AS (
+        SELECT list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+        FROM documents
+    ), uni AS (
+        SELECT unnest(ws) AS w FROM words
+    ), ucnt AS (
+        SELECT w, COUNT(*) AS c FROM uni GROUP BY w
+    ), bi AS (
+        SELECT ws[i] AS w1, ws[i + 1] AS w2
+        FROM words, UNNEST(range(1, len(ws))) AS t(i)
+        WHERE len(ws) >= 2
+    ), bcnt AS (
+        SELECT w1, w2, COUNT(*) AS cb FROM bi GROUP BY w1, w2
+    )
+    SELECT w1, w2, CAST(cb AS BIGINT) AS pair_cnt,
+           CAST(cb * 1000000000000 // (u1.c * u2.c) AS BIGINT) AS pmi_score
+    FROM bcnt
+    JOIN ucnt u1 ON u1.w = w1
+    JOIN ucnt u2 ON u2.w = w2
+    WHERE cb >= 3
+    ORDER BY pmi_score DESC, w1, w2 LIMIT 20
+"""
+
 # exact per-group percentiles via distributed histogram (no group
 # materialization); index convention = DuckDB quantile_disc
 ORACLE_SQL["percentile_hist"] = """

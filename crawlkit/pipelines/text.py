@@ -838,3 +838,121 @@ def inverted_index(
         .map_groups(postings, batch_format="pandas")
         .map_batches(ensure_schema(out_schema), batch_format="pyarrow")
     )
+
+
+def collocations(
+    sf_dir: str, k: int = 20, min_count: int = 3, nshards: int = 32
+) -> pd.DataFrame:
+    """Top-k BIGRAM COLLOCATIONS by integer PMI surrogate — the classic
+    corpus-statistics pass (Church & Hanks pointwise mutual information)
+    that finds multi-word expressions. Rank score =
+    ``c_xy · 10¹² // (c_x · c_y)`` — monotone in PMI because the global
+    N factors are shared by every bigram, and integer so the result is
+    order-independent and SQL-hash-comparable. ``min_count`` is the
+    standard low-frequency cutoff (PMI explodes on hapax pairs).
+
+    Shape: ONE corpus pass emits per-batch partial unigram AND bigram
+    counts; unigram totals reduce to a vocab-sized table (broadcast via
+    ``ray.put`` — the textbook small side; at a 100-TB corpus the pruned
+    counting vocabulary is still MBs), bigram partials hash-shard-reduce
+    with in-shard scoring + top-k prefilter, driver merges ≤ k·shards
+    rows. int64 bound: c_xy·10¹² needs c_xy < 9.2e6 — assert guards it
+    (beyond that, rescale the surrogate)."""
+    import ray
+
+    from ..hashing import hash64_np
+
+    ds = _read_docs(sf_dir, ["text"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        uni: dict[str, int] = {}
+        bi: dict[tuple[str, str], int] = {}
+        for s in t["text"].to_pylist():
+            ws = (s or "").split()
+            for w in ws:
+                uni[w] = uni.get(w, 0) + 1
+            for a, b in zip(ws, ws[1:]):
+                bi[(a, b)] = bi.get((a, b), 0) + 1
+        w1 = [w for w in uni] + [p[0] for p in bi]
+        w2 = [""] * len(uni) + [p[1] for p in bi]
+        cnt = list(uni.values()) + list(bi.values())
+        kind = np.concatenate(
+            [np.zeros(len(uni), np.int64), np.ones(len(bi), np.int64)]
+        )
+        shard = (
+            hash64_np([a + "\x1f" + b for a, b in zip(w1, w2)]) % np.uint64(nshards)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "w1": pa.array(w1, pa.string()),
+                "w2": pa.array(w2, pa.string()),
+                "cnt": pa.array(cnt, pa.int64()),
+                "kind": pa.array(kind),
+                "_shard": pa.array(shard),
+            }
+        )
+
+    parts = ds.map_batches(partials, batch_format="pyarrow")
+
+    def shard_sum(g: pd.DataFrame) -> pa.Table:
+        from .. import pandas_to_clean_arrow
+
+        agg = g.groupby(["kind", "w1", "w2"], as_index=False)["cnt"].sum()
+        return pandas_to_clean_arrow(
+            agg.astype({"kind": "int64", "w1": "string", "w2": "string", "cnt": "int64"})
+        )
+
+    from .dedup import ensure_schema
+
+    counted = (
+        parts.groupby("_shard")
+        .map_groups(shard_sum, batch_format="pandas")
+        .map_batches(
+            ensure_schema(pa.schema(
+                [("kind", pa.int64()), ("w1", pa.string()), ("w2", pa.string()),
+                 ("cnt", pa.int64())]
+            )),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    # unigram totals: vocab-sized by construction → broadcast dict
+    uni_df = counted.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], 0)), batch_format="pyarrow"
+    ).to_pandas()
+    uni_ref = ray.put(dict(zip(uni_df["w1"], uni_df["cnt"].astype(int))))
+
+    def score_topk(t: pa.Table) -> pa.Table:
+        u = ray.get(uni_ref)
+        df = t.to_pandas()
+        df = df[(df["kind"] == 1) & (df["cnt"] >= min_count)]
+        if df.empty:
+            return pa.schema(
+                [("w1", pa.string()), ("w2", pa.string()),
+                 ("pair_cnt", pa.int64()), ("pmi_score", pa.int64())]
+            ).empty_table()
+        assert int(df["cnt"].max()) < 9_200_000, "rescale the PMI surrogate"
+        c1 = df["w1"].map(u).astype("int64")
+        c2 = df["w2"].map(u).astype("int64")
+        score = df["cnt"].astype("int64") * 1_000_000_000_000 // (c1 * c2)
+        out = pd.DataFrame(
+            {"w1": df["w1"], "w2": df["w2"],
+             "pair_cnt": df["cnt"].astype("int64"), "pmi_score": score}
+        ).sort_values(["pmi_score", "w1", "w2"], ascending=[False, True, True]).head(k)
+        from .. import pandas_to_clean_arrow
+
+        return pandas_to_clean_arrow(
+            out.astype({"w1": "string", "w2": "string",
+                        "pair_cnt": "int64", "pmi_score": "int64"})
+        )
+
+    merged = (
+        counted.map_batches(score_topk, batch_format="pyarrow")
+        .to_pandas()  # ≤ k×blocks rows
+        .sort_values(["pmi_score", "w1", "w2"], ascending=[False, True, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return merged.astype(
+        {"w1": "object", "w2": "object", "pair_cnt": "int64", "pmi_score": "int64"}
+    )

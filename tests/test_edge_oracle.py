@@ -64,6 +64,7 @@ DOC_QUERIES = [
     "mix_sample",
     "group_sample",
     "inverted_index",
+    "collocations",
     "text_top_keyword",
     "text_embed_counts",
     "gram_matrix",
