@@ -40,6 +40,46 @@ def configure_data_context() -> None:
     except Exception:
         pass  # older/newer Ray without this knob: keep defaults
 
+    try:
+        import logging
+
+        class _EmptyBlockSchemaFilter(logging.Filter):
+            """Drop the 'RefBundle with a different schema ... new
+            schema: .' warning when the NEW schema is EMPTY: Ray's
+            sort-shuffle emits ZERO-COLUMN blocks for empty partitions
+            (more output partitions than distinct groups), map UDFs are
+            skipped for them, and downstream collection logs this per
+            empty block. Known-benign here — every small-result
+            consumer goes through pandas_with_schema / ensure_schema
+            (see CLAUDE.md). Mismatches between two NON-empty schemas
+            still log."""
+
+            def filter(self, record: logging.LogRecord) -> bool:
+                msg = record.getMessage()
+                return not (
+                    "RefBundle with a different schema" in msg
+                    and "new schema: ." in msg
+                )
+
+        logging.getLogger("ray.data._internal.execution.streaming_executor_state").addFilter(
+            _EmptyBlockSchemaFilter()
+        )
+
+        class _ObjectStoreAdviceFilter(logging.Filter):
+            """Drop the static 'object store is configured to use only
+            N% of available memory' sizing advisory — the store size is
+            fixed by the sandbox host, the advice is unactionable here,
+            and it prints once per executed Dataset."""
+
+            def filter(self, record: logging.LogRecord) -> bool:
+                return "object store is configured to use only" not in record.getMessage()
+
+        logging.getLogger("ray.data._internal.execution.resource_manager").addFilter(
+            _ObjectStoreAdviceFilter()
+        )
+    except Exception:
+        pass
+
 
 configure_data_context()
 

@@ -532,8 +532,12 @@ def embedding_neardup_pairs(
         g = g[["vec_id", "code", "home", "vec"]]
         m = g.merge(g, on="code", suffixes=("_l", "_r"))
         m = m[m["vec_id_l"] < m["vec_id_r"]]
-        # count each pair once: at least one side in its home bucket
-        m = m[m["home_l"] | m["home_r"]]
+        # emit each pair EXACTLY once, globally: only in the home bucket
+        # of the smaller id. Detection is unchanged — b sits in bucket
+        # code_a iff hamming(code_a, code_b) <= 1 iff a sits in bucket
+        # code_b — so home_l alone finds every pair home_l|home_r found,
+        # and the cross-shard dedup shuffle downstream becomes redundant.
+        m = m[m["home_l"]]
         if m.empty:
             from .. import pandas_to_clean_arrow
 
@@ -558,8 +562,8 @@ def embedding_neardup_pairs(
         .groupby("shard")
         .map_groups(verify, batch_format="pandas")
     )
-    out = pairs.groupby(["vec_id_a", "vec_id_b"]).aggregate(Count(alias_name="_n"))
-    return pandas_with_schema(out, {"vec_id_a": "int64", "vec_id_b": "int64"})
+    # no dedup shuffle needed: the home_l rule makes emission unique.
+    return pandas_with_schema(pairs, {"vec_id_a": "int64", "vec_id_b": "int64"})
 
 
 # --- connected-components clustering over near-dup pairs -----------------

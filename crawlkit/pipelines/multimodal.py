@@ -152,7 +152,6 @@ def image_phash_neardup(
     ``plant_pairs`` seeded near-dup rows keep the end-to-end fixture
     check non-vacuous (see synthetic_images)."""
     import pandas as pd
-    from ray.data.aggregate import Min
 
     feats = image_features(sf_dir, n, plant_pairs=plant_pairs).select_columns(
         ["image_id", "phash"]
@@ -176,28 +175,48 @@ def image_phash_neardup(
         return pa.concat_tables(parts)
 
     def emit(g: pd.DataFrame) -> pd.DataFrame:
-        """One call per BAND; vectorized self-merge + Hamming verify."""
+        """One call per BAND; vectorized self-merge + Hamming verify.
+        Each pair is emitted EXACTLY once globally: only in its MINIMAL
+        matching band (computable here because the full phash travels
+        with every exploded row) — no cross-band dedup shuffle needed."""
+        empty = pa.table(
+            {
+                "id_a": pa.array([], type=pa.string()),
+                "id_b": pa.array([], type=pa.string()),
+                "hamming": pa.array([], type=pa.int64()),
+            }
+        )
+        band = int(g["band"].iloc[0])
         g = g[["image_id", "phash", "band_val"]].drop_duplicates("image_id")
         m = g.merge(g, on="band_val", suffixes=("_l", "_r"))
         m = m[m["image_id_l"] < m["image_id_r"]]
         if m.empty:
-            return pd.DataFrame(
-                {
-                    "id_a": pd.Series([], dtype="object"),
-                    "id_b": pd.Series([], dtype="object"),
-                    "hamming": pd.Series([], dtype="int64"),
-                }
+            # typed Arrow (not raw pandas): empty object-dtype frames
+            # break Ray's pandas block-size estimator (np.vectorize on
+            # size-0), and most bands ARE empty under the minimal-band
+            # emission rule.
+            return empty
+        xl = m["phash_l"].to_numpy().view(np.uint64)
+        xr = m["phash_r"].to_numpy().view(np.uint64)
+        first = np.full(len(m), 4, dtype=np.int8)
+        for b in range(3, -1, -1):
+            eq = ((xl >> np.uint64(16 * b)) & np.uint64(0xFFFF)) == (
+                (xr >> np.uint64(16 * b)) & np.uint64(0xFFFF)
             )
-        x = m["phash_l"].to_numpy().view(np.uint64) ^ m["phash_r"].to_numpy().view(np.uint64)
+            first = np.where(eq, np.int8(b), first)
+        x = xl ^ xr
         ham = np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
-        keep = ham <= max_hamming
-        return pd.DataFrame(
+        keep = (ham <= max_hamming) & (first == band)
+        out = pd.DataFrame(
             {
                 "id_a": m["image_id_l"].to_numpy()[keep],
                 "id_b": m["image_id_r"].to_numpy()[keep],
                 "hamming": ham[keep].astype(np.int64),
             }
         ).drop_duplicates(["id_a", "id_b"])
+        if out.empty:
+            return empty
+        return pa.Table.from_pandas(out, schema=empty.schema, preserve_index=False)
 
     from .dedup import pandas_with_schema
 
@@ -205,9 +224,8 @@ def image_phash_neardup(
         feats.map_batches(explode, batch_format="pyarrow")
         .groupby("band")
         .map_groups(emit, batch_format="pandas")
-        .groupby(["id_a", "id_b"])
-        .aggregate(Min("hamming", alias_name="hamming"))
     )
+    # no cross-band dedup shuffle: the minimal-band rule makes emission unique.
     return pandas_with_schema(out, {"id_a": "object", "id_b": "object", "hamming": "int64"})
 
 
