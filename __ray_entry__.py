@@ -128,6 +128,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corr_moments": relational.corr_moments,  # SQL-checked (exact int64 moments)
         # rank correlation via histogram ranking (no global sort)
         "spearman_moments": relational.spearman_moments,  # SQL-checked
+        "skyline_pareto": relational.skyline_pareto,  # SQL-checked
+        "zscore_outliers": relational.zscore_outliers,  # SQL-checked
         "cube_agg": relational.cube_agg,  # SQL-checked (GROUP BY CUBE, one fact pass)
         "j_asof": relational.j_asof,
         "w_tumbling": relational.w_tumbling,
@@ -236,6 +238,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),  # rows-only
         # --- similarity search ---
         "knn_bruteforce": ann.knn_bruteforce,  # SQL-checked (deterministic ranks)
+        "knn_reciprocal": ann.knn_reciprocal,  # SQL-checked (mutual top-k pairs)
         "emb_centroid": ann.emb_centroid,  # SQL-checked (exact micro-unit moments)
         "knn_ivf": ann.knn_ivf,  # rows-only (approximate)
         # PQ codes (32× compression) + ADC scan + exact re-rank

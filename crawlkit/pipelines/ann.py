@@ -351,3 +351,51 @@ def knn_ivfpq(
         .groupby("query_id")
         .map_groups(final_topk, batch_format="pandas")
     )
+
+
+def knn_reciprocal(sf_dir: str, k: int = 10) -> rd.Dataset:
+    """Mutual top-k pairs: (a, b) with a < b where b is in a's exact
+    top-k AND a is in b's — the reciprocal-nearest-neighbor screen used
+    to seed high-precision near-dup / alignment candidates.
+
+    Distributed shape: reuse the brute-force rank kernel with EVERY
+    vector as a query (the documented exact baseline — the scale path
+    swaps in the IVF lists), then canonicalize each directed edge to
+    (min, max) and hash-shard the pairs; a pair is mutual iff its
+    canonical key appears twice in its shard. Shuffle volume is the
+    n·k rank table, never the vectors."""
+    import pandas as pd
+
+    ranks = knn_bruteforce(sf_dir, k=k, query_every=1)
+
+    def to_pairs(t: pa.Table) -> pa.Table:
+        q = t["query_id"].to_numpy()
+        n = t["neighbor_id"].to_numpy()
+        a = np.minimum(q, n)
+        b = np.maximum(q, n)
+        return pa.table(
+            {
+                "vec_id_a": a,
+                "vec_id_b": b,
+                "shard": ((a * 1_000_003 + b) % 32).astype(np.int32),
+            }
+        )
+
+    _EMPTY = pa.table(
+        {"vec_id_a": pa.array([], pa.int64()), "vec_id_b": pa.array([], pa.int64())}
+    )
+
+    def mutual(g: pd.DataFrame) -> pa.Table:
+        # each directed edge contributes its canonical key once, so a
+        # key seen twice == both directions present
+        dup = g.duplicated(subset=["vec_id_a", "vec_id_b"], keep="first")
+        out = g[dup][["vec_id_a", "vec_id_b"]]
+        if out.empty:
+            return _EMPTY
+        return pa.Table.from_pandas(out, schema=_EMPTY.schema, preserve_index=False)
+
+    return (
+        ranks.map_batches(to_pairs, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(mutual, batch_format="pandas")
+    )

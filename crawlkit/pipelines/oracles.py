@@ -1073,3 +1073,59 @@ ORACLE_SQL["triangle_count"] = """
     JOIN und e2 ON e2.u = e1.u AND e2.v > e1.v
     JOIN und e3 ON e3.u = e1.v AND e3.v = e2.v
 """
+
+# 2-D Pareto skyline (min price cents, max size); identical points keep
+# each other — NOT EXISTS demands strictness in at least one dimension
+ORACLE_SQL["skyline_pareto"] = """
+    WITH p AS (
+        SELECT p_partkey,
+               CAST(p_size AS BIGINT) AS p_size,
+               CAST(FLOOR(p_retailprice * 100) AS BIGINT) AS price_cents
+        FROM part
+    )
+    SELECT p_partkey, p_size, price_cents
+    FROM p a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM p b
+        WHERE b.price_cents <= a.price_cents AND b.p_size >= a.p_size
+          AND (b.price_cents < a.price_cents OR b.p_size > a.p_size)
+    )
+    ORDER BY p_partkey
+"""
+
+# z-score outliers with denominators cleared: (n·v − S)² > z²(n·Q − S²)
+# over v = floor(value) — exact integers on both sides, z = 2
+ORACLE_SQL["zscore_outliers"] = """
+    WITH e AS (
+        SELECT event_id, event_type, CAST(FLOOR(value) AS BIGINT) AS value_floor
+        FROM events
+    ), m AS (
+        SELECT event_type, COUNT(*) AS n, SUM(value_floor) AS s,
+               SUM(value_floor * value_floor) AS q
+        FROM e GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value_floor
+    FROM e JOIN m USING (event_type)
+    WHERE (m.n * e.value_floor - m.s) * (m.n * e.value_floor - m.s)
+          > 4 * (m.n * m.q - m.s * m.s)
+"""
+
+# mutual top-k pairs from the same deterministic rank definition as
+# knn_bruteforce, with EVERY vector as a query
+ORACLE_SQL["knn_reciprocal"] = """
+    WITH d AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ), r AS (
+        SELECT q.vec_id AS qid, n.vec_id AS nid,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(q.e, n.e) DESC, n.vec_id) AS rank
+        FROM d q, d n
+        WHERE n.vec_id <> q.vec_id
+        QUALIFY rank <= 10
+    )
+    SELECT r1.qid AS vec_id_a, r1.nid AS vec_id_b
+    FROM r r1 JOIN r r2 ON r1.qid = r2.nid AND r1.nid = r2.qid
+    WHERE r1.qid < r1.nid
+"""

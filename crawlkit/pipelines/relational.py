@@ -1215,3 +1215,129 @@ def spearman_moments(sf_dir: str) -> pd.DataFrame:
     parts = ds.map_batches(moments, batch_format="pyarrow").take_all()
     out = pd.DataFrame(parts).sum().to_frame().T.astype("int64")
     return out[["n", "sum_x2", "sum_y2", "sum_x2x2", "sum_y2y2", "sum_x2y2"]]
+
+
+def _local_skyline(df: pd.DataFrame) -> pd.DataFrame:
+    """2-D Pareto frontier of (minimize price_cents, maximize p_size),
+    vectorized: within one price only the max-size rows can survive
+    (equal price + strictly larger size dominates); across ascending
+    distinct prices the surviving size must STRICTLY increase (equal
+    size at a strictly smaller price dominates). Identical (price,
+    size) rows never dominate each other — all are kept, matching the
+    SQL NOT EXISTS semantics."""
+    if df.empty:
+        return df
+    mx = df.groupby("price_cents")["p_size"].transform("max")
+    df = df[df["p_size"] == mx]
+    per = (
+        df.drop_duplicates("price_cents")
+        .sort_values("price_cents")[["price_cents", "p_size"]]
+    )
+    sizes = per["p_size"].to_numpy()
+    before = np.maximum.accumulate(
+        np.concatenate([[np.iinfo(np.int64).min], sizes[:-1]])
+    )
+    keep_prices = per["price_cents"].to_numpy()[sizes > before]
+    return df[df["price_cents"].isin(keep_prices)]
+
+
+def skyline_pareto(sf_dir: str) -> pd.DataFrame:
+    """Pareto skyline over part: the parts no other part beats on BOTH
+    price (lower-or-equal, integer cents) and size (higher-or-equal,
+    strict somewhere).
+
+    Distributed shape: the local skyline is a COMBINER — every global
+    skyline point survives its own block's local skyline — so each
+    batch reduces to its O(log B)-expected frontier, only those
+    candidates leave the workers, and one identical pass over the
+    union finishes the job. No shuffle of the fact table, no global
+    sort; at 100 TB the candidate union stays frontier-sized."""
+    ds = _read(sf_dir, "part", ["p_partkey", "p_size", "p_retailprice"])
+
+    def local(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "p_partkey": t["p_partkey"].to_numpy(),
+                "p_size": t["p_size"].to_numpy().astype(np.int64),
+                "price_cents": _cents(t["p_retailprice"]).to_numpy(),
+            }
+        )
+        out = _local_skyline(df)
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+
+    cand = ds.map_batches(local, batch_format="pyarrow").to_pandas()
+    # candidate union is frontier-sized (O(blocks · log batch)) — small
+    out = _local_skyline(cand).sort_values("p_partkey").reset_index(drop=True)
+    return out[["p_partkey", "p_size", "price_cents"]].astype(
+        {"p_partkey": "int64", "p_size": "int64", "price_cents": "int64"}
+    )
+
+
+def zscore_outliers(sf_dir: str, z: int = 2) -> rd.Dataset:
+    """Per-event-type z-score outlier screen with EXACT integer
+    arithmetic (order-independent, hash-comparable): x is an outlier
+    iff (x − μ)² > z²σ², which over integer values v = floor(value)
+    clears denominators to (n·v − S)² > z²·(n·Q − S²) with S = Σv,
+    Q = Σv² — no float mean/stddev on either side.
+
+    Distributed shape: pass 1 computes per-batch (n, S, Q) partials →
+    a groupby over the O(#event_types) keys; the tiny moment table is
+    broadcast via ``ray.put`` and pass 2 flags rows vectorized inside
+    map_batches. Two streaming passes, shuffle volume O(#types)."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = np.floor(t["value"].to_numpy()).astype(np.int64)
+        df = pd.DataFrame(
+            {"event_type": t["event_type"].to_numpy(zero_copy_only=False), "v": v}
+        )
+        df["q"] = df["v"] * df["v"]
+        df["av"] = df["v"].abs()
+        g = df.groupby("event_type", as_index=False).agg(
+            n=("v", "size"), s=("v", "sum"), q=("q", "sum"), maxav=("av", "max")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+    mom = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("s", alias_name="s"),
+            Sum("q", alias_name="q"),
+            Max("maxav", alias_name="maxav"),
+        )
+        .to_pandas()  # O(#event_types) rows — tiny by construction
+    )
+    # exact int64 head-room guard: |n·v − S| ≤ 2·n·max|v| must square.
+    lim = int(np.sqrt(np.iinfo(np.int64).max)) - 1
+    keys, moments = [], []
+    for r in mom.itertuples():
+        n, s, q = int(r.n), int(r.s), int(r.q)
+        rhs = z * z * (n * q - s * s)
+        assert 2 * n * int(r.maxav) < lim and rhs < np.iinfo(np.int64).max, (
+            "int64 moment bound exceeded — move to the 2×int64 digest form"
+        )
+        keys.append(r.event_type)
+        moments.append((n, s, rhs))
+    ref = ray.put((keys, np.array(moments, dtype=np.int64)))
+
+    def flag(t: pa.Table) -> pa.Table:
+        keys_, m = ray.get(ref)
+        idx = {k: i for i, k in enumerate(keys_)}
+        v = np.floor(t["value"].to_numpy()).astype(np.int64)
+        et = pd.Series(t["event_type"].to_numpy(zero_copy_only=False))
+        codes, uniq = pd.factorize(et)  # loop only over O(#types) uniques
+        rowmap = np.array([idx[u] for u in uniq], dtype=np.int64)[codes]
+        n, s, rhs = m[rowmap, 0], m[rowmap, 1], m[rowmap, 2]
+        lhs = n * v - s
+        keep = lhs * lhs > rhs
+        return pa.table(
+            {
+                "event_id": t["event_id"].to_numpy()[keep],
+                "event_type": pa.array(et.to_numpy()[keep]),
+                "value_floor": v[keep],
+            }
+        )
+
+    return ds.map_batches(flag, batch_format="pyarrow")

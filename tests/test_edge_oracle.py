@@ -266,13 +266,40 @@ def edge_tpch_dir(tmp_path_factory):
         }
     )
     pq.write_table(t, d / "customer.parquet")
+    # part: skyline adversaries — identical frontier duplicates (both
+    # kept: neither strictly dominates), price tie with a smaller size
+    # (dominated), size tie at a higher price (dominated), a
+    # floor-boundary price (9.999 → 999 cents beats 10.00 → 1000)
+    pt = [
+        # pkey, size, retailprice
+        (1, 10, 5.00),    # frontier
+        (2, 10, 5.00),    # identical duplicate of 1 → BOTH kept
+        (3, 8, 5.00),     # same price, smaller size → dominated by 1
+        (4, 10, 6.00),    # same size, higher price → dominated by 1
+        (5, 20, 9.999),   # floor → 999 cents, frontier
+        (6, 20, 10.00),   # 1000 cents, size tie → dominated by 5
+        (7, 1, 1.00),     # cheapest → frontier regardless of size
+        (8, 15, 7.50),    # frontier (no cheaper part has size ≥ 15)
+        (9, 12, 8.00),    # interior → dominated by 8
+    ]
+    t = pa.table(
+        {
+            "p_partkey": pa.array([r[0] for r in pt], pa.int64()),
+            "p_name": pa.array([f"part{r[0]}" for r in pt]),
+            "p_brand": pa.array(["B1"] * len(pt)),
+            "p_type": pa.array(["T1"] * len(pt)),
+            "p_size": pa.array([r[1] for r in pt], pa.int32()),
+            "p_retailprice": pa.array([r[2] for r in pt], pa.float64()),
+        }
+    )
+    pq.write_table(t, d / "part.parquet")
     return str(d)
 
 
 @pytest.fixture(scope="module")
 def edge_tpch_con(edge_tpch_dir):
     c = duckdb.connect()
-    for tbl in ("lineitem", "orders", "customer"):
+    for tbl in ("lineitem", "orders", "customer", "part"):
         c.execute(
             f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{edge_tpch_dir}/{tbl}.parquet')"
         )
@@ -292,6 +319,7 @@ TPCH_QUERIES = [
     "j_keyed_range",
     "j_left_outer",
     "j_full_outer",
+    "skyline_pareto",
 ]
 
 
@@ -361,7 +389,7 @@ def edge_emb_con(edge_emb_dir):
     return c
 
 
-@pytest.mark.parametrize("name", ["knn_bruteforce", "emb_centroid"])
+@pytest.mark.parametrize("name", ["knn_bruteforce", "emb_centroid", "knn_reciprocal"])
 def test_edge_embeddings_matches_oracle(name, edge_emb_dir, edge_emb_con):
     queries, oracles = entrymod.queries(), entrymod.oracle_sql()
     got = queries[name](edge_emb_dir)
