@@ -1334,10 +1334,17 @@ def zscore_outliers(sf_dir: str, z: int = 2) -> rd.Dataset:
         keep = lhs * lhs > rhs
         return pa.table(
             {
-                "event_id": t["event_id"].to_numpy()[keep],
-                "event_type": pa.array(et.to_numpy()[keep]),
-                "value_floor": v[keep],
+                "event_id": pa.array(t["event_id"].to_numpy()[keep], pa.int64()),
+                "event_type": pa.array(et.to_numpy()[keep], pa.string()),
+                "value_floor": pa.array(v[keep], pa.int64()),
             }
         )
 
-    return ds.map_batches(flag, batch_format="pyarrow")
+    from .dedup import pandas_with_schema
+
+    # possibly-empty small screen result: pin the schema (all-empty
+    # Dataset.to_pandas drops every column — CLAUDE.md pitfall)
+    return pandas_with_schema(
+        ds.map_batches(flag, batch_format="pyarrow"),
+        {"event_id": "int64", "event_type": "object", "value_floor": "int64"},
+    )

@@ -181,6 +181,7 @@ EVENT_QUERIES = [
     "cohort_retention",
     "corr_moments",
     "cube_agg",
+    "zscore_outliers",
 ]
 
 
