@@ -191,6 +191,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": text.inverted_index,  # SQL-checked
         # top-k bigram collocations by integer PMI (broadcast unigrams)
         "collocations": text.collocations,  # SQL-checked
+        # Gopher-style per-doc repetition signals (shuffle-free)
+        "text_gopher_repetition": text.gopher_repetition,  # SQL-checked
+        # conjunctive (AND) keyword search, top-k by summed tf
+        "search_conjunctive": text.search_conjunctive,  # SQL-checked
+        # top-k event-type trigram paths over per-user ordered streams
+        "path_trigrams": windows.path_trigrams,  # SQL-checked
         # --- dedup family ---
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,  # SQL-checked
         # doc-level duplicate-span statistic (substring-dedup à la Lee et al.)

@@ -1129,3 +1129,69 @@ ORACLE_SQL["knn_reciprocal"] = """
     FROM r r1 JOIN r r2 ON r1.qid = r2.nid AND r1.nid = r2.qid
     WHERE r1.qid < r1.nid
 """
+
+# Gopher-style per-doc bigram repetition signals: LEAD window builds the
+# bigram stream per doc, LEFT JOIN keeps bigram-less docs with zeros;
+# the repetition flag is the float threshold cleared to integers
+# (top*5 > total, matching the engine's cross-multiply)
+ORACLE_SQL["text_gopher_repetition"] = r"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+        FROM documents
+    ), b AS (
+        SELECT doc_id,
+               UNNEST(list_transform(range(1, len(ws)),
+                                     i -> ws[i] || ' ' || ws[i + 1])) AS bg
+        FROM t
+    ), c AS (
+        SELECT doc_id, bg, COUNT(*) AS n FROM b GROUP BY doc_id, bg
+    ), agg AS (
+        SELECT doc_id, SUM(n) AS n_bigrams, COUNT(*) AS n_distinct_bigrams,
+               MAX(n) AS top_bigram_count
+        FROM c GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(a.n_bigrams, 0)::BIGINT AS n_bigrams,
+           COALESCE(a.n_distinct_bigrams, 0)::BIGINT AS n_distinct_bigrams,
+           COALESCE(a.top_bigram_count, 0)::BIGINT AS top_bigram_count,
+           COALESCE(a.top_bigram_count * 5 > a.n_bigrams, FALSE) AS is_repetitive
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+# conjunctive AND search: docs containing ALL of the (fixed, broadcast)
+# query terms, top-20 by summed tf, ties broken by doc_id
+ORACLE_SQL["search_conjunctive"] = r"""
+    WITH w AS (
+        SELECT doc_id, u.w AS word
+        FROM documents,
+             UNNEST(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))
+                 AS u(w)
+    ), m AS (
+        SELECT doc_id, word, COUNT(*)::BIGINT AS tf
+        FROM w WHERE word IN ('table', 'hash', 'sort')
+        GROUP BY doc_id, word
+    )
+    SELECT doc_id, SUM(tf)::BIGINT AS tf_total
+    FROM m GROUP BY doc_id
+    HAVING COUNT(DISTINCT word) = 3
+    ORDER BY tf_total DESC, doc_id
+    LIMIT 20
+"""
+
+# top-k event-type trigram paths; per-user order = (ts, event_id), the
+# shared window-op tie-break contract
+ORACLE_SQL["path_trigrams"] = """
+    WITH o AS (
+        SELECT event_type AS t1,
+               LEAD(event_type, 1) OVER w AS t2,
+               LEAD(event_type, 2) OVER w AS t3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT t1 || '>' || t2 || '>' || t3 AS trigram, COUNT(*)::BIGINT AS n
+    FROM o WHERE t3 IS NOT NULL
+    GROUP BY trigram
+    ORDER BY n DESC, trigram
+    LIMIT 10
+"""

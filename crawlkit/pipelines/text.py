@@ -956,3 +956,119 @@ def collocations(
     return merged.astype(
         {"w1": "object", "w2": "object", "pair_cnt": "int64", "pmi_score": "int64"}
     )
+
+
+# --- Gopher-style repetition signals (SQL-checked) -----------------------
+
+
+def gopher_repetition(sf_dir: str) -> rd.Dataset:
+    """Per-doc repetition-quality signals (the Gopher/MassiveText rules,
+    Rae et al. 2021 §A1.1: "fraction of characters in the most common
+    n-gram" family), with the float threshold cleared to an exact
+    integer cross-multiply: a doc is flagged ``is_repetitive`` when its
+    top bigram covers > 1/5 of all bigram occurrences
+    (``top_bigram_count * 5 > n_bigrams``). Embarrassingly parallel —
+    bigrams never leave the batch (each doc's statistic is local), so
+    there is NO shuffle at any corpus size; one vectorized pandas
+    value_counts per batch. Reference analog: the extractor quality
+    filters the reference lacks (flat_crawler/handler.go only
+    drops unparseable rows) — this is the training-corpus version."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        words_per = [(s or "").split() for s in t["text"].to_pylist()]
+        lens = np.array([len(w) for w in words_per], dtype=np.int64)
+        n_bg = np.zeros(len(ids), dtype=np.int64)
+        n_distinct = np.zeros(len(ids), dtype=np.int64)
+        top = np.zeros(len(ids), dtype=np.int64)
+        flat = [w for ws in words_per for w in ws]
+        if flat:
+            allw = np.array(flat, dtype=object)
+            didx = np.repeat(np.arange(len(ids)), lens)
+            same = didx[:-1] == didx[1:]
+            if same.any():
+                bdoc = didx[:-1][same]
+                bg = pd.Series(allw[:-1][same]).str.cat(
+                    pd.Series(allw[1:][same]), sep=" "
+                )
+                cnt = (
+                    pd.DataFrame({"d": bdoc, "bg": bg.to_numpy()})
+                    .groupby(["d", "bg"], sort=False)
+                    .size()
+                )
+                per = cnt.groupby(level=0).agg(["sum", "count", "max"])
+                di = per.index.to_numpy().astype(np.int64)
+                n_bg[di] = per["sum"].to_numpy()
+                n_distinct[di] = per["count"].to_numpy()
+                top[di] = per["max"].to_numpy()
+        return pa.table(
+            {
+                "doc_id": ids,
+                "n_bigrams": n_bg,
+                "n_distinct_bigrams": n_distinct,
+                "top_bigram_count": top,
+                "is_repetitive": (top * 5 > n_bg) & (n_bg > 0),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# --- conjunctive keyword search over the corpus (SQL-checked) ------------
+
+SEARCH_TERMS = ("table", "hash", "sort")
+
+
+def search_conjunctive(sf_dir: str, terms: tuple = SEARCH_TERMS, k: int = 20) -> rd.Dataset:
+    """Top-k docs containing ALL query terms, ranked by summed term
+    frequency (ties → doc_id asc): the conjunctive (AND) retrieval
+    primitive behind corpus search / targeted-subset extraction. Scale
+    shape: the term set is a tiny broadcast constant; each batch
+    reduces to its matching docs via one np.isin + bincount pass, then
+    a per-batch top-k prefilter caps what the global sort sees at
+    k×blocks rows — no fact-table shuffle, no inverted index needed
+    for a fixed small query. (For many-query workloads see
+    ``inverted_index``, which amortizes the posting build.)"""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    term_list = list(terms)
+    nt = len(term_list)
+    tmap = {w: i for i, w in enumerate(term_list)}
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        words_per = [(s or "").split() for s in t["text"].to_pylist()]
+        lens = np.array([len(w) for w in words_per], dtype=np.int64)
+        empty = pa.schema(
+            [("doc_id", pa.int64()), ("tf_total", pa.int64())]
+        ).empty_table()
+        flat = [w for ws in words_per for w in ws]
+        if not flat:
+            return empty
+        allw = np.array(flat, dtype=object)
+        didx = np.repeat(np.arange(len(ids)), lens)
+        hit = np.isin(allw, term_list)
+        if not hit.any():
+            return empty
+        tidx = np.array([tmap[w] for w in allw[hit].tolist()], dtype=np.int64)
+        acc = np.zeros((len(ids), nt), dtype=np.int64)
+        np.add.at(acc, (didx[hit], tidx), 1)
+        ok = (acc > 0).all(axis=1)
+        if not ok.any():
+            return empty
+        out = pd.DataFrame(
+            {"doc_id": ids[ok].astype(np.int64), "tf_total": acc[ok].sum(axis=1)}
+        ).sort_values(["tf_total", "doc_id"], ascending=[False, True]).head(k)
+        return pa.table(
+            {"doc_id": pa.array(out["doc_id"].to_numpy()),
+             "tf_total": pa.array(out["tf_total"].to_numpy())}
+        )
+
+    out = (
+        ds.map_batches(fn, batch_format="pyarrow")
+        .sort(["tf_total", "doc_id"], descending=[True, False])
+        .limit(k)
+    )
+    from .dedup import pandas_with_schema
+
+    return pandas_with_schema(out, {"doc_id": "int64", "tf_total": "int64"})

@@ -924,3 +924,63 @@ def percentile_hist(sf_dir: str, q_pcts: tuple[int, ...] = (50, 95)) -> pd.DataF
         rows.append(row)
     out = pd.DataFrame(rows).sort_values("event_type").reset_index(drop=True)
     return out.astype({f"p{q}_cents": "int64" for q in q_pcts})
+
+
+# --- event-path mining: top-k event-type trigrams (SQL-checked) ----------
+
+
+def path_trigrams(sf_dir: str, k: int = 10, nshards: int = 32) -> pd.DataFrame:
+    """Top-k 3-step event-type sequences across per-user ordered
+    streams (``view>click>purchase``-style path mining — the funnel
+    generalization a product/training-data pipeline uses to discover
+    behavior patterns rather than check a fixed one; cf.
+    ``funnel_conversion``). Order contract per user: (ts, event_id) —
+    the same tie-break every window op here uses. Scale shape: users
+    are hash-sharded (user_id % nshards, one shuffle of slim rows),
+    each shard forms trigrams with one vectorized sort + double-shift
+    pass, and only (trigram, count) partials — at most |types|³ rows
+    per shard — reach the tiny final reduce."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        shard = pc.cast(
+            pc.bit_wise_and(t["user_id"], np.int64(nshards - 1)), pa.int64()
+        )
+        return t.append_column("_shard", shard)
+
+    def shard_trigrams(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy(dtype=object)
+        if len(g) < 3:
+            return pd.DataFrame({"trigram": pd.Series([], dtype="object"),
+                                 "n": pd.Series([], dtype="int64")})
+        same = (u[:-2] == u[1:-1]) & (u[1:-1] == u[2:])
+        if not same.any():
+            return pd.DataFrame({"trigram": pd.Series([], dtype="object"),
+                                 "n": pd.Series([], dtype="int64")})
+        tri = (
+            pd.Series(et[:-2][same]).str.cat(pd.Series(et[1:-1][same]), sep=">")
+            .str.cat(pd.Series(et[2:][same]), sep=">")
+        )
+        cnt = tri.value_counts()
+        return pd.DataFrame(
+            {"trigram": cnt.index.to_numpy(dtype=object),
+             "n": cnt.to_numpy().astype(np.int64)}
+        )
+
+    partials = (
+        ds.map_batches(add_shard, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(shard_trigrams, batch_format="pandas")
+    )
+    from .dedup import pandas_with_schema
+
+    df = pandas_with_schema(partials, {"trigram": "object", "n": "int64"})
+    out = (
+        df.groupby("trigram", as_index=False)["n"].sum()
+        .sort_values(["n", "trigram"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return out.astype({"trigram": "object", "n": "int64"})

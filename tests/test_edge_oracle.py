@@ -65,6 +65,8 @@ DOC_QUERIES = [
     "group_sample",
     "inverted_index",
     "collocations",
+    "text_gopher_repetition",
+    "search_conjunctive",
     "text_top_keyword",
     "text_embed_counts",
     "gram_matrix",
@@ -182,6 +184,7 @@ EVENT_QUERIES = [
     "corr_moments",
     "cube_agg",
     "zscore_outliers",
+    "path_trigrams",
 ]
 
 
