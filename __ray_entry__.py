@@ -166,6 +166,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s_intersect": relational.s_intersect,
         "sample_deterministic": relational.sample_deterministic,
         "stratified_sample": relational.stratified_sample,  # SQL-checked
+        # Deequ-style per-column profile: n / nulls / distinct / min / max
+        "data_profile": relational.data_profile,  # SQL-checked
         # --- text analysis (SQL-checked where exact) ---
         "text_redact": text.redact,  # SQL-checked (same RE2 class both sides)
         "text_token_count": text.token_count,
@@ -253,6 +255,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_image_features": multimodal.image_features,  # rows-only
         "mm_image_phash_neardup": multimodal.image_phash_neardup,  # rows-only
         "mm_image_resize": multimodal.image_resize,  # rows-only (PSNR/shape in tests)
+        # flip + center-crop training augmentations (1→2 fan-out stage)
+        "mm_image_augment": multimodal.image_augment,  # rows-only (reconstruction in tests)
         "mm_image_dedup_exact": multimodal.image_dedup_exact,  # rows-only (brute oracle in tests)
         "mm_image_histogram": multimodal.image_histogram,  # rows-only (Σbins=w·h in tests)
         "mm_caption_filter": multimodal.caption_filter,  # rows-only (predicate oracle in tests)

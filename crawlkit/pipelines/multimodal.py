@@ -694,3 +694,64 @@ def image_verify(sf_dir: str | None = None, n: int = 64) -> rd.Dataset:
         ImageVerify, batch_format="pyarrow", batch_size=8, concurrency=2,
         max_restarts=0,
     )
+
+
+# --- augmentation: flip + center-crop (training-data transforms) ---------
+
+AUG_SCHEMA = pa.schema(
+    [
+        ("image_id", pa.string()),
+        ("aug", pa.string()),  # "hflip" | "crop"
+        ("w", pa.int32()),
+        ("h", pa.int32()),
+        ("bytes", pa.binary()),  # re-encoded PNG
+    ]
+)
+
+
+class ImageAugment:
+    """Actor-pool augmentation stage: decode once, emit one horizontally
+    flipped variant and one center crop (``crop_frac`` of each side) per
+    image — the two standard label-preserving vision-training transforms.
+    1→2 fan-out inside one batch fn; both variants are pure vectorized
+    numpy views (flip = reversed column stride, crop = slice) over the
+    decoded array, re-encoded PNG. Same 100-TB shape as ImageResize:
+    binary-in/binary-out zero-copy Arrow, codec bound once per actor,
+    small ``batch_size`` because rows are megapixel-scale."""
+
+    def __init__(self, crop_frac_num: int = 3, crop_frac_den: int = 4):
+        self.num, self.den = crop_frac_num, crop_frac_den
+        self.decode = imagecodec.decode
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        rows = []
+        for iid, data, fmt in zip(
+            t["image_id"].to_pylist(), t["bytes"].to_pylist(), t["fmt"].to_pylist()
+        ):
+            px = self.decode(data, fmt)
+            h, w = px.shape[0], px.shape[1]
+            flipped = px[:, ::-1]
+            ch, cw = max(1, h * self.num // self.den), max(1, w * self.num // self.den)
+            y0, x0 = (h - ch) // 2, (w - cw) // 2
+            crop = px[y0 : y0 + ch, x0 : x0 + cw]
+            rows.append(
+                {"image_id": iid, "aug": "hflip", "w": w, "h": h,
+                 "bytes": imagecodec.encode_png(np.ascontiguousarray(flipped))}
+            )
+            rows.append(
+                {"image_id": iid, "aug": "crop", "w": cw, "h": ch,
+                 "bytes": imagecodec.encode_png(np.ascontiguousarray(crop))}
+            )
+        return pa.Table.from_pylist(rows, schema=AUG_SCHEMA)
+
+
+def image_augment(sf_dir: str | None = None, n: int = 64) -> rd.Dataset:
+    """Augmentation pipeline over the synthetic images table (sf_dir
+    unused — no image table in the driver testdata). Rows-only driver
+    check; decode-reconstruction invariants (flip twice == identity,
+    crop dims exact, pixels equal the numpy slice) are pinned in
+    tests/test_ann_multimodal.py."""
+    return synthetic_images(n).map_batches(
+        ImageAugment, batch_format="pyarrow", batch_size=8, concurrency=2,
+        max_restarts=0,
+    )

@@ -1195,3 +1195,33 @@ ORACLE_SQL["path_trigrams"] = """
     ORDER BY n DESC, trigram
     LIMIT 10
 """
+
+# per-column profile of events; reprs are canonical strings (ints as
+# decimal text, doubles as FLOOR(x*100) cents) so min/max compare
+# lexicographically and identically on both sides
+ORACLE_SQL["data_profile"] = """
+    WITH r AS (
+        SELECT event_type AS c_event_type,
+               CAST(user_id AS VARCHAR) AS c_user_id,
+               CAST(CAST(FLOOR(value * 100) AS BIGINT) AS VARCHAR) AS c_value,
+               props AS c_props
+        FROM events
+    )
+    SELECT 'event_type' AS col, COUNT(*)::BIGINT AS n,
+           (COUNT(*) - COUNT(c_event_type))::BIGINT AS n_null,
+           COUNT(DISTINCT c_event_type)::BIGINT AS n_distinct,
+           MIN(c_event_type) AS min_repr, MAX(c_event_type) AS max_repr
+    FROM r
+    UNION ALL
+    SELECT 'props', COUNT(*)::BIGINT, (COUNT(*) - COUNT(c_props))::BIGINT,
+           COUNT(DISTINCT c_props)::BIGINT, MIN(c_props), MAX(c_props)
+    FROM r
+    UNION ALL
+    SELECT 'user_id', COUNT(*)::BIGINT, (COUNT(*) - COUNT(c_user_id))::BIGINT,
+           COUNT(DISTINCT c_user_id)::BIGINT, MIN(c_user_id), MAX(c_user_id)
+    FROM r
+    UNION ALL
+    SELECT 'value', COUNT(*)::BIGINT, (COUNT(*) - COUNT(c_value))::BIGINT,
+           COUNT(DISTINCT c_value)::BIGINT, MIN(c_value), MAX(c_value)
+    FROM r
+"""

@@ -1348,3 +1348,120 @@ def zscore_outliers(sf_dir: str, z: int = 2) -> rd.Dataset:
         ds.map_batches(flag, batch_format="pyarrow"),
         {"event_id": "int64", "event_type": "object", "value_floor": "int64"},
     )
+
+
+# --- data profiling: per-column quality report (SQL-checked) -------------
+
+_PROFILE_SEP = "\x1f"
+
+
+def data_profile(sf_dir: str, nshards: int = 32) -> pd.DataFrame:
+    """Deequ/Great-Expectations-style column profile of ``events`` in one
+    pass: per column the row count, null count, exact distinct count and
+    lexicographic min/max of a canonical string repr (ints as decimal
+    strings, doubles as FLOOR(x*100) cents — float-free both sides).
+
+    Scale shape: batches reduce to per-batch (col, repr) value_counts,
+    the only shuffle is keyed by hash(col+repr) so each distinct repr
+    lands on exactly one shard (distinct counts add up disjointly),
+    and each shard folds to ≤ |cols| partial rows — the driver sees
+    nshards×|cols| rows regardless of corpus size. The repr shuffle is
+    bounded by total distinct values (the same bound count_distinct_exact
+    pays), never by row count."""
+    from ..hashing import hash64_np
+
+    cols = ["event_type", "user_id", "value", "props"]
+    ds = _read(sf_dir, "events", cols)
+
+    def partial(t: pa.Table) -> pa.Table:
+        outs = {"col": [], "repr": [], "cnt": [], "nulls": []}
+        df = t.to_pandas()
+        for c in cols:
+            s = df[c]
+            if c == "value":
+                rep = pd.Series(
+                    np.floor(s.to_numpy() * 100).astype(np.int64).astype(str),
+                    dtype="object",
+                ).where(s.notna(), None)
+            elif c == "user_id":
+                rep = s.astype("Int64").astype(str).where(s.notna(), None)
+            else:
+                rep = s.astype("object").where(s.notna(), None)
+            vc = rep.value_counts(dropna=False)
+            reprs = vc.index.to_numpy(dtype=object)
+            isna = pd.isna(reprs)
+            outs["col"].extend([c] * len(vc))
+            outs["repr"].extend([None if m else r for r, m in zip(reprs, isna)])
+            outs["cnt"].extend(vc.to_numpy().astype(np.int64))
+            outs["nulls"].extend(np.where(isna, vc.to_numpy(), 0).astype(np.int64))
+        key = [
+            f"{c}{_PROFILE_SEP}{'' if r is None else r}"
+            for c, r in zip(outs["col"], outs["repr"])
+        ]
+        shard = (hash64_np(key) % np.uint64(nshards)).astype(np.int64)
+        return pa.table(
+            {
+                "col": pa.array(outs["col"], pa.string()),
+                "repr": pa.array(outs["repr"], pa.string()),
+                "cnt": pa.array(outs["cnt"], pa.int64()),
+                "nulls": pa.array(outs["nulls"], pa.int64()),
+                "_shard": pa.array(shard),
+            }
+        )
+
+    def fold_shard(g: pd.DataFrame) -> pd.DataFrame:
+        # each (col, repr) is wholly inside this shard → distinct counts
+        # and null sums from different shards never overlap
+        agg = (
+            g.groupby(["col", "repr"], dropna=False, sort=False)
+            .agg(cnt=("cnt", "sum"), nulls=("nulls", "sum"))
+            .reset_index()
+        )
+        rows = []
+        for c, sub in agg.groupby("col", sort=False):
+            nn = sub[sub["repr"].notna()]
+            rows.append(
+                {
+                    "col": c,
+                    "n": int(sub["cnt"].sum()),
+                    "n_null": int(sub["nulls"].sum()),
+                    "n_distinct": int(len(nn)),
+                    "min_repr": nn["repr"].min() if len(nn) else None,
+                    "max_repr": nn["repr"].max() if len(nn) else None,
+                }
+            )
+        out = pd.DataFrame(rows, columns=["col", "n", "n_null", "n_distinct",
+                                          "min_repr", "max_repr"])
+        from .. import pandas_to_clean_arrow
+
+        return pandas_to_clean_arrow(out.astype(
+            {"col": "object", "n": "int64", "n_null": "int64",
+             "n_distinct": "int64", "min_repr": "object", "max_repr": "object"}
+        ))
+
+    partials = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(fold_shard, batch_format="pandas")
+    )
+    from .dedup import pandas_with_schema
+
+    df = pandas_with_schema(
+        partials,
+        {"col": "object", "n": "int64", "n_null": "int64",
+         "n_distinct": "int64", "min_repr": "object", "max_repr": "object"},
+    )
+    out = (
+        df.groupby("col", as_index=False)
+        .agg(
+            n=("n", "sum"), n_null=("n_null", "sum"),
+            n_distinct=("n_distinct", "sum"),
+            min_repr=("min_repr", "min"), max_repr=("max_repr", "max"),
+        )
+        .sort_values("col")
+        .reset_index(drop=True)
+    )
+    return out.astype(
+        {"col": "object", "n": "int64", "n_null": "int64", "n_distinct": "int64",
+         "min_repr": "object", "max_repr": "object"}
+    )

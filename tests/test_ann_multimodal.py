@@ -320,3 +320,27 @@ def test_knn_ivfpq_recall_and_compression():
         m=8, nbits=4,
     )
     assert books.shape == (8, 16, 8)
+
+
+def test_image_augment_reconstructs():
+    """Augment stage: hflip variant equals the reversed-column source
+    (flip twice == identity), crop variant equals the exact center
+    slice with 3/4-side dims — byte-deterministic PNG both ways."""
+    from crawlkit.synthweb import SynthWeb
+
+    out = multimodal.image_augment(n=6).to_pandas()
+    assert len(out) == 12 and set(out["aug"]) == {"hflip", "crop"}
+    web = SynthWeb("t1")
+    by_key = out.set_index(["image_id", "aug"])
+    for iid in out["image_id"].unique()[:3]:
+        rec = web.image_record(iid)
+        px = imagecodec.decode(rec["bytes"], rec["fmt"])
+        h, w = px.shape[0], px.shape[1]
+        fl = imagecodec.decode_png(by_key.loc[(iid, "hflip"), "bytes"])
+        assert np.array_equal(fl[:, ::-1], px)
+        ch, cw = max(1, h * 3 // 4), max(1, w * 3 // 4)
+        y0, x0 = (h - ch) // 2, (w - cw) // 2
+        cr = imagecodec.decode_png(by_key.loc[(iid, "crop"), "bytes"])
+        assert cr.shape == (ch, cw, 3)
+        assert np.array_equal(cr, px[y0:y0 + ch, x0:x0 + cw])
+        assert by_key.loc[(iid, "crop"), "w"] == cw

@@ -185,6 +185,7 @@ EVENT_QUERIES = [
     "cube_agg",
     "zscore_outliers",
     "path_trigrams",
+    "data_profile",
 ]
 
 
