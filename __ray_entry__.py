@@ -197,6 +197,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_gopher_repetition": text.gopher_repetition,  # SQL-checked
         # conjunctive (AND) keyword search, top-k by summed tf
         "search_conjunctive": text.search_conjunctive,  # SQL-checked
+        # OR retrieval under an integer BM25 surrogate (bit-exact ranking)
+        "bm25_topk": text.bm25_topk,  # SQL-checked
         # top-k event-type trigram paths over per-user ordered streams
         "path_trigrams": windows.path_trigrams,  # SQL-checked
         # --- dedup family ---
@@ -215,6 +217,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_assign": mixing.split_assign,  # SQL-checked (md5 coin)
         # source-weighted mixture downsample (deterministic Bernoulli)
         "mix_sample": mixing.mix_sample,  # SQL-checked (md5 coin)
+        # GPT-style sample packing via an exact distributed prefix sum
+        "pack_sequences": mixing.pack_sequences,  # SQL-checked
         # flagship composition: dedup → decontam → mix → split manifest
         "assemble_corpus": mixing.assemble_corpus,  # SQL-checked
         # per-group uniform sample via smallest-k stable coins

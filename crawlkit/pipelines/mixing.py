@@ -212,3 +212,75 @@ def group_sample(sf_dir: str, k: int = 20, nshards: int = 32) -> rd.Dataset:
         .map_groups(head_k, batch_format="pandas")
         .map_batches(ensure_schema(out_schema), batch_format="pyarrow")
     )
+
+
+# --- sequence packing: concatenate-and-chunk (distributed prefix sum) ----
+
+
+def pack_sequences(sf_dir: str, seq_len: int = 128) -> rd.Dataset:
+    """GPT-style sample packing: conceptually concatenate every doc's
+    token stream in doc_id order and chunk it into fixed ``seq_len``
+    training sequences; report, per non-empty doc, its absolute token
+    offset and the first/last sequence it lands in (the packing
+    manifest a loader needs to slice sequences without re-tokenizing).
+
+    The distributed primitive here is an exact PREFIX SUM, which Ray
+    Data has no operator for: (1) reduce each doc to its whitespace
+    token count (slim rows, Arrow regex kernel), (2) range-sort by
+    doc_id — the one shuffle, and of counts only, never text, (3) one
+    O(#blocks) metadata pass sums each sorted block (tiny ray tasks
+    over materialized block refs — same pattern as _CtrlCollector),
+    (4) the driver folds block sums into exclusive offsets (O(blocks)
+    state), and (5) each block adds its scalar offset and derives
+    seq_first/seq_last locally. Steps 3+5 touch each row once; at 100
+    TB the driver holds one int per block."""
+    import ray
+
+    from . import text as _t  # noqa: F401  (token definition parity)
+    from ..pipelines.relational import _read
+
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        n = pc.cast(pc.count_substring_regex(t["text"], r"\S+"), pa.int64())
+        out = pa.table({"doc_id": t["doc_id"], "n_tokens": n})
+        return out.filter(pc.greater(out["n_tokens"], 0))
+
+    slim = ds.map_batches(counts, batch_format="pyarrow").sort("doc_id")
+    # materialize() so the sorted result executes ONCE (a bare
+    # to_arrow_refs would re-run the pipeline for the second pass)
+    blocks = [r for r in slim.materialize().to_arrow_refs()]
+
+    @ray.remote(num_cpus=0)
+    def block_sum(t: pa.Table) -> int:
+        import pyarrow.compute as _pc
+
+        return int(_pc.sum(t["n_tokens"]).as_py() or 0) if t.num_rows else 0
+
+    sums = ray.get([block_sum.remote(b) for b in blocks])
+    offsets = np.concatenate([[0], np.cumsum(sums)[:-1]]).astype(np.int64)
+
+    @ray.remote(num_cpus=0)
+    def place(t: pa.Table, base: int, L: int) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema(
+                [("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+                 ("tok_offset", pa.int64()), ("seq_first", pa.int64()),
+                 ("seq_last", pa.int64())]
+            ).empty_table()
+        n = t["n_tokens"].to_numpy()
+        off = base + np.concatenate([[0], np.cumsum(n)[:-1]]).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": t["n_tokens"],
+                "tok_offset": pa.array(off),
+                "seq_first": pa.array(off // L),
+                "seq_last": pa.array((off + n - 1) // L),
+            }
+        )
+
+    out_refs = [place.remote(b, int(o), seq_len) for b, o in zip(blocks, offsets)]
+    return rd.from_arrow_refs(out_refs)

@@ -1225,3 +1225,50 @@ ORACLE_SQL["data_profile"] = """
            COUNT(DISTINCT c_value)::BIGINT, MIN(c_value), MAX(c_value)
     FROM r
 """
+
+# sequence packing: global token prefix-sum in doc_id order over
+# non-empty docs, then seq ids by integer division; token definition =
+# the text_token_count regex
+ORACLE_SQL["pack_sequences"] = r"""
+    WITH n AS (
+        SELECT doc_id,
+               len(list_filter(regexp_split_to_array(text, '\s+'),
+                               x -> x <> ''))::BIGINT AS n_tokens
+        FROM documents
+    ), nz AS (
+        SELECT doc_id, n_tokens,
+               (SUM(n_tokens) OVER (ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) - n_tokens)::BIGINT AS tok_offset
+        FROM n WHERE n_tokens > 0
+    )
+    SELECT doc_id, n_tokens, tok_offset,
+           (tok_offset // 128)::BIGINT AS seq_first,
+           ((tok_offset + n_tokens - 1) // 128)::BIGINT AS seq_last
+    FROM nz
+"""
+
+# integer-surrogate BM25 (OR retrieval): idf = 1e6*(N-df)//(df+1),
+# saturation = tf*1000//(tf+2) — integer floor division on both sides
+ORACLE_SQL["bm25_topk"] = r"""
+    WITH w AS (
+        SELECT doc_id, u.w AS word
+        FROM documents,
+             UNNEST(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))
+                 AS u(w)
+    ), m AS (
+        SELECT doc_id, word, COUNT(*)::BIGINT AS tf
+        FROM w WHERE word IN ('table', 'hash', 'sort')
+        GROUP BY doc_id, word
+    ), df AS (
+        SELECT word, COUNT(*)::BIGINT AS df FROM m GROUP BY word
+    ), nd AS (
+        SELECT COUNT(*)::BIGINT AS n FROM documents
+    )
+    SELECT m.doc_id,
+           SUM((1000000 * (nd.n - df.df) // (df.df + 1))
+               * (m.tf * 1000 // (m.tf + 2)))::BIGINT AS score
+    FROM m JOIN df USING (word) CROSS JOIN nd
+    GROUP BY m.doc_id
+    ORDER BY score DESC, m.doc_id
+    LIMIT 20
+"""

@@ -1072,3 +1072,96 @@ def search_conjunctive(sf_dir: str, terms: tuple = SEARCH_TERMS, k: int = 20) ->
     from .dedup import pandas_with_schema
 
     return pandas_with_schema(out, {"doc_id": "int64", "tf_total": "int64"})
+
+
+# --- BM25-surrogate ranked retrieval (SQL-checked) ------------------------
+
+
+def bm25_topk(sf_dir: str, terms: tuple = SEARCH_TERMS, k: int = 20) -> rd.Dataset:
+    """Disjunctive (OR) ranked retrieval with an integer BM25 surrogate:
+    ``score = Σ_terms idf_i · sat(tf)`` where
+    ``idf_i = 1_000_000·(N − df_i) // (df_i + 1)`` (Robertson idf with
+    the log dropped — rank-monotone in df) and
+    ``sat(tf) = tf·1000 // (tf + 2)`` (the k1=2 saturation curve,
+    integer-floored) — every division is integer floor division on BOTH
+    sides, so ranking is bit-exact SQL-checkable (ties → doc_id asc).
+
+    Scale shape: one corpus pass emits only the matching postings
+    (doc_id, term, tf); df then falls out of the postings themselves
+    (count per term — a |terms|-row aggregate, no second scan; N comes
+    from the read metadata via ds.count()); scoring is a vectorized
+    map over postings with the tiny df map broadcast in the closure;
+    a per-batch top-k prefilter caps the global sort at k×blocks."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    term_list = list(terms)
+    tmap = {w: i for i, w in enumerate(term_list)}
+    n_docs = ds.count()  # parquet metadata — no data scan
+
+    empty_post = pa.schema(
+        [("doc_id", pa.int64()), ("term_idx", pa.int64()), ("tf", pa.int64())]
+    ).empty_table()
+
+    def postings(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        words_per = [(s or "").split() for s in t["text"].to_pylist()]
+        lens = np.array([len(w) for w in words_per], dtype=np.int64)
+        flat = [w for ws in words_per for w in ws]
+        if not flat:
+            return empty_post
+        allw = np.array(flat, dtype=object)
+        didx = np.repeat(np.arange(len(ids)), lens)
+        hit = np.isin(allw, term_list)
+        if not hit.any():
+            return empty_post
+        tidx = np.array([tmap[w] for w in allw[hit].tolist()], dtype=np.int64)
+        acc = np.zeros((len(ids), len(term_list)), dtype=np.int64)
+        np.add.at(acc, (didx[hit], tidx), 1)
+        nz_d, nz_t = np.nonzero(acc)
+        return pa.table(
+            {
+                "doc_id": ids[nz_d].astype(np.int64),
+                "term_idx": nz_t.astype(np.int64),
+                "tf": acc[nz_d, nz_t],
+            }
+        )
+
+    posts = ds.map_batches(postings, batch_format="pyarrow").materialize()
+    # df per term from the postings (tiny: ≤ |terms| rows)
+    from .dedup import pandas_with_schema
+
+    df_rows = pandas_with_schema(
+        posts.groupby("term_idx").count(),
+        {"term_idx": "int64", "count()": "int64"},
+    )
+    df_map = np.zeros(len(term_list), dtype=np.int64)
+    if len(df_rows):
+        df_map[df_rows["term_idx"].to_numpy()] = df_rows["count()"].to_numpy()
+    idf = 1_000_000 * (n_docs - df_map) // (df_map + 1)
+
+    # a doc's text is ONE row in ONE block, so all its postings are
+    # emitted together — the per-doc sum is final within a block; score
+    # + top-k prefilter per block, tiny global sort, done (no shuffle)
+    def score_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema(
+                [("doc_id", pa.int64()), ("score", pa.int64())]
+            ).empty_table()
+        tf = t["tf"].to_numpy()
+        part = idf[t["term_idx"].to_numpy()] * (tf * 1000 // (tf + 2))
+        agg = (
+            pd.DataFrame({"doc_id": t["doc_id"].to_numpy(), "score": part})
+            .groupby("doc_id", as_index=False)["score"].sum()
+            .sort_values(["score", "doc_id"], ascending=[False, True])
+            .head(k)
+        )
+        return pa.table(
+            {"doc_id": pa.array(agg["doc_id"].to_numpy()),
+             "score": pa.array(agg["score"].to_numpy())}
+        )
+
+    out = (
+        posts.map_batches(score_topk, batch_format="pyarrow")
+        .sort(["score", "doc_id"], descending=[True, False])
+        .limit(k)
+    )
+    return pandas_with_schema(out, {"doc_id": "int64", "score": "int64"})

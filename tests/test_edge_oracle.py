@@ -67,6 +67,8 @@ DOC_QUERIES = [
     "collocations",
     "text_gopher_repetition",
     "search_conjunctive",
+    "pack_sequences",
+    "bm25_topk",
     "text_top_keyword",
     "text_embed_counts",
     "gram_matrix",
