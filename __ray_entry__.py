@@ -125,6 +125,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "j_bloom_semi": relational.j_bloom_semi,  # SQL-checked (bloom prefilter + exact)
         # anti polarity: bloom MISS passes free, exact check only on hits
         "j_bloom_anti": relational.j_bloom_anti,  # SQL-checked
+        # TPC-H Q10 star composition: shuffle fact join + broadcast dims
+        "q10_returned": relational.q10_returned,  # SQL-checked
         "corr_moments": relational.corr_moments,  # SQL-checked (exact int64 moments)
         # rank correlation via histogram ranking (no global sort)
         "spearman_moments": relational.spearman_moments,  # SQL-checked

@@ -1272,3 +1272,24 @@ ORACLE_SQL["bm25_topk"] = r"""
     ORDER BY score DESC, m.doc_id
     LIMIT 20
 """
+
+# TPC-H Q10 shape: returned-item revenue per customer, top-20 with
+# nation; FLOOR-cents per line item on both sides
+ORACLE_SQL["q10_returned"] = """
+    WITH rev AS (
+        SELECT l_orderkey,
+               SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                   )::BIGINT AS revenue_cents
+        FROM lineitem WHERE l_returnflag = 'R'
+        GROUP BY l_orderkey
+    ), bc AS (
+        SELECT o.o_custkey, SUM(rev.revenue_cents)::BIGINT AS revenue_cents
+        FROM rev JOIN orders o ON rev.l_orderkey = o.o_orderkey
+        GROUP BY o.o_custkey
+    )
+    SELECT bc.o_custkey, c.c_name, n.n_name, bc.revenue_cents
+    FROM bc JOIN customer c ON bc.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ORDER BY bc.revenue_cents DESC, bc.o_custkey
+    LIMIT 20
+"""

@@ -1465,3 +1465,106 @@ def data_profile(sf_dir: str, nshards: int = 32) -> pd.DataFrame:
         {"col": "object", "n": "int64", "n_null": "int64", "n_distinct": "int64",
          "min_repr": "object", "max_repr": "object"}
     )
+
+
+# --- q10-style star join: fact ⨝ fact ⨝ two broadcast dims ---------------
+
+
+def q10_returned(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """TPC-H Q10 shape — revenue lost to returned items per customer,
+    top-k with nation attached: the canonical star-schema composition
+    (fact⨝fact shuffle join + two broadcast dimensions) the individual
+    j_* operators exist to serve.
+
+    Plan, in 100-TB order: (1) filter the fact table AT THE READ
+    (l_returnflag='R' row filter + 3 columns), (2) per-batch partial
+    revenue by orderkey then the coarse-shard reduce, (3) ONE genuine
+    shuffle join against orders (neither side broadcastable), (4)
+    re-aggregate by custkey (shard reduce — orderkey cardinality drops
+    to custkey cardinality), (5) customer and nation are DIMENSIONS:
+    broadcast-merged into the k-row result on the driver, never
+    shuffled. Revenue is FLOOR-cents per line item (float-free compare)."""
+    from .. import read_parquet_clean
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+        filter=pc.field("l_returnflag") == "R",
+    )
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(
+                pc.multiply(
+                    pc.multiply(
+                        t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+                    ),
+                    pa.scalar(100.0),
+                )
+            ),
+            pa.int64(),
+        )
+        df = pa.table({"l_orderkey": t["l_orderkey"], "cents": cents}).to_pandas()
+        g = df.groupby("l_orderkey", as_index=False).agg(revenue_cents=("cents", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+    from .dedup import _nonempty_blocks, pandas_with_schema
+
+    revenue = _nonempty_blocks(
+        _sharded_agg(
+            li.map_batches(rev_partial, batch_format="pyarrow"),
+            "l_orderkey",
+            {"revenue_cents": ("revenue_cents", "sum")},
+        ),
+        pa.schema([("l_orderkey", pa.int64()), ("revenue_cents", pa.int64())]),
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    joined = revenue.join(
+        orders, join_type="inner", num_partitions=8,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def cust_partial(t: pa.Table) -> pa.Table:
+        df = pa.table(
+            {"o_custkey": t["o_custkey"], "cents": t["revenue_cents"]}
+        ).to_pandas()
+        g = df.groupby("o_custkey", as_index=False).agg(revenue_cents=("cents", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+    by_cust = _sharded_agg(
+        joined.map_batches(cust_partial, batch_format="pyarrow"),
+        "o_custkey",
+        {"revenue_cents": ("revenue_cents", "sum")},
+    )
+
+    def topk_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema(
+                [("o_custkey", pa.int64()), ("revenue_cents", pa.int64())]
+            ).empty_table()
+        df = t.to_pandas().sort_values(
+            ["revenue_cents", "o_custkey"], ascending=[False, True]
+        ).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+    top = (
+        by_cust.map_batches(topk_block, batch_format="pyarrow")
+        .sort(["revenue_cents", "o_custkey"], descending=[True, False])
+        .limit(k)
+    )
+    top_df = pandas_with_schema(top, {"o_custkey": "int64", "revenue_cents": "int64"})
+    # dimension lookups: k rows × small dims → driver-side merge (the
+    # distributed form is the same broadcast into a map_batches)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"]).to_pandas()
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    out = (
+        top_df.merge(cust, left_on="o_custkey", right_on="c_custkey")
+        .merge(nat, left_on="c_nationkey", right_on="n_nationkey")
+    )[["o_custkey", "c_name", "n_name", "revenue_cents"]]
+    out = out.sort_values(
+        ["revenue_cents", "o_custkey"], ascending=[False, True]
+    ).reset_index(drop=True)
+    return out.astype(
+        {"o_custkey": "int64", "c_name": "object", "n_name": "object",
+         "revenue_cents": "int64"}
+    )

@@ -300,13 +300,21 @@ def edge_tpch_dir(tmp_path_factory):
         }
     )
     pq.write_table(t, d / "part.parquet")
+    t = pa.table(
+        {
+            "n_nationkey": pa.array([0], pa.int64()),
+            "n_name": pa.array(["NATION0"]),
+            "n_regionkey": pa.array([0], pa.int64()),
+        }
+    )
+    pq.write_table(t, d / "nation.parquet")
     return str(d)
 
 
 @pytest.fixture(scope="module")
 def edge_tpch_con(edge_tpch_dir):
     c = duckdb.connect()
-    for tbl in ("lineitem", "orders", "customer", "part"):
+    for tbl in ("lineitem", "orders", "customer", "part", "nation"):
         c.execute(
             f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{edge_tpch_dir}/{tbl}.parquet')"
         )
@@ -327,6 +335,7 @@ TPCH_QUERIES = [
     "j_left_outer",
     "j_full_outer",
     "skyline_pareto",
+    "q10_returned",
 ]
 
 
