@@ -232,6 +232,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_linear_probe": ml.train_linear_probe,  # rows-only (numpy parity in tests)
         # distributed Lloyd over embeddings (order-independent quantized
         # reduces); rows-only — single-process-Lloyd parity in tests
+        # top principal component by power iteration (quantized reduces)
+        "emb_pca_power": ml.pca_power,  # rows-only (planted-spectrum parity in tests)
         "kmeans_embeddings": ml.kmeans_embeddings,
         # --- graph analytics ---
         # integer power iteration over the md5-derived doc link graph

@@ -233,3 +233,97 @@ def kmeans_embeddings(
         )
 
     return ds.map_batches(final_assign, batch_format="pyarrow")
+
+
+# --- distributed PCA (top principal component by power iteration) --------
+
+
+def pca_power(sf_dir: str, max_iters: int = 20) -> pd.DataFrame:
+    """Top principal component of the embedding corpus by POWER
+    ITERATION, with every distributed reduce in fixed-point integers so
+    the result is order-independent (the kmeans/_KM_SCALE convention).
+
+    Per iteration, ONE streaming pass computes the matvec
+    ``Σ_x x·(x·v)`` as per-batch quantized d-vector partials (kilobytes
+    per batch, corpus-size-independent) minus the mean projection — the
+    covariance matrix itself (d²) is never materialized, and no raw
+    rows reach the driver. The mean is one prior pass of quantized
+    sums. Deterministic init: the all-ones direction. Converges when
+    the quantized direction is bit-identical between iterations.
+    Rows-only query (float linear algebra has no SQL form); parity with
+    a single-process numpy power iteration using the same quantized
+    reduces — and alignment with numpy's true eigvector — is pinned in
+    tests/test_ml.py. Output: one row per dimension (dim, component,
+    eigenvalue share numerator/denominator as quantized ints)."""
+    import ray
+
+    from .. import read_parquet_clean
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def sum_partial(t: pa.Table) -> pa.Table:
+        X = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        return pa.table(
+            {
+                "qsum": pa.array(
+                    [np.rint(X.sum(axis=0) * float(_KM_SCALE)).astype(np.int64)],
+                    pa.list_(pa.int64()),
+                ),
+                "n": pa.array([len(X)], pa.int64()),
+            }
+        )
+
+    qs = None
+    n = 0
+    for row in ds.map_batches(sum_partial, batch_format="pyarrow").take_all():
+        v = np.asarray(row["qsum"], dtype=np.int64)
+        qs = v if qs is None else qs + v
+        n += int(row["n"])
+    mean = qs / (float(_KM_SCALE) * n)
+    dim = mean.shape[0]
+
+    v = np.ones(dim, dtype=np.float64) / np.sqrt(dim)
+    for _ in range(max_iters):
+        v_ref = ray.put(v)
+
+        def matvec_partial(t: pa.Table) -> pa.Table:
+            vv = ray.get(v_ref)
+            X = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(
+                np.float64
+            )
+            # Σ x (xᵀv) and Σ (xᵀv): centered matvec = Σ x(xᵀv) − mean·Σ(xᵀv)
+            # (the second mean term Σ(x−m)(−mᵀv) telescopes via n on the driver)
+            p = X @ vv
+            return pa.table(
+                {
+                    "qxv": pa.array(
+                        [np.rint((X.T @ p) * float(_KM_SCALE)).astype(np.int64)],
+                        pa.list_(pa.int64()),
+                    ),
+                    "qpv": pa.array([int(round(p.sum() * float(_KM_SCALE)))], pa.int64()),
+                }
+            )
+
+        acc = np.zeros(dim, dtype=np.int64)
+        psum_q = 0
+        for row in ds.map_batches(matvec_partial, batch_format="pyarrow").take_all():
+            acc += np.asarray(row["qxv"], dtype=np.int64)
+            psum_q += int(row["qpv"])
+        # centered covariance matvec (×n): Σ(x−m)(x−m)ᵀ v
+        #   = Σ x(xᵀv) − m·Σ(xᵀv) − (Σx)(mᵀv) + n·m(mᵀv), and Σx = n·m
+        #   = Σ x(xᵀv) − m·Σ(xᵀv) − n·m(mᵀv) + n·m(mᵀv)
+        w = acc / float(_KM_SCALE) - mean * (psum_q / float(_KM_SCALE))
+        nv = w / np.linalg.norm(w)
+        if np.array_equal(
+            np.rint(nv * float(_KM_SCALE)), np.rint(v * float(_KM_SCALE))
+        ):
+            v = nv
+            break
+        v = nv
+
+    qcomp = np.rint(v * float(_KM_SCALE)).astype(np.int64)
+    return pd.DataFrame(
+        {"dim": np.arange(dim, dtype=np.int64), "q_component": qcomp}
+    ).astype({"dim": "int64", "q_component": "int64"})

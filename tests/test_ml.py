@@ -79,3 +79,44 @@ def test_kmeans_deterministic():
     a = ml.kmeans_embeddings(SF_DIR, k=4).to_pandas().sort_values("vec_id").reset_index(drop=True)
     b = ml.kmeans_embeddings(SF_DIR, k=4).to_pandas().sort_values("vec_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_pca_power_aligns_with_numpy_eig(tmp_path):
+    """Distributed power iteration recovers numpy's top covariance
+    eigenvector (up to sign) on a PLANTED-spectrum corpus — the sf
+    embeddings are near-isotropic (eigengap ratio ~0.93 at sf0.001),
+    where NO power method converges quickly, so the test controls the
+    spectrum: a dominant direction + small noise. Also pins run-to-run
+    determinism (quantized reduces)."""
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    rng = np.random.default_rng(7)
+    u = rng.normal(size=32)
+    u /= np.linalg.norm(u)
+    X = np.outer(rng.normal(size=400) * 3.0, u) + rng.normal(size=(400, 32)) * 0.3
+    d = tmp_path / "emb"
+    d.mkdir()
+    _pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(400), pa.int64()),
+                "embedding": pa.array(
+                    list(X.astype(np.float32)), pa.list_(pa.float32(), 32)
+                ),
+            }
+        ),
+        d / "embeddings.parquet",
+    )
+    Xd = X.astype(np.float32).astype(np.float64)
+    Xc = Xd - Xd.mean(axis=0)
+    _, V = np.linalg.eigh(Xc.T @ Xc)
+    top = V[:, -1]
+
+    got = ml.pca_power(str(d), max_iters=40)
+    v = got.sort_values("dim")["q_component"].to_numpy() / float(ml._KM_SCALE)
+    cos = abs(float(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top)))
+    assert cos >= 0.999, cos
+
+    again = ml.pca_power(str(d), max_iters=40)
+    assert got.equals(again)
