@@ -237,7 +237,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_embeddings": ml.kmeans_embeddings,
         # --- graph analytics ---
         # integer power iteration over the md5-derived doc link graph
-        "pagerank": graph.pagerank,  # SQL-checked (exact int arithmetic)
+        "pagerank": graph.pagerank,
+        # in-degree distribution incl. zero-degree nodes (skew audit)
+        "graph_degree_hist": graph.degree_hist,  # SQL-checked  # SQL-checked (exact int arithmetic)
         # wedge-check triangle counting (groupby-wedges + shuffle join)
         "triangle_count": graph.triangle_count,  # SQL-checked
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs,  # rows-only

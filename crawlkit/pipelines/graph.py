@@ -299,3 +299,75 @@ def triangle_count(sf_dir: str) -> pd.DataFrame:
         on=("wkey",), right_on=("ekey",),
     )
     return pd.DataFrame({"n_triangles": [closed.count()]}).astype("int64")
+
+
+def degree_hist(sf_dir: str, nshards: int = 32) -> pd.DataFrame:
+    """IN-degree distribution of the md5-derived doc graph — the first
+    diagnostic any graph pipeline runs (skew detection: the max
+    in-degree bounds every per-vertex groupby downstream). Zero-in-degree
+    nodes are counted (the part an edges-only scan misses).
+
+    Shape: edges are derived per batch (never materialized as a global
+    table), in-degree = sharded count keyed by dst-hash, and the
+    histogram fold is a second tiny reduce over (degree → n_nodes)
+    partials — O(max_degree) rows reach the driver. The zero-degree
+    count is n_nodes − Σ n_nodes(deg>0): pure arithmetic, no anti-join."""
+    from .dedup import _md5_lower64, _nonempty_blocks, pandas_with_schema
+    from .relational import _sharded_agg
+
+    nodes = _read_nodes(sf_dir)
+    n_docs = nodes.count()
+    if n_docs == 0:
+        return pd.DataFrame(
+            {"in_degree": pd.Series([], dtype="int64"),
+             "n_nodes": pd.Series([], dtype="int64")}
+        )
+
+    def build_dst(t: pa.Table) -> pa.Table:
+        v = t["doc_id"].to_numpy()
+        outdeg = (
+            _md5_lower64([f"{x}-d" for x in v.tolist()]) % np.uint64(3)
+        ).astype(np.int64) + 1
+        src = np.repeat(v, outdeg)
+        js = (
+            np.concatenate([np.arange(d) for d in outdeg])
+            if len(v)
+            else np.empty(0, np.int64)
+        )
+        dst = (
+            _md5_lower64([f"{s}-e{j}" for s, j in zip(src.tolist(), js.tolist())])
+            % np.uint64(n_docs)
+        ).astype(np.int64)
+        # per-batch partial: count per dst (final count needs the shuffle)
+        u, c = np.unique(dst, return_counts=True)
+        return pa.table({"dst": u.astype(np.int64), "c": c.astype(np.int64)})
+
+    indeg = _sharded_agg(
+        _nonempty_blocks(
+            nodes.map_batches(build_dst, batch_format="pyarrow"),
+            pa.schema([("dst", pa.int64()), ("c", pa.int64())]),
+        ),
+        "dst",
+        {"in_degree": ("c", "sum")},
+        nshards=nshards,
+    )
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        u, c = np.unique(t["in_degree"].to_numpy(), return_counts=True)
+        return pa.table(
+            {"in_degree": u.astype(np.int64), "n_nodes": c.astype(np.int64)}
+        )
+
+    df = pandas_with_schema(
+        indeg.map_batches(hist_partial, batch_format="pyarrow"),
+        {"in_degree": "int64", "n_nodes": "int64"},
+    )
+    out = df.groupby("in_degree", as_index=False)["n_nodes"].sum()
+    zero = n_docs - int(out["n_nodes"].sum())
+    if zero > 0:
+        out = pd.concat(
+            [pd.DataFrame({"in_degree": [0], "n_nodes": [zero]}), out],
+            ignore_index=True,
+        )
+    out = out.sort_values("in_degree").reset_index(drop=True)
+    return out.astype({"in_degree": "int64", "n_nodes": "int64"})

@@ -1293,3 +1293,29 @@ ORACLE_SQL["q10_returned"] = """
     ORDER BY bc.revenue_cents DESC, bc.o_custkey
     LIMIT 20
 """
+
+# in-degree histogram of the md5 doc graph incl. zero-in-degree nodes;
+# same edge derivation as pagerank/triangle_count
+ORACLE_SQL["graph_degree_hist"] = """
+    WITH nodes AS (
+        SELECT CAST(doc_id AS BIGINT) AS v FROM documents
+    ), deg AS (
+        SELECT v,
+               1 + CAST(md5_number_lower(CAST(v AS VARCHAR) || '-d') % 3 AS BIGINT)
+                   AS outdeg
+        FROM nodes
+    ), edges AS (
+        SELECT d.v AS src,
+               CAST(md5_number_lower(
+                        CAST(d.v AS VARCHAR) || '-e' || CAST(t.j AS VARCHAR)
+                    ) % (SELECT COUNT(*) FROM nodes) AS BIGINT) AS dst
+        FROM deg d, UNNEST(range(0, d.outdeg)) AS t(j)
+    ), indeg AS (
+        SELECT n.v, COUNT(e.dst)::BIGINT AS in_degree
+        FROM nodes n LEFT JOIN edges e ON e.dst = n.v
+        GROUP BY n.v
+    )
+    SELECT in_degree, COUNT(*)::BIGINT AS n_nodes
+    FROM indeg GROUP BY in_degree
+    ORDER BY in_degree
+"""

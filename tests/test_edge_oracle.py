@@ -82,6 +82,7 @@ DOC_QUERIES = [
     "f4_permissive_cast",
     "pagerank",
     "triangle_count",
+    "graph_degree_hist",
 ]
 
 
