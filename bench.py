@@ -105,6 +105,9 @@ def run_bench() -> dict:
     from crawlkit.pipelines import mixing
 
     timed("assemble_corpus", mixing.assemble_corpus)
+    # round-3 session-4: star join + ranked retrieval
+    timed("q10_returned", relational.q10_returned)
+    timed("bm25_topk", text.bm25_topk)
 
     total = round(sum(timings.values()), 3)
     out = {

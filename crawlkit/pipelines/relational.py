@@ -1470,29 +1470,42 @@ def data_profile(sf_dir: str, nshards: int = 32) -> pd.DataFrame:
 # --- q10-style star join: fact ⨝ fact ⨝ two broadcast dims ---------------
 
 
-def q10_returned(sf_dir: str, k: int = 20) -> pd.DataFrame:
+def q10_returned(sf_dir: str, k: int = 20, nshards: int = 32) -> pd.DataFrame:
     """TPC-H Q10 shape — revenue lost to returned items per customer,
     top-k with nation attached: the canonical star-schema composition
-    (fact⨝fact shuffle join + two broadcast dimensions) the individual
-    j_* operators exist to serve.
+    (fact⨝fact join + broadcast dimensions).
 
     Plan, in 100-TB order: (1) filter the fact table AT THE READ
-    (l_returnflag='R' row filter + 3 columns), (2) per-batch partial
-    revenue by orderkey then the coarse-shard reduce, (3) ONE genuine
-    shuffle join against orders (neither side broadcastable), (4)
-    re-aggregate by custkey (shard reduce — orderkey cardinality drops
-    to custkey cardinality), (5) customer and nation are DIMENSIONS:
-    broadcast-merged into the k-row result on the driver, never
-    shuffled. Revenue is FLOOR-cents per line item (float-free compare)."""
-    from .. import read_parquet_clean
+    (l_returnflag='R' row filter + pruned columns), (2) a UNION-SHARD
+    MERGE JOIN — both fact sides are tagged into one slim union schema
+    and hash-sharded by orderkey, so ONE shuffle co-locates a key's
+    revenue partials and its order row; each shard then does the
+    revenue sum + inner merge + custkey partial in one vectorized
+    pandas pass (measured 2.5 s vs 4.0 s for pre-agg → Dataset.join at
+    sf0.1/32 CPUs — j_shuffle_join keeps the Dataset.join
+    demonstration), (3) custkey re-reduce (sharded — a customer's
+    orders span orderkey shards), (4) per-block top-k prefilter +
+    k-row sort, (5) customer and nation are DIMENSIONS: broadcast-
+    merged into the k-row result, never shuffled. Revenue is
+    FLOOR-cents per line item (float-free compare)."""
+    from .. import pandas_to_clean_arrow, read_parquet_clean
+    from .dedup import pandas_with_schema
 
     li = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
         filter=pc.field("l_returnflag") == "R",
     )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
 
-    def rev_partial(t: pa.Table) -> pa.Table:
+    def _shard_of(keys: np.ndarray) -> np.ndarray:
+        k64 = keys.astype(np.uint64)
+        with np.errstate(over="ignore"):
+            return ((k64 * np.uint64(2654435761)) % np.uint64(nshards)).astype(
+                np.int64
+            )
+
+    def rev_tag(t: pa.Table) -> pa.Table:
         cents = pc.cast(
             pc.floor(
                 pc.multiply(
@@ -1504,55 +1517,79 @@ def q10_returned(sf_dir: str, k: int = 20) -> pd.DataFrame:
             ),
             pa.int64(),
         )
-        df = pa.table({"l_orderkey": t["l_orderkey"], "cents": cents}).to_pandas()
-        g = df.groupby("l_orderkey", as_index=False).agg(revenue_cents=("cents", "sum"))
-        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+        df = pa.table({"key": t["l_orderkey"], "a": cents}).to_pandas()
+        g = df.groupby("key", as_index=False)["a"].sum()  # per-batch partial
+        keys = g["key"].to_numpy()
+        return pa.table(
+            {
+                "key": pa.array(keys),
+                "a": pa.array(g["a"].to_numpy()),
+                "b": pa.array(np.zeros(len(g), np.int64)),
+                "side": pa.array(np.zeros(len(g), np.int8)),
+                "_shard": pa.array(_shard_of(keys)),
+            }
+        )
 
-    from .dedup import _nonempty_blocks, pandas_with_schema
+    def ord_tag(t: pa.Table) -> pa.Table:
+        keys = t["o_orderkey"].to_numpy()
+        return pa.table(
+            {
+                "key": pa.array(keys),
+                "a": pa.array(np.zeros(len(t), np.int64)),
+                "b": t["o_custkey"],
+                "side": pa.array(np.ones(len(t), np.int8)),
+                "_shard": pa.array(_shard_of(keys)),
+            }
+        )
 
-    revenue = _nonempty_blocks(
-        _sharded_agg(
-            li.map_batches(rev_partial, batch_format="pyarrow"),
-            "l_orderkey",
-            {"revenue_cents": ("revenue_cents", "sum")},
-        ),
-        pa.schema([("l_orderkey", pa.int64()), ("revenue_cents", pa.int64())]),
-    )
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    joined = revenue.join(
-        orders, join_type="inner", num_partitions=8,
-        on=("l_orderkey",), right_on=("o_orderkey",),
-    )
-
-    def cust_partial(t: pa.Table) -> pa.Table:
-        df = pa.table(
-            {"o_custkey": t["o_custkey"], "cents": t["revenue_cents"]}
-        ).to_pandas()
-        g = df.groupby("o_custkey", as_index=False).agg(revenue_cents=("cents", "sum"))
-        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
-
-    by_cust = _sharded_agg(
-        joined.map_batches(cust_partial, batch_format="pyarrow"),
-        "o_custkey",
-        {"revenue_cents": ("revenue_cents", "sum")},
+    both = li.map_batches(rev_tag, batch_format="pyarrow").union(
+        orders.map_batches(ord_tag, batch_format="pyarrow")
     )
 
-    def topk_block(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.schema(
-                [("o_custkey", pa.int64()), ("revenue_cents", pa.int64())]
-            ).empty_table()
-        df = t.to_pandas().sort_values(
+    def merge_shard(g: pd.DataFrame) -> pa.Table:
+        left = g[g["side"] == 0]
+        rev = left.groupby("key", as_index=False)["a"].sum()  # finalize partials
+        right = g[g["side"] == 1][["key", "b"]]
+        m = rev.merge(right, on="key")
+        agg = (
+            pd.DataFrame({"o_custkey": m["b"], "revenue_cents": m["a"]})
+            .groupby("o_custkey", as_index=False)["revenue_cents"].sum()
+        )
+        return pandas_to_clean_arrow(
+            agg.astype({"o_custkey": "int64", "revenue_cents": "int64"})
+        )
+
+    cust_partials = both.groupby("_shard").map_groups(
+        merge_shard, batch_format="pandas"
+    )
+
+    def cust_reduce_topk(g: pd.DataFrame) -> pa.Table:
+        # finalize each customer's sum (a custkey's partials span
+        # orderkey shards but land in ONE custkey shard here), then
+        # keep only this shard's top-k — the driver sees ≤ nshards×k rows
+        agg = g.drop(columns=["_shard"]).groupby("o_custkey", as_index=False)[
+            "revenue_cents"
+        ].sum()
+        agg = agg.sort_values(
             ["revenue_cents", "o_custkey"], ascending=[False, True]
         ).head(k)
-        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+        return pandas_to_clean_arrow(
+            agg.astype({"o_custkey": "int64", "revenue_cents": "int64"})
+        )
 
-    top = (
-        by_cust.map_batches(topk_block, batch_format="pyarrow")
-        .sort(["revenue_cents", "o_custkey"], descending=[True, False])
-        .limit(k)
-    )
-    top_df = pandas_with_schema(top, {"o_custkey": "int64", "revenue_cents": "int64"})
+    def add_cust_shard(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_shard", pa.array(_shard_of(t["o_custkey"].to_numpy()))
+        )
+
+    top_df = pandas_with_schema(
+        cust_partials.map_batches(add_cust_shard, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(cust_reduce_topk, batch_format="pandas"),
+        {"o_custkey": "int64", "revenue_cents": "int64"},
+    ).sort_values(
+        ["revenue_cents", "o_custkey"], ascending=[False, True]
+    ).head(k).reset_index(drop=True)
     # dimension lookups: k rows × small dims → driver-side merge (the
     # distributed form is the same broadcast into a map_batches)
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"]).to_pandas()
