@@ -266,6 +266,8 @@ def run_stats(out_path: str = "/tmp/crawlkit_stats.txt") -> dict:
         "text_classify": text.text_classify,
         "knn_bruteforce": ann.knn_bruteforce,
         "assemble_corpus": mixing.assemble_corpus,
+        "q10_returned": relational.q10_returned,
+        "bm25_topk": text.bm25_topk,
     }
     walls: dict[str, float] = {}
     with open(out_path, "w") as f:

@@ -116,6 +116,22 @@ def run(n_docs: int) -> dict:
     timed("text_classify", lambda: text.text_classify(sf_dir))
     timed("word_freq", lambda: text.word_freq(sf_dir))
     timed("top_keyword", lambda: text.top_keyword(sf_dir))
+    # session-4 additions (all shuffle-free or slim-shuffle by design)
+    timed("gopher_repetition", lambda: text.gopher_repetition(sf_dir))
+    # the fixed English query terms don't exist in the b26 vocabulary —
+    # query the three head words instead (same code path, non-vacuous)
+    def _b26(i):
+        s2 = ""
+        i += 26
+        while i:
+            i, d = divmod(i, 26)
+            s2 += chr(97 + d)
+        return s2
+
+    head_terms = tuple(_b26(i) for i in range(3))
+    timed("search_conjunctive", lambda: text.search_conjunctive(sf_dir, terms=head_terms))
+    timed("bm25_topk", lambda: text.bm25_topk(sf_dir, terms=head_terms))
+    timed("pack_sequences", lambda: mixing.pack_sequences(sf_dir))
 
     total = round(sum(timings.values()), 3)
     out = {
