@@ -176,6 +176,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_bpe_token_count": text.bpe_ish_token_count,
         "text_quality_counts": text.quality_counts,
         "text_score": text.text_score,  # SQL-checked (IEEE-op-order mirror)
+        # model-eval: langid confusion matrix vs gold labels
+        "langid_confusion": text.langid_confusion,  # SQL-checked
         "text_fingerprint": text.fingerprint,  # SQL-checked (HUGEINT mod-2^64)
         "text_fingerprint32": text.fingerprint32,  # SQL-checked 32-bit variant
         "text_word_freq": text.word_freq,  # SQL-checked (corpus top-k vocabulary)

@@ -1319,3 +1319,31 @@ ORACLE_SQL["graph_degree_hist"] = """
     FROM indeg GROUP BY in_degree
     ORDER BY in_degree
 """
+
+# langid confusion matrix: the text_score lang_pred CTE joined to the
+# gold lang column (same stoplists, same en-first tiebreak)
+ORACLE_SQL["langid_confusion"] = f"""
+    WITH toks AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(COALESCE(text, '')), '[A-Za-z]+') AS tk
+      FROM documents
+    ), hits AS (
+      SELECT doc_id,
+             len(list_filter(tk, t -> list_contains({_stoplist('en')}, t))) AS h_en,
+             len(list_filter(tk, t -> list_contains({_stoplist('de')}, t))) AS h_de,
+             len(list_filter(tk, t -> list_contains({_stoplist('fr')}, t))) AS h_fr,
+             len(list_filter(tk, t -> list_contains({_stoplist('es')}, t))) AS h_es
+      FROM toks
+    ), scored AS (
+      SELECT doc_id,
+             CASE WHEN GREATEST(h_en, h_de, h_fr, h_es) = 0 THEN 'unknown'
+                  WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
+                  WHEN h_de >= h_fr AND h_de >= h_es THEN 'de'
+                  WHEN h_fr >= h_es THEN 'fr'
+                  ELSE 'es' END AS lang_pred
+      FROM hits
+    )
+    SELECT d.lang, s.lang_pred, COUNT(*)::BIGINT AS n
+    FROM documents d JOIN scored s USING (doc_id)
+    GROUP BY d.lang, s.lang_pred
+"""

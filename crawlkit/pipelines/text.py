@@ -1165,3 +1165,47 @@ def bm25_topk(sf_dir: str, terms: tuple = SEARCH_TERMS, k: int = 20) -> rd.Datas
         .limit(k)
     )
     return pandas_with_schema(out, {"doc_id": "int64", "score": "int64"})
+
+
+# --- langid model evaluation: confusion matrix (SQL-checked) -------------
+
+
+class _LangidConfusion(TextScore):
+    """TextScore's langid head + the gold ``lang`` column → per-batch
+    (lang, lang_pred, n) partials. Inherits the once-per-actor profile
+    build (T1 pattern); the batch reduces to ≤ |langs|² rows."""
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        scored = super().__call__(batch[["doc_id", "text"]])
+        df = pd.DataFrame(
+            {"lang": batch["lang"].fillna("").to_numpy(),
+             "lang_pred": scored["lang_pred"].to_numpy()}
+        )
+        g = df.groupby(["lang", "lang_pred"], as_index=False).size()
+        g = g.rename(columns={"size": "n"})
+        return g.astype({"lang": "object", "lang_pred": "object", "n": "int64"})
+
+
+def langid_confusion(sf_dir: str, concurrency: int = 2) -> pd.DataFrame:
+    """Model evaluation over the corpus: confusion matrix of the langid
+    head against the gold ``lang`` labels — the per-class
+    accuracy/confusion report an offline-eval pipeline emits after any
+    classifier stage. Scale shape: per-batch partials are ≤ |langs|²
+    rows, the final fold is a driver groupby over blocks×|langs|² rows
+    — no shuffle of any corpus-sized table."""
+    ds = _read_docs(sf_dir, ["doc_id", "text", "lang"])
+    partials = ds.map_batches(
+        _LangidConfusion, batch_format="pandas", concurrency=concurrency,
+        max_restarts=0,
+    )
+    from .dedup import pandas_with_schema
+
+    df = pandas_with_schema(
+        partials, {"lang": "object", "lang_pred": "object", "n": "int64"}
+    )
+    out = (
+        df.groupby(["lang", "lang_pred"], as_index=False)["n"].sum()
+        .sort_values(["lang", "lang_pred"])
+        .reset_index(drop=True)
+    )
+    return out.astype({"lang": "object", "lang_pred": "object", "n": "int64"})

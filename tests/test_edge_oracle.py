@@ -69,6 +69,7 @@ DOC_QUERIES = [
     "search_conjunctive",
     "pack_sequences",
     "bm25_topk",
+    "langid_confusion",
     "text_top_keyword",
     "text_embed_counts",
     "gram_matrix",
