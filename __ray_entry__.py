@@ -180,6 +180,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_confusion": text.langid_confusion,  # SQL-checked
         "text_fingerprint": text.fingerprint,  # SQL-checked (HUGEINT mod-2^64)
         "text_fingerprint32": text.fingerprint32,  # SQL-checked 32-bit variant
+        # MOSS winnowing collision pairs (local copied-span detection)
+        "fingerprint_collisions": text.fingerprint_collisions,  # SQL-checked
         "text_word_freq": text.word_freq,  # SQL-checked (corpus top-k vocabulary)
         "text_top_keyword": text.top_keyword,  # SQL-checked (integer tf×rarity)
         # batched model inference: hashed bag-of-words linear scorer

@@ -1347,3 +1347,40 @@ ORACLE_SQL["langid_confusion"] = f"""
     FROM documents d JOIN scored s USING (doc_id)
     GROUP BY d.lang, s.lang_pred
 """
+
+# MOSS winnowing collisions: same Horner window hashes as
+# text_fingerprint (16-char windows), winnowed by a ROWS-window MIN of
+# every 8 consecutive hashes (global min when fewer than 8 windows),
+# distinct per doc, pairs sharing >= 2 fingerprints
+ORACLE_SQL["fingerprint_collisions"] = """
+    WITH b AS (
+      SELECT doc_id,
+             list_transform(regexp_split_to_array(text, ''),
+                            c -> CAST(unicode(c) + 1 AS HUGEINT)) AS ds,
+             length(text) AS n
+      FROM documents
+    ), wins AS (
+      SELECT doc_id, t.j AS j,
+             list_reduce(list_prepend(CAST(0 AS HUGEINT),
+                                      ds[CAST(t.j + 1 AS BIGINT):CAST(t.j + w AS BIGINT)]),
+                         (acc, d) -> (acc * 1000003 + d)
+                                     % CAST('18446744073709551616' AS HUGEINT)) AS v
+      FROM (SELECT doc_id, ds, n, LEAST(16, n) AS w FROM b WHERE n > 0),
+           UNNEST(range(0, n - w + 1)) AS t(j)
+    ), sel AS (
+      SELECT doc_id,
+             MIN(v) OVER (PARTITION BY doc_id ORDER BY j
+                          ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp,
+             j,
+             COUNT(*) OVER (PARTITION BY doc_id) AS c
+      FROM wins
+      QUALIFY (j + 8 <= c) OR (c < 8 AND j = 0)
+    ), fps AS (
+      SELECT DISTINCT doc_id, fp FROM sel
+    )
+    SELECT a.doc_id AS doc_id_a, b2.doc_id AS doc_id_b,
+           COUNT(*)::BIGINT AS n_shared
+    FROM fps a JOIN fps b2 ON a.fp = b2.fp AND a.doc_id < b2.doc_id
+    GROUP BY doc_id_a, doc_id_b
+    HAVING COUNT(*) >= 2
+"""

@@ -1209,3 +1209,104 @@ def langid_confusion(sf_dir: str, concurrency: int = 2) -> pd.DataFrame:
         .reset_index(drop=True)
     )
     return out.astype({"lang": "object", "lang_pred": "object", "n": "int64"})
+
+
+# --- winnowing fingerprint collisions (MOSS-style; SQL-checked) ----------
+
+
+def fingerprint_collisions(
+    sf_dir: str,
+    window: int = 16,
+    guarantee: int = 8,
+    min_shared: int = 2,
+    fp_cap: int | None = None,
+    nshards: int = 32,
+) -> pd.DataFrame:
+    """Document pairs sharing ≥ ``min_shared`` WINNOWED fingerprints —
+    the Schleimer-Wilkerson-Aiken (MOSS) local-similarity channel:
+    positional ``window``-char rolling hashes, winnowed to the minimum
+    of every ``guarantee`` consecutive hashes (any shared substring of
+    length ≥ window+guarantee−1 is guaranteed to collide), distinct per
+    doc. Complements the jaccard/minhash/simhash family: it detects
+    LOCAL copied spans, not global set overlap.
+
+    Scale shape = the shared pair-engine pattern (_exact_jaccard_pairs):
+    per-batch winnow (vectorized sliding-min per doc), distinct (fp,
+    doc) rows sharded by fp → per-shard self-merge emits pair partials →
+    pair-hash-shard combine + threshold. ``fp_cap`` is the hot-key
+    hatch (drop fps shared by more than cap docs); None keeps
+    exactness for the SQL oracle, which mirrors the winnow via a
+    ROWS-window MIN over the same Horner window hashes."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def explode_fps(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        rows_doc, rows_fp = [], []
+        for did, s in zip(ids, t["text"].to_pylist()):
+            cp = np.fromiter(map(ord, s or ""), dtype=np.uint64)
+            if len(cp) == 0:  # no content → no fingerprints (oracle parity)
+                continue
+            wh = _window_hashes(cp, window)
+            if len(wh) >= guarantee:
+                sel = np.lib.stride_tricks.sliding_window_view(
+                    wh, guarantee
+                ).min(axis=1)
+            else:
+                sel = wh.min(keepdims=True)
+            u = np.unique(sel)
+            rows_doc.append(np.full(len(u), did, dtype=np.int64))
+            rows_fp.append(u.view(np.int64))
+        if not rows_doc:
+            return pa.schema(
+                [("fp", pa.int64()), ("doc_id", pa.int64()), ("shard", pa.int32())]
+            ).empty_table()
+        fp = np.concatenate(rows_fp)
+        did = np.concatenate(rows_doc)
+        shard = (fp.view(np.uint64) % np.uint64(nshards)).astype(np.int32)
+        return pa.table({"fp": fp, "doc_id": did, "shard": shard})
+
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        from .. import pandas_to_clean_arrow
+
+        if fp_cap is not None:
+            df = g.groupby("fp")["doc_id"].transform("size")
+            g = g[df <= fp_cap]
+        m = g.merge(g, on="fp", suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
+        agg = m.groupby(["doc_id_a", "doc_id_b"], as_index=False).agg(
+            n=("fp", "size")
+        )
+        a64 = agg["doc_id_a"].to_numpy(dtype=np.int64, na_value=0).astype(np.uint64)
+        b64 = agg["doc_id_b"].to_numpy(dtype=np.int64, na_value=0).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            agg["pshard"] = (
+                ((a64 * np.uint64(0x9E3779B97F4A7C15)) ^ b64) % np.uint64(nshards)
+            ).astype(np.int64)
+        return pandas_to_clean_arrow(agg.astype(
+            {"doc_id_a": "int64", "doc_id_b": "int64", "n": "int64", "pshard": "int64"}
+        ))
+
+    def combine_threshold(g: pd.DataFrame) -> pd.DataFrame:
+        from .. import pandas_to_clean_arrow
+
+        m = g.groupby(["doc_id_a", "doc_id_b"], as_index=False).agg(
+            n_shared=("n", "sum")
+        )
+        m = m[m["n_shared"] >= min_shared]
+        return pandas_to_clean_arrow(
+            m.astype({"doc_id_a": "int64", "doc_id_b": "int64", "n_shared": "int64"})
+        )
+
+    from .dedup import pandas_with_schema
+
+    out = (
+        ds.map_batches(explode_fps, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(emit_pairs, batch_format="pandas")
+        .groupby("pshard")
+        .map_groups(combine_threshold, batch_format="pandas")
+    )
+    df = pandas_with_schema(
+        out, {"doc_id_a": "int64", "doc_id_b": "int64", "n_shared": "int64"}
+    )
+    return df.sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True)

@@ -70,6 +70,7 @@ DOC_QUERIES = [
     "pack_sequences",
     "bm25_topk",
     "langid_confusion",
+    "fingerprint_collisions",
     "text_top_keyword",
     "text_embed_counts",
     "gram_matrix",
