@@ -209,6 +209,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "path_trigrams": windows.path_trigrams,  # SQL-checked
         # --- dedup family ---
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,  # SQL-checked
+        # asymmetric containment pairs (short-doc-quoted-in-long channel)
+        "dedup_containment": dedup.containment_pairs,  # SQL-checked
         # doc-level duplicate-span statistic (substring-dedup à la Lee et al.)
         "dup_span_fraction": dedup.dup_span_fraction,  # SQL-checked
         # connected components over the pair graph (recursive-CTE oracle)

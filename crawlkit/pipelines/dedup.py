@@ -104,6 +104,7 @@ def _exact_jaccard_pairs(
     doc_filter_ref=None,
     pair_filter_ref=None,
     as_dataset: bool = False,
+    containment: bool = False,
 ) -> pd.DataFrame | rd.Dataset:
     """Shared exact-Jaccard pair engine: explode distinct (shingle,
     doc_id) sharded by shingle hash → per-shard vectorized self-merge
@@ -173,8 +174,13 @@ def _exact_jaccard_pairs(
         m = g.groupby(["doc_id_a", "doc_id_b"], as_index=False).agg(
             i=("i", "sum"), ca=("ca", "first"), cb=("cb", "first")
         )
-        union = m["ca"] + m["cb"] - m["i"]
-        m = m[m["i"] * 10 >= union * tau_tenths]
+        if containment:
+            # asymmetric clone detection: |A∩B| / min(|A|,|B|) — the
+            # smaller doc contained in the larger (integer cross-multiply)
+            denom = np.minimum(m["ca"].to_numpy(), m["cb"].to_numpy())
+        else:
+            denom = (m["ca"] + m["cb"] - m["i"]).to_numpy()
+        m = m[m["i"].to_numpy() * 10 >= denom * tau_tenths]
         from .. import pandas_to_clean_arrow
 
         return pandas_to_clean_arrow(
@@ -194,6 +200,16 @@ def _exact_jaccard_pairs(
     return pandas_with_schema(
         out, {"doc_id_a": "int64", "doc_id_b": "int64", "intersection": "int64"}
     )
+
+
+def containment_pairs(
+    sf_dir: str, tau_tenths: int = 5, df_cap: int | None = None
+) -> pd.DataFrame:
+    """Asymmetric CONTAINMENT near-dup pairs: |A∩B|·10 ≥ τ·min(|A|,|B|)
+    over distinct 3-gram shingles — catches a short doc quoted inside a
+    long one, which symmetric Jaccard misses (the Broder containment
+    variant). Same distributed pair engine, same skew hatches."""
+    return _exact_jaccard_pairs(sf_dir, tau_tenths, df_cap=df_cap, containment=True)
 
 
 def ngram_jaccard_pairs(sf_dir: str, tau_tenths: int = 2, df_cap: int | None = None) -> pd.DataFrame:

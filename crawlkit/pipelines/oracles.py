@@ -1384,3 +1384,33 @@ ORACLE_SQL["fingerprint_collisions"] = """
     GROUP BY doc_id_a, doc_id_b
     HAVING COUNT(*) >= 2
 """
+
+# containment variant of the jaccard pair oracle: denominator is the
+# smaller doc's shingle count (tau = 0.5 as 5 tenths)
+ORACLE_SQL["dedup_containment"] = r"""
+    WITH words AS (
+        SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+        FROM documents
+    ), sh0 AS (
+        SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+        FROM words, UNNEST(range(1, len(ws) - 1)) AS t(i)
+        WHERE len(ws) >= 3
+        UNION ALL
+        SELECT doc_id, array_to_string(ws, ' ') AS shingle
+        FROM words WHERE len(ws) BETWEEN 1 AND 2
+    ), dsh AS (
+        SELECT DISTINCT doc_id, shingle FROM sh0
+    ), cnt AS (
+        SELECT doc_id, COUNT(*) AS c FROM dsh GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS intersection
+        FROM dsh a JOIN dsh b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_id_a, doc_id_b, intersection
+    FROM inter
+    JOIN cnt ca ON ca.doc_id = inter.doc_id_a
+    JOIN cnt cb ON cb.doc_id = inter.doc_id_b
+    WHERE intersection * 10 >= 5 * LEAST(ca.c, cb.c)
+"""

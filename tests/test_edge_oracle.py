@@ -55,6 +55,7 @@ def edge_con(edge_dir):
 DOC_QUERIES = [
     "dedup_exact_first",
     "dedup_ngram_jaccard",
+    "dedup_containment",
     "dedup_clusters",
     "dedup_survivors",
     "dedup_incremental",
