@@ -104,6 +104,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return res.entries_table()
 
+    def crawl_fetch_report(sf_dir: str):
+        """M10 telemetry rollup: run the t1 crawl, then aggregate its
+        fetch_log per (host, status) as a streaming Dataset pass.
+        Rows-only; totals ≡ refsim page counts pinned in
+        tests/test_crawl_golden.py."""
+        from crawlkit.pipelines.crawl import fetch_report, run_crawl
+        from crawlkit.refsim import CrawlSpec
+
+        out = tempfile.mkdtemp(prefix="crawl_rep_q_", dir="/tmp")
+        res = run_crawl(
+            "t1", spec=CrawlSpec(host_budget_per_round=32), out_dir=out,
+            num_seen_shards=2, fetch_concurrency=4,
+        )
+        return fetch_report(res.fetch_log_store)
+
     return {
         # --- SURVEY §2 relational operators (SQL-checked) ---
         "g1_group_merge": relational.g1_group_merge,
@@ -288,6 +303,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_flagship": crawl_flagship,  # rows-only (oracle = refsim in tests)
         "crawl_recrawl": crawl_recrawl,  # rows-only (oracle = refsim prior_seen)
         "crawl_distributed": crawl_distributed,  # rows-only (oracle = refsim sets)
+        "crawl_fetch_report": crawl_fetch_report,  # rows-only (refsim page counts)
     }
 
 

@@ -518,3 +518,46 @@ def recrawl(
     if not dirs:
         raise ValueError(f"no completed rounds under {prior_dir}")
     return run_crawl(web, spec=spec, out_dir=out_dir, prior_seen_dirs=dirs, **kwargs)
+
+
+def fetch_report(fetch_log_store) -> "pd.DataFrame":
+    """Per-(host, status) crawl telemetry rollup over the fetch_log
+    table (M10 — commons/Entry.go:42-59's PrepareResult, aggregated the
+    way an operator actually consumes it): pages, total bytes, total
+    attempts, error count. Reads the store as a streaming Dataset and
+    partial-aggregates per batch — the shuffle carries ≤
+    |hosts|×|statuses| rows per block, never the log itself (at 10^10
+    URLs the fetch log is itself a big-data table)."""
+    import pandas as pd
+
+    ds = fetch_log_store.read_dataset()
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pa.table(
+            {
+                "host": t["host"],
+                "status": pc.cast(t["status"], pa.int64()),
+                "nbytes": t["nbytes"],
+                "attempts": pc.cast(t["attempts"], pa.int64()),
+                "is_err": pc.cast(pc.not_equal(t["error"], ""), pa.int64()),
+            }
+        ).to_pandas()
+        g = df.groupby(["host", "status"], as_index=False).agg(
+            pages=("nbytes", "size"), total_bytes=("nbytes", "sum"),
+            total_attempts=("attempts", "sum"), n_errors=("is_err", "sum"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+    from .dedup import pandas_with_schema
+
+    cols = {"host": "object", "status": "int64", "pages": "int64",
+            "total_bytes": "int64", "total_attempts": "int64", "n_errors": "int64"}
+    df = pandas_with_schema(ds.map_batches(partial, batch_format="pyarrow"), cols)
+    out = (
+        df.groupby(["host", "status"], as_index=False)
+        .agg(pages=("pages", "sum"), total_bytes=("total_bytes", "sum"),
+             total_attempts=("total_attempts", "sum"), n_errors=("n_errors", "sum"))
+        .sort_values(["host", "status"])
+        .reset_index(drop=True)
+    )
+    return out.astype(cols)

@@ -234,3 +234,37 @@ def test_hot_host_salting_splits_mega_host(tmp_path):
 
     ms = RunCheckpoint(eng.out_dir).all_metrics()
     assert max(m["nblocks"] for m in ms) > 1  # the one host spread across blocks
+
+
+def test_fetch_report_matches_refsim_page_counts():
+    """The per-(host,status) telemetry rollup reproduces refsim's
+    per-host page counts exactly (every sim-issued page appears once in
+    the log) and aggregates consistently with the raw fetch_log table."""
+    import collections
+    import tempfile
+    from urllib.parse import urlparse
+
+    from crawlkit.pipelines.crawl import fetch_report, run_crawl
+    from crawlkit import refsim
+    from crawlkit.refsim import CrawlSpec
+    from crawlkit.synthweb import SynthWeb
+
+    spec = CrawlSpec(host_budget_per_round=32)
+    out = tempfile.mkdtemp(prefix="rep_", dir="/tmp")
+    res = run_crawl("t1", spec=spec, out_dir=out, num_seen_shards=2,
+                    fetch_concurrency=4)
+    rep = fetch_report(res.fetch_log_store)
+
+    sim = refsim.simulate(SynthWeb("t1"), spec=spec)
+    want = collections.Counter(urlparse(u).netloc for u in sim.order)
+    # the log also carries telemetry rows for pages NOT fetched
+    # (robots-blocked = -2); refsim.order holds fetched pages only
+    ok = rep[rep["status"] == 200]
+    got = ok.groupby("host")["pages"].sum().to_dict()
+    assert got == dict(want)
+
+    raw = res.fetch_log_table()
+    assert int(rep["pages"].sum()) == raw.num_rows
+    assert int(rep["total_bytes"].sum()) == sum(
+        x or 0 for x in raw["nbytes"].to_pylist()
+    )
