@@ -755,3 +755,60 @@ def image_augment(sf_dir: str | None = None, n: int = 64) -> rd.Dataset:
         ImageAugment, batch_format="pyarrow", batch_size=8, concurrency=2,
         max_restarts=0,
     )
+
+
+# --- letterbox: pad to square (detector/ViT input prep) -------------------
+
+LETTERBOX_SCHEMA = pa.schema(
+    [
+        ("image_id", pa.string()),
+        ("src_w", pa.int32()),
+        ("src_h", pa.int32()),
+        ("side", pa.int32()),
+        ("pad_x", pa.int32()),
+        ("pad_y", pa.int32()),
+        ("bytes", pa.binary()),
+    ]
+)
+
+
+class ImageLetterbox:
+    """Actor-pool letterbox stage: pad each image to a centered square
+    of side max(w, h) with a constant fill (the aspect-preserving input
+    prep detectors/ViTs use before a fixed-size resize — the resize
+    itself is ``ImageResize``). Pure numpy pad + slice assignment; the
+    offsets are returned so downstream can map labels back through the
+    transform. Same 100-TB shape as the other image stages."""
+
+    def __init__(self, fill: int = 114):  # the conventional gray fill
+        self.fill = fill
+        self.decode = imagecodec.decode
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        rows = []
+        for iid, data, fmt in zip(
+            t["image_id"].to_pylist(), t["bytes"].to_pylist(), t["fmt"].to_pylist()
+        ):
+            px = self.decode(data, fmt)
+            h, w = px.shape[0], px.shape[1]
+            side = max(h, w)
+            canvas = np.full((side, side, 3), self.fill, dtype=px.dtype)
+            y0, x0 = (side - h) // 2, (side - w) // 2
+            canvas[y0 : y0 + h, x0 : x0 + w] = px
+            rows.append(
+                {"image_id": iid, "src_w": w, "src_h": h, "side": side,
+                 "pad_x": x0, "pad_y": y0,
+                 "bytes": imagecodec.encode_png(canvas)}
+            )
+        return pa.Table.from_pylist(rows, schema=LETTERBOX_SCHEMA)
+
+
+def image_letterbox(sf_dir: str | None = None, n: int = 64) -> rd.Dataset:
+    """Letterbox pipeline over the synthetic images table (sf_dir
+    unused). Rows-only; reconstruction invariants (inner region equals
+    the source pixels, border equals the fill, output square) pinned in
+    tests/test_ann_multimodal.py."""
+    return synthetic_images(n).map_batches(
+        ImageLetterbox, batch_format="pyarrow", batch_size=8, concurrency=2,
+        max_restarts=0,
+    )

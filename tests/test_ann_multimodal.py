@@ -344,3 +344,25 @@ def test_image_augment_reconstructs():
         assert cr.shape == (ch, cw, 3)
         assert np.array_equal(cr, px[y0:y0 + ch, x0:x0 + cw])
         assert by_key.loc[(iid, "crop"), "w"] == cw
+
+
+def test_image_letterbox_reconstructs():
+    """Letterbox: output is square, the centered inner region equals the
+    decoded source exactly, and the border is the constant fill."""
+    from crawlkit.synthweb import SynthWeb
+
+    out = multimodal.image_letterbox(n=5).to_pandas().set_index("image_id")
+    assert len(out) == 5
+    web = SynthWeb("t1")
+    for iid in list(out.index)[:3]:
+        rec = web.image_record(iid)
+        px = imagecodec.decode(rec["bytes"], rec["fmt"])
+        r = out.loc[iid]
+        cv = imagecodec.decode_png(r["bytes"])
+        side = int(r["side"])
+        assert cv.shape == (side, side, 3) and side == max(px.shape[:2])
+        y0, x0 = int(r["pad_y"]), int(r["pad_x"])
+        assert np.array_equal(cv[y0:y0 + px.shape[0], x0:x0 + px.shape[1]], px)
+        mask = np.ones((side, side), dtype=bool)
+        mask[y0:y0 + px.shape[0], x0:x0 + px.shape[1]] = False
+        assert (cv[mask] == 114).all()
