@@ -152,6 +152,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "w_tumbling": relational.w_tumbling,
         "w_sliding": windows.w_sliding,
         "w_session": windows.w_session,
+        # per-(user, hour) burst screen (rate-limit / scraper detection)
+        "event_bursts": windows.event_bursts,  # SQL-checked
         "topk_per_group": windows.topk_per_group,
         "median_disc": windows.median_disc,
         # exact p50+p95 via cardinality-sized histogram (no group ship)

@@ -1414,3 +1414,13 @@ ORACLE_SQL["dedup_containment"] = r"""
     JOIN cnt cb ON cb.doc_id = inter.doc_id_b
     WHERE intersection * 10 >= 5 * LEAST(ca.c, cb.c)
 """
+
+# per-(user, UTC-hour) burst screen (integer hour buckets, same
+# epoch_us // 3.6e9 convention as w_tumbling)
+ORACLE_SQL["event_bursts"] = """
+    SELECT user_id, (epoch_us(ts) // 3600000000)::BIGINT AS hour,
+           COUNT(*)::BIGINT AS n_events
+    FROM events
+    GROUP BY user_id, hour
+    HAVING COUNT(*) >= 2
+"""

@@ -984,3 +984,55 @@ def path_trigrams(sf_dir: str, k: int = 10, nshards: int = 32) -> pd.DataFrame:
         .reset_index(drop=True)
     )
     return out.astype({"trigram": "object", "n": "int64"})
+
+
+def event_bursts(sf_dir: str, min_events: int = 2, nshards: int = 32) -> rd.Dataset:
+    """Per-entity burst screen: (user, UTC-hour-bucket) cells holding
+    ≥ ``min_events`` events — the rate-limiting / scraper-detection
+    pass a crawl operator runs over access logs (the per-host
+    token-bucket's offline mirror; cf. politeness.py). Pure integers:
+    hour bucket = epoch_µs // 3.6e9, same convention as w_tumbling.
+
+    Scale shape: per-batch partial counts per (user, hour) — one slim
+    row per active cell per batch — then the user-hash shard reduce and
+    an in-shard threshold filter; the driver never sees unfiltered
+    cells. 100 TB: cells are bounded by users×hours, and a single hot
+    user's cells still fan out across hour values within one shard."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+        hour = us // 3_600_000_000
+        df = pd.DataFrame({"user_id": t["user_id"].to_numpy(), "hour": hour})
+        g = df.groupby(["user_id", "hour"], as_index=False).size()
+        return pa.table(
+            {
+                "user_id": pa.array(g["user_id"].to_numpy()),
+                "hour": pa.array(g["hour"].to_numpy()),
+                "n": pa.array(g["size"].to_numpy().astype(np.int64)),
+                "_shard": pa.array(
+                    (g["user_id"].to_numpy().astype(np.uint64)
+                     % np.uint64(nshards)).astype(np.int64)
+                ),
+            }
+        )
+
+    def reduce_filter(g: pd.DataFrame) -> pd.DataFrame:
+        from .. import pandas_to_clean_arrow
+
+        agg = g.groupby(["user_id", "hour"], as_index=False)["n"].sum()
+        agg = agg[agg["n"] >= min_events].rename(columns={"n": "n_events"})
+        return pandas_to_clean_arrow(agg.astype(
+            {"user_id": "int64", "hour": "int64", "n_events": "int64"}
+        ))
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(reduce_filter, batch_format="pandas")
+    )
+    from .dedup import pandas_with_schema
+
+    return pandas_with_schema(
+        out, {"user_id": "int64", "hour": "int64", "n_events": "int64"}
+    )

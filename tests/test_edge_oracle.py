@@ -175,6 +175,7 @@ EVENT_QUERIES = [
     "w_tumbling",
     "w_sliding",
     "w_session",
+    "event_bursts",
     "w_lag_delta",
     "w_rolling_sum",
     "w_first_last",

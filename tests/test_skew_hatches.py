@@ -43,3 +43,16 @@ def test_session_group_cap_skips_mega_user(tmp_path):
     assert set(out["user_id"].unique()) == {2, 3}
     full = windows.w_session(d).to_pandas()
     assert set(full["user_id"].unique()) == {1, 2, 3}
+
+
+def test_fingerprint_collisions_fp_cap_drops_hot_fps():
+    """fp_cap=1 drops every fingerprint shared by ≥2 docs — the pair set
+    collapses to empty while the uncapped run finds pairs (the hot-key
+    hatch is live, same contract as df_cap/bucket_cap)."""
+    from crawlkit.pipelines import text
+
+    sf = "/root/testdata/sf0.001"
+    capped = text.fingerprint_collisions(sf, fp_cap=1)
+    assert len(capped) == 0
+    full = text.fingerprint_collisions(sf)
+    assert len(full) > 0
