@@ -216,6 +216,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": text.inverted_index,  # SQL-checked
         # top-k bigram collocations by integer PMI (broadcast unigrams)
         "collocations": text.collocations,  # SQL-checked
+        # CCNet-style corpus-LM predictability proxy (integer surrogate)
+        "lm_score": text.lm_score,  # SQL-checked
         # Gopher-style per-doc repetition signals (shuffle-free)
         "text_gopher_repetition": text.gopher_repetition,  # SQL-checked
         # conjunctive (AND) keyword search, top-k by summed tf

@@ -1424,3 +1424,30 @@ ORACLE_SQL["event_bursts"] = """
     GROUP BY user_id, hour
     HAVING COUNT(*) >= 2
 """
+
+# corpus-bigram LM predictability surrogate: per doc Σ over bigram
+# tokens of (c(xy)*1e6)//c(x·) — integer floor division both sides;
+# zipped parallel UNNESTs build (head, bigram) per position
+ORACLE_SQL["lm_score"] = r"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+        FROM documents
+    ), b AS (
+        SELECT doc_id,
+               UNNEST(list_transform(range(1, len(ws)), i -> ws[i])) AS x,
+               UNNEST(list_transform(range(1, len(ws)),
+                                     i -> ws[i] || ' ' || ws[i + 1])) AS bg
+        FROM t
+    ), c1 AS (
+        SELECT x, COUNT(*)::BIGINT AS cx FROM b GROUP BY x
+    ), c2 AS (
+        SELECT bg, COUNT(*)::BIGINT AS cxy FROM b GROUP BY bg
+    ), s AS (
+        SELECT b.doc_id, SUM((c2.cxy * 1000000) // c1.cx) AS v
+        FROM b JOIN c1 USING (x) JOIN c2 USING (bg)
+        GROUP BY b.doc_id
+    )
+    SELECT d.doc_id, COALESCE(s.v, 0)::BIGINT AS lm_score
+    FROM documents d LEFT JOIN s USING (doc_id)
+"""

@@ -1310,3 +1310,101 @@ def fingerprint_collisions(
         out, {"doc_id_a": "int64", "doc_id_b": "int64", "n_shared": "int64"}
     )
     return df.sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True)
+
+
+# --- corpus-LM predictability score (SQL-checked) -------------------------
+
+
+def lm_score(sf_dir: str, nshards: int = 32) -> rd.Dataset:
+    """CCNet-style LM quality proxy with the log dropped: per doc the
+    sum over its bigram TOKENS of the integer conditional-probability
+    surrogate ``(c(xy)·10⁶) // c(x·)`` where c(xy) is the corpus count
+    of the bigram and c(x·) the corpus count of x as a bigram head.
+    High = predictable/common phrasing, low = novel or noisy — the
+    screen CCNet implements with a KenLM perplexity and a float log;
+    integer floor division keeps it bit-exact SQL-checkable.
+
+    Scale shape (the ``top_keyword`` co-partition trick, one level up):
+    every bigram occurrence routes by hash(head word), so ONE shuffle
+    co-locates everything both counts need — c(xy) and c(x·) are
+    in-shard ``transform('size')`` lookups, no count table exists as a
+    separate dataset and no join runs; per-doc partials then meet in a
+    doc-hash shard reduce (second slim shuffle). Zero-bigram docs ride
+    along as explicit zero partials, not a driver-side backfill."""
+    from ..hashing import hash64_np
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        words_per = [(s or "").split() for s in t["text"].to_pylist()]
+        lens = np.array([len(w) for w in words_per], dtype=np.int64)
+        # zero partial per doc (keeps bigram-less docs in the result)
+        zdoc, zx, zbg, zscore = ids.astype(np.int64), [], [], None
+        parts_doc, parts_x, parts_bg = [], [], []
+        flat = [w for ws in words_per for w in ws]
+        if flat:
+            allw = np.array(flat, dtype=object)
+            didx = np.repeat(np.arange(len(ids)), lens)
+            same = didx[:-1] == didx[1:]
+            if same.any():
+                parts_doc = ids[didx[:-1][same]].astype(np.int64)
+                parts_x = allw[:-1][same]
+                parts_bg = pd.Series(allw[:-1][same]).str.cat(
+                    pd.Series(allw[1:][same]), sep=" "
+                ).to_numpy(dtype=object)
+        n_b = len(parts_doc)
+        doc = np.concatenate([zdoc, parts_doc]) if n_b else zdoc
+        x = np.concatenate([np.full(len(zdoc), "", dtype=object), parts_x]) if n_b \
+            else np.full(len(zdoc), "", dtype=object)
+        bg = np.concatenate([np.full(len(zdoc), "", dtype=object), parts_bg]) if n_b \
+            else np.full(len(zdoc), "", dtype=object)
+        is_pad = np.concatenate(
+            [np.ones(len(zdoc), np.int8), np.zeros(n_b, np.int8)]
+        ) if n_b else np.ones(len(zdoc), np.int8)
+        shard = (hash64_np([str(v) for v in x.tolist()]) % np.uint64(nshards)).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(doc),
+                "x": pa.array(x.tolist(), pa.string()),
+                "bg": pa.array(bg.tolist(), pa.string()),
+                "is_pad": pa.array(is_pad, pa.int8()),
+                "_shard": pa.array(shard),
+            }
+        )
+
+    def shard_score(g: pd.DataFrame) -> pd.DataFrame:
+        from .. import pandas_to_clean_arrow
+
+        pads = g[g["is_pad"] == 1]
+        real = g[g["is_pad"] == 0]
+        rows = [pd.DataFrame({"doc_id": pads["doc_id"].to_numpy(),
+                              "part": np.zeros(len(pads), np.int64)})]
+        if len(real):
+            cx = real.groupby("x")["doc_id"].transform("size").to_numpy()
+            cxy = real.groupby("bg")["doc_id"].transform("size").to_numpy()
+            score = (cxy.astype(np.int64) * 1_000_000) // cx.astype(np.int64)
+            rows.append(
+                pd.DataFrame({"doc_id": real["doc_id"].to_numpy(), "part": score})
+                .groupby("doc_id", as_index=False)["part"].sum()
+            )
+        out = pd.concat(rows, ignore_index=True)
+        out = out.groupby("doc_id", as_index=False)["part"].sum()
+        return pandas_to_clean_arrow(out.astype({"doc_id": "int64", "part": "int64"}))
+
+    from .relational import _sharded_agg
+
+    scored = _sharded_agg(
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(shard_score, batch_format="pandas"),
+        "doc_id",
+        {"lm_score": ("part", "sum")},
+        nshards=nshards,
+    )
+    from .dedup import pandas_with_schema
+
+    df = pandas_with_schema(scored, {"doc_id": "int64", "lm_score": "int64"})
+    return df.sort_values("doc_id").reset_index(drop=True)

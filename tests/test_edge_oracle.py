@@ -67,6 +67,7 @@ DOC_QUERIES = [
     "inverted_index",
     "collocations",
     "text_gopher_repetition",
+    "lm_score",
     "search_conjunctive",
     "pack_sequences",
     "bm25_topk",
