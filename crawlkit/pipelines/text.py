@@ -1336,12 +1336,17 @@ def lm_score(sf_dir: str, nshards: int = 32) -> rd.Dataset:
     ds = _read_docs(sf_dir, ["doc_id", "text"])
 
     def explode(t: pa.Table) -> pa.Table:
+        # the shuffle carries 64-bit HASHES of head word and bigram, not
+        # the strings (the jaccard engine's hashed-shingle precedent:
+        # count-by-equality tolerates the ~1e-8 64-bit collision odds,
+        # and int groupbys are several times faster than object-string
+        # ones); pad rows keep bigram-less docs in the result
         ids = t["doc_id"].to_numpy()
         words_per = [(s or "").split() for s in t["text"].to_pylist()]
         lens = np.array([len(w) for w in words_per], dtype=np.int64)
-        # zero partial per doc (keeps bigram-less docs in the result)
-        zdoc, zx, zbg, zscore = ids.astype(np.int64), [], [], None
-        parts_doc, parts_x, parts_bg = [], [], []
+        zdoc = ids.astype(np.int64)
+        parts_doc = np.empty(0, np.int64)
+        hx = hb = np.empty(0, np.uint64)
         flat = [w for ws in words_per for w in ws]
         if flat:
             allw = np.array(flat, dtype=object)
@@ -1349,27 +1354,27 @@ def lm_score(sf_dir: str, nshards: int = 32) -> rd.Dataset:
             same = didx[:-1] == didx[1:]
             if same.any():
                 parts_doc = ids[didx[:-1][same]].astype(np.int64)
-                parts_x = allw[:-1][same]
-                parts_bg = pd.Series(allw[:-1][same]).str.cat(
+                xs = allw[:-1][same]
+                bgs = pd.Series(xs).str.cat(
                     pd.Series(allw[1:][same]), sep=" "
                 ).to_numpy(dtype=object)
+                uniq, inv = np.unique(
+                    np.concatenate([xs, bgs]), return_inverse=True
+                )
+                hu = hash64_np(uniq.tolist())
+                hx = hu[inv[: len(xs)]]
+                hb = hu[inv[len(xs):]]
         n_b = len(parts_doc)
-        doc = np.concatenate([zdoc, parts_doc]) if n_b else zdoc
-        x = np.concatenate([np.full(len(zdoc), "", dtype=object), parts_x]) if n_b \
-            else np.full(len(zdoc), "", dtype=object)
-        bg = np.concatenate([np.full(len(zdoc), "", dtype=object), parts_bg]) if n_b \
-            else np.full(len(zdoc), "", dtype=object)
-        is_pad = np.concatenate(
-            [np.ones(len(zdoc), np.int8), np.zeros(n_b, np.int8)]
-        ) if n_b else np.ones(len(zdoc), np.int8)
-        shard = (hash64_np([str(v) for v in x.tolist()]) % np.uint64(nshards)).astype(
-            np.int64
-        )
+        doc = np.concatenate([zdoc, parts_doc])
+        x64 = np.concatenate([np.zeros(len(zdoc), np.uint64), hx]).view(np.int64)
+        b64 = np.concatenate([np.zeros(len(zdoc), np.uint64), hb]).view(np.int64)
+        is_pad = np.concatenate([np.ones(len(zdoc), np.int8), np.zeros(n_b, np.int8)])
+        shard = (x64.view(np.uint64) % np.uint64(nshards)).astype(np.int64)
         return pa.table(
             {
                 "doc_id": pa.array(doc),
-                "x": pa.array(x.tolist(), pa.string()),
-                "bg": pa.array(bg.tolist(), pa.string()),
+                "x": pa.array(x64),
+                "bg": pa.array(b64),
                 "is_pad": pa.array(is_pad, pa.int8()),
                 "_shard": pa.array(shard),
             }
