@@ -77,6 +77,12 @@ DOC_QUERIES = [
     "text_embed_counts",
     "gram_matrix",
     "text_token_count",
+    "text_bpe_token_count",
+    "text_score",
+    "text_classify",
+    "text_word_freq",
+    "dedup_simhash",
+    "dup_span_fraction",
     "text_quality_counts",
     "text_redact",
     "text_fingerprint32",
@@ -423,3 +429,16 @@ def test_edge_embeddings_matches_oracle(name, edge_emb_dir, edge_emb_con):
     g, w = _canon(got), _canon(want)
     assert list(g.dtypes) == list(w.dtypes)
     pd.testing.assert_frame_equal(g, w)
+
+
+def test_every_documents_only_oracle_is_edge_covered(edge_con):
+    """Sync guard: any SQL-checked query whose oracle needs ONLY the
+    documents table must be in DOC_QUERIES (edge coverage is the layer
+    that catches off-by-ones the benign sf fixtures never trip — a new
+    doc-only op that skips it is a coverage hole, not a choice)."""
+    for name, sql in entrymod.oracle_sql().items():
+        try:
+            edge_con.execute("EXPLAIN " + sql)
+        except Exception:
+            continue  # needs tables beyond documents → other fixtures
+        assert name in DOC_QUERIES, f"{name} is documents-only but not edge-covered"
