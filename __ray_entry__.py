@@ -267,6 +267,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_degree_hist": graph.degree_hist,  # SQL-checked  # SQL-checked (exact int arithmetic)
         # wedge-check triangle counting (groupby-wedges + shuffle join)
         "triangle_count": graph.triangle_count,  # SQL-checked
+        # multi-source BFS levels (frontier joins + min-merge reduces)
+        "bfs_levels": graph.bfs_levels,  # SQL-checked (recursive-CTE oracle)
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs,  # rows-only
         # signatures, not pairs: the driver corpus is uniform-vocab, so
         # nearly ALL pairs are within hamming 3 (a known simhash

@@ -371,3 +371,126 @@ def degree_hist(sf_dir: str, nshards: int = 32) -> pd.DataFrame:
         )
     out = out.sort_values("in_degree").reset_index(drop=True)
     return out.astype({"in_degree": "int64", "n_nodes": "int64"})
+
+
+def bfs_levels(
+    sf_dir: str, max_depth: int = 4, seed_mod: int = 97, nshards: int = 32
+) -> pd.DataFrame:
+    """Multi-source BFS levels over the md5-derived doc graph: level(v)
+    = min #hops from any seed (``doc_id % seed_mod == 0``) along the
+    directed edges, bounded at ``max_depth``; unreached nodes are
+    omitted. The third classic iterative graph primitive next to
+    ``pagerank`` (fixed-point value propagation) and ``dedup_clusters``
+    (min-label components) — BFS is min-PLUS propagation, the shape of
+    reachability / crawl-depth / taint analyses.
+
+    Distribution shape: FRONTIER-driven — each round joins the edge
+    table against only the nodes first settled last round (frontier ≪
+    reached), pre-distincts candidates per batch, and min-merges into
+    the visited set with one hash-shard pandas reduce (the
+    ``_sharded_agg`` shape; generic Aggregate pays a sort boundary per
+    distinct node). Per round: 1 frontier-sized join + 1 reached-sized
+    slim (int64,int64) shuffle; the visited set is materialized per
+    round (O(reached) ints) because two consumers (merge + next
+    frontier) would otherwise re-execute the chain. Early-exits when a
+    frontier empties. Oracle: DuckDB recursive CTE bounded at
+    ``max_depth`` with MIN(dist) — identical to Bellman-Ford truncated
+    at ``max_depth`` rounds, which frontier BFS computes exactly."""
+    from .dedup import _md5_lower64, _nonempty_blocks, pandas_with_schema
+    from .relational import _sharded_agg
+
+    nodes = _read_nodes(sf_dir)
+    n_docs = nodes.count()
+    out_types = {"doc_id": "int64", "level": "int64"}
+    if n_docs == 0:
+        return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in out_types.items()})
+
+    edge_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+    dist_schema = pa.schema([("node", pa.int64()), ("lvl", pa.int64())])
+
+    def build_edges(t: pa.Table) -> pa.Table:
+        v = t["doc_id"].to_numpy()
+        outdeg = (
+            _md5_lower64([f"{x}-d" for x in v.tolist()]) % np.uint64(3)
+        ).astype(np.int64) + 1
+        src = np.repeat(v, outdeg)
+        js = (
+            np.concatenate([np.arange(d) for d in outdeg])
+            if len(v)
+            else np.empty(0, np.int64)
+        )
+        dst = (
+            _md5_lower64([f"{s}-e{j}" for s, j in zip(src.tolist(), js.tolist())])
+            % np.uint64(n_docs)
+        ).astype(np.int64)
+        return pa.table({"src": src, "dst": dst}, schema=edge_schema)
+
+    # materialized once, re-joined every round (pagerank's edge-reuse shape)
+    edges = _nonempty_blocks(
+        nodes.map_batches(build_edges, batch_format="pyarrow"), edge_schema
+    ).materialize()
+
+    def seed_rows(t: pa.Table) -> pa.Table:
+        v = t["doc_id"].to_numpy()
+        s = v[v % seed_mod == 0]
+        return pa.table(
+            {"node": s, "lvl": np.zeros(len(s), np.int64)}, schema=dist_schema
+        )
+
+    visited = _nonempty_blocks(
+        nodes.map_batches(seed_rows, batch_format="pyarrow"), dist_schema
+    ).materialize()
+    frontier = visited
+
+    for depth in range(1, max_depth + 1):
+        if frontier.count() == 0:
+            break
+
+        def to_cand(t: pa.Table, depth: int = depth) -> pa.Table:
+            if t.num_columns == 0 or t.num_rows == 0:
+                return dist_schema.empty_table()
+            d = np.unique(t["dst"].to_numpy())  # per-batch pre-distinct
+            return pa.table(
+                {"node": d, "lvl": np.full(len(d), depth, np.int64)},
+                schema=dist_schema,
+            )
+
+        cand = _nonempty_blocks(
+            edges.join(
+                frontier.select_columns(["node"]),
+                join_type="inner",
+                num_partitions=2,
+                on=("src",),
+                right_on=("node",),
+            ).map_batches(to_cand, batch_format="pyarrow"),
+            dist_schema,
+        )
+        visited = _nonempty_blocks(
+            _sharded_agg(
+                _nonempty_blocks(visited.union(cand), dist_schema),
+                "node",
+                {"lvl": ("lvl", "min")},
+                nshards=nshards,
+            ),
+            dist_schema,
+        ).materialize()
+
+        def newly(t: pa.Table, depth: int = depth) -> pa.Table:
+            if t.num_columns == 0 or t.num_rows == 0:
+                return dist_schema.empty_table()
+            return t.filter(pc.equal(t["lvl"], depth))
+
+        frontier = _nonempty_blocks(
+            visited.map_batches(newly, batch_format="pyarrow"), dist_schema
+        ).materialize()
+
+    def rename(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.schema(
+                [("doc_id", pa.int64()), ("level", pa.int64())]
+            ).empty_table()
+        return t.rename_columns(["doc_id", "level"])
+
+    return pandas_with_schema(
+        visited.map_batches(rename, batch_format="pyarrow"), out_types
+    )

@@ -962,6 +962,35 @@ def _pagerank_sql(iters: int = 5) -> str:
 
 ORACLE_SQL["pagerank"] = _pagerank_sql(5)
 
+# multi-source BFS levels over the same md5-derived edges: min #hops
+# from any seed (doc_id % 97 = 0), bounded at depth 4; the recursive
+# CTE enumerates every path of length ≤ 4 (UNION dedups states) and
+# MIN(dist) is exactly frontier-BFS truncated at 4 rounds
+ORACLE_SQL["bfs_levels"] = """
+    WITH RECURSIVE nodes AS (
+        SELECT CAST(doc_id AS BIGINT) AS v FROM documents
+    ), deg AS (
+        SELECT v,
+               1 + CAST(md5_number_lower(CAST(v AS VARCHAR) || '-d') % 3 AS BIGINT)
+                   AS outdeg
+        FROM nodes
+    ), edges AS (
+        SELECT d.v AS src,
+               CAST(md5_number_lower(
+                        CAST(d.v AS VARCHAR) || '-e' || CAST(t.j AS VARCHAR)
+                    ) % (SELECT COUNT(*) FROM nodes) AS BIGINT) AS dst
+        FROM deg d, UNNEST(range(0, d.outdeg)) AS t(j)
+    ), bfs(node, dist) AS (
+        SELECT v, 0 FROM nodes WHERE v % 97 = 0
+        UNION
+        SELECT e.dst, b.dist + 1
+        FROM bfs b JOIN edges e ON e.src = b.node
+        WHERE b.dist < 4
+    )
+    SELECT node AS doc_id, CAST(MIN(dist) AS BIGINT) AS level
+    FROM bfs GROUP BY node
+"""
+
 # inverted index: sorted posting lists for terms in the df band
 ORACLE_SQL["inverted_index"] = r"""
     WITH words AS (

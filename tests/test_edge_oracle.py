@@ -93,6 +93,7 @@ DOC_QUERIES = [
     "pagerank",
     "triangle_count",
     "graph_degree_hist",
+    "bfs_levels",
 ]
 
 
