@@ -285,6 +285,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bruteforce": ann.knn_bruteforce,  # SQL-checked (deterministic ranks)
         "knn_reciprocal": ann.knn_reciprocal,  # SQL-checked (mutual top-k pairs)
         "emb_centroid": ann.emb_centroid,  # SQL-checked (exact micro-unit moments)
+        # INT8 scalar quantization (8× embedding compression, exact ints)
+        "emb_quantize_int8": ann.emb_quantize_int8,  # SQL-checked
         "knn_ivf": ann.knn_ivf,  # rows-only (approximate)
         # PQ codes (32× compression) + ADC scan + exact re-rank
         "knn_ivfpq": ann.knn_ivfpq,  # rows-only (recall ≥0.8 pinned in tests)

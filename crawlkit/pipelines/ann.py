@@ -399,3 +399,57 @@ def knn_reciprocal(sf_dir: str, k: int = 10) -> rd.Dataset:
         .groupby("shard")
         .map_groups(mutual, batch_format="pandas")
     )
+
+
+def emb_quantize_int8(sf_dir: str) -> rd.Dataset:
+    """INT8 scalar quantization of the embedding column — the standard
+    8× (float32) embedding-compression step an ANN index applies before
+    PQ is warranted: per-dimension min/max over the corpus, then
+    ``code = (v − min)·255 // range`` per value. All arithmetic is
+    closed over int64 micro-units (``floor(v·10⁶)``, the value-cents
+    trick) so the distributed reduce is order-independent and the DuckDB
+    oracle agrees bit for bit; a constant dimension (range 0) codes 0.
+
+    Distribution shape: pass 1 ships per-batch per-dim (min,max)
+    partials — dim-count-sized, never row-count-sized — folded on the
+    driver (O(64) ints) and broadcast back with ``ray.put``; pass 2 is
+    one shuffle-free streaming map over the corpus. Output (vec_id, dim,
+    code) with code uint8 — the physical layout a sink would write."""
+    ds = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def stat_partial(t: pa.Table) -> pa.Table:
+        mat = np.stack(t["embedding"].to_numpy(zero_copy_only=False))
+        q = np.floor(mat.astype(np.float64) * 1e6).astype(np.int64)
+        dim = q.shape[1]
+        return pa.table(
+            {
+                "dim": np.arange(dim, dtype=np.int64),
+                "mn": q.min(axis=0),
+                "mx": q.max(axis=0),
+            }
+        )
+
+    stats = ds.map_batches(stat_partial, batch_format="pyarrow").to_pandas()
+    folded = stats.groupby("dim").agg(mn=("mn", "min"), mx=("mx", "max"))
+    mn = folded["mn"].to_numpy()
+    rng = folded["mx"].to_numpy() - mn
+    params_ref = ray.put((mn, np.maximum(rng, 1), rng == 0))
+
+    def encode(t: pa.Table) -> pa.Table:
+        mn, safe_rng, const = ray.get(params_ref)
+        mat = np.stack(t["embedding"].to_numpy(zero_copy_only=False))
+        q = np.floor(mat.astype(np.float64) * 1e6).astype(np.int64)
+        codes = ((q - mn) * 255) // safe_rng
+        codes[:, const] = 0
+        n, dim = codes.shape
+        return pa.table(
+            {
+                "vec_id": np.repeat(t["vec_id"].to_numpy(), dim),
+                "dim": np.tile(np.arange(dim, dtype=np.int64), n),
+                "code": codes.reshape(-1).astype(np.uint8),
+            }
+        )
+
+    return ds.map_batches(encode, batch_format="pyarrow")

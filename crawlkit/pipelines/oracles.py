@@ -724,6 +724,23 @@ ORACLE_SQL: dict[str, str] = {
         FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
         GROUP BY label, i
     """,
+    # INT8 scalar quantization of embeddings: per-dim min/max over
+    # int64 micro-units, code = (v-min)*255 // range (constant dim → 0);
+    # CAST ... AS DOUBLE mirrors the engine's float32→float64 promotion
+    "emb_quantize_int8": """
+        WITH vals AS (
+            SELECT vec_id, CAST(t.i AS BIGINT) AS dim,
+                   CAST(FLOOR(CAST(embedding[t.i + 1] AS DOUBLE) * 1000000)
+                        AS BIGINT) AS v
+            FROM embeddings, UNNEST(range(0, len(embedding))) AS t(i)
+        ), stats AS (
+            SELECT dim, MIN(v) AS mn, MAX(v) AS mx FROM vals GROUP BY dim
+        )
+        SELECT vec_id, vals.dim,
+               CAST(CASE WHEN mx = mn THEN 0
+                         ELSE ((v - mn) * 255) // (mx - mn) END AS UTINYINT) AS code
+        FROM vals JOIN stats USING (dim)
+    """,
     # positional 5-gram duplicate-span statistic (Lee et al. substring
     # dedup): gram occurrence counted WITH multiplicity corpus-wide; the
     # engine counts on a 64-bit gram hash (collision-free assumption)

@@ -366,3 +366,40 @@ def test_image_letterbox_reconstructs():
         mask = np.ones((side, side), dtype=bool)
         mask[y0:y0 + px.shape[0], x0:x0 + px.shape[1]] = False
         assert (cv[mask] == 114).all()
+
+
+def test_emb_quantize_constant_dim(tmp_path):
+    """The range-0 guard: a dimension constant across the corpus codes 0
+    everywhere (no divide-by-zero), and a 2-value dimension codes
+    exactly {0, 255} — the endpoints of the int8 range."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from crawlkit.pipelines.ann import emb_quantize_int8
+
+    vecs = np.array(
+        [[0.5, 0.1, -1.0], [0.5, 0.9, -1.0], [0.5, 0.4, 2.0]], dtype=np.float32
+    )
+    t = pa.table(
+        {
+            "vec_id": pa.array([0, 1, 2], pa.int64()),
+            "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+            "label": pa.array([0, 0, 1], pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "embeddings.parquet")
+    got = emb_quantize_int8(str(tmp_path)).to_pandas()
+    const = got[got["dim"] == 0]
+    assert (const["code"] == 0).all()
+    dim2 = got[got["dim"] == 2].set_index("vec_id")["code"]
+    assert dim2[0] == 0 and dim2[1] == 0 and dim2[2] == 255
+    import __ray_entry__ as entrymod
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{tmp_path}/embeddings.parquet')"
+    )
+    want = con.execute(entrymod.oracle_sql()["emb_quantize_int8"]).df()
+    g = got.sort_values(["vec_id", "dim"]).reset_index(drop=True)
+    w = want.sort_values(["vec_id", "dim"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g[sorted(g.columns)], w[sorted(w.columns)])

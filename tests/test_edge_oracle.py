@@ -418,7 +418,9 @@ def edge_emb_con(edge_emb_dir):
     return c
 
 
-@pytest.mark.parametrize("name", ["knn_bruteforce", "emb_centroid", "knn_reciprocal"])
+@pytest.mark.parametrize(
+    "name", ["knn_bruteforce", "emb_centroid", "knn_reciprocal", "emb_quantize_int8"]
+)
 def test_edge_embeddings_matches_oracle(name, edge_emb_dir, edge_emb_con):
     queries, oracles = entrymod.queries(), entrymod.oracle_sql()
     got = queries[name](edge_emb_dir)
