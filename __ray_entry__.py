@@ -187,6 +187,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": relational.stratified_sample,  # SQL-checked
         # Deequ-style per-column profile: n / nulls / distinct / min / max
         "data_profile": relational.data_profile,  # SQL-checked
+        # record linkage: block → multiset prefilter → vectorized lev DP
+        "fuzzy_blocking": relational.fuzzy_blocking,  # SQL-checked (levenshtein)
         # --- text analysis (SQL-checked where exact) ---
         "text_redact": text.redact,  # SQL-checked (same RE2 class both sides)
         "text_token_count": text.token_count,

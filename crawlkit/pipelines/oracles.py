@@ -724,6 +724,16 @@ ORACLE_SQL: dict[str, str] = {
         FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
         GROUP BY label, i
     """,
+    # record linkage: Levenshtein ≤ τ pairs under nation blocking — the
+    # blocking predicate is part of the operator contract (both sides
+    # apply it), so engine and oracle agree exactly
+    "fuzzy_blocking": """
+        SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+               CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        FROM customer a JOIN customer b
+          ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
     # INT8 scalar quantization of embeddings: per-dim min/max over
     # int64 micro-units, code = (v-min)*255 // range (constant dim → 0);
     # CAST ... AS DOUBLE mirrors the engine's float32→float64 promotion

@@ -1605,3 +1605,106 @@ def q10_returned(sf_dir: str, k: int = 20, nshards: int = 32) -> pd.DataFrame:
         {"o_custkey": "int64", "c_name": "object", "n_name": "object",
          "revenue_cents": "int64"}
     )
+
+
+def _lev_pairs_vec(
+    A: np.ndarray, la: np.ndarray, B: np.ndarray, lb: np.ndarray
+) -> np.ndarray:
+    """Unit-cost Levenshtein for P candidate pairs, VECTORIZED ACROSS
+    PAIRS: the classic DP runs La×Lb rounds of elementwise minima over
+    all P pairs at once (324 numpy ops for 18-char names — never a
+    per-pair Python DP). A/B are zero-padded uint8 matrices; rows
+    beyond a pair's true lengths are never read (result captured at
+    row i == la)."""
+    P = len(la)
+    if P == 0:
+        return np.empty(0, dtype=np.int64)
+    Lb = B.shape[1]
+    res = np.zeros(P, dtype=np.int64)
+    prev = np.tile(np.arange(Lb + 1, dtype=np.int64), (P, 1))
+    zero = la == 0
+    res[zero] = lb[zero]
+    for i in range(1, int(la.max()) + 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        sub = prev[:, :-1] + (A[:, i - 1][:, None] != B).astype(np.int64)
+        dele = prev[:, 1:] + 1
+        for j in range(1, Lb + 1):
+            cur[:, j] = np.minimum(
+                np.minimum(sub[:, j - 1], dele[:, j - 1]), cur[:, j - 1] + 1
+            )
+        prev = cur
+        hit = la == i
+        if hit.any():
+            res[hit] = cur[hit, lb[hit]]
+    return res
+
+
+def fuzzy_blocking(
+    sf_dir: str, tau: int = 1, group_cap: int = 20_000
+) -> rd.Dataset:
+    """Record linkage / entity resolution: customer pairs whose names are
+    within Levenshtein distance ``tau``, under nation BLOCKING — the
+    three-stage shape every production linker uses (block → cheap filter
+    → exact verify), with the blocking predicate part of the operator's
+    CONTRACT (the oracle applies the same one, so both sides agree
+    exactly; unblocked cross-nation matches are out of scope by design,
+    as in any blocked linker).
+
+    Stages per block (one ``groupby(c_nationkey)`` shuffle of slim
+    (key, name) rows; a block above ``group_cap`` is logged and skipped
+    — the standard hot-key hatch): (1) names → padded byte matrix,
+    (2) character-multiset L1 prefilter — ``lev ≥ ⌈L1/2⌉`` since a
+    substitution moves two counts and an indel one, so only pairs with
+    L1 ≤ 2τ reach the DP (alphabet projected to occurring bytes:
+    O(n²·|Σ|) cheap ints), (3) pair-vectorized Levenshtein DP
+    (``_lev_pairs_vec``) on the survivors. ASCII names assumed (byte ==
+    char distance — holds for the fixture; a unicode corpus would
+    decode to codepoints first). Oracle: DuckDB ``levenshtein`` under
+    the identical blocking join."""
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"])
+    out_cols = {"custkey_a": "int64", "custkey_b": "int64", "dist": "int64"}
+
+    def block_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({c: pd.Series([], dtype=t) for c, t in out_cols.items()})
+        if len(g) > group_cap:
+            import logging
+
+            logging.getLogger("crawlkit").warning(
+                "fuzzy_blocking: nation %s block %d > group_cap %d — skipped",
+                g["c_nationkey"].iloc[0], len(g), group_cap,
+            )
+            return empty
+        if len(g) < 2:
+            return empty
+        g = g.sort_values("c_custkey")
+        keys = g["c_custkey"].to_numpy()
+        names = g["c_name"].to_numpy(dtype=object)
+        lens = g["c_name"].str.len().to_numpy().astype(np.int64)
+        lmax = int(lens.max())
+        M = np.array(names, dtype=f"S{lmax}").view(np.uint8).reshape(len(g), lmax)
+        # char-multiset counts over true (unpadded) positions only
+        rows_i, cols_i = np.nonzero(np.arange(lmax) < lens[:, None])
+        counts = np.zeros((len(g), 256), dtype=np.int32)
+        np.add.at(counts, (rows_i, M[rows_i, cols_i]), 1)
+        C = counts[:, counts.sum(axis=0) > 0]
+        # pair enumeration is O(n²) — the prefilter streams it in bounded
+        # chunks (the group_cap bounds n; the chunking bounds peak memory)
+        ii_all, jj_all = np.triu_indices(len(g), k=1)
+        keep_i, keep_j = [], []
+        chunk = 2_000_000
+        for s in range(0, len(ii_all), chunk):
+            ic, jc = ii_all[s : s + chunk], jj_all[s : s + chunk]
+            l1 = np.abs(C[ic] - C[jc]).sum(axis=1)
+            m = l1 <= 2 * tau
+            keep_i.append(ic[m])
+            keep_j.append(jc[m])
+        ii = np.concatenate(keep_i) if keep_i else np.empty(0, np.int64)
+        jj = np.concatenate(keep_j) if keep_j else np.empty(0, np.int64)
+        d = _lev_pairs_vec(M[ii], lens[ii], M[jj], lens[jj])
+        ok = d <= tau
+        return pd.DataFrame(
+            {"custkey_a": keys[ii[ok]], "custkey_b": keys[jj[ok]], "dist": d[ok]}
+        ).astype(out_cols)
+
+    return ds.groupby("c_nationkey").map_groups(block_pairs, batch_format="pandas")

@@ -69,3 +69,36 @@ def test_entry_smoke():
     df = _to_pandas(res)
     assert len(df) > 0
     assert {"doc_id", "lang_pred", "quality_score"} <= set(df.columns)
+
+
+def test_lev_pairs_vec_matches_reference():
+    """Pair-vectorized DP ≡ the textbook per-pair DP on random
+    VARIABLE-LENGTH strings (the sf fixture's names are all equal
+    length, so the insert/delete path is only exercised here)."""
+    import numpy as np
+
+    from crawlkit.pipelines.relational import _lev_pairs_vec
+
+    def ref(a: str, b: str) -> int:
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[len(b)]
+
+    rs = np.random.RandomState(7)
+    alpha = "abc"
+    strs = [
+        "".join(alpha[k] for k in rs.randint(0, 3, rs.randint(0, 9)))
+        for _ in range(40)
+    ]
+    pairs = [(i, j) for i in range(len(strs)) for j in range(i + 1, len(strs))]
+    lmax = max(max(len(s) for s in strs), 1)
+    M = np.array(strs, dtype=f"S{lmax}").view(np.uint8).reshape(len(strs), lmax)
+    lens = np.array([len(s) for s in strs], dtype=np.int64)
+    ii = np.array([p[0] for p in pairs])
+    jj = np.array([p[1] for p in pairs])
+    got = _lev_pairs_vec(M[ii], lens[ii], M[jj], lens[jj])
+    want = np.array([ref(strs[i], strs[j]) for i, j in pairs])
+    assert (got == want).all()
