@@ -179,6 +179,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_agg": relational.rollup_agg,  # SQL-checked (GROUP BY ROLLUP)
         "pivot_wide": relational.pivot_wide,  # SQL-checked (conditional-agg pivot)
         "string_agg_segments": relational.string_agg_segments,  # SQL-checked
+        # TeraSort: sampled range bounds → partitioned global sort manifest
+        "sort_partitioned": relational.sort_partitioned,  # SQL-checked
         "q1_pricing": relational.q1_pricing,
         "u_union": relational.u_union,
         "s_except": relational.s_except,

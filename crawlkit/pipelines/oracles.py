@@ -724,6 +724,26 @@ ORACLE_SQL: dict[str, str] = {
         FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
         GROUP BY label, i
     """,
+    # TeraSort manifest: md5-coin sample → quantile_disc bounds →
+    # part_id = #bounds strictly below the key; COALESCE covers the
+    # empty-sample degenerate case (everything in partition 0)
+    "sort_partitioned": """
+        WITH t AS (
+            SELECT CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS key,
+                   md5_number_lower(CAST(l_orderkey AS VARCHAR) || '-'
+                                    || CAST(l_linenumber AS VARCHAR)) % 50 AS coin
+            FROM lineitem
+        ), b AS (
+            SELECT quantile_disc(key, [0.125, 0.25, 0.375, 0.5,
+                                       0.625, 0.75, 0.875]) AS bs
+            FROM t WHERE coin = 0
+        )
+        SELECT CAST(COALESCE(len(list_filter(b.bs, x -> x < t.key)), 0) AS BIGINT)
+                   AS part_id,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               MIN(t.key) AS min_cents, MAX(t.key) AS max_cents
+        FROM t, b GROUP BY 1
+    """,
     # record linkage: Levenshtein ≤ τ pairs under nation blocking — the
     # blocking predicate is part of the operator contract (both sides
     # apply it), so engine and oracle agree exactly

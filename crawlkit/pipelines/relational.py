@@ -1708,3 +1708,119 @@ def fuzzy_blocking(
         ).astype(out_cols)
 
     return ds.groupby("c_nationkey").map_groups(block_pairs, batch_format="pandas")
+
+
+def sort_partitioned(
+    sf_dir: str,
+    nparts: int = 8,
+    sample_mod: int = 50,
+    out_dir: str | None = None,
+) -> pd.DataFrame:
+    """TeraSort-style RANGE-PARTITIONED GLOBAL SORT of lineitem by price
+    cents — the classic cluster sort: sample the key, cut ``nparts-1``
+    quantile bounds, route every row to its range, sort each range
+    independently. Partition p holds exactly the keys in
+    (bound[p-1], bound[p]] so concatenating partitions in id order IS
+    the globally sorted output — no merge step, and each partition is an
+    independently writable/resumable unit.
+
+    Determinism (what makes this SQL-checkable where production
+    TeraSort samples randomly): the sample is the md5-coin subset
+    ``md5(l_orderkey-l_linenumber) % sample_mod == 0`` (the split_assign
+    coin family) and the bounds are DuckDB-``quantile_disc``-convention
+    exact quantiles of that sample (idx = ceil(i·m/nparts)−1), so engine
+    and oracle derive identical bounds. Returns the partition MANIFEST
+    (part_id, n_rows, min_cents, max_cents) built from per-batch
+    partials — the fact table itself is only shuffled when ``out_dir``
+    is given (one groupby(part) → per-range sort → one parquet fragment
+    per range; tests pin global order across fragments)."""
+    from .dedup import _md5_lower64, pandas_with_schema
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"])
+    out_types = {
+        "part_id": "int64", "n_rows": "int64",
+        "min_cents": "int64", "max_cents": "int64",
+    }
+
+    def key_of(t: pa.Table) -> np.ndarray:
+        return _cents(t["l_extendedprice"]).to_numpy()
+
+    def coin_rows(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy()
+        ln = t["l_linenumber"].to_numpy()
+        coin = _md5_lower64(
+            [f"{a}-{b}" for a, b in zip(ok.tolist(), ln.tolist())]
+        ) % np.uint64(sample_mod)
+        return pa.table({"key": key_of(t)[coin == 0]})
+
+    sample = ds.map_batches(coin_rows, batch_format="pyarrow").to_pandas()["key"]
+    s = np.sort(sample.to_numpy())
+    m = len(s)
+    bounds = (
+        np.array([s[-(-(i * m) // nparts) - 1] for i in range(1, nparts)])
+        if m
+        else np.empty(0, np.int64)
+    )
+
+    def manifest_partial(t: pa.Table) -> pa.Table:
+        k = key_of(t)
+        part = np.searchsorted(bounds, k, side="left").astype(np.int64)
+        df = pd.DataFrame({"part_id": part, "k": k})
+        g = df.groupby("part_id", as_index=False).agg(
+            n_rows=("k", "size"), min_cents=("k", "min"), max_cents=("k", "max")
+        )
+        from .. import pandas_to_clean_arrow
+
+        return pandas_to_clean_arrow(g.astype(out_types))
+
+    manifest = pandas_with_schema(
+        ds.map_batches(manifest_partial, batch_format="pyarrow")
+        .groupby("part_id")
+        .aggregate(
+            Sum("n_rows", alias_name="n_rows"),
+            Min("min_cents", alias_name="min_cents"),
+            Max("max_cents", alias_name="max_cents"),
+        ),
+        out_types,
+    ).sort_values("part_id").reset_index(drop=True)
+
+    if out_dir is not None:
+        import os
+
+        os.makedirs(out_dir, exist_ok=True)
+
+        def write_range(g: pd.DataFrame) -> pd.DataFrame:
+            import pyarrow.parquet as pq
+
+            p = int(g["part_id"].iloc[0])
+            g = g.sort_values(["k", "l_orderkey", "l_linenumber"])
+            pq.write_table(
+                pa.Table.from_pandas(
+                    g[["k", "l_orderkey", "l_linenumber"]], preserve_index=False
+                ),
+                f"{out_dir}/part_{p:05d}.parquet",
+            )
+            return pd.DataFrame({"part_id": pd.array([p], dtype="int64"),
+                                 "written": pd.array([len(g)], dtype="int64")})
+
+        def tag(t: pa.Table) -> pa.Table:
+            k = key_of(t)
+            part = np.searchsorted(bounds, k, side="left").astype(np.int64)
+            return pa.table(
+                {
+                    "part_id": part,
+                    "k": k,
+                    "l_orderkey": t["l_orderkey"],
+                    "l_linenumber": t["l_linenumber"],
+                }
+            )
+
+        written = (
+            ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("part_id")
+            .map_groups(write_range, batch_format="pandas")
+            .to_pandas()
+        )
+        assert int(written["written"].sum()) == int(manifest["n_rows"].sum())
+
+    return manifest

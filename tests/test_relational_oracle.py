@@ -102,3 +102,34 @@ def test_lev_pairs_vec_matches_reference():
     got = _lev_pairs_vec(M[ii], lens[ii], M[jj], lens[jj])
     want = np.array([ref(strs[i], strs[j]) for i, j in pairs])
     assert (got == want).all()
+
+
+def test_sort_partitioned_global_order(tmp_path):
+    """The write path: concatenating the range fragments in part_id
+    order yields the globally sorted key sequence, fragment key ranges
+    don't overlap, and fragment row counts equal the manifest's."""
+    import glob
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from crawlkit.pipelines.relational import sort_partitioned
+
+    out = str(tmp_path / "tsort")
+    manifest = sort_partitioned(SF_DIR, out_dir=out)
+    files = sorted(glob.glob(f"{out}/part_*.parquet"))
+    assert len(files) == len(manifest)
+    prev_max = None
+    all_keys = []
+    for f, (_, row) in zip(files, manifest.iterrows()):
+        k = pq.read_table(f)["k"].to_numpy()
+        assert len(k) == row["n_rows"]
+        assert (np.diff(k) >= 0).all()          # sorted within the range
+        assert k[0] == row["min_cents"] and k[-1] == row["max_cents"]
+        if prev_max is not None:
+            assert k[0] >= prev_max             # ranges don't overlap
+        prev_max = k[-1]
+        all_keys.append(k)
+    flat = np.concatenate(all_keys)
+    assert (np.diff(flat) >= 0).all()           # global order
+    assert len(flat) == manifest["n_rows"].sum()
