@@ -285,6 +285,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding": lambda sf_dir: dedup.embedding_neardup_pairs(
             sf_dir, plant_every=50
         ),  # rows-only
+        # SemDeDup: k-means localization + within-cluster cosine prune;
+        # rows-only (brute-force pruning oracle + planted-dup tests)
+        "dedup_semantic": lambda sf_dir: dedup.semdedup(
+            sf_dir, plant_every=50
+        ),  # rows-only
         # --- similarity search ---
         "knn_bruteforce": ann.knn_bruteforce,  # SQL-checked (deterministic ranks)
         "knn_reciprocal": ann.knn_reciprocal,  # SQL-checked (mutual top-k pairs)

@@ -24,6 +24,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Min
 
@@ -465,6 +466,117 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3, bucket_cap: int = 512) -> r
 PLANT_ID_OFFSET = 10_000_000
 
 
+def _with_planted_neardups(ds, plant_every: int | None):
+    """Deterministically derive a perturbed near-duplicate (id +
+    PLANT_ID_OFFSET, vector scaled + ε on dim 0 → cosine ≈ 1) for every
+    vec_id divisible by ``plant_every``, INSIDE the pipeline — keeps
+    driver fixtures non-vacuous (random embeddings are near-orthogonal,
+    so an unplanted corpus has zero near-dup pairs by construction)."""
+    if not plant_every:
+        return ds
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy()
+        m = ids % plant_every == 0
+        if not m.any():
+            return t
+        emb = np.stack(t["embedding"].to_numpy(zero_copy_only=False))[m].astype(
+            np.float64
+        )
+        pert = emb * 1.001
+        pert[:, 0] += 0.001
+        extra = pa.table(
+            {
+                "vec_id": pa.array(ids[m] + PLANT_ID_OFFSET, type=t["vec_id"].type),
+                "embedding": pa.array(list(pert), type=t.schema.field("embedding").type),
+            }
+        )
+        return pa.concat_tables([t.combine_chunks(), extra])
+
+    return ds.map_batches(plant, batch_format="pyarrow")
+
+
+def semdedup(
+    sf_dir: str,
+    k: int = 8,
+    tau: float = 0.95,
+    plant_every: int | None = None,
+    group_cap: int = 500_000,
+) -> rd.Dataset:
+    """SemDeDup (Abbas et al. 2023): SEMANTIC dedup over embeddings —
+    k-means-cluster the corpus, then within each cluster drop every
+    vector whose cosine to an EARLIER (smaller vec_id) cluster member
+    is ≥ τ. Clustering makes the O(n²) cosine check local: only
+    within-cluster pairs are compared, the cross-cluster quadratic
+    never happens (the same candidate-localization role LSH buckets
+    play in ``embedding_neardup_pairs`` — k-means localizes by global
+    geometry where LSH localizes by random projection).
+
+    Shape: centroids via the shared distributed Lloyd
+    (``ml._lloyd_centroids`` — streaming quantized partials, broadcast
+    per iteration), assignment is one shuffle-free map, the prune is
+    ONE groupby(cluster) shuffle + a vectorized Gram matrix per group.
+    The documented partitioning assumption is that one cluster fits one
+    task (k is chosen ∝ corpus so cluster size is ~constant; a cluster
+    above ``group_cap`` is logged and kept unpruned — the standard
+    hot-key hatch). Keep rule is first-wins by vec_id ("any earlier
+    member ≥ τ drops me"), the same convention as the exact dedup.
+    Rows-only query (float k-means + cosine have no SQL form); the
+    pruning rule is re-verified brute-force per cluster in
+    tests/test_dedup.py, planted near-dups must drop, an unplanted
+    corpus keeps everything."""
+    from .. import read_parquet_clean
+    from .ml import _lloyd_centroids
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ds = _with_planted_neardups(ds, plant_every)
+    cents_ref = ray.put(_lloyd_centroids(ds, k, max_iters=10))
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = ray.get(cents_ref)
+        X = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        a = (-2.0 * (X @ c.T) + (c * c).sum(axis=1)).argmin(axis=1)
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "cluster": pa.array(a.astype(np.int64)),
+                "embedding": t["embedding"],
+            }
+        )
+
+    def prune(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("vec_id").reset_index(drop=True)
+        if len(g) > group_cap:
+            import logging
+
+            logging.getLogger("crawlkit").warning(
+                "semdedup: cluster %s size %d > group_cap %d — kept unpruned",
+                g["cluster"].iloc[0], len(g), group_cap,
+            )
+            keep = np.ones(len(g), dtype=bool)
+        else:
+            X = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+            X /= np.maximum(np.linalg.norm(X, axis=1), 1e-12)[:, None]
+            sim = X @ X.T
+            earlier_hit = np.triu(sim >= tau, k=1).any(axis=0)
+            keep = ~earlier_hit
+        return pd.DataFrame(
+            {
+                "vec_id": g["vec_id"].to_numpy(),
+                "cluster": g["cluster"].to_numpy(),
+                "keep": keep,
+            }
+        ).astype({"vec_id": "int64", "cluster": "int64", "keep": "bool"})
+
+    return (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(prune, batch_format="pandas")
+    )
+
+
 def embedding_neardup_pairs(
     sf_dir: str, tau: float = 0.95, n_planes: int = 12, plant_every: int | None = None
 ) -> rd.Dataset:
@@ -485,28 +597,7 @@ def embedding_neardup_pairs(
     from .. import read_parquet_clean
 
     ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-
-    if plant_every:
-
-        def plant(t: pa.Table) -> pa.Table:
-            ids = t["vec_id"].to_numpy()
-            m = ids % plant_every == 0
-            if not m.any():
-                return t
-            emb = np.stack(t["embedding"].to_numpy(zero_copy_only=False))[m].astype(
-                np.float64
-            )
-            pert = emb * 1.001
-            pert[:, 0] += 0.001
-            extra = pa.table(
-                {
-                    "vec_id": pa.array(ids[m] + PLANT_ID_OFFSET, type=t["vec_id"].type),
-                    "embedding": pa.array(list(pert), type=t.schema.field("embedding").type),
-                }
-            )
-            return pa.concat_tables([t.combine_chunks(), extra])
-
-        ds = ds.map_batches(plant, batch_format="pyarrow")
+    ds = _with_planted_neardups(ds, plant_every)
 
     planes_holder: dict = {}
 

@@ -174,6 +174,34 @@ def _km_partials(t: pa.Table, cents: np.ndarray) -> pa.Table:
     )
 
 
+def _lloyd_centroids(ds, k: int, max_iters: int) -> np.ndarray:
+    """The distributed Lloyd loop shared by ``kmeans_embeddings`` and
+    ``dedup.semdedup``: per-iteration streaming quantized partials,
+    driver reduce, exact fixed-point convergence test. Init = the k
+    smallest vec_ids (deterministic, partition-independent)."""
+    seed = ds.sort("vec_id").limit(k).to_pandas()["embedding"].to_numpy()
+    cents = np.stack(seed).astype(np.float64)
+    dim = cents.shape[1]
+
+    for _ in range(max_iters):
+        qs = np.zeros((k, dim), dtype=np.int64)
+        cnt = np.zeros(k, dtype=np.int64)
+        for row in ds.map_batches(
+            lambda t, c=cents: _km_partials(t, c), batch_format="pyarrow"
+        ).take_all():
+            qs += np.asarray(row["qsums"], dtype=np.int64).reshape(k, dim)
+            cnt += np.asarray(row["counts"], dtype=np.int64)
+        new = cents.copy()
+        nz = cnt > 0
+        new[nz] = qs[nz] / (float(_KM_SCALE) * cnt[nz, None])
+        if np.array_equal(
+            np.rint(new * float(_KM_SCALE)), np.rint(cents * float(_KM_SCALE))
+        ):
+            break
+        cents = new
+    return cents
+
+
 def kmeans_embeddings(
     sf_dir: str, k: int = 8, max_iters: int = 10
 ) -> rd.Dataset:
@@ -196,33 +224,7 @@ def kmeans_embeddings(
     ds = read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    seed = (
-        ds.sort("vec_id")
-        .limit(k)
-        .to_pandas()["embedding"]
-        .to_numpy()
-    )
-    cents = np.stack(seed).astype(np.float64)
-    dim = cents.shape[1]
-
-    for _ in range(max_iters):
-        qs = np.zeros((k, dim), dtype=np.int64)
-        cnt = np.zeros(k, dtype=np.int64)
-        for row in ds.map_batches(
-            lambda t, c=cents: _km_partials(t, c), batch_format="pyarrow"
-        ).take_all():
-            qs += np.asarray(row["qsums"], dtype=np.int64).reshape(k, dim)
-            cnt += np.asarray(row["counts"], dtype=np.int64)
-        new = cents.copy()
-        nz = cnt > 0
-        new[nz] = qs[nz] / (float(_KM_SCALE) * cnt[nz, None])
-        if np.array_equal(
-            np.rint(new * float(_KM_SCALE)), np.rint(cents * float(_KM_SCALE))
-        ):
-            break
-        cents = new
-
-    cents_ref = ray.put(cents)
+    cents_ref = ray.put(_lloyd_centroids(ds, k, max_iters))
 
     def final_assign(t: pa.Table) -> pa.Table:
         c = ray.get(cents_ref)

@@ -194,3 +194,43 @@ def test_dedup_incremental_first_wins_across_microbatches(tmp_path):
     want = sorted(i for i in range(n) if i % 3) + [0]
     assert sorted(out["doc_id"]) == sorted(want)
     assert (out.loc[out["text"] == "repeated body", "doc_id"] == 0).all()
+
+
+def test_semdedup_pruning_rule_brute_force():
+    """SemDeDup on the sf0.001 corpus with planted near-dups: re-verify
+    the within-cluster pruning rule brute-force (per cluster, j drops
+    iff some earlier member's cosine ≥ τ), confirm every planted
+    near-dup is dropped and every original kept."""
+    import pyarrow.parquet as pq_
+
+    got = _pdf(dedup.semdedup("/root/testdata/sf0.001", plant_every=100))
+    emb = pq_.read_table("/root/testdata/sf0.001/embeddings.parquet").to_pandas()
+    vecs = {int(r.vec_id): np.asarray(r.embedding, dtype=np.float64)
+            for r in emb.itertuples()}
+    for vid in list(vecs):
+        if vid % 100 == 0:
+            p = vecs[vid] * 1.001
+            p = p.copy()
+            p[0] += 0.001
+            vecs[vid + dedup.PLANT_ID_OFFSET] = p
+    assert set(got["vec_id"]) == set(vecs)
+    for _, g in got.groupby("cluster"):
+        g = g.sort_values("vec_id").reset_index(drop=True)
+        X = np.stack([vecs[int(v)] for v in g["vec_id"]])
+        X = X / np.maximum(np.linalg.norm(X, axis=1), 1e-12)[:, None]
+        sim = X @ X.T
+        for j in range(len(g)):
+            want_drop = any(sim[i, j] >= 0.95 for i in range(j))
+            assert bool(g["keep"].iloc[j]) == (not want_drop)
+    planted = got[got["vec_id"] >= dedup.PLANT_ID_OFFSET]
+    assert len(planted) > 0 and not planted["keep"].any()
+    originals = got[got["vec_id"] % 100 == 0]
+    originals = originals[originals["vec_id"] < dedup.PLANT_ID_OFFSET]
+    assert originals["keep"].all()
+
+
+def test_semdedup_unplanted_keeps_everything():
+    """Random embeddings are near-orthogonal: without planted dups no
+    within-cluster pair reaches τ, so SemDeDup keeps the whole corpus."""
+    got = _pdf(dedup.semdedup("/root/testdata/sf0.001"))
+    assert got["keep"].all() and len(got) == 500
