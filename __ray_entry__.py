@@ -147,6 +147,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spearman_moments": relational.spearman_moments,  # SQL-checked
         "skyline_pareto": relational.skyline_pareto,  # SQL-checked
         "zscore_outliers": relational.zscore_outliers,  # SQL-checked
+        # robust median/MAD screen (one histogram pass derives both)
+        "mad_outliers": windows.mad_outliers,  # SQL-checked
         "cube_agg": relational.cube_agg,  # SQL-checked (GROUP BY CUBE, one fact pass)
         "j_asof": relational.j_asof,
         "w_tumbling": relational.w_tumbling,

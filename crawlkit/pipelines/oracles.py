@@ -1171,6 +1171,25 @@ ORACLE_SQL["skyline_pareto"] = """
 
 # z-score outliers with denominators cleared: (n·v − S)² > z²(n·Q − S²)
 # over v = floor(value) — exact integers on both sides, z = 2
+# robust median/MAD outlier screen — the 1.4826 consistency scale is
+# cleared to |x−med|·1000 > 1482·mad; quantile_disc matches the
+# engine's ceil(n/2)−1 histogram-rank selection
+ORACLE_SQL["mad_outliers"] = """
+    WITH e AS (
+        SELECT event_id, event_type, CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        FROM events
+    ), med AS (
+        SELECT event_type, quantile_disc(cents, 0.5) AS med
+        FROM e GROUP BY event_type
+    ), madt AS (
+        SELECT e.event_type, quantile_disc(ABS(e.cents - med.med), 0.5) AS mad
+        FROM e JOIN med USING (event_type) GROUP BY e.event_type
+    )
+    SELECT e.event_id, e.event_type, e.cents
+    FROM e JOIN med USING (event_type) JOIN madt USING (event_type)
+    WHERE ABS(e.cents - med.med) * 1000 > 1482 * madt.mad
+"""
+
 ORACLE_SQL["zscore_outliers"] = """
     WITH e AS (
         SELECT event_id, event_type, CAST(FLOOR(value) AS BIGINT) AS value_floor

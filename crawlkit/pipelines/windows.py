@@ -1036,3 +1036,90 @@ def event_bursts(sf_dir: str, min_events: int = 2, nshards: int = 32) -> rd.Data
     return pandas_with_schema(
         out, {"user_id": "int64", "hour": "int64", "n_events": "int64"}
     )
+
+
+def mad_outliers(sf_dir: str) -> rd.Dataset:
+    """Per-event-type ROBUST outlier screen: flag rows where
+    ``|x − median| · 1000 > 1482 · MAD`` (the 1.4826-σ-consistent MAD
+    rule with the float scale cleared to an integer cross-multiply —
+    same trick as ``text_gopher_repetition``). Unlike
+    ``zscore_outliers``, median/MAD don't move when the outliers
+    themselves get bigger — the screen a production pipeline actually
+    deploys against heavy-tailed telemetry.
+
+    Distribution shape: ONE corpus pass builds the per-(type, cents)
+    value histogram (the ``percentile_hist`` trick — cardinality-sized,
+    never row-count-sized); the driver derives BOTH medians from it
+    (the |x − med| histogram is a fold of the value histogram — no
+    second corpus pass for MAD), broadcasts O(#types) (med, mad) pairs,
+    and pass 2 flags rows vectorized. Median index convention pinned to
+    DuckDB ``quantile_disc``: idx = ceil(n/2) − 1. Degenerate MAD = 0
+    (over half a type's mass at the median) flags every row off the
+    median — deterministic on both sides, the documented MAD caveat."""
+    import ray
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+                "cents": _cents(t["value"]),
+            }
+        )
+        g = df.groupby(["event_type", "cents"], as_index=False).size()
+        g = g.rename(columns={"size": "cnt"})
+        from .. import pandas_to_clean_arrow
+
+        return pandas_to_clean_arrow(
+            g.astype({"event_type": "string", "cents": "int64", "cnt": "int64"})
+        )
+
+    hist = (
+        ds.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby(["event_type", "cents"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()  # O(|types| × |distinct cents|)
+    )
+
+    def _disc_median(vals: np.ndarray, cnts: np.ndarray) -> int:
+        order = np.argsort(vals, kind="mergesort")
+        v, c = vals[order], cnts[order]
+        cum = c.cumsum()
+        n = int(cum[-1])
+        idx = -(-n // 2) - 1  # ceil(n/2) − 1 (quantile_disc convention)
+        return int(v[np.searchsorted(cum, idx + 1)])
+
+    keys, params = [], []
+    for et, g in hist.groupby("event_type"):
+        vals = g["cents"].to_numpy()
+        cnts = g["cnt"].to_numpy()
+        med = _disc_median(vals, cnts)
+        mad = _disc_median(np.abs(vals - med), cnts)  # fold, not a 2nd pass
+        keys.append(et)
+        params.append((med, mad))
+    ref = ray.put((keys, np.array(params, dtype=np.int64).reshape(-1, 2)))
+
+    def flag(t: pa.Table) -> pa.Table:
+        keys_, m = ray.get(ref)
+        idx = {k: i for i, k in enumerate(keys_)}
+        v = _cents(t["value"])
+        et = pd.Series(t["event_type"].to_numpy(zero_copy_only=False))
+        codes, uniq = pd.factorize(et)
+        rowmap = np.array([idx[u] for u in uniq], dtype=np.int64)[codes]
+        med, mad = m[rowmap, 0], m[rowmap, 1]
+        keep = np.abs(v - med) * 1000 > 1482 * mad
+        return pa.table(
+            {
+                "event_id": pa.array(t["event_id"].to_numpy()[keep], pa.int64()),
+                "event_type": pa.array(et.to_numpy()[keep], pa.string()),
+                "cents": pa.array(v[keep], pa.int64()),
+            }
+        )
+
+    from .dedup import pandas_with_schema
+
+    return pandas_with_schema(
+        ds.map_batches(flag, batch_format="pyarrow"),
+        {"event_id": "int64", "event_type": "object", "cents": "int64"},
+    )

@@ -199,6 +199,7 @@ EVENT_QUERIES = [
     "corr_moments",
     "cube_agg",
     "zscore_outliers",
+    "mad_outliers",
     "path_trigrams",
     "data_profile",
 ]
