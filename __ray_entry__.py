@@ -168,6 +168,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # mergeable weighted-sample sketch; rank-error bound in tests
         "approx_quantile": windows.approx_quantile,  # rows-only (approximate)
         "j_keyed_range": windows.j_keyed_range,
+        # range×range overlap join: session intervals × recurring promo hours
+        "j_interval_overlap": windows.j_interval_overlap,  # SQL-checked
         "w_lag_delta": windows.w_lag_delta,  # SQL-checked (LAG window)
         "w_rolling_sum": windows.w_rolling_sum,  # SQL-checked (ROWS window)
         "rank_dense": windows.rank_dense,  # SQL-checked (DENSE_RANK)

@@ -163,6 +163,27 @@ ORACLE_SQL: dict[str, str] = {
         SELECT user_id, session_idx, COUNT(*) AS n_events
         FROM t GROUP BY user_id, session_idx
     """,
+    "j_interval_overlap": """
+        WITH s AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), t AS (
+            SELECT user_id, epoch_us(ts) AS us,
+                   CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+            FROM s
+        ), sess AS (
+            SELECT user_id, session_idx,
+                   MIN(us) // 3600000000 AS h1, MAX(us) // 3600000000 AS h2
+            FROM t GROUP BY user_id, session_idx
+        )
+        SELECT user_id, session_idx, CAST(u.h AS BIGINT) AS promo_hour
+        FROM sess, UNNEST(generate_series(sess.h1, sess.h2)) AS u(h)
+        WHERE u.h % 3 = 0
+    """,
     "topk_per_group": """
         SELECT event_type, event_id, CAST(FLOOR(value * 100) AS BIGINT) AS cents
         FROM events

@@ -1123,3 +1123,77 @@ def mad_outliers(sf_dir: str) -> rd.Dataset:
         ds.map_batches(flag, batch_format="pyarrow"),
         {"event_id": "int64", "event_type": "object", "cents": "int64"},
     )
+
+
+def j_interval_overlap(
+    sf_dir: str,
+    promo_every: int = 3,
+    group_cap: int = 2_000_000,
+    expand_cap: int = 10_000_000,
+) -> rd.Dataset:
+    """INTERVAL-OVERLAP JOIN: per-user session intervals [first_ts,
+    last_ts] (the ``w_session`` 30-min-gap contract, same tie-break)
+    joined against the recurring promo windows [h, h+1) for every epoch
+    hour h with ``h % promo_every == 0`` — one output row per
+    (session, promo hour) whose time ranges intersect. The missing
+    member of the join family: both sides are RANGES, not points
+    (``j_keyed_range`` joins points into ranges; ``j_asof`` points to
+    latest point).
+
+    Shape: the right side is a RULE (h % k == 0), not a table — so the
+    join is pure per-session arithmetic: overlap hours = [⌊start⌋_h ..
+    ⌊end⌋_h] intersected with the rule, emitted by one vectorized
+    repeat/arange expansion inside the same per-user ``map_groups``
+    that sessionized — ZERO extra shuffles. (A table-valued right side
+    would broadcast its sorted hour set and searchsorted into it — same
+    cost.) Hatches: ``group_cap`` on user history (w_session's), and
+    ``expand_cap`` on a group's total emitted hour rows — a single
+    years-long session would otherwise explode the expansion (log +
+    skip, the df_cap family)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    out_types = {"user_id": "int64", "session_idx": "int64", "promo_hour": "int64"}
+    _HOUR_US = 3_600_000_000
+
+    def overlap(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({c: pd.Series([], dtype=t) for c, t in out_types.items()})
+        if len(g) > group_cap:
+            import logging
+
+            logging.getLogger("crawlkit").warning(
+                "j_interval_overlap: user %s history %d > group_cap %d — skipped",
+                g["user_id"].iloc[0], len(g), group_cap,
+            )
+            return empty
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        us = g["ts"].astype("int64").to_numpy()
+        new = np.ones(len(g), dtype=np.int64)
+        if len(g) > 1:
+            new[1:] = (us[1:] - us[:-1] > SESSION_GAP_US).astype(np.int64)
+        sid = np.cumsum(new)
+        df = pd.DataFrame({"sid": sid, "us": us})
+        sess = df.groupby("sid", as_index=False).agg(lo=("us", "min"), hi=("us", "max"))
+        h1 = sess["lo"].to_numpy() // _HOUR_US
+        h2 = sess["hi"].to_numpy() // _HOUR_US
+        n = h2 - h1 + 1
+        if int(n.sum()) > expand_cap:
+            import logging
+
+            logging.getLogger("crawlkit").warning(
+                "j_interval_overlap: user %s expansion %d > expand_cap %d — skipped",
+                g["user_id"].iloc[0], int(n.sum()), expand_cap,
+            )
+            return empty
+        reps = np.repeat(np.arange(len(sess)), n)
+        hours = np.repeat(h1, n) + (
+            np.arange(int(n.sum())) - np.repeat(np.cumsum(n) - n, n)
+        )
+        keep = hours % promo_every == 0
+        return pd.DataFrame(
+            {
+                "user_id": np.full(int(keep.sum()), g["user_id"].iloc[0], np.int64),
+                "session_idx": sess["sid"].to_numpy()[reps[keep]],
+                "promo_hour": hours[keep],
+            }
+        ).astype(out_types)
+
+    return ds.groupby("user_id").map_groups(overlap, batch_format="pandas")

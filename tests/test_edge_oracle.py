@@ -183,6 +183,7 @@ EVENT_QUERIES = [
     "w_tumbling",
     "w_sliding",
     "w_session",
+    "j_interval_overlap",
     "event_bursts",
     "w_lag_delta",
     "w_rolling_sum",
