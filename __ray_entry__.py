@@ -256,6 +256,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": mixing.pack_sequences,  # SQL-checked
         # flagship composition: dedup → decontam → mix → split manifest
         "assemble_corpus": mixing.assemble_corpus,  # SQL-checked
+        # DSIR importance weights vs a target slice (hashed unigrams)
+        "dsir_weights": mixing.dsir_weights,  # SQL-checked (integer ratio)
         # per-group uniform sample via smallest-k stable coins
         "group_sample": mixing.group_sample,  # SQL-checked
         # --- distributed model training (closed form) ---

@@ -284,3 +284,81 @@ def pack_sequences(sf_dir: str, seq_len: int = 128) -> rd.Dataset:
 
     out_refs = [place.remote(b, int(o), seq_len) for b, o in zip(blocks, offsets)]
     return rd.from_arrow_refs(out_refs)
+
+
+# --- DSIR-style importance weights (target-distribution matching) ---------
+
+
+def dsir_weights(
+    sf_dir: str,
+    nbuckets: int = 1024,
+    scale: int = 1_000_000,
+    target_lang: str = "en",
+) -> rd.Dataset:
+    """DSIR-style IMPORTANCE WEIGHTS (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every raw
+    doc by how much its hashed-unigram feature mass looks like a TARGET
+    distribution (here: the ``target_lang`` slice stands in for the
+    high-quality target corpus, e.g. Wikipedia). Per-bucket score is
+    the integer ratio surrogate ``s[b] = (tgt[b] * scale) // raw[b]``
+    (the paper's log-likelihood ratio, kept in exact integers so the
+    DuckDB oracle matches bit for bit); a doc's weight is the sum of
+    its tokens' bucket scores. Downstream, ``mix_sample``-style coin
+    flips against the weight implement the resampling step.
+
+    Scale shape — ZERO shuffles: pass 1 reduces each batch to at most
+    ``nbuckets`` partial count rows (the per-batch bincount is the
+    combiner), the driver folds the tiny partials into one
+    ``nbuckets``-long score vector, and pass 2 is a pure map with that
+    broadcast vector closed over (8 KB — ships once per worker). At
+    100 TB the driver state is O(nbuckets), never O(corpus)."""
+    from .dedup import pandas_with_schema
+
+    ds = _read_docs(sf_dir, ["doc_id", "text", "lang"])
+
+    def _buckets(texts: list[str]) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """per-batch tokenize + hash: returns (bucket per token, doc idx
+        per token, tokens per doc) using one md5 per DISTINCT word."""
+        words_per = [(s or "").split() for s in texts]
+        lens = np.array([len(w) for w in words_per], dtype=np.int64)
+        flat = [w for ws in words_per for w in ws]
+        if not flat:
+            return (np.empty(0, np.int64), np.empty(0, np.int64), lens)
+        uniq, inv = np.unique(np.array(flat, dtype=object), return_inverse=True)
+        bucket = (_md5_lower64(list(uniq)) % np.uint64(nbuckets)).astype(np.int64)
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        return bucket[inv], doc_idx, lens
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        bucket, _, lens = _buckets(t["text"].to_pylist())
+        is_tgt = np.repeat(
+            np.array([l == target_lang for l in t["lang"].to_pylist()]), lens
+        )
+        raw = np.bincount(bucket, minlength=nbuckets)
+        tgt = np.bincount(bucket[is_tgt], minlength=nbuckets)
+        nz = np.nonzero(raw)[0]
+        return pa.table(
+            {
+                "bucket": nz.astype(np.int64),
+                "raw_c": raw[nz].astype(np.int64),
+                "tgt_c": tgt[nz].astype(np.int64),
+            }
+        )
+
+    parts = pandas_with_schema(
+        ds.map_batches(partial_counts, batch_format="pyarrow"),
+        {"bucket": "int64", "raw_c": "int64", "tgt_c": "int64"},
+    )
+    agg = parts.groupby("bucket", as_index=False).sum()
+    score = np.zeros(nbuckets, dtype=np.int64)
+    b = agg["bucket"].to_numpy()
+    score[b] = (agg["tgt_c"].to_numpy() * np.int64(scale)) // agg["raw_c"].to_numpy()
+
+    def weigh(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy().astype(np.int64)
+        bucket, doc_idx, _ = _buckets(t["text"].to_pylist())
+        w = np.zeros(len(ids), dtype=np.int64)
+        np.add.at(w, doc_idx, score[bucket])
+        return pa.table({"doc_id": ids, "dsir_weight": w})
+
+    return ds.map_batches(weigh, batch_format="pyarrow")

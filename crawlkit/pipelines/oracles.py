@@ -529,6 +529,30 @@ ORACLE_SQL: dict[str, str] = {
         SELECT CAST(node AS BIGINT) AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster_id
         FROM reach GROUP BY node
     """,
+    # DSIR importance weights: per-bucket integer ratio score
+    # s[b] = (target_tokens[b] * 1e6) // raw_tokens[b] over md5 % 1024
+    # hashed unigrams; doc weight = sum of its tokens' bucket scores
+    "dsir_weights": r"""
+        WITH words AS (
+            SELECT doc_id, lang,
+                   unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS w
+            FROM documents
+        ), hashed AS (
+            SELECT doc_id, lang,
+                   CAST(md5_number_lower(w) % 1024 AS BIGINT) AS bucket
+            FROM words
+        ), score AS (
+            SELECT bucket,
+                   (SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1000000)
+                       // COUNT(*) AS s
+            FROM hashed GROUP BY bucket
+        )
+        SELECT d.doc_id, CAST(COALESCE(SUM(sc.s), 0) AS BIGINT) AS dsir_weight
+        FROM documents d
+        LEFT JOIN hashed h ON h.doc_id = d.doc_id
+        LEFT JOIN score sc ON sc.bucket = h.bucket
+        GROUP BY d.doc_id
+    """,
     # feature-hashing sparse embedding: bucket = md5 % 64, sign = bit 63
     "text_embed_counts": r"""
         WITH words AS (

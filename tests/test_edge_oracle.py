@@ -63,6 +63,7 @@ DOC_QUERIES = [
     "assemble_corpus",
     "split_assign",
     "mix_sample",
+    "dsir_weights",
     "group_sample",
     "inverted_index",
     "collocations",
