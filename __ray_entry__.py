@@ -171,6 +171,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # range×range overlap join: session intervals × recurring promo hours
         "j_interval_overlap": windows.j_interval_overlap,  # SQL-checked
         "w_lag_delta": windows.w_lag_delta,  # SQL-checked (LAG window)
+        # running distinct-type count (COUNT(DISTINCT) OVER rewrite)
+        "w_running_distinct": windows.w_running_distinct,  # SQL-checked
         "w_rolling_sum": windows.w_rolling_sum,  # SQL-checked (ROWS window)
         "rank_dense": windows.rank_dense,  # SQL-checked (DENSE_RANK)
         "w_percent_rank": windows.w_percent_rank,  # SQL-checked (exact rationals)

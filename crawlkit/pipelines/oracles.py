@@ -184,6 +184,21 @@ ORACLE_SQL: dict[str, str] = {
         FROM sess, UNNEST(generate_series(sess.h1, sess.h2)) AS u(h)
         WHERE u.h % 3 = 0
     """,
+    # running count-distinct: first-occurrence flag + running sum (the
+    # rewrite for the illegal COUNT(DISTINCT) OVER)
+    "w_running_distinct": """
+        WITH t AS (
+            SELECT event_id, user_id, ts, event_type,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        )
+        SELECT event_id, user_id,
+               CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_types_seen
+        FROM t
+    """,
     "topk_per_group": """
         SELECT event_type, event_id, CAST(FLOOR(value * 100) AS BIGINT) AS cents
         FROM events

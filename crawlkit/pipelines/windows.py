@@ -1197,3 +1197,44 @@ def j_interval_overlap(
         ).astype(out_types)
 
     return ds.groupby("user_id").map_groups(overlap, batch_format="pandas")
+
+
+def w_running_distinct(sf_dir: str, group_cap: int = 2_000_000) -> rd.Dataset:
+    """RUNNING COUNT-DISTINCT window: per user, ordered by (ts,
+    event_id), how many DISTINCT event_types the user has produced up
+    to and including each event — the classic "behavioral breadth"
+    sequence feature (and the window SQL cannot express directly:
+    COUNT(DISTINCT) OVER is illegal in most engines, so the oracle uses
+    the first-occurrence-flag + running-sum rewrite). Engine: one
+    user-hash shuffle, then a vectorized per-group pandas pass —
+    ``(~duplicated(event_type)).cumsum()`` on the contract-sorted
+    history. Same ``group_cap`` hot-key hatch as w_session."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    out_types = {"event_id": "int64", "user_id": "int64", "n_types_seen": "int64"}
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) > group_cap:
+            import logging
+
+            logging.getLogger("crawlkit").warning(
+                "w_running_distinct: user %s history %d > group_cap %d — skipped",
+                g["user_id"].iloc[0], len(g), group_cap,
+            )
+            g = g.iloc[0:0]
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        out = pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": g["user_id"].to_numpy(),
+                "n_types_seen": (~g["event_type"].duplicated()).cumsum().to_numpy(),
+            }
+        )
+        from .. import pandas_to_clean_arrow
+
+        return pandas_to_clean_arrow(out.astype(out_types))
+
+    from .dedup import pandas_with_schema
+
+    return pandas_with_schema(
+        ds.groupby("user_id").map_groups(running, batch_format="pandas"), out_types
+    )

@@ -185,6 +185,7 @@ EVENT_QUERIES = [
     "w_sliding",
     "w_session",
     "j_interval_overlap",
+    "w_running_distinct",
     "event_bursts",
     "w_lag_delta",
     "w_rolling_sum",
