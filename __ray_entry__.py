@@ -170,6 +170,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "j_keyed_range": windows.j_keyed_range,
         # range×range overlap join: session intervals × recurring promo hours
         "j_interval_overlap": windows.j_interval_overlap,  # SQL-checked
+        # time-window self-join pair counts (searchsorted, no pair set)
+        "j_time_self": windows.j_time_self,  # SQL-checked
         "w_lag_delta": windows.w_lag_delta,  # SQL-checked (LAG window)
         # running distinct-type count (COUNT(DISTINCT) OVER rewrite)
         "w_running_distinct": windows.w_running_distinct,  # SQL-checked

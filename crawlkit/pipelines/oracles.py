@@ -184,6 +184,16 @@ ORACLE_SQL: dict[str, str] = {
         FROM sess, UNNEST(generate_series(sess.h1, sess.h2)) AS u(h)
         WHERE u.h % 3 = 0
     """,
+    # time-window self-join pair count: ordered pairs within 300 s
+    "j_time_self": """
+        WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events)
+        SELECT a.user_id, COUNT(*) AS n_pairs
+        FROM e a JOIN e b
+          ON a.user_id = b.user_id
+         AND b.us - a.us BETWEEN 0 AND 300000000
+         AND (a.us < b.us OR (a.us = b.us AND a.event_id < b.event_id))
+        GROUP BY a.user_id
+    """,
     # running count-distinct: first-occurrence flag + running sum (the
     # rewrite for the illegal COUNT(DISTINCT) OVER)
     "w_running_distinct": """

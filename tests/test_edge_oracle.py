@@ -186,6 +186,7 @@ EVENT_QUERIES = [
     "w_session",
     "j_interval_overlap",
     "w_running_distinct",
+    "j_time_self",
     "event_bursts",
     "w_lag_delta",
     "w_rolling_sum",
