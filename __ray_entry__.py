@@ -317,6 +317,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_image_augment": multimodal.image_augment,  # rows-only (reconstruction in tests)
         # aspect-preserving pad-to-square (detector/ViT input prep)
         "mm_image_letterbox": multimodal.image_letterbox,  # rows-only (reconstruction in tests)
+        # variance-of-Laplacian sharpness screen (exact integer moments)
+        "mm_image_blur_screen": multimodal.image_blur_screen,  # rows-only (blur invariant in tests)
         "mm_image_dedup_exact": multimodal.image_dedup_exact,  # rows-only (brute oracle in tests)
         "mm_image_histogram": multimodal.image_histogram,  # rows-only (Σbins=w·h in tests)
         "mm_caption_filter": multimodal.caption_filter,  # rows-only (predicate oracle in tests)

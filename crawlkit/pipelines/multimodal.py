@@ -812,3 +812,72 @@ def image_letterbox(sf_dir: str | None = None, n: int = 64) -> rd.Dataset:
         ImageLetterbox, batch_format="pyarrow", batch_size=8, concurrency=2,
         max_restarts=0,
     )
+
+
+BLUR_SCREEN_SCHEMA = pa.schema(
+    [
+        ("image_id", pa.string()),
+        ("lap_n", pa.int64()),       # interior pixel count
+        ("lap_sum", pa.int64()),     # ΣL (exact int)
+        ("lap_sumsq", pa.int64()),   # ΣL² (exact int)
+        ("var_milli", pa.int64()),   # Laplacian variance ×1000 (derived)
+        ("sharp", pa.bool_()),       # var_milli ≥ tau_milli
+    ]
+)
+
+
+class ImageBlurScreen:
+    """BLUR / SHARPNESS SCREEN — the variance-of-Laplacian focus metric
+    (Pech-Pacheco et al. 2000) every image-training pipeline runs to
+    drop out-of-focus or upscaled crawl images. All-integer: grayscale
+    by the fixed-point luma ``(77r + 150g + 29b) >> 8``, 4-neighbour
+    Laplacian on interior pixels, and the variance is carried as exact
+    mergeable moments (n, ΣL, ΣL²) with ``var_milli = 1000·(nΣL² −
+    (ΣL)²) / n²`` derived per row — order-independent, hash-stable,
+    and the moments stay summable if a consumer wants corpus-level
+    sharpness statistics. Blur always shrinks the metric (a box filter
+    attenuates the high frequencies the Laplacian measures), pinned by
+    test against a synthetically defocused copy."""
+
+    def __init__(self, tau_milli: int = 1_000_000):
+        self.tau_milli = tau_milli
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        fmts = t["fmt"].to_pylist()
+        ids, ns, sums, sqs, vars, sharps = [], [], [], [], [], []
+        for i, data in enumerate(t["bytes"].to_pylist()):
+            px = imagecodec.decode(data, fmts[i]).astype(np.int64)
+            g = (77 * px[..., 0] + 150 * px[..., 1] + 29 * px[..., 2]) >> 8
+            lap = (
+                4 * g[1:-1, 1:-1]
+                - g[:-2, 1:-1] - g[2:, 1:-1] - g[1:-1, :-2] - g[1:-1, 2:]
+            )
+            n = int(lap.size)
+            s = int(lap.sum())
+            sq = int((lap * lap).sum())
+            var_milli = (1000 * (n * sq - s * s)) // (n * n) if n else 0
+            ids.append(t["image_id"][i].as_py())
+            ns.append(n); sums.append(s); sqs.append(sq)
+            vars.append(var_milli); sharps.append(var_milli >= self.tau_milli)
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "lap_n": pa.array(ns, pa.int64()),
+                "lap_sum": pa.array(sums, pa.int64()),
+                "lap_sumsq": pa.array(sqs, pa.int64()),
+                "var_milli": pa.array(vars, pa.int64()),
+                "sharp": pa.array(sharps, pa.bool_()),
+            }
+        )
+
+
+def image_blur_screen(
+    sf_dir: str | None = None, n: int = 64, tau_milli: int = 1_000_000
+) -> rd.Dataset:
+    """Blur screen over the synthetic images table (actor pool, small
+    batches for megapixel rows — same sizing as the other image
+    stages)."""
+    return synthetic_images(n).map_batches(
+        ImageBlurScreen, fn_constructor_kwargs={"tau_milli": tau_milli},
+        batch_format="pyarrow", batch_size=8, concurrency=2, max_restarts=0,
+    )

@@ -403,3 +403,49 @@ def test_emb_quantize_constant_dim(tmp_path):
     g = got.sort_values(["vec_id", "dim"]).reset_index(drop=True)
     w = want.sort_values(["vec_id", "dim"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(g[sorted(g.columns)], w[sorted(w.columns)])
+
+
+def test_image_blur_screen_drops_on_defocus():
+    """Variance-of-Laplacian: a 3x3 box-filtered copy scores strictly
+    lower than the original, moments match a numpy re-derivation, and
+    the sharp flag follows tau."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawlkit.synthweb import SynthWeb
+
+    web = SynthWeb("t1")
+    rec = web.image_record("img-mm-1")
+    px = imagecodec.decode(rec["bytes"]).astype(np.int64)
+    # 3x3 box blur (edge-clamped via cumulative trick is overkill: crop)
+    box = sum(
+        px[1 + dy : px.shape[0] - 1 + dy, 1 + dx : px.shape[1] - 1 + dx]
+        for dy in (-1, 0, 1)
+        for dx in (-1, 0, 1)
+    ) // 9
+    blurred = imagecodec.encode_png(box.astype(np.uint8))
+    t = pa.table(
+        {
+            "image_id": ["orig", "blur"],
+            "bytes": pa.array([rec["bytes"], blurred], pa.binary()),
+            "fmt": ["png", "png"],
+        }
+    )
+    out = multimodal.ImageBlurScreen(tau_milli=1).__call__(t).to_pandas().set_index("image_id")
+    assert out.loc["blur", "var_milli"] < out.loc["orig", "var_milli"] // 2
+    # exact moment re-derivation for the original
+    g = (77 * px[..., 0] + 150 * px[..., 1] + 29 * px[..., 2]) >> 8
+    lap = 4 * g[1:-1, 1:-1] - g[:-2, 1:-1] - g[2:, 1:-1] - g[1:-1, :-2] - g[1:-1, 2:]
+    assert out.loc["orig", "lap_n"] == lap.size
+    assert out.loc["orig", "lap_sum"] == lap.sum()
+    assert out.loc["orig", "lap_sumsq"] == (lap * lap).sum()
+    n, s, sq = lap.size, int(lap.sum()), int((lap * lap).sum())
+    assert out.loc["orig", "var_milli"] == (1000 * (n * sq - s * s)) // (n * n)
+    assert bool(out.loc["orig", "sharp"]) and bool(out.loc["blur", "sharp"])
+
+
+def test_image_blur_screen_dataset_flags(ray_session):
+    df = _pdf(multimodal.image_blur_screen(n=16))
+    assert len(df) == 16
+    assert df["sharp"].any() and (~df["sharp"]).any()  # tau splits the fixture
