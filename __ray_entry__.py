@@ -262,6 +262,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "assemble_corpus": mixing.assemble_corpus,  # SQL-checked
         # DSIR importance weights vs a target slice (hashed unigrams)
         "dsir_weights": mixing.dsir_weights,  # SQL-checked (integer ratio)
+        # DSIR resampling: deterministic weighted-reservoir top-k
+        "dsir_sample": mixing.dsir_sample,  # SQL-checked
         # per-group uniform sample via smallest-k stable coins
         "group_sample": mixing.group_sample,  # SQL-checked
         # --- distributed model training (closed form) ---

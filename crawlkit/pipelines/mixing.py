@@ -289,48 +289,30 @@ def pack_sequences(sf_dir: str, seq_len: int = 128) -> rd.Dataset:
 # --- DSIR-style importance weights (target-distribution matching) ---------
 
 
-def dsir_weights(
-    sf_dir: str,
-    nbuckets: int = 1024,
-    scale: int = 1_000_000,
-    target_lang: str = "en",
-) -> rd.Dataset:
-    """DSIR-style IMPORTANCE WEIGHTS (Xie et al. 2023, "Data Selection
-    for Language Models via Importance Resampling"): score every raw
-    doc by how much its hashed-unigram feature mass looks like a TARGET
-    distribution (here: the ``target_lang`` slice stands in for the
-    high-quality target corpus, e.g. Wikipedia). Per-bucket score is
-    the integer ratio surrogate ``s[b] = (tgt[b] * scale) // raw[b]``
-    (the paper's log-likelihood ratio, kept in exact integers so the
-    DuckDB oracle matches bit for bit); a doc's weight is the sum of
-    its tokens' bucket scores. Downstream, ``mix_sample``-style coin
-    flips against the weight implement the resampling step.
+def _dsir_buckets(texts, nbuckets: int):
+    """per-batch tokenize + hash: returns (bucket per token, doc idx per
+    token, tokens per doc) using one md5 per DISTINCT word."""
+    words_per = [(s or "").split() for s in texts]
+    lens = np.array([len(w) for w in words_per], dtype=np.int64)
+    flat = [w for ws in words_per for w in ws]
+    if not flat:
+        return (np.empty(0, np.int64), np.empty(0, np.int64), lens)
+    uniq, inv = np.unique(np.array(flat, dtype=object), return_inverse=True)
+    bucket = (_md5_lower64(list(uniq)) % np.uint64(nbuckets)).astype(np.int64)
+    doc_idx = np.repeat(np.arange(len(lens)), lens)
+    return bucket[inv], doc_idx, lens
 
-    Scale shape — ZERO shuffles: pass 1 reduces each batch to at most
-    ``nbuckets`` partial count rows (the per-batch bincount is the
-    combiner), the driver folds the tiny partials into one
-    ``nbuckets``-long score vector, and pass 2 is a pure map with that
-    broadcast vector closed over (8 KB — ships once per worker). At
-    100 TB the driver state is O(nbuckets), never O(corpus)."""
+
+def _dsir_score_vector(
+    ds: rd.Dataset, nbuckets: int, scale: int, target_lang: str
+) -> np.ndarray:
+    """Fold per-batch bucket-count partials (≤ nbuckets rows each) into
+    the global integer score vector s[b] = (tgt[b]·scale) // raw[b] —
+    O(nbuckets) driver state, zero shuffles."""
     from .dedup import pandas_with_schema
 
-    ds = _read_docs(sf_dir, ["doc_id", "text", "lang"])
-
-    def _buckets(texts: list[str]) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """per-batch tokenize + hash: returns (bucket per token, doc idx
-        per token, tokens per doc) using one md5 per DISTINCT word."""
-        words_per = [(s or "").split() for s in texts]
-        lens = np.array([len(w) for w in words_per], dtype=np.int64)
-        flat = [w for ws in words_per for w in ws]
-        if not flat:
-            return (np.empty(0, np.int64), np.empty(0, np.int64), lens)
-        uniq, inv = np.unique(np.array(flat, dtype=object), return_inverse=True)
-        bucket = (_md5_lower64(list(uniq)) % np.uint64(nbuckets)).astype(np.int64)
-        doc_idx = np.repeat(np.arange(len(lens)), lens)
-        return bucket[inv], doc_idx, lens
-
     def partial_counts(t: pa.Table) -> pa.Table:
-        bucket, _, lens = _buckets(t["text"].to_pylist())
+        bucket, _, lens = _dsir_buckets(t["text"].to_pylist(), nbuckets)
         is_tgt = np.repeat(
             np.array([l == target_lang for l in t["lang"].to_pylist()]), lens
         )
@@ -353,12 +335,98 @@ def dsir_weights(
     score = np.zeros(nbuckets, dtype=np.int64)
     b = agg["bucket"].to_numpy()
     score[b] = (agg["tgt_c"].to_numpy() * np.int64(scale)) // agg["raw_c"].to_numpy()
+    return score
+
+
+def dsir_weights(
+    sf_dir: str,
+    nbuckets: int = 1024,
+    scale: int = 1_000_000,
+    target_lang: str = "en",
+) -> rd.Dataset:
+    """DSIR-style IMPORTANCE WEIGHTS (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every raw
+    doc by how much its hashed-unigram feature mass looks like a TARGET
+    distribution (here: the ``target_lang`` slice stands in for the
+    high-quality target corpus, e.g. Wikipedia). Per-bucket score is
+    the integer ratio surrogate ``s[b] = (tgt[b] * scale) // raw[b]``
+    (the paper's log-likelihood ratio, kept in exact integers so the
+    DuckDB oracle matches bit for bit); a doc's weight is the sum of
+    its tokens' bucket scores. ``dsir_sample`` below is the matching
+    resampling step.
+
+    Scale shape — ZERO shuffles: pass 1 reduces each batch to at most
+    ``nbuckets`` partial count rows (the per-batch bincount is the
+    combiner), the driver folds the tiny partials into one
+    ``nbuckets``-long score vector, and pass 2 is a pure map with that
+    broadcast vector closed over (8 KB — ships once per worker). At
+    100 TB the driver state is O(nbuckets), never O(corpus)."""
+    ds = _read_docs(sf_dir, ["doc_id", "text", "lang"])
+    score = _dsir_score_vector(ds, nbuckets, scale, target_lang)
 
     def weigh(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy().astype(np.int64)
-        bucket, doc_idx, _ = _buckets(t["text"].to_pylist())
+        bucket, doc_idx, _ = _dsir_buckets(t["text"].to_pylist(), nbuckets)
         w = np.zeros(len(ids), dtype=np.int64)
         np.add.at(w, doc_idx, score[bucket])
         return pa.table({"doc_id": ids, "dsir_weight": w})
 
     return ds.map_batches(weigh, batch_format="pyarrow")
+
+
+def dsir_sample(
+    sf_dir: str,
+    k: int = 50,
+    nbuckets: int = 1024,
+    scale: int = 1_000_000,
+    target_lang: str = "en",
+) -> pd.DataFrame:
+    """DSIR importance RESAMPLING: select the k docs whose deterministic
+    weighted-reservoir priority wins — the integer surrogate of
+    Efraimidis–Spirakis A-Res (key = u^(1/w), keep largest): here
+    ``priority = (coin + 1) * scale // (dsir_weight + 1)`` with the
+    stable per-row coin ``md5(doc_id || ':dsir') % 2^31``, keep the k
+    SMALLEST (higher weight → smaller priority → likelier selected;
+    +1s dodge zero weights). Deterministic, retry-safe, SQL-checkable.
+
+    Scale shape: the weigh pass also emits the priority, each batch
+    keeps only its k smallest candidates (the combiner), and the final
+    reduce sees ≤ k × #batches slim rows — no global sort, no shuffle
+    of the corpus."""
+    ds = _read_docs(sf_dir, ["doc_id", "text", "lang"])
+    score = _dsir_score_vector(ds, nbuckets, scale, target_lang)
+    coin_mod = np.uint64(1 << 31)
+
+    def candidates(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy().astype(np.int64)
+        bucket, doc_idx, _ = _dsir_buckets(t["text"].to_pylist(), nbuckets)
+        w = np.zeros(len(ids), dtype=np.int64)
+        np.add.at(w, doc_idx, score[bucket])
+        coin = (_id_hash_salted(ids, ":dsir") % coin_mod).astype(np.int64)
+        prio = ((coin + 1) * np.int64(scale)) // (w + 1)
+        order = np.lexsort((ids, prio))[:k]
+        return pa.table(
+            {
+                "doc_id": ids[order],
+                "dsir_weight": w[order],
+                "priority": prio[order],
+            }
+        )
+
+    from .dedup import pandas_with_schema
+
+    cand = pandas_with_schema(
+        ds.map_batches(candidates, batch_format="pyarrow"),
+        {"doc_id": "int64", "dsir_weight": "int64", "priority": "int64"},
+    )
+    return (
+        cand.sort_values(["priority", "doc_id"])
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+def _id_hash_salted(ids: np.ndarray, salt: str) -> np.ndarray:
+    """md5-low64 of the decimal id string + salt — an independent stable
+    coin per (row, use-site)."""
+    return _md5_lower64([str(int(i)) + salt for i in ids])

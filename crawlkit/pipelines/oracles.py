@@ -578,6 +578,37 @@ ORACLE_SQL: dict[str, str] = {
         LEFT JOIN score sc ON sc.bucket = h.bucket
         GROUP BY d.doc_id
     """,
+    # DSIR resampling: deterministic weighted-reservoir priority
+    # (integer Efraimidis–Spirakis surrogate), keep the k smallest
+    "dsir_sample": r"""
+        WITH words AS (
+            SELECT doc_id, lang,
+                   unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS w
+            FROM documents
+        ), hashed AS (
+            SELECT doc_id, lang,
+                   CAST(md5_number_lower(w) % 1024 AS BIGINT) AS bucket
+            FROM words
+        ), score AS (
+            SELECT bucket,
+                   (SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1000000)
+                       // COUNT(*) AS s
+            FROM hashed GROUP BY bucket
+        ), wt AS (
+            SELECT d.doc_id, CAST(COALESCE(SUM(sc.s), 0) AS BIGINT) AS dsir_weight
+            FROM documents d
+            LEFT JOIN hashed h ON h.doc_id = d.doc_id
+            LEFT JOIN score sc ON sc.bucket = h.bucket
+            GROUP BY d.doc_id
+        )
+        SELECT doc_id, dsir_weight,
+               CAST(((md5_number_lower(CAST(doc_id AS VARCHAR) || ':dsir')
+                      % 2147483648 + 1) * 1000000)
+                    // (dsir_weight + 1) AS BIGINT) AS priority
+        FROM wt
+        ORDER BY priority, doc_id
+        LIMIT 50
+    """,
     # feature-hashing sparse embedding: bucket = md5 % 64, sign = bit 63
     "text_embed_counts": r"""
         WITH words AS (

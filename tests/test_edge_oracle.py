@@ -64,6 +64,7 @@ DOC_QUERIES = [
     "split_assign",
     "mix_sample",
     "dsir_weights",
+    "dsir_sample",
     "group_sample",
     "inverted_index",
     "collocations",
