@@ -189,6 +189,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "string_agg_segments": relational.string_agg_segments,  # SQL-checked
         # TeraSort: sampled range bounds → partitioned global sort manifest
         "sort_partitioned": relational.sort_partitioned,  # SQL-checked
+        # Z-order (Morton) layout clustering: bit-interleaved grid cells
+        "zorder_layout": relational.zorder_layout,  # SQL-checked
         "q1_pricing": relational.q1_pricing,
         "u_union": relational.u_union,
         "s_except": relational.s_except,

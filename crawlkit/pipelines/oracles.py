@@ -825,6 +825,29 @@ ORACLE_SQL: dict[str, str] = {
         FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
         GROUP BY label, i
     """,
+    # Z-order layout: per-dim max-normalize to 16 bits, interleave,
+    # top-6-bit grid cell
+    "zorder_layout": """
+        WITH mx AS (
+            SELECT MAX(l_partkey) AS mp, MAX(l_suppkey) AS ms FROM lineitem
+        ), nrm AS (
+            SELECT l_orderkey, l_linenumber,
+                   (l_partkey * 65536) // (mp + 1) AS xn,
+                   (l_suppkey * 65536) // (ms + 1) AS yn
+            FROM lineitem, mx
+        ), bits AS (
+            -- row-preserving bit fold: (l_orderkey, l_linenumber) is not
+            -- unique in the fixture, so no UNNEST + GROUP BY
+            SELECT l_orderkey, l_linenumber,
+                   CAST(list_sum(list_transform(generate_series(0, 15),
+                        i -> (((xn >> i) & 1) << (2 * i + 1))
+                             + (((yn >> i) & 1) << (2 * i)))) AS BIGINT) AS zcode
+            FROM nrm
+        )
+        SELECT l_orderkey, l_linenumber, zcode,
+               CAST(zcode >> 26 AS BIGINT) AS zpart
+        FROM bits
+    """,
     # TeraSort manifest: md5-coin sample → quantile_disc bounds →
     # part_id = #bounds strictly below the key; COALESCE covers the
     # empty-sample degenerate case (everything in partition 0)

@@ -1824,3 +1824,46 @@ def sort_partitioned(
         assert int(written["written"].sum()) == int(manifest["n_rows"].sum())
 
     return manifest
+
+
+def zorder_layout(sf_dir: str, bits: int = 16, part_bits: int = 6) -> rd.Dataset:
+    """Z-ORDER (Morton) LAYOUT CLUSTERING — the multi-dimensional
+    data-layout operator (Delta/Iceberg ``OPTIMIZE ZORDER BY``): map
+    each lineitem row's (l_partkey, l_suppkey) to one interleaved-bit
+    curve position ``zcode`` and a coarse grid cell ``zpart`` (top
+    ``part_bits`` bits). Writing the table partitioned by ``zpart``
+    gives scans that filter on EITHER key a bounded set of cells to
+    touch — the scan-locality lever at 100 TB, where re-clustering by a
+    single sort key only helps one predicate column.
+
+    Shape: ONE tiny max-aggregate (two int64s to the driver) to
+    normalize each dimension into ``bits`` bits, then a pure vectorized
+    map — the curve assignment itself needs no shuffle; only an actual
+    rewrite would move rows, and each zpart cell is an independently
+    writable/resumable unit (cf. sort_partitioned's range manifest).
+    All-integer, so the DuckDB oracle reproduces the interleave bit for
+    bit."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"])
+    mx = ds.aggregate(Max("l_partkey"), Max("l_suppkey"))
+    mp, ms = int(mx["max(l_partkey)"]), int(mx["max(l_suppkey)"])
+    scale = np.int64(1) << np.int64(bits)
+
+    def fn(t: pa.Table) -> pa.Table:
+        x = t["l_partkey"].to_numpy().astype(np.int64)
+        y = t["l_suppkey"].to_numpy().astype(np.int64)
+        xn = (x * scale) // np.int64(mp + 1)
+        yn = (y * scale) // np.int64(ms + 1)
+        z = np.zeros(len(x), np.int64)
+        for i in range(bits):
+            z |= ((xn >> np.int64(i)) & 1) << np.int64(2 * i + 1)
+            z |= ((yn >> np.int64(i)) & 1) << np.int64(2 * i)
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_linenumber": t["l_linenumber"],
+                "zcode": pa.array(z),
+                "zpart": pa.array(z >> np.int64(2 * bits - part_bits)),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -355,6 +355,7 @@ TPCH_QUERIES = [
     "j_full_outer",
     "skyline_pareto",
     "q10_returned",
+    "zorder_layout",
 ]
 
 
