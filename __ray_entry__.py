@@ -176,6 +176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # running distinct-type count (COUNT(DISTINCT) OVER rewrite)
         "w_running_distinct": windows.w_running_distinct,  # SQL-checked
         "w_rolling_sum": windows.w_rolling_sum,  # SQL-checked (ROWS window)
+        "w_rolling_max": windows.w_rolling_max,  # SQL-checked (ROWS window MAX)
         "rank_dense": windows.rank_dense,  # SQL-checked (DENSE_RANK)
         "w_percent_rank": windows.w_percent_rank,  # SQL-checked (exact rationals)
         # ordered view→click→purchase funnel (event-sequence analytics)

@@ -132,6 +132,9 @@ def run(n_docs: int) -> dict:
     timed("search_conjunctive", lambda: text.search_conjunctive(sf_dir, terms=head_terms))
     timed("bm25_topk", lambda: text.bm25_topk(sf_dir, terms=head_terms))
     timed("pack_sequences", lambda: mixing.pack_sequences(sf_dir))
+    # session-5: DSIR — two passes, zero shuffles, O(nbuckets) driver state
+    timed("dsir_weights", lambda: mixing.dsir_weights(sf_dir))
+    timed("dsir_sample", lambda: mixing.dsir_sample(sf_dir, k=1000))
 
     total = round(sum(timings.values()), 3)
     out = {

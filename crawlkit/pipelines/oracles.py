@@ -184,6 +184,15 @@ ORACLE_SQL: dict[str, str] = {
         FROM sess, UNNEST(generate_series(sess.h1, sess.h2)) AS u(h)
         WHERE u.h % 3 = 0
     """,
+    "w_rolling_max": """
+        SELECT event_id, user_id,
+               CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+               CAST(MAX(CAST(FLOOR(value * 100) AS BIGINT))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS roll_max_cents
+        FROM events
+    """,
     # time-window self-join pair count: ordered pairs within 300 s
     "j_time_self": """
         WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events)

@@ -1282,3 +1282,63 @@ def j_time_self(
     return pandas_with_schema(
         ds.groupby("user_id").map_groups(pairs, batch_format="pandas"), out_types
     )
+
+
+def w_rolling_max(
+    sf_dir: str, window: int = 5, group_cap: int = 2_000_000
+) -> rd.Dataset:
+    """Rolling ROW-window MAX (the order-statistic sibling of
+    w_rolling_sum — a cumsum trick can't compute it; pandas' rolling
+    engine runs the monotonic-deque algorithm in C): per user, ordered
+    by (ts, event_id), the max of cents over the current row and
+    ``window-1`` preceding. Same shuffle shape and ``group_cap`` hatch
+    as the rest of the window family."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+    out_types = {
+        "event_id": "int64", "user_id": "int64",
+        "cents": "int64", "roll_max_cents": "int64",
+    }
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "event_id": t["event_id"],
+                "cents": pa.array(_cents(t["value"])),
+            }
+        )
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) > group_cap:
+            import logging
+
+            logging.getLogger("crawlkit").warning(
+                "w_rolling_max: user %s history %d > group_cap %d — skipped",
+                g["user_id"].iloc[0], len(g), group_cap,
+            )
+            g = g.iloc[0:0]
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        out = pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": g["user_id"].to_numpy(),
+                "cents": g["cents"].to_numpy(),
+                "roll_max_cents": g["cents"]
+                .rolling(window, min_periods=1)
+                .max()
+                .to_numpy(),
+            }
+        )
+        from .. import pandas_to_clean_arrow
+
+        return pandas_to_clean_arrow(out.astype(out_types))
+
+    from .dedup import pandas_with_schema
+
+    return pandas_with_schema(
+        ds.map_batches(to_cents, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(roll, batch_format="pandas"),
+        out_types,
+    )

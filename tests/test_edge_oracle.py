@@ -191,6 +191,7 @@ EVENT_QUERIES = [
     "event_bursts",
     "w_lag_delta",
     "w_rolling_sum",
+    "w_rolling_max",
     "w_first_last",
     "w_percent_rank",
     "topk_per_group",
