@@ -369,7 +369,10 @@ def simhash_signatures(sf_dir: str) -> rd.Dataset:
             # md5 once per DISTINCT word in the batch, then index — the
             # per-token re-hash loop was the hot cost (round-2 VERDICT
             # #6); vote math is unchanged so the oracle stays bit-exact
-            uniq, inv = np.unique(np.array(flat, dtype=object), return_inverse=True)
+            # hash-based factorize: ~40x faster than sort-based np.unique on
+            # object strings; downstream is hash-per-unique + [inv] lookup,
+            # so unique ORDER is irrelevant
+            inv, uniq = pd.factorize(np.array(flat, dtype=object))
             h_all = _md5_lower64(list(uniq))[inv]
             bits = np.unpackbits(
                 h_all.view(np.uint8).reshape(len(h_all), 8), axis=1, bitorder="little"

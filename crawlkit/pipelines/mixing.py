@@ -297,7 +297,10 @@ def _dsir_buckets(texts, nbuckets: int):
     flat = [w for ws in words_per for w in ws]
     if not flat:
         return (np.empty(0, np.int64), np.empty(0, np.int64), lens)
-    uniq, inv = np.unique(np.array(flat, dtype=object), return_inverse=True)
+    # hash-based factorize: ~40x faster than sort-based np.unique on
+    # object strings; downstream is hash-per-unique + [inv] lookup,
+    # so unique ORDER is irrelevant
+    inv, uniq = pd.factorize(np.array(flat, dtype=object))
     bucket = (_md5_lower64(list(uniq)) % np.uint64(nbuckets)).astype(np.int64)
     doc_idx = np.repeat(np.arange(len(lens)), lens)
     return bucket[inv], doc_idx, lens

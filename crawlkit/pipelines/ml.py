@@ -32,7 +32,10 @@ def _hashed_features(texts: list[str], dim: int) -> np.ndarray:
     lens = np.array([len(w) for w in words_per], dtype=np.int64)
     flat = [w for ws in words_per for w in ws]
     if flat:
-        uniq, inv = np.unique(np.array(flat, dtype=object), return_inverse=True)
+        # hash-based factorize: ~40x faster than sort-based np.unique on
+        # object strings; downstream is hash-per-unique + [inv] lookup,
+        # so unique ORDER is irrelevant
+        inv, uniq = pd.factorize(np.array(flat, dtype=object))
         h = _md5_lower64(list(uniq))
         bucket = (h % np.uint64(dim)).astype(np.int64)[inv]
         sign = np.where((h >> np.uint64(63)) & np.uint64(1) > 0, -1, 1).astype(

