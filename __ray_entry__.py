@@ -267,6 +267,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_weights": mixing.dsir_weights,  # SQL-checked (integer ratio)
         # DSIR resampling: deterministic weighted-reservoir top-k
         "dsir_sample": mixing.dsir_sample,  # SQL-checked
+        # snapshot diff / reconciliation: hash-compare added/removed/changed
+        "table_diff": mixing.table_diff,  # SQL-checked (coin-derived oracle)
         # per-group uniform sample via smallest-k stable coins
         "group_sample": mixing.group_sample,  # SQL-checked
         # --- distributed model training (closed form) ---

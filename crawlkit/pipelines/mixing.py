@@ -433,3 +433,80 @@ def _id_hash_salted(ids: np.ndarray, salt: str) -> np.ndarray:
     """md5-low64 of the decimal id string + salt — an independent stable
     coin per (row, use-site)."""
     return _md5_lower64([str(int(i)) + salt for i in ids])
+
+
+# --- snapshot diff / reconciliation ---------------------------------------
+
+
+def table_diff(sf_dir: str, nshards: int = 32) -> pd.DataFrame:
+    """SNAPSHOT DIFF (the reconciliation / CDC-merge primitive): compare
+    corpus snapshot A against snapshot B by content hash and emit one
+    row per divergent key — ``added`` (B only), ``removed`` (A only),
+    ``changed`` (both, content differs); identical rows produce nothing.
+    Snapshot B is DERIVED deterministically from A inside the same pass
+    (md5 coins: %17 removed, %13 text-perturbed, %19 spawns an added
+    row at ``doc_id + 10^9``) — stands in for reading yesterday's
+    partition next to today's; the diff mechanism is what's real.
+
+    Scale shape: each side is reduced to slim (doc_id, content-hash)
+    rows AT THE READ — full text never shuffles; both sides ride ONE
+    id-hash-sharded exchange and a per-shard vectorized outer merge
+    classifies (the repo's standard replacement for a generic two-sided
+    join when the compare is the only consumer). At 100 TB the moved
+    bytes are 17/row/side."""
+    from .dedup import pandas_with_schema
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    out_types = {"doc_id": "int64", "status": "object"}
+
+    def both_sides(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy().astype(np.int64)
+        assert (ids < 1_000_000_000).all(), "added-row id offset would collide"
+        texts = [(s or "") for s in t["text"].to_pylist()]
+        h_a = _md5_lower64(texts).view(np.int64)
+        rm = _id_hash_salted(ids, ":rm") % np.uint64(17) == 0
+        ch = _id_hash_salted(ids, ":ch") % np.uint64(13) == 0
+        ad = _id_hash_salted(ids, ":add") % np.uint64(19) == 0
+        h_b = h_a.copy()
+        if ch.any():
+            h_b[ch] = _md5_lower64([texts[i] + " v2" for i in np.nonzero(ch)[0]]).view(np.int64)
+        keep = ~rm
+        new_ids = ids[ad] + np.int64(1_000_000_000)
+        new_h = (
+            _md5_lower64([texts[i] + " new" for i in np.nonzero(ad)[0]]).view(np.int64)
+            if ad.any()
+            else np.empty(0, np.int64)
+        )
+        all_ids = np.concatenate([ids, ids[keep], new_ids])
+        all_h = np.concatenate([h_a, h_b[keep], new_h])
+        side = np.concatenate(
+            [np.zeros(len(ids), np.int64), np.ones(int(keep.sum()) + len(new_ids), np.int64)]
+        )
+        shard = (_id_hash(all_ids) % np.uint64(nshards)).astype(np.int64)
+        return pa.table(
+            {"doc_id": all_ids, "h": all_h, "side": side, "shard": shard}
+        )
+
+    def classify(g: pd.DataFrame) -> pd.DataFrame:
+        a = g[g["side"] == 0][["doc_id", "h"]]
+        b = g[g["side"] == 1][["doc_id", "h"]]
+        m = a.merge(b, on="doc_id", how="outer", suffixes=("_a", "_b"))
+        status = np.where(
+            m["h_b"].isna(), "removed",
+            np.where(m["h_a"].isna(), "added",
+                     np.where(m["h_a"] != m["h_b"], "changed", "same")),
+        )
+        m = m.assign(status=status)
+        m = m[m["status"] != "same"]
+        from .. import pandas_to_clean_arrow
+
+        return pandas_to_clean_arrow(
+            m[["doc_id", "status"]].astype(out_types).reset_index(drop=True)
+        )
+
+    return pandas_with_schema(
+        ds.map_batches(both_sides, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(classify, batch_format="pandas"),
+        out_types,
+    )

@@ -563,6 +563,27 @@ ORACLE_SQL: dict[str, str] = {
         SELECT CAST(node AS BIGINT) AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster_id
         FROM reach GROUP BY node
     """,
+    # snapshot diff: B is derived from A by md5 coins (%17 removed,
+    # %13 perturbed, %19 adds id+1e9), so the expected classification
+    # is a pure function of the coins
+    "table_diff": """
+        WITH rm AS (
+            SELECT doc_id FROM documents
+            WHERE md5_number_lower(CAST(doc_id AS VARCHAR) || ':rm') % 17 = 0
+        ), ch AS (
+            SELECT doc_id FROM documents
+            WHERE md5_number_lower(CAST(doc_id AS VARCHAR) || ':ch') % 13 = 0
+        ), ad AS (
+            SELECT doc_id + 1000000000 AS doc_id FROM documents
+            WHERE md5_number_lower(CAST(doc_id AS VARCHAR) || ':add') % 19 = 0
+        )
+        SELECT doc_id, 'removed' AS status FROM rm
+        UNION ALL
+        SELECT doc_id, 'changed' FROM ch
+        WHERE doc_id NOT IN (SELECT doc_id FROM rm)
+        UNION ALL
+        SELECT doc_id, 'added' FROM ad
+    """,
     # DSIR importance weights: per-bucket integer ratio score
     # s[b] = (target_tokens[b] * 1e6) // raw_tokens[b] over md5 % 1024
     # hashed unigrams; doc weight = sum of its tokens' bucket scores

@@ -65,6 +65,7 @@ DOC_QUERIES = [
     "mix_sample",
     "dsir_weights",
     "dsir_sample",
+    "table_diff",
     "group_sample",
     "inverted_index",
     "collocations",
