@@ -172,6 +172,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "j_interval_overlap": windows.j_interval_overlap,  # SQL-checked
         # time-window self-join pair counts (searchsorted, no pair set)
         "j_time_self": windows.j_time_self,  # SQL-checked
+        # nearest-in-time join BOTH directions (double searchsorted)
+        "j_asof_nearest": windows.j_asof_nearest,  # SQL-checked
+        # gaps-and-islands: per-user consecutive-hour activity streaks
+        "w_gaps_islands": windows.w_gaps_islands,  # SQL-checked
         "w_lag_delta": windows.w_lag_delta,  # SQL-checked (LAG window)
         # running distinct-type count (COUNT(DISTINCT) OVER rewrite)
         "w_running_distinct": windows.w_running_distinct,  # SQL-checked

@@ -193,6 +193,36 @@ ORACLE_SQL: dict[str, str] = {
                     AS BIGINT) AS roll_max_cents
         FROM events
     """,
+    # nearest-in-time join, both directions: tie-break |dt|, ts, id
+    "j_asof_nearest": """
+        WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS us
+                   FROM events WHERE event_type = 'click'),
+             p AS (SELECT event_id, user_id, epoch_us(ts) AS us
+                   FROM events WHERE event_type = 'purchase')
+        SELECT c.event_id, c.user_id, p.event_id AS nearest_id,
+               ABS(c.us - p.us) AS abs_us
+        FROM c JOIN p ON c.user_id = p.user_id
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY c.event_id
+            ORDER BY ABS(c.us - p.us), p.us, p.event_id) = 1
+    """,
+    # gaps-and-islands: hr − ROW_NUMBER() island key, per-user streaks
+    "w_gaps_islands": """
+        WITH h AS (
+            SELECT DISTINCT user_id, epoch_us(ts) // 3600000000 AS hr
+            FROM events
+        ), t AS (
+            SELECT user_id, hr,
+                   hr - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY hr) AS grp
+            FROM h
+        )
+        SELECT user_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY MIN(hr))
+                    AS BIGINT) AS island_idx,
+               MIN(hr) AS start_hr, MAX(hr) AS end_hr,
+               COUNT(*) AS n_hours
+        FROM t GROUP BY user_id, grp
+    """,
     # time-window self-join pair count: ordered pairs within 300 s
     "j_time_self": """
         WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events)

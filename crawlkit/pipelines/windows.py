@@ -1342,3 +1342,131 @@ def w_rolling_max(
         .map_groups(roll, batch_format="pandas"),
         out_types,
     )
+
+
+def j_asof_nearest(sf_dir: str, group_cap: int = 4_000_000) -> rd.Dataset:
+    """NEAREST-in-time join, BOTH directions (completes the temporal
+    join family: j_asof = backward-only, j_keyed_range = point-in-range,
+    j_interval_overlap = range×range, j_time_self = self-pairs): every
+    'click' event joins its nearest 'purchase' by the SAME user,
+    whichever side of it in time. Tie-breaks are total: smaller |Δt|,
+    then earlier purchase ts, then smaller purchase event_id — so the
+    result is deterministic under any shuffle. Engine: one user-hash
+    shuffle, per group a vectorized double-searchsorted (predecessor +
+    successor candidate per click, pick by the tie-break key; equal-ts
+    purchase runs resolve to the first = minimal event_id via a
+    left-searchsorted snap). Clicks of users with no purchases drop
+    (inner semantics). ``group_cap`` is the usual hot-key hatch."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    out_types = {
+        "event_id": "int64", "user_id": "int64",
+        "nearest_id": "int64", "abs_us": "int64",
+    }
+
+    def nearest(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({c: pd.Series([], dtype=t) for c, t in out_types.items()})
+        if len(g) > group_cap:
+            import logging
+
+            logging.getLogger("crawlkit").warning(
+                "j_asof_nearest: user %s history %d > group_cap %d — skipped",
+                g["user_id"].iloc[0], len(g), group_cap,
+            )
+            return empty
+        c = g[g["event_type"] == "click"]
+        p = g[g["event_type"] == "purchase"].sort_values(["ts", "event_id"])
+        if len(c) == 0 or len(p) == 0:
+            return empty
+        cus = c["ts"].astype("int64").to_numpy()
+        cid = c["event_id"].to_numpy()
+        pus = p["ts"].astype("int64").to_numpy()
+        pid = p["event_id"].to_numpy()
+        idx = np.searchsorted(pus, cus, side="right")
+        lo = np.clip(idx - 1, 0, len(pus) - 1)   # predecessor (or clamp)
+        hi = np.clip(idx, 0, len(pus) - 1)       # successor (or clamp)
+        d_lo = np.abs(cus - pus[lo])
+        d_hi = np.abs(cus - pus[hi])
+        # pick side: smaller |Δt|; tie → earlier ts = predecessor.
+        # (idx==0 / idx==len collapse lo==hi, either branch is correct)
+        pick = np.where(d_hi < d_lo, hi, lo)
+        best_d = np.minimum(d_lo, d_hi)
+        # equal-ts purchase runs: snap to the FIRST row of the run, which
+        # is the minimal event_id under the (ts, event_id) sort
+        pick = np.searchsorted(pus, pus[pick], side="left")
+        out = pd.DataFrame(
+            {
+                "event_id": cid,
+                "user_id": c["user_id"].to_numpy(),
+                "nearest_id": pid[pick],
+                "abs_us": best_d,
+            }
+        )
+        from .. import pandas_to_clean_arrow
+
+        return pandas_to_clean_arrow(out.astype(out_types))
+
+    from .dedup import pandas_with_schema
+
+    return pandas_with_schema(
+        ds.groupby("user_id").map_groups(nearest, batch_format="pandas"), out_types
+    )
+
+
+def w_gaps_islands(sf_dir: str, group_cap: int = 4_000_000) -> rd.Dataset:
+    """Gaps-and-islands: per-user CONSECUTIVE-HOUR activity streaks.
+    Classic engagement/streak analytics (SQL: hour − ROW_NUMBER() island
+    key). Engine: per-batch (user, hour) pre-dedup (shrinks the shuffle
+    to at most |users|×|hours| pairs), one user-hash shuffle, then per
+    group a vectorized np.unique + diff>1 boundary scan — no window
+    function, no per-row loop. Output per island: 1-based index in
+    start-hour order, bounds, and length; all int64 so the result is
+    hash-comparable. ``group_cap`` is the usual hot-key hatch."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    out_types = {
+        "user_id": "int64", "island_idx": "int64",
+        "start_hr": "int64", "end_hr": "int64", "n_hours": "int64",
+    }
+
+    def to_hours(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy()
+        return pa.table(
+            {"user_id": t["user_id"], "hr": pa.array(us // 3_600_000_000)}
+        ).group_by(["user_id", "hr"]).aggregate([])
+
+    def islands(g: pd.DataFrame) -> pd.DataFrame:
+        from .. import pandas_to_clean_arrow
+
+        if len(g) > group_cap:
+            import logging
+
+            logging.getLogger("crawlkit").warning(
+                "w_gaps_islands: user %s hours %d > group_cap %d — skipped",
+                g["user_id"].iloc[0], len(g), group_cap,
+            )
+            g = g.iloc[0:0]
+        hrs = np.unique(g["hr"].to_numpy())  # sorted, cross-batch dedup
+        if len(hrs) == 0:
+            return pandas_to_clean_arrow(
+                pd.DataFrame({c: pd.Series([], dtype=t) for c, t in out_types.items()})
+            )
+        starts = np.flatnonzero(np.concatenate(([True], np.diff(hrs) > 1)))
+        ends = np.concatenate((starts[1:], [len(hrs)])) - 1
+        out = pd.DataFrame(
+            {
+                "user_id": np.int64(g["user_id"].iloc[0]),
+                "island_idx": np.arange(1, len(starts) + 1, dtype=np.int64),
+                "start_hr": hrs[starts],
+                "end_hr": hrs[ends],
+                "n_hours": hrs[ends] - hrs[starts] + 1,
+            }
+        )
+        return pandas_to_clean_arrow(out.astype(out_types))
+
+    from .dedup import pandas_with_schema
+
+    return pandas_with_schema(
+        ds.map_batches(to_hours, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(islands, batch_format="pandas"),
+        out_types,
+    )

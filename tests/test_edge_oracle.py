@@ -189,6 +189,8 @@ EVENT_QUERIES = [
     "j_interval_overlap",
     "w_running_distinct",
     "j_time_self",
+    "j_asof_nearest",
+    "w_gaps_islands",
     "event_bursts",
     "w_lag_delta",
     "w_rolling_sum",
