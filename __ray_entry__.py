@@ -204,6 +204,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": relational.stratified_sample,  # SQL-checked
         # Deequ-style per-column profile: n / nulls / distinct / min / max
         "data_profile": relational.data_profile,  # SQL-checked
+        # pre-shuffle skew audit: cardinality / top-key / Simpson Σc²
+        "skew_audit": relational.skew_audit,  # SQL-checked
         # record linkage: block → multiset prefilter → vectorized lev DP
         "fuzzy_blocking": relational.fuzzy_blocking,  # SQL-checked (levenshtein)
         # --- text analysis (SQL-checked where exact) ---

@@ -1505,6 +1505,23 @@ ORACLE_SQL["data_profile"] = """
     FROM r
 """
 
+# shuffle-key skew audit: exact per-key counts then mergeable stats;
+# Σc² (Simpson) and MAX(c) predict hash-partition imbalance
+ORACLE_SQL["skew_audit"] = """
+    WITH cu AS (SELECT COUNT(*)::BIGINT AS c FROM events GROUP BY user_id),
+         ce AS (SELECT COUNT(*)::BIGINT AS c FROM events GROUP BY event_type)
+    SELECT * FROM (
+        SELECT 'event_type' AS key_col, COUNT(*)::BIGINT AS n_keys,
+               CAST(SUM(c) AS BIGINT) AS n_rows, MAX(c) AS max_c,
+               CAST(SUM(c * c) AS BIGINT) AS simpson
+        FROM ce
+        UNION ALL
+        SELECT 'user_id', COUNT(*)::BIGINT, CAST(SUM(c) AS BIGINT),
+               MAX(c), CAST(SUM(c * c) AS BIGINT)
+        FROM cu
+    ) ORDER BY key_col
+"""
+
 # sequence packing: global token prefix-sum in doc_id order over
 # non-empty docs, then seq ids by integer division; token definition =
 # the text_token_count regex

@@ -1467,6 +1467,88 @@ def data_profile(sf_dir: str, nshards: int = 32) -> pd.DataFrame:
     )
 
 
+def skew_audit(sf_dir: str, nshards: int = 32) -> pd.DataFrame:
+    """Pre-shuffle KEY-SKEW audit of candidate partition columns: per key
+    column the exact cardinality, row count, hottest-key count, and the
+    Simpson concentration Σc² (expected collision mass — the quantity
+    that predicts hash-shuffle imbalance; max_c/n_rows is the top-key
+    share that decides whether a key needs salting, cf. the host_salt_cap
+    / bucket_cap hatches elsewhere in this repo).
+
+    Scale shape (same as data_profile): per-batch value_counts → the one
+    shuffle is keyed by hash(col+repr) so every distinct key lands whole
+    on one shard; each shard folds its complete per-key counts to ONE
+    partial row per column (n_keys / n_rows / max_c / simpson are all
+    mergeable: +, +, max, +). Driver sees ≤ nshards×|cols| rows. Σc² is
+    exact in int64 up to a 3e9-row hottest key — beyond that this audit
+    would be reporting 'salt it' regardless."""
+    from ..hashing import hash64_np
+
+    cols = ["user_id", "event_type"]
+    ds = _read(sf_dir, "events", cols)
+    out_types = {"key_col": "object", "n_keys": "int64", "n_rows": "int64",
+                 "max_c": "int64", "simpson": "int64"}
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        outs = {"col": [], "repr": [], "cnt": []}
+        for c in cols:
+            s = df[c]
+            rep = (s.astype("Int64").astype(str) if c == "user_id"
+                   else s.astype("object")).where(s.notna(), "")
+            vc = rep.value_counts(dropna=False)
+            outs["col"].extend([c] * len(vc))
+            outs["repr"].extend(vc.index.to_numpy(dtype=object))
+            outs["cnt"].extend(vc.to_numpy().astype(np.int64))
+        key = [f"{c}{_PROFILE_SEP}{r}" for c, r in zip(outs["col"], outs["repr"])]
+        shard = (hash64_np(key) % np.uint64(nshards)).astype(np.int64)
+        return pa.table(
+            {
+                "col": pa.array(outs["col"], pa.string()),
+                "repr": pa.array(outs["repr"], pa.string()),
+                "cnt": pa.array(outs["cnt"], pa.int64()),
+                "_shard": pa.array(shard),
+            }
+        )
+
+    def fold_shard(g: pd.DataFrame) -> pa.Table:
+        from .. import pandas_to_clean_arrow
+
+        agg = (
+            g.groupby(["col", "repr"], sort=False)["cnt"].sum().reset_index()
+        )
+        rows = [
+            {
+                "key_col": c,
+                "n_keys": np.int64(len(sub)),
+                "n_rows": sub["cnt"].sum(),
+                "max_c": sub["cnt"].max(),
+                "simpson": (sub["cnt"].to_numpy() ** 2).sum(),
+            }
+            for c, sub in agg.groupby("col", sort=False)
+        ]
+        return pandas_to_clean_arrow(
+            pd.DataFrame(rows, columns=list(out_types)).astype(out_types)
+        )
+
+    from .dedup import pandas_with_schema
+
+    partials = pandas_with_schema(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(fold_shard, batch_format="pandas"),
+        out_types,
+    )
+    out = (
+        partials.groupby("key_col", as_index=False)
+        .agg(n_keys=("n_keys", "sum"), n_rows=("n_rows", "sum"),
+             max_c=("max_c", "max"), simpson=("simpson", "sum"))
+        .sort_values("key_col")
+        .reset_index(drop=True)
+    )
+    return out.astype(out_types)
+
+
 # --- q10-style star join: fact ⨝ fact ⨝ two broadcast dims ---------------
 
 

@@ -211,6 +211,7 @@ EVENT_QUERIES = [
     "mad_outliers",
     "path_trigrams",
     "data_profile",
+    "skew_audit",
 ]
 
 
