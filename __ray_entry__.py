@@ -160,6 +160,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "median_disc": windows.median_disc,
         # exact p50+p95 via cardinality-sized histogram (no group ship)
         "percentile_hist": windows.percentile_hist,  # SQL-checked
+        # global exact-quantile clamp: aggregate → broadcast → row map
+        "winsorize": windows.winsorize,  # SQL-checked
         "count_distinct_exact": windows.count_distinct_exact,
         "hll_count_distinct": windows.hll_count_distinct,  # rows-only (sketch)
         # 2-pass Misra-Gries candidates + exact verify — EXACT output

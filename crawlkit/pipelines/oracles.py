@@ -1272,6 +1272,20 @@ ORACLE_SQL["percentile_hist"] = """
     FROM events GROUP BY event_type
 """
 
+# winsorize: clamp to global exact [p05, p95] (quantile_disc convention)
+ORACLE_SQL["winsorize"] = """
+    WITH c AS (
+        SELECT event_id, CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events
+    ), q AS (
+        SELECT quantile_disc(cents, 0.05) AS lo,
+               quantile_disc(cents, 0.95) AS hi
+        FROM c
+    )
+    SELECT c.event_id, c.cents,
+           CAST(LEAST(GREATEST(c.cents, q.lo), q.hi) AS BIGINT) AS w_cents
+    FROM c, q
+"""
+
 # streaming first-wins dedup ≡ batch min-id dedup under doc_id arrival
 ORACLE_SQL["dedup_incremental"] = """
     SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text

@@ -926,6 +926,58 @@ def percentile_hist(sf_dir: str, q_pcts: tuple[int, ...] = (50, 95)) -> pd.DataF
     return out.astype({f"p{q}_cents": "int64" for q in q_pcts})
 
 
+def winsorize(sf_dir: str, lo_pct: int = 5, hi_pct: int = 95) -> rd.Dataset:
+    """Winsorization: clamp every value to the global EXACT [p05, p95]
+    (quantile_disc convention, same ceil(q·n)−1 index as
+    ``percentile_hist``). The aggregate→broadcast→row-transform shape:
+    pass 1 reduces the corpus to a cardinality-sized cents histogram
+    (never row-sized), the driver walks it to TWO ints, pass 2 is a
+    stateless vectorized np.clip map — the cut points ride into tasks
+    as closure ints (a large broadcast side would use ray.put; two
+    int64s don't need the object store)."""
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        vc = pd.Series(_cents(t["value"])).value_counts()
+        from .. import pandas_to_clean_arrow
+
+        return pandas_to_clean_arrow(
+            pd.DataFrame(
+                {"cents": vc.index.to_numpy(), "cnt": vc.to_numpy()}
+            ).astype({"cents": "int64", "cnt": "int64"})
+        )
+
+    hist = (
+        ds.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("cents")
+        .aggregate(_Sum("cnt", alias_name="cnt"))
+        .to_pandas()  # O(|distinct cents|) — cardinality-sized
+        .sort_values("cents")
+    )
+    vals = hist["cents"].to_numpy()
+    cum = hist["cnt"].to_numpy().cumsum()
+    n = int(cum[-1])
+    cuts = [
+        int(vals[np.searchsorted(cum, -(-q * n // 100) - 1 + 1)])
+        for q in (lo_pct, hi_pct)
+    ]
+    lo, hi = cuts
+
+    def clamp(t: pa.Table) -> pa.Table:
+        c = _cents(t["value"])
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "cents": pa.array(c),
+                "w_cents": pa.array(np.clip(c, lo, hi)),
+            }
+        )
+
+    return ds.map_batches(clamp, batch_format="pyarrow")
+
+
 # --- event-path mining: top-k event-type trigrams (SQL-checked) ----------
 
 

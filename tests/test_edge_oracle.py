@@ -200,6 +200,7 @@ EVENT_QUERIES = [
     "topk_per_group",
     "median_disc",
     "percentile_hist",
+    "winsorize",
     "count_distinct_exact",
     "heavy_hitters",
     "mode_per_group",
