@@ -178,6 +178,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "j_asof_nearest": windows.j_asof_nearest,  # SQL-checked
         # gaps-and-islands: per-user consecutive-hour activity streaks
         "w_gaps_islands": windows.w_gaps_islands,  # SQL-checked
+        # Markov transition matrix over per-user event streams
+        "event_transitions": windows.event_transitions,  # SQL-checked
+        # market-basket pair co-occurrence (distinct users per type pair)
+        "cooccurrence_pairs": windows.cooccurrence_pairs,  # SQL-checked
+        # regex-over-sessions: view→purchase with no error between
+        "sequence_match": windows.sequence_match,  # SQL-checked
+        # SCD-2 run-length validity intervals (CDC compaction)
+        "scd2_intervals": windows.scd2_intervals,  # SQL-checked
         "w_lag_delta": windows.w_lag_delta,  # SQL-checked (LAG window)
         # running distinct-type count (COUNT(DISTINCT) OVER rewrite)
         "w_running_distinct": windows.w_running_distinct,  # SQL-checked
@@ -202,6 +210,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "u_union": relational.u_union,
         "s_except": relational.s_except,
         "s_intersect": relational.s_intersect,
+        # bag difference: click user-bag EXCEPT ALL view user-bag
+        "s_except_all": relational.s_except_all,  # SQL-checked
         "sample_deterministic": relational.sample_deterministic,
         "stratified_sample": relational.stratified_sample,  # SQL-checked
         # Deequ-style per-column profile: n / nulls / distinct / min / max

@@ -1761,3 +1761,60 @@ ORACLE_SQL["lm_score"] = r"""
     SELECT d.doc_id, COALESCE(s.v, 0)::BIGINT AS lm_score
     FROM documents d LEFT JOIN s USING (doc_id)
 """
+
+
+ORACLE_SQL["event_transitions"] = """
+    WITH s AS (
+        SELECT event_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        FROM events
+    )
+    SELECT event_type AS from_type, nxt AS to_type,
+           COUNT(*)::BIGINT AS n
+    FROM s WHERE nxt IS NOT NULL
+    GROUP BY 1, 2
+"""
+
+ORACLE_SQL["cooccurrence_pairs"] = """
+    WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           COUNT(*)::BIGINT AS n_users
+    FROM d a JOIN d b USING (user_id)
+    WHERE a.event_type < b.event_type
+    GROUP BY 1, 2
+"""
+
+# keep in sync with windows.SEQUENCE_MATCH_PATTERN — lookahead-free so
+# RE2 (DuckDB) and Python `re` agree
+ORACLE_SQL["sequence_match"] = r"""
+    WITH p AS (
+        SELECT user_id,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id FROM p
+    WHERE regexp_matches(path, '(?:^|>)view(?:>[a-df-z][a-z]*)*>purchase')
+"""
+
+ORACLE_SQL["scd2_intervals"] = """
+    WITH s AS (
+        SELECT user_id, event_type, epoch_us(ts) AS us,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)
+             - ROW_NUMBER() OVER (
+                   PARTITION BY user_id, event_type ORDER BY ts, event_id)
+               AS isl
+        FROM events
+    )
+    SELECT user_id, event_type AS state,
+           MIN(us) AS valid_from_us, MAX(us) AS valid_to_us,
+           COUNT(*)::BIGINT AS n_events
+    FROM s GROUP BY user_id, event_type, isl
+"""
+
+ORACLE_SQL["s_except_all"] = """
+    SELECT user_id FROM events WHERE event_type = 'click'
+    EXCEPT ALL
+    SELECT user_id FROM events WHERE event_type = 'view'
+"""

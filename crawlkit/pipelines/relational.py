@@ -26,12 +26,15 @@ import ray.data as rd
 from ray.data.aggregate import Count, Max, Min, Sum
 
 
-def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
+def _read(
+    sf_dir: str, table: str, columns: list[str] | None = None, **kwargs
+) -> rd.Dataset:
     """Column-pruned parquet read (prune at the read — SURVEY steering);
-    metadata-stripped so Ray's schema-dedup fast path works."""
+    metadata-stripped so Ray's schema-dedup fast path works. Extra
+    kwargs (e.g. ``filter=``) pass through to ``read_parquet``."""
     from .. import read_parquet_clean
 
-    return read_parquet_clean(f"{sf_dir}/{table}.parquet", columns=columns)
+    return read_parquet_clean(f"{sf_dir}/{table}.parquet", columns=columns, **kwargs)
 
 
 def _cents(col: pa.ChunkedArray | pa.Array) -> pa.Array:
@@ -1949,3 +1952,50 @@ def zorder_layout(sf_dir: str, bits: int = 16, part_bits: int = 6) -> rd.Dataset
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def s_except_all(sf_dir: str, nshards: int = 32) -> pd.DataFrame:
+    """Multiset EXCEPT ALL (bag difference): the user_id bag of 'click'
+    events minus the user_id bag of 'view' events — each id survives
+    max(n_click − n_view, 0) times. The multiplicity-aware sibling of
+    the set-semantics ``s_except`` (SQL EXCEPT ALL; Arrow/Spark have no
+    native kernel for it).
+
+    Scale shape: the corpus never materializes rows — per-batch partial
+    counts per (user, side) are the only thing shuffled (≤ 2·|users|
+    slim rows), the per-shard reduce diffs the two counts vectorized,
+    and the surviving multiplicities are expanded with one np.repeat
+    INSIDE the shard (distributed, bounded by the answer size)."""
+    ds = _read(
+        sf_dir, "events", ["user_id", "event_type"],
+        filter=pc.field("event_type").isin(["click", "view"]),
+    )
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        g = t.group_by(["user_id", "event_type"]).aggregate([("user_id", "count")])
+        shard = pc.cast(
+            pc.bit_wise_and(g["user_id"], np.int64(nshards - 1)), pa.int64()
+        )
+        return pa.table(
+            {"user_id": g["user_id"], "event_type": g["event_type"],
+             "n": pc.cast(g["user_id_count"], pa.int64()), "_shard": shard}
+        )
+
+    def shard_diff(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["user_id", "event_type"])["n"].sum().unstack(fill_value=0)
+        nc = agg.get("click", pd.Series(0, index=agg.index)).to_numpy()
+        nv = agg.get("view", pd.Series(0, index=agg.index)).to_numpy()
+        mult = np.maximum(nc - nv, 0).astype(np.int64)
+        ids = agg.index.to_numpy().astype(np.int64)
+        keep = mult > 0
+        return pd.DataFrame({"user_id": np.repeat(ids[keep], mult[keep])})
+
+    from .dedup import pandas_with_schema
+
+    out = pandas_with_schema(
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(shard_diff, batch_format="pandas"),
+        {"user_id": "int64"},
+    )
+    return out.reset_index(drop=True)

@@ -1522,3 +1522,237 @@ def w_gaps_islands(sf_dir: str, group_cap: int = 4_000_000) -> rd.Dataset:
         .map_groups(islands, batch_format="pandas"),
         out_types,
     )
+
+
+def event_transitions(sf_dir: str, nshards: int = 32) -> pd.DataFrame:
+    """Markov TRANSITION MATRIX over per-user event streams: global
+    counts of consecutive (from_type → to_type) steps under the shared
+    (ts, event_id) order contract — the first-order behavior model a
+    product pipeline fits before sequence mining (``path_trigrams`` is
+    the order-3 generalization).
+
+    Scale shape: users hash-sharded once (slim rows), each shard forms
+    bigrams with one vectorized sort + shift pass and pre-aggregates to
+    (from, to, n) partials — at most |types|² rows per shard — so the
+    final reduce is tiny regardless of corpus size."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        shard = pc.cast(
+            pc.bit_wise_and(t["user_id"], np.int64(nshards - 1)), pa.int64()
+        )
+        return t.append_column("_shard", shard)
+
+    def shard_bigrams(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"from_type": pd.Series([], dtype="object"),
+             "to_type": pd.Series([], dtype="object"),
+             "n": pd.Series([], dtype="int64")}
+        )
+        if len(g) < 2:
+            return empty
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy(dtype=object)
+        same = u[:-1] == u[1:]
+        if not same.any():
+            return empty
+        pairs = pd.DataFrame({"from_type": et[:-1][same], "to_type": et[1:][same]})
+        cnt = pairs.groupby(["from_type", "to_type"], as_index=False).size()
+        return pd.DataFrame(
+            {"from_type": cnt["from_type"].to_numpy(dtype=object),
+             "to_type": cnt["to_type"].to_numpy(dtype=object),
+             "n": cnt["size"].to_numpy().astype(np.int64)}
+        )
+
+    from .dedup import pandas_with_schema
+
+    df = pandas_with_schema(
+        ds.map_batches(add_shard, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(shard_bigrams, batch_format="pandas"),
+        {"from_type": "object", "to_type": "object", "n": "int64"},
+    )
+    out = df.groupby(["from_type", "to_type"], as_index=False)["n"].sum()
+    return out.astype({"from_type": "object", "to_type": "object", "n": "int64"})
+
+
+def cooccurrence_pairs(sf_dir: str, nshards: int = 32) -> pd.DataFrame:
+    """Market-basket CO-OCCURRENCE: for every unordered pair of event
+    types, the number of distinct users who did BOTH — the association
+    signal behind "users who X also Y" (and, over token/label columns,
+    the pair step of frequent-itemset mining).
+
+    Scale shape: per-batch (user, type) pre-dedup shrinks the shuffle to
+    ≤ |users|×|types| slim rows; per user-shard a vectorized combination
+    expansion (types per user is tiny and bounded by the alphabet) emits
+    (a, b, n) partials capped at |types|² per shard; final reduce tiny.
+    No self-join of the corpus — the SQL formulation's d×d join never
+    materializes."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def dedup_batch(t: pa.Table) -> pa.Table:
+        t = t.group_by(["user_id", "event_type"]).aggregate([])
+        shard = pc.cast(
+            pc.bit_wise_and(t["user_id"], np.int64(nshards - 1)), pa.int64()
+        )
+        return t.append_column("_shard", shard)
+
+    def shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"type_a": pd.Series([], dtype="object"),
+             "type_b": pd.Series([], dtype="object"),
+             "n_users": pd.Series([], dtype="int64")}
+        )
+        # cross-batch dedup (same pair may arrive from several batches)
+        g = g.drop_duplicates(["user_id", "event_type"])
+        g = g.sort_values(["user_id", "event_type"], kind="mergesort")
+        u, inv = np.unique(g["user_id"].to_numpy(), return_inverse=True)
+        if len(g) < 2:
+            return empty
+        et = g["event_type"].to_numpy(dtype=object)
+        counts = np.bincount(inv)
+        # vectorized within-user combination expansion: for a user with
+        # k types (sorted), emit all k*(k-1)/2 ordered (a<b) pairs
+        offs = np.concatenate(([0], np.cumsum(counts)))
+        a_idx, b_idx = [], []
+        for k in np.unique(counts):
+            if k < 2:
+                continue
+            ii, jj = np.triu_indices(k, 1)
+            for s in offs[:-1][counts == k]:
+                a_idx.append(ii + s)
+                b_idx.append(jj + s)
+        if not a_idx:
+            return empty
+        ai = np.concatenate(a_idx)
+        bi = np.concatenate(b_idx)
+        pairs = pd.DataFrame({"type_a": et[ai], "type_b": et[bi]})
+        cnt = pairs.groupby(["type_a", "type_b"], as_index=False).size()
+        return pd.DataFrame(
+            {"type_a": cnt["type_a"].to_numpy(dtype=object),
+             "type_b": cnt["type_b"].to_numpy(dtype=object),
+             "n_users": cnt["size"].to_numpy().astype(np.int64)}
+        )
+
+    from .dedup import pandas_with_schema
+
+    df = pandas_with_schema(
+        ds.map_batches(dedup_batch, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(shard_pairs, batch_format="pandas"),
+        {"type_a": "object", "type_b": "object", "n_users": "int64"},
+    )
+    out = df.groupby(["type_a", "type_b"], as_index=False)["n_users"].sum()
+    return out.astype({"type_a": "object", "type_b": "object", "n_users": "int64"})
+
+
+# the "no error in between" alternation: every event type in the synthetic
+# alphabet EXCEPT 'error' starts with a letter other than 'e', so the
+# RE2-safe (lookahead-free) encoding is a character-class alternation.
+# Both the engine and the DuckDB oracle use THIS string — keep in sync.
+SEQUENCE_MATCH_PATTERN = r"(?:^|>)view(?:>[a-df-z][a-z]*)*>purchase"
+
+
+def sequence_match(sf_dir: str, nshards: int = 32) -> pd.DataFrame:
+    """Behavioral SEQUENCE MATCH: users whose ordered event-type stream
+    contains a 'view' followed (not necessarily adjacently) by a
+    'purchase' with NO 'error' in between — the regex-over-sessions
+    operator (Splunk `transaction`, MATCH_RECOGNIZE's poor cousin).
+    The pattern is a pure regular language (no lookahead) so the same
+    string runs on RE2 (DuckDB) and Python `re` with identical
+    semantics; order contract (ts, event_id) as everywhere.
+
+    Scale shape: users hash-sharded once; per shard ONE vectorized sort,
+    a per-user join to path strings (bounded by per-user history), and a
+    compiled vectorized `.str.contains` — only matching user_ids leave
+    the shard."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        shard = pc.cast(
+            pc.bit_wise_and(t["user_id"], np.int64(nshards - 1)), pa.int64()
+        )
+        return t.append_column("_shard", shard)
+
+    def shard_match(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        paths = g.groupby("user_id")["event_type"].agg(">".join)
+        hit = paths.str.contains(SEQUENCE_MATCH_PATTERN, regex=True)
+        return pd.DataFrame(
+            {"user_id": paths.index.to_numpy()[hit.to_numpy()].astype(np.int64)}
+        )
+
+    from .dedup import pandas_with_schema
+
+    df = pandas_with_schema(
+        ds.map_batches(add_shard, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(shard_match, batch_format="pandas"),
+        {"user_id": "int64"},
+    )
+    return df.astype({"user_id": "int64"}).reset_index(drop=True)
+
+
+def scd2_intervals(sf_dir: str, nshards: int = 32) -> pd.DataFrame:
+    """SCD-2 style RUN-LENGTH INTERVALS: collapse each user's ordered
+    event stream into maximal runs of the same event_type, emitting one
+    validity row per run (state, first/last epoch-µs, run length) — the
+    change-data-capture compaction every warehouse applies to tracked
+    attributes. SQL mirror: the two-ROW_NUMBER island key. All-int64
+    timestamps (epoch µs) so the compare is dtype-exact.
+
+    Scale shape: hash-shard by user (whole history co-located — same
+    contract as every window op here), ONE vectorized sort + boundary
+    scan per shard (change points = user or type differs from the
+    previous row), and a segment-reduce via np.flatnonzero — no per-run
+    Python loop, no window function, partial output is O(runs)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    out_types = {
+        "user_id": "int64", "state": "object",
+        "valid_from_us": "int64", "valid_to_us": "int64", "n_events": "int64",
+    }
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        shard = pc.cast(
+            pc.bit_wise_and(t["user_id"], np.int64(nshards - 1)), pa.int64()
+        )
+        return pa.table(
+            {"user_id": t["user_id"], "us": us, "event_id": t["event_id"],
+             "event_type": t["event_type"], "_shard": shard}
+        )
+
+    def shard_runs(g: pd.DataFrame) -> pd.DataFrame:
+        from .. import pandas_to_clean_arrow
+
+        if len(g) == 0:
+            return pandas_to_clean_arrow(
+                pd.DataFrame({c: pd.Series([], dtype=t) for c, t in out_types.items()})
+            )
+        g = g.sort_values(["user_id", "us", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        us = g["us"].to_numpy()
+        et = g["event_type"].to_numpy(dtype=object)
+        brk = np.concatenate(([True], (u[1:] != u[:-1]) | (et[1:] != et[:-1])))
+        starts = np.flatnonzero(brk)
+        ends = np.concatenate((starts[1:], [len(g)])) - 1
+        out = pd.DataFrame(
+            {
+                "user_id": u[starts],
+                "state": et[starts],
+                "valid_from_us": us[starts],
+                "valid_to_us": us[ends],
+                "n_events": (ends - starts + 1).astype(np.int64),
+            }
+        )
+        return pandas_to_clean_arrow(out.astype(out_types))
+
+    from .dedup import pandas_with_schema
+
+    return pandas_with_schema(
+        ds.map_batches(add_shard, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(shard_runs, batch_format="pandas"),
+        out_types,
+    )

@@ -213,6 +213,11 @@ EVENT_QUERIES = [
     "path_trigrams",
     "data_profile",
     "skew_audit",
+    "event_transitions",
+    "cooccurrence_pairs",
+    "sequence_match",
+    "scd2_intervals",
+    "s_except_all",
 ]
 
 
