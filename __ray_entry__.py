@@ -186,6 +186,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sequence_match": windows.sequence_match,  # SQL-checked
         # SCD-2 run-length validity intervals (CDC compaction)
         "scd2_intervals": windows.scd2_intervals,  # SQL-checked
+        # last-touch attribution (LAST_VALUE IGNORE NULLS rewrite)
+        "attribution_last_touch": windows.attribution_last_touch,  # SQL-checked
+        # rolling 24h distinct-active-users via interval sweep
+        "active_users_rolling": windows.active_users_rolling,  # SQL-checked
         "w_lag_delta": windows.w_lag_delta,  # SQL-checked (LAG window)
         # running distinct-type count (COUNT(DISTINCT) OVER rewrite)
         "w_running_distinct": windows.w_running_distinct,  # SQL-checked

@@ -1818,3 +1818,32 @@ ORACLE_SQL["s_except_all"] = """
     EXCEPT ALL
     SELECT user_id FROM events WHERE event_type = 'view'
 """
+
+
+ORACLE_SQL["attribution_last_touch"] = """
+    WITH s AS (
+        SELECT event_id, event_type,
+               LAST_VALUE(
+                   CASE WHEN event_type IN ('view', 'click')
+                        THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch
+        FROM events
+    )
+    SELECT event_id AS purchase_id, COALESCE(touch, 'direct') AS channel
+    FROM s WHERE event_type = 'purchase'
+"""
+
+ORACLE_SQL["active_users_rolling"] = """
+    WITH hrs AS (
+        SELECT DISTINCT user_id, epoch_us(ts) // 3600000000 AS hr FROM events
+    ), b AS (
+        SELECT MIN(hr) AS mn, MAX(hr) AS mx FROM hrs
+    ), grid AS (
+        SELECT b.mn + r.x AS hr FROM b, UNNEST(range(0, b.mx - b.mn + 1)) AS r(x)
+    )
+    SELECT g.hr, COUNT(DISTINCT h.user_id)::BIGINT AS n_active
+    FROM grid g JOIN hrs h ON h.hr BETWEEN g.hr - 23 AND g.hr
+    GROUP BY g.hr
+"""

@@ -1756,3 +1756,141 @@ def scd2_intervals(sf_dir: str, nshards: int = 32) -> pd.DataFrame:
         .map_groups(shard_runs, batch_format="pandas"),
         out_types,
     )
+
+
+def attribution_last_touch(sf_dir: str, nshards: int = 32) -> pd.DataFrame:
+    """LAST-TOUCH ATTRIBUTION: for every purchase, the channel of the
+    user's latest STRICTLY-earlier marketing touch ('view' or 'click';
+    'direct' if none) — the standard marketing attribution join
+    (SQL: LAST_VALUE(... IGNORE NULLS) over ROWS … 1 PRECEDING).
+    Order contract (ts, event_id) as everywhere.
+
+    Scale shape: users hash-sharded once; per shard ONE vectorized sort
+    + a grouped forward-fill of the shifted touch column (cython ffill,
+    no per-row Python); only purchase rows leave the shard."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        shard = pc.cast(
+            pc.bit_wise_and(t["user_id"], np.int64(nshards - 1)), pa.int64()
+        )
+        return t.append_column("_shard", shard)
+
+    def shard_attr(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"purchase_id": pd.Series([], dtype="int64"),
+             "channel": pd.Series([], dtype="object")}
+        )
+        if len(g) == 0:
+            return empty
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        et = g["event_type"].to_numpy(dtype=object)
+        touch = pd.Series(
+            np.where(np.isin(et, ["view", "click"]), et, None), dtype=object
+        )
+        # strictly earlier: shift within user, then forward-fill within user
+        grp = g["user_id"].to_numpy()
+        shifted = touch.groupby(grp).shift(1)
+        filled = shifted.groupby(grp).ffill()
+        is_purch = et == "purchase"
+        out = pd.DataFrame(
+            {
+                "purchase_id": g["event_id"].to_numpy()[is_purch],
+                "channel": filled.to_numpy(dtype=object)[is_purch],
+            }
+        )
+        out["channel"] = out["channel"].fillna("direct")
+        return out.astype({"purchase_id": "int64", "channel": "object"})
+
+    from .dedup import pandas_with_schema
+
+    df = pandas_with_schema(
+        ds.map_batches(add_shard, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(shard_attr, batch_format="pandas"),
+        {"purchase_id": "int64", "channel": "object"},
+    )
+    return df.reset_index(drop=True)
+
+
+def active_users_rolling(sf_dir: str, window_hrs: int = 24, nshards: int = 32) -> pd.DataFrame:
+    """ROLLING ACTIVE USERS: for every hour bucket, the number of
+    DISTINCT users active in the trailing ``window_hrs`` window — the
+    DAU-over-hours curve. COUNT(DISTINCT) OVER RANGE is illegal in SQL
+    and quadratic done naively; the engine turns it into an interval
+    SWEEP: each user's activity hours become covered intervals
+    [hr, hr+W−1] (merged per user where gaps < W), intervals become
+    ±1 boundary deltas, and the answer is one prefix sum.
+
+    Scale shape: per-batch (user, hr) pre-dedup shrinks the shuffle to
+    ≤ |users|×|hours| slim rows; the per-user interval merge is one
+    vectorized boundary scan per user-shard; each shard pre-aggregates
+    deltas by hour (≤ 2×|hours| rows per shard), so the driver only
+    prefix-sums an O(|hours|) array. Rows with zero active users are
+    omitted (matches the oracle's inner join)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    W = window_hrs
+
+    def to_hours(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy()
+        tt = pa.table(
+            {"user_id": t["user_id"], "hr": pa.array(us // 3_600_000_000)}
+        ).group_by(["user_id", "hr"]).aggregate([])
+        shard = pc.cast(
+            pc.bit_wise_and(tt["user_id"], np.int64(nshards - 1)), pa.int64()
+        )
+        return tt.append_column("_shard", shard)
+
+    def shard_deltas(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"hr": pd.Series([], dtype="int64"),
+             "starts": pd.Series([], dtype="int64"),
+             "ends": pd.Series([], dtype="int64"),
+             "max_hr": pd.Series([], dtype="int64")}
+        )
+        g = g.drop_duplicates(["user_id", "hr"]).sort_values(
+            ["user_id", "hr"], kind="mergesort"
+        )
+        if len(g) == 0:
+            return empty
+        u = g["user_id"].to_numpy()
+        hr = g["hr"].to_numpy()
+        # merged coverage intervals: a new segment starts at a user
+        # boundary or where the gap exceeds the window width
+        newseg = np.concatenate(([True], (u[1:] != u[:-1]) | (hr[1:] - hr[:-1] >= W)))
+        starts = hr[newseg]                             # coverage begins
+        seg_last = np.concatenate((np.flatnonzero(newseg)[1:], [len(hr)])) - 1
+        ends = hr[seg_last] + W                         # first hour NOT covered
+        s_hr, s_n = np.unique(starts, return_counts=True)
+        e_hr, e_n = np.unique(ends, return_counts=True)
+        out = pd.DataFrame({
+            "hr": np.concatenate((s_hr, e_hr)),
+            "starts": np.concatenate((s_n, np.zeros(len(e_hr), dtype=np.int64))),
+            "ends": np.concatenate((np.zeros(len(s_hr), dtype=np.int64), e_n)),
+        }).groupby("hr", as_index=False).sum()
+        out["max_hr"] = np.int64(hr.max())              # true max ACTIVE hour
+        return out.astype(
+            {"hr": "int64", "starts": "int64", "ends": "int64", "max_hr": "int64"}
+        )
+
+    from .dedup import pandas_with_schema
+
+    df = pandas_with_schema(
+        ds.map_batches(to_hours, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(shard_deltas, batch_format="pandas"),
+        {"hr": "int64", "starts": "int64", "ends": "int64", "max_hr": "int64"},
+    )
+    if len(df) == 0:
+        return pd.DataFrame({"hr": pd.Series([], dtype="int64"),
+                             "n_active": pd.Series([], dtype="int64")})
+    agg = df.groupby("hr", as_index=False)[["starts", "ends"]].sum().sort_values("hr")
+    mn, mx = int(agg["hr"].min()), int(df["max_hr"].max())
+    grid = np.arange(mn, mx + 1, dtype=np.int64)        # O(|hours|) — tiny
+    deltas = np.zeros(len(grid), dtype=np.int64)
+    d = agg[agg["hr"] <= mx]
+    np.add.at(deltas, d["hr"].to_numpy() - mn, d["starts"].to_numpy())
+    np.add.at(deltas, d["hr"].to_numpy() - mn, -d["ends"].to_numpy())
+    cov = np.cumsum(deltas)
+    keep = cov > 0
+    return pd.DataFrame({"hr": grid[keep], "n_active": cov[keep].astype(np.int64)})

@@ -218,6 +218,8 @@ EVENT_QUERIES = [
     "sequence_match",
     "scd2_intervals",
     "s_except_all",
+    "attribution_last_touch",
+    "active_users_rolling",
 ]
 
 
