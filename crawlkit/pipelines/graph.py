@@ -28,17 +28,86 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 import ray.data as rd
 from ray.data.aggregate import Sum
 
 TELEPORT = 150_000  # floor(0.15 · 1e6) — integer damping, scale 1e6
 R0 = 1_000_000
 
+# Dense fast-path cap: below this the per-node state vector (int64) is
+# ≤16 MB — broadcast once per iteration (ray.put, zero-copy reads in
+# every task) instead of paying a join + groupby shuffle round per
+# iteration. Above it, the shuffle path below is the scale story.
+_DENSE_MAX_NODES = 1 << 21
+
 
 def _read_nodes(sf_dir: str) -> rd.Dataset:
     from .. import read_parquet_clean
 
     return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+
+@ray.remote(num_cpus=1)
+def _dense_edges_task(block: pa.Table, n_docs: int):
+    """Edge triple (src, dst, outdeg-per-edge) for one node block —
+    same md5 rule as the shuffle path's ``build_edges``; the tuple
+    stays in the object store and is re-read by every iteration."""
+    from .dedup import _md5_lower64
+
+    v = block["doc_id"].to_numpy()
+    outdeg = (_md5_lower64([f"{x}-d" for x in v.tolist()]) % np.uint64(3)).astype(
+        np.int64
+    ) + 1
+    src = np.repeat(v, outdeg)
+    js = (
+        np.concatenate([np.arange(d) for d in outdeg])
+        if len(v)
+        else np.empty(0, np.int64)
+    )
+    dst = (
+        _md5_lower64([f"{s}-e{j}" for s, j in zip(src.tolist(), js.tolist())])
+        % np.uint64(n_docs)
+    ).astype(np.int64)
+    return src, dst, np.repeat(outdeg, outdeg)
+
+
+@ray.remote(num_cpus=1)
+def _dense_contrib_task(edges, r: np.ndarray) -> np.ndarray:
+    """One block's damped-contribution partial: int64-exact
+    (np.add.at, not float bincount) so block order can't change sums."""
+    src, dst, od = edges
+    acc = np.zeros(len(r), np.int64)
+    np.add.at(acc, dst, r[src] // od)
+    return acc
+
+
+@ray.remote(num_cpus=1)
+def _dense_bfs_task(edges, mask: np.ndarray) -> np.ndarray:
+    src, dst, _ = edges
+    return np.unique(dst[mask[src]])
+
+
+def _dense_graph(sf_dir: str):
+    """(nodes_dataset, n_docs, edge_tuple_refs | None). The dense path
+    applies when node ids are exactly [0, n_docs) (the fixture contract
+    — verified, not assumed) and the per-node vector fits the broadcast
+    cap; the id pull is bounded at 16 MB by ``_DENSE_MAX_NODES``."""
+    nodes = _read_nodes(sf_dir).materialize()
+    n_docs = nodes.count()
+    if n_docs == 0 or n_docs > _DENSE_MAX_NODES:
+        return nodes, n_docs, None
+    ids = nodes.to_pandas()["doc_id"].to_numpy()
+    if not (
+        ids.min() == 0 and ids.max() == n_docs - 1 and np.unique(ids).size == n_docs
+    ):
+        return nodes, n_docs, None
+    refs = []
+    for bundle in nodes.iter_internal_ref_bundles():
+        for block_ref, meta in bundle.blocks:
+            if (meta.num_rows or 0) > 0:
+                refs.append(_dense_edges_task.remote(block_ref, n_docs))
+    return nodes, n_docs, refs
 
 
 def pagerank(sf_dir: str, iters: int = 5) -> rd.Dataset:
@@ -49,8 +118,26 @@ def pagerank(sf_dir: str, iters: int = 5) -> rd.Dataset:
     from .dedup import _md5_lower64
     from .dedup import _nonempty_blocks
 
-    nodes = _read_nodes(sf_dir)
-    n_docs = nodes.count()  # tiny: one column of ids
+    nodes, n_docs, dense_refs = _dense_graph(sf_dir)
+    if n_docs == 0:
+        return pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"), "rank": pd.Series([], dtype="int64")}
+        )
+    if dense_refs is not None:
+        # Dense path: K iterations = K task waves over the materialized
+        # edge blocks + an O(N) driver combine — no per-iteration
+        # Dataset-executor startup, no join/groupby shuffles. Bit-
+        # identical to the shuffle path (same int64 steps; orphans get
+        # acc=0 → exactly TELEPORT, matching the one-time orphan union).
+        r = np.full(n_docs, R0, np.int64)
+        for _ in range(iters):
+            r_ref = ray.put(r)
+            accs = ray.get([_dense_contrib_task.remote(e, r_ref) for e in dense_refs])
+            acc = np.sum(accs, axis=0, dtype=np.int64)
+            r = TELEPORT + (acc * 85) // 100
+        return pd.DataFrame(
+            {"doc_id": np.arange(n_docs, dtype=np.int64), "rank": r}
+        ).astype({"doc_id": "int64", "rank": "int64"})
 
     edge_schema = pa.schema(
         [("src", pa.int64()), ("dst", pa.int64()), ("outdeg", pa.int64())]
@@ -399,11 +486,34 @@ def bfs_levels(
     from .dedup import _md5_lower64, _nonempty_blocks, pandas_with_schema
     from .relational import _sharded_agg
 
-    nodes = _read_nodes(sf_dir)
-    n_docs = nodes.count()
+    nodes, n_docs, dense_refs = _dense_graph(sf_dir)
     out_types = {"doc_id": "int64", "level": "int64"}
     if n_docs == 0:
         return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in out_types.items()})
+    if dense_refs is not None:
+        # Dense path (see pagerank): one task wave per depth, frontier
+        # broadcast as an N-bool mask; BFS first-touch == min level, so
+        # this matches the shuffle path's min-merge exactly.
+        lvl = np.full(n_docs, -1, np.int64)
+        seeds = np.flatnonzero(np.arange(n_docs, dtype=np.int64) % seed_mod == 0)
+        lvl[seeds] = 0
+        mask = np.zeros(n_docs, bool)
+        mask[seeds] = True
+        for depth in range(1, max_depth + 1):
+            if not mask.any():
+                break
+            m_ref = ray.put(mask)
+            hits = ray.get([_dense_bfs_task.remote(e, m_ref) for e in dense_refs])
+            reached = np.unique(np.concatenate(hits)) if hits else np.empty(0, np.int64)
+            newly = reached[lvl[reached] < 0]
+            mask = np.zeros(n_docs, bool)
+            if len(newly):
+                lvl[newly] = depth
+                mask[newly] = True
+        keep = lvl >= 0
+        return pd.DataFrame(
+            {"doc_id": np.arange(n_docs, dtype=np.int64)[keep], "level": lvl[keep]}
+        ).astype(out_types)
 
     edge_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
     dist_schema = pa.schema([("node", pa.int64()), ("lvl", pa.int64())])

@@ -16,6 +16,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import ray
 import ray.data as rd
 
 from .dedup import _md5_lower64, _read_docs
@@ -243,6 +244,29 @@ def kmeans_embeddings(
 # --- distributed PCA (top principal component by power iteration) --------
 
 
+@ray.remote(num_cpus=1)
+def _emb_matrix_task(block: pa.Table) -> np.ndarray:
+    return np.stack(block["embedding"].to_numpy(zero_copy_only=False)).astype(
+        np.float64
+    )
+
+
+@ray.remote(num_cpus=1)
+def _emb_sum_task(X: np.ndarray):
+    return np.rint(X.sum(axis=0) * float(_KM_SCALE)).astype(np.int64), X.shape[0]
+
+
+@ray.remote(num_cpus=1)
+def _emb_matvec_task(X: np.ndarray, v: np.ndarray):
+    # Σ x (xᵀv) and Σ (xᵀv): centered matvec = Σ x(xᵀv) − mean·Σ(xᵀv)
+    # (the second mean term Σ(x−m)(−mᵀv) telescopes via n on the driver)
+    p = X @ v
+    return (
+        np.rint((X.T @ p) * float(_KM_SCALE)).astype(np.int64),
+        int(round(p.sum() * float(_KM_SCALE))),
+    )
+
+
 def pca_power(sf_dir: str, max_iters: int = 20) -> pd.DataFrame:
     """Top principal component of the embedding corpus by POWER
     ITERATION, with every distributed reduce in fixed-point integers so
@@ -264,58 +288,45 @@ def pca_power(sf_dir: str, max_iters: int = 20) -> pd.DataFrame:
 
     from .. import read_parquet_clean
 
+    # Embedding blocks are converted to contiguous float64 matrices
+    # ONCE (one task wave; the matrices live in the object store and
+    # spill like any block), then every power-iteration pass is one
+    # task wave over those refs — no per-iteration Dataset-executor
+    # startup, no per-iteration restacking. Partial-quantization
+    # boundaries are the (deterministic) read blocks, so run-to-run
+    # determinism holds as before.
     ds = read_parquet_clean(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
-
-    def sum_partial(t: pa.Table) -> pa.Table:
-        X = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
-        return pa.table(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    ).materialize()
+    x_refs = []
+    for bundle in ds.iter_internal_ref_bundles():
+        for block_ref, meta in bundle.blocks:
+            if (meta.num_rows or 0) > 0:
+                x_refs.append(_emb_matrix_task.remote(block_ref))
+    if not x_refs:
+        return pd.DataFrame(
             {
-                "qsum": pa.array(
-                    [np.rint(X.sum(axis=0) * float(_KM_SCALE)).astype(np.int64)],
-                    pa.list_(pa.int64()),
-                ),
-                "n": pa.array([len(X)], pa.int64()),
+                "dim": pd.Series([], dtype="int64"),
+                "q_component": pd.Series([], dtype="int64"),
             }
         )
 
     qs = None
     n = 0
-    for row in ds.map_batches(sum_partial, batch_format="pyarrow").take_all():
-        v = np.asarray(row["qsum"], dtype=np.int64)
-        qs = v if qs is None else qs + v
-        n += int(row["n"])
+    for qsum, cnt in ray.get([_emb_sum_task.remote(x) for x in x_refs]):
+        qs = qsum if qs is None else qs + qsum
+        n += cnt
     mean = qs / (float(_KM_SCALE) * n)
     dim = mean.shape[0]
 
     v = np.ones(dim, dtype=np.float64) / np.sqrt(dim)
     for _ in range(max_iters):
         v_ref = ray.put(v)
-
-        def matvec_partial(t: pa.Table) -> pa.Table:
-            vv = ray.get(v_ref)
-            X = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(
-                np.float64
-            )
-            # Σ x (xᵀv) and Σ (xᵀv): centered matvec = Σ x(xᵀv) − mean·Σ(xᵀv)
-            # (the second mean term Σ(x−m)(−mᵀv) telescopes via n on the driver)
-            p = X @ vv
-            return pa.table(
-                {
-                    "qxv": pa.array(
-                        [np.rint((X.T @ p) * float(_KM_SCALE)).astype(np.int64)],
-                        pa.list_(pa.int64()),
-                    ),
-                    "qpv": pa.array([int(round(p.sum() * float(_KM_SCALE)))], pa.int64()),
-                }
-            )
-
         acc = np.zeros(dim, dtype=np.int64)
         psum_q = 0
-        for row in ds.map_batches(matvec_partial, batch_format="pyarrow").take_all():
-            acc += np.asarray(row["qxv"], dtype=np.int64)
-            psum_q += int(row["qpv"])
+        for qxv, qpv in ray.get([_emb_matvec_task.remote(x, v_ref) for x in x_refs]):
+            acc += qxv
+            psum_q += qpv
         # centered covariance matvec (×n): Σ(x−m)(x−m)ᵀ v
         #   = Σ x(xᵀv) − m·Σ(xᵀv) − (Σx)(mᵀv) + n·m(mᵀv), and Σx = n·m
         #   = Σ x(xᵀv) − m·Σ(xᵀv) − n·m(mᵀv) + n·m(mᵀv)
