@@ -534,7 +534,7 @@ def semdedup(
     ds = read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    ds = _with_planted_neardups(ds, plant_every)
+    ds = _with_planted_neardups(ds, plant_every).materialize()
     cents_ref = ray.put(_lloyd_centroids(ds, k, max_iters=10))
 
     def assign(t: pa.Table) -> pa.Table:

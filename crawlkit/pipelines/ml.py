@@ -150,51 +150,81 @@ def train_linear_probe(
 _KM_SCALE = np.int64(1) << np.int64(24)  # fixed-point quantum for reduces
 
 
-def _km_partials(t: pa.Table, cents: np.ndarray) -> pa.Table:
-    """One batch's Lloyd partials: per-cluster QUANTIZED coordinate sums
-    (int64 fixed-point ×2^24) + counts + quantized inertia. Integer
-    partials make the driver reduce order-INDEPENDENT — float partial
-    sums would make centroid trajectories depend on task arrival order,
-    breaking the repo's determinism invariant (same trick as the
-    FLOOR(×100) cents convention)."""
-    X = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
-    # argmin over ||x-c||² = argmin over -2xCᵀ + ||c||² (drop ||x||²)
+@ray.remote(num_cpus=1)
+def _km_block_task(block: pa.Table):
+    """(vec_ids, float64 matrix) for one block — built once, re-read by
+    every Lloyd pass from the object store."""
+    return (
+        block["vec_id"].to_numpy().astype(np.int64),
+        np.stack(block["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64),
+    )
+
+
+@ray.remote(num_cpus=1)
+def _km_seed_task(vx, k: int):
+    """Per-block k smallest vec_ids + their vectors; the driver merge of
+    these (k × blocks rows) equals a global sort+limit(k) seed."""
+    ids, X = vx
+    order = np.argsort(ids, kind="stable")[:k]
+    return ids[order], X[order]
+
+
+@ray.remote(num_cpus=1)
+def _km_partials_task(vx, cents: np.ndarray):
+    """One block's Lloyd partials: per-cluster QUANTIZED coordinate sums
+    (int64 fixed-point ×2^24) + counts. Integer partials make the
+    driver reduce order-INDEPENDENT — float partial sums would make
+    centroid trajectories depend on task arrival order, breaking the
+    repo's determinism invariant (same trick as the FLOOR(×100) cents
+    convention). argmin over ||x-c||² = argmin over -2xCᵀ + ||c||²."""
+    _, X = vx
     d2 = -2.0 * (X @ cents.T) + (cents * cents).sum(axis=1)
     assign = d2.argmin(axis=1)
     k, dim = cents.shape
     sums = np.zeros((k, dim), dtype=np.float64)
     np.add.at(sums, assign, X)
     counts = np.bincount(assign, minlength=k).astype(np.int64)
-    inert = float((d2[np.arange(len(X)), assign] + (X * X).sum(axis=1)).sum())
-    return pa.table(
-        {
-            "qsums": pa.array(
-                [np.rint(sums * float(_KM_SCALE)).astype(np.int64).ravel()],
-                pa.list_(pa.int64(), k * dim),
-            ),
-            "counts": pa.array([counts], pa.list_(pa.int64(), k)),
-            "qinertia": pa.array([int(round(inert * float(_KM_SCALE)))], pa.int64()),
-        }
-    )
+    return np.rint(sums * float(_KM_SCALE)).astype(np.int64), counts
+
+
+def _km_block_refs(ds) -> list:
+    """Materialize ``ds`` and convert each non-empty block to a
+    (vec_ids, matrix) object-store ref — one task wave, spillable."""
+    refs = []
+    for bundle in ds.materialize().iter_internal_ref_bundles():
+        for block_ref, meta in bundle.blocks:
+            if (meta.num_rows or 0) > 0:
+                refs.append(_km_block_task.remote(block_ref))
+    return refs
 
 
 def _lloyd_centroids(ds, k: int, max_iters: int) -> np.ndarray:
     """The distributed Lloyd loop shared by ``kmeans_embeddings`` and
-    ``dedup.semdedup``: per-iteration streaming quantized partials,
-    driver reduce, exact fixed-point convergence test. Init = the k
-    smallest vec_ids (deterministic, partition-independent)."""
-    seed = ds.sort("vec_id").limit(k).to_pandas()["embedding"].to_numpy()
-    cents = np.stack(seed).astype(np.float64)
+    ``dedup.semdedup``: embedding blocks are converted to matrices once
+    (object-store refs), then every pass is ONE task wave of quantized
+    partials (int64 fixed-point — driver reduce order-independent)
+    with the centroids broadcast via ``ray.put``; no per-iteration
+    Dataset-executor startup. Exact fixed-point convergence test.
+    Init = the k smallest vec_ids (deterministic, partition-independent:
+    per-block top-k then driver merge ≡ global sort+limit)."""
+    refs = _km_block_refs(ds)
+    seeds = ray.get([_km_seed_task.remote(r, k) for r in refs])
+    sids = np.concatenate([s[0] for s in seeds])
+    sX = np.vstack([s[1] for s in seeds])
+    order = np.argsort(sids, kind="stable")[:k]
+    cents = sX[order].copy()
     dim = cents.shape[1]
+    k_eff = cents.shape[0]
 
     for _ in range(max_iters):
-        qs = np.zeros((k, dim), dtype=np.int64)
-        cnt = np.zeros(k, dtype=np.int64)
-        for row in ds.map_batches(
-            lambda t, c=cents: _km_partials(t, c), batch_format="pyarrow"
-        ).take_all():
-            qs += np.asarray(row["qsums"], dtype=np.int64).reshape(k, dim)
-            cnt += np.asarray(row["counts"], dtype=np.int64)
+        qs = np.zeros((k_eff, dim), dtype=np.int64)
+        cnt = np.zeros(k_eff, dtype=np.int64)
+        c_ref = ray.put(cents)
+        for qsums, counts in ray.get(
+            [_km_partials_task.remote(r, c_ref) for r in refs]
+        ):
+            qs += qsums
+            cnt += counts
         new = cents.copy()
         nz = cnt > 0
         new[nz] = qs[nz] / (float(_KM_SCALE) * cnt[nz, None])
@@ -227,7 +257,7 @@ def kmeans_embeddings(
 
     ds = read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
+    ).materialize()  # shared by the Lloyd loop and the final assign pass
     cents_ref = ray.put(_lloyd_centroids(ds, k, max_iters))
 
     def final_assign(t: pa.Table) -> pa.Table:

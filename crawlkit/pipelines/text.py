@@ -15,6 +15,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 import ray.data as rd
 from ray.data.aggregate import Sum
 
@@ -565,32 +566,57 @@ def text_embed(sf_dir: str, dim: int = 64) -> rd.Dataset:
 # --- BPE vocabulary training (distributed iterative merge learning) ------
 
 
-def _bpe_pair_counts(t: pa.Table) -> pa.Table:
-    """Per-batch PARTIAL weighted adjacent-pair counts over (syms, cnt)
-    rows — the map side of one BPE iteration. The per-word loop is the
-    nature of the algorithm, but it runs over the DISTINCT-WORD
-    frequency table (the classic Sennrich formulation), which is orders
-    of magnitude smaller than the corpus: counts are weighted by word
-    frequency instead of touching every corpus token."""
+def _bpe_pairs(syms_list: list, cnts) -> pd.DataFrame:
+    """PARTIAL weighted adjacent-pair counts over (syms, cnt) rows — the
+    map side of one BPE iteration. The per-word loop is the nature of
+    the algorithm, but it runs over the DISTINCT-WORD frequency table
+    (the classic Sennrich formulation), which is orders of magnitude
+    smaller than the corpus: counts are weighted by word frequency
+    instead of touching every corpus token."""
     acc: dict[tuple[str, str], int] = {}
-    cnts = t["cnt"].to_numpy()
-    for syms, c in zip(t["syms"].to_pylist(), cnts):
+    for syms, c in zip(syms_list, cnts):
         c = int(c)
         for i in range(len(syms) - 1):
             k = (syms[i], syms[i + 1])
             acc[k] = acc.get(k, 0) + c
-    if not acc:
-        return pa.schema(
-            [("a", pa.string()), ("b", pa.string()), ("n", pa.int64())]
-        ).empty_table()
     ks = list(acc)
-    return pa.table(
+    return pd.DataFrame(
         {
-            "a": pa.array([k[0] for k in ks], pa.string()),
-            "b": pa.array([k[1] for k in ks], pa.string()),
-            "n": pa.array([acc[k] for k in ks], pa.int64()),
+            "a": [k[0] for k in ks],
+            "b": [k[1] for k in ks],
+            "n": np.array([acc[k] for k in ks], dtype=np.int64),
         }
     )
+
+
+@ray.remote(num_cpus=1, num_returns=2)
+def _bpe_init_task(block: pa.Table):
+    """(sym-table state, first pair-count partial) for one block; the
+    state stays in the object store across all merge iterations — only
+    the SMALL pair partial is ever pulled to the driver."""
+    syms_list = block["syms"].to_pylist()
+    cnts = block["cnt"].to_numpy()
+    return (syms_list, cnts), _bpe_pairs(syms_list, cnts)
+
+
+@ray.remote(num_cpus=1, num_returns=2)
+def _bpe_step_task(state, a: str, b: str):
+    """Apply merge (a,b) to one block's sym table and count the NEXT
+    iteration's pairs in the same task — one wave per merge."""
+    syms_list, cnts = state
+    m = a + b
+    out = []
+    for syms in syms_list:
+        i, n, res = 0, len(syms), []
+        while i < n:
+            if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                res.append(m)
+                i += 2
+            else:
+                res.append(syms[i])
+                i += 1
+        out.append(res)
+    return (out, cnts), _bpe_pairs(out, cnts)
 
 
 def bpe_train(sf_dir: str, num_merges: int = 30) -> pd.DataFrame:
@@ -605,13 +631,15 @@ def bpe_train(sf_dir: str, num_merges: int = 30) -> pd.DataFrame:
        corpus is never read again; all iterations run over the
        word-frequency Dataset, which is vocabulary-sized, not
        corpus-sized.
-    2. Each of the ``num_merges`` iterations is: map_batches partial
-       pair-count (weighted by word freq) → driver reduce of the SMALL
-       (pairs × batches) partial table → deterministic argmax
-       (count desc, then lexicographic — retries/replays pick the same
-       merge) → map_batches merge-apply → ``materialize()`` so the next
-       iteration's lineage stays flat instead of replaying all prior
-       merges.
+    2. Each of the ``num_merges`` iterations is ONE raw-task wave over
+       the object-store-resident sym-table blocks (merge-apply fused
+       with the next pair count, ``num_returns=2`` so only the SMALL
+       pair partials reach the driver) → driver reduce → deterministic
+       argmax (count desc, then lexicographic — retries/replays pick
+       the same merge). Raw tasks instead of per-iteration
+       ``map_batches``: the Dataset-executor startup (~0.5 s) would
+       dominate 2×``num_merges`` times over; the block state never
+       leaves the object store either way.
     Words carry the standard '</w>' end-of-word marker on their final
     symbol."""
     from ray.data.aggregate import Sum as _Sum
@@ -653,13 +681,21 @@ def bpe_train(sf_dir: str, num_merges: int = 30) -> pd.DataFrame:
 
     cur = wf.map_batches(to_syms, batch_format="pyarrow").materialize()
 
+    state_refs, pair_refs = [], []
+    for bundle in cur.iter_internal_ref_bundles():
+        for block_ref, meta in bundle.blocks:
+            if (meta.num_rows or 0) > 0:
+                s, p = _bpe_init_task.remote(block_ref)
+                state_refs.append(s)
+                pair_refs.append(p)
+
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(num_merges):
-        parts = cur.map_batches(_bpe_pair_counts, batch_format="pyarrow").take_all()
+        parts = [df for df in ray.get(pair_refs) if len(df)]
         if not parts:
             break
         agg = (
-            pd.DataFrame(parts)
+            pd.concat(parts, ignore_index=True)
             .groupby(["a", "b"], as_index=False)["n"].sum()
             .sort_values(["n", "a", "b"], ascending=[False, True, True])
         )
@@ -669,25 +705,10 @@ def bpe_train(sf_dir: str, num_merges: int = 30) -> pd.DataFrame:
             str(agg.iloc[0]["a"]), str(agg.iloc[0]["b"]), int(agg.iloc[0]["n"])
         )
         merges.append((rank, best_a, best_b, best_n))
-        merged = best_a + best_b
-
-        def apply_merge(t: pa.Table, a=best_a, b=best_b, m=merged) -> pa.Table:
-            out = []
-            for syms in t["syms"].to_pylist():
-                i, n, res = 0, len(syms), []
-                while i < n:
-                    if i + 1 < n and syms[i] == a and syms[i + 1] == b:
-                        res.append(m)
-                        i += 2
-                    else:
-                        res.append(syms[i])
-                        i += 1
-                out.append(res)
-            return pa.table(
-                {"syms": pa.array(out, pa.list_(pa.string())), "cnt": t["cnt"]}
-            )
-
-        cur = cur.map_batches(apply_merge, batch_format="pyarrow").materialize()
+        if rank + 1 < num_merges:
+            outs = [_bpe_step_task.remote(s, best_a, best_b) for s in state_refs]
+            state_refs = [o[0] for o in outs]
+            pair_refs = [o[1] for o in outs]
 
     return pd.DataFrame(
         merges, columns=["rank", "left", "right", "pair_count"]
