@@ -38,6 +38,10 @@ def main() -> int:
     import __ray_entry__ as entrymod
 
     queries, oracles = entrymod.queries(), entrymod.oracle_sql()
+    # warm the worker pool + executor once so the first query's timing
+    # isn't session-startup (previously charged ~3s to whichever query
+    # ran first)
+    ray.data.range(32).map_batches(lambda b: b).materialize()
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
