@@ -359,6 +359,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the north-star per-row invariant: decoded pixels ≡ reference
         # (exact / PSNR≥40dB lossy) + caption equality, as a pipeline
         "mm_image_verify": multimodal.image_verify,  # rows-only (corrupt-row oracle in tests)
+        # REAL RIFF/PCM decode (audiocodec.py) — integer-exact features
+        "mm_audio_features": multimodal.audio_features,  # rows-only (numpy brute oracle in tests)
         # --- the crawl engine itself ---
         "crawl_flagship": crawl_flagship,  # rows-only (oracle = refsim in tests)
         "crawl_recrawl": crawl_recrawl,  # rows-only (oracle = refsim prior_seen)

@@ -1,12 +1,13 @@
 """Multimodal (image / audio / video) stages: opaque binary columns with
 typed metadata, processed by actor-pool ``map_batches`` stages.
 
-Sandbox reality (documented in imagecodec.py): PNG decode is REAL,
-"jpeg" is a deterministic quantized stand-in, and audio/video codecs are
-STUBS behind ``NotImplementedError`` — but the Ray-side plumbing that
-the judge grades (schemas, binary-safe Arrow batches, small batch
-sizes for megapixel rows, actor signatures, output layout) is real and
-tested end-to-end.
+Sandbox reality: PNG decode is REAL (imagecodec.py), "jpeg" is a
+deterministic quantized stand-in, PCM-WAV audio decode is REAL
+(audiocodec.py — compressed audio codecs fail cleanly), and the video
+demuxer is a STUB over a deterministic fake container. The Ray-side
+plumbing (schemas, binary-safe Arrow batches, small batch sizes for
+wide binary rows, actor signatures, output layout) is real and tested
+end-to-end throughout.
 """
 
 from __future__ import annotations
@@ -440,25 +441,117 @@ def image_dedup_exact(
     )
 
 
-# --- stubs for codecs absent in the sandbox -----------------------------
+# --- audio: REAL PCM WAV path (stdlib codec); compressed codecs need
+# soundfile/librosa outside the sandbox and fail cleanly here ------------
+
+AUDIO_FEATURES_SCHEMA = pa.schema(
+    [
+        ("audio_id", pa.string()),
+        ("sample_rate", pa.int64()),
+        ("duration_ms", pa.int64()),
+        ("rms", pa.int64()),  # isqrt(Σx²/n) — exact integer, order-free
+        ("peak", pa.int64()),
+        ("zero_crossings", pa.int64()),
+        ("clipped_frac_milli", pa.int64()),  # ‰ samples at full scale
+    ]
+)
+
+
+def synthetic_audio(n: int = 48, seed: str = "t1") -> rd.Dataset:
+    """Deterministic mono 16-bit PCM WAV corpus (audio_id, bytes) —
+    integer waveforms only (sawtooth/square mixes derived from the id
+    hash; no float sin, so bytes are platform-exact). Stands in for
+    reading an audio table out of a crawl store."""
+    from ..audiocodec import wav_encode
+    from ..hashing import hash64_np
+
+    ids = [f"aud-{seed}-{i}" for i in range(n)]
+    id_slices = [ids[i : i + 16] for i in range(0, len(ids), 16)]
+
+    def gen(batch: pa.Table) -> pa.Table:
+        recs = []
+        for aid in batch["audio_id"].to_pylist():
+            h = int(hash64_np(np.array([aid], dtype=object))[0])
+            rate = 8000 + (h % 3) * 4000  # 8/12/16 kHz
+            n_samp = rate // 2 + (h >> 8) % rate  # 0.5–1.5 s
+            period = 40 + (h >> 16) % 200
+            t = np.arange(n_samp, dtype=np.int64)
+            saw = ((t % period) * 2000 // period - 1000) * 16  # ±16000
+            square = np.where((t // period) % 2 == 0, 6000, -6000)
+            x = saw + square * ((h >> 24) % 2)
+            if h % 7 == 0:  # some clipped rows for the clip metric
+                x = x * 4
+            recs.append({"audio_id": aid, "bytes": wav_encode(x, rate)})
+        return pa.Table.from_pylist(
+            recs,
+            schema=pa.schema([("audio_id", pa.string()), ("bytes", pa.binary())]),
+        )
+
+    src = rd.from_arrow([pa.table({"audio_id": chunk}) for chunk in id_slices])
+    return src.map_batches(gen, batch_format="pyarrow", batch_size=16)
 
 
 class AudioFeatures:
-    """STUB audio feature stage (no audio codec in this container).
-
-    The contract is real: input rows (audio_id:string, bytes:binary,
-    sample_rate:int32), output (audio_id, duration_ms:int64,
-    rms:int64). Swap ``_decode`` for soundfile/librosa outside.
-    """
+    """Actor-pool audio feature stage over binary WAV rows — a REAL
+    RIFF/PCM decode (crawlkit.audiocodec), not a stub. Features are
+    integer-exact (isqrt RMS, sign-change count, peak, clipped-sample
+    fraction in ‰) so output is deterministic and merge-order-free.
+    Input rows (audio_id:string, bytes:binary); non-PCM payloads get a
+    row with duration_ms = -1 (the T4 OnError convention) rather than
+    failing the batch."""
 
     def __init__(self):
-        pass
+        from ..audiocodec import wav_decode
 
-    def _decode(self, data: bytes, sample_rate: int) -> np.ndarray:
-        raise NotImplementedError("no audio codec in sandbox; see class docstring")
+        self._decode = wav_decode
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        raise NotImplementedError("no audio codec in sandbox; see class docstring")
+        import math
+
+        rows = []
+        for aid, data in zip(t["audio_id"].to_pylist(), t["bytes"].to_pylist()):
+            try:
+                x, rate = self._decode(data)
+            except ValueError:
+                rows.append(
+                    dict(audio_id=aid, sample_rate=0, duration_ms=-1, rms=0,
+                         peak=0, zero_crossings=0, clipped_frac_milli=0)
+                )
+                continue
+            if x.ndim > 1:
+                x = x[:, 0]
+            xi = x.astype(np.int64)
+            n = max(len(xi), 1)
+            rows.append(
+                dict(
+                    audio_id=aid,
+                    sample_rate=rate,
+                    duration_ms=len(xi) * 1000 // rate,
+                    rms=math.isqrt(int((xi * xi).sum()) // n),
+                    peak=int(np.abs(xi).max(initial=0)),
+                    zero_crossings=int(
+                        ((xi[1:] >= 0) != (xi[:-1] >= 0)).sum()
+                    ) if len(xi) > 1 else 0,
+                    clipped_frac_milli=int(
+                        (np.abs(xi) >= 32767).sum() * 1000 // n
+                    ),
+                )
+            )
+        return pa.Table.from_pylist(rows, schema=AUDIO_FEATURES_SCHEMA)
+
+
+def audio_features(sf_dir: str, n: int = 48) -> rd.Dataset:
+    """Feature-extract the deterministic WAV corpus via the actor-pool
+    stage (small batches — each row is a full audio payload). Rows-only
+    query: DuckDB cannot decode RIFF; numpy brute parity + codec
+    round-trip are pinned in tests/test_ann_multimodal.py."""
+    return synthetic_audio(n).map_batches(
+        AudioFeatures,
+        batch_format="pyarrow",
+        batch_size=16,
+        concurrency=2,
+        max_restarts=0,
+    )
 
 
 class VideoFrameSample:

@@ -92,9 +92,48 @@ def test_video_frame_sample_stub_plumbing():
     assert (px == 3).all()
 
 
-def test_audio_stub_raises():
-    with pytest.raises(NotImplementedError):
-        multimodal.AudioFeatures()(pa.table({"audio_id": ["a"], "bytes": [b""]}))
+def test_wav_codec_roundtrip():
+    from crawlkit import audiocodec
+
+    rng = np.random.default_rng(3)
+    x = rng.integers(-32768, 32768, size=1234).astype(np.int16)
+    data = audiocodec.wav_encode(x, 12000)
+    y, rate = audiocodec.wav_decode(data)
+    assert rate == 12000 and (y == x).all()
+    with pytest.raises(ValueError):
+        audiocodec.wav_decode(b"not a riff stream")
+
+
+def test_audio_features_match_numpy_brute():
+    """Engine features ≡ direct numpy over the decoded corpus; non-PCM
+    rows get the duration_ms=-1 error row instead of failing."""
+    import math
+
+    from crawlkit import audiocodec
+
+    corpus = multimodal.synthetic_audio(12).to_pandas()
+    out = (
+        multimodal.audio_features("unused", n=12)
+        .to_pandas()
+        .set_index("audio_id")
+    )
+    clipped = 0
+    for _, row in corpus.iterrows():
+        x, rate = audiocodec.wav_decode(row["bytes"])
+        xi = x.astype(np.int64)
+        r = out.loc[row["audio_id"]]
+        assert r["sample_rate"] == rate
+        assert r["duration_ms"] == len(xi) * 1000 // rate
+        assert r["rms"] == math.isqrt(int((xi * xi).sum()) // len(xi))
+        assert r["peak"] == np.abs(xi).max()
+        assert r["zero_crossings"] == ((xi[1:] >= 0) != (xi[:-1] >= 0)).sum()
+        clipped += int(r["clipped_frac_milli"] > 0)
+    assert len(out) == 12 and clipped >= 1  # fixture plants clipped rows
+
+    bad = multimodal.AudioFeatures()(
+        pa.table({"audio_id": ["a"], "bytes": [b"\x00\x01garbage"]})
+    )
+    assert bad["duration_ms"].to_pylist() == [-1]
 
 
 def test_image_phash_neardup_planted_pairs():
