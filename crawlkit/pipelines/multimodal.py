@@ -555,15 +555,27 @@ def audio_features(sf_dir: str, n: int = 48) -> rd.Dataset:
 
 
 class VideoFrameSample:
-    """STUB frame-sampling stage: real plumbing over a deterministic fake
-    'video' = concatenated PNG frames with an index header; samples every
-    k-th frame. A real demuxer (pyav) drops into ``_iter_frames``."""
+    """Frame-sampling stage over a REAL container: demuxes RIFF-AVI with
+    uncompressed DIB frames (crawlkit.videocodec — the one video
+    container stdlib can handle honestly), samples every k-th frame and
+    re-encodes it as PNG. Compressed codecs (h264/vp9) need pyav
+    outside the sandbox — a row whose payload fails to demux emits a
+    single frame_idx = -1 row (the T4 OnError convention). The legacy
+    length-prefixed-PNG fake container from earlier rounds is still
+    accepted for store compatibility (magic-sniffed)."""
 
     def __init__(self, every_k: int = 5):
         self.every_k = every_k
 
     def _iter_frames(self, data: bytes):
-        # fake container: 4-byte frame count, then length-prefixed PNGs
+        from ..videocodec import avi_decode
+
+        if data[:4] == b"RIFF":
+            frames, _ = avi_decode(data)
+            for px in frames:
+                yield imagecodec.encode_png(px)
+            return
+        # legacy fake container: 4-byte frame count, length-prefixed PNGs
         import struct
 
         (n,) = struct.unpack(">I", data[:4])
@@ -574,17 +586,65 @@ class VideoFrameSample:
             pos += 4 + ln
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        import struct
+
         rows = []
         for vid, data in zip(t["video_id"].to_pylist(), t["bytes"].to_pylist()):
-            for fi, frame in enumerate(self._iter_frames(data)):
-                if fi % self.every_k == 0:
-                    rows.append({"video_id": vid, "frame_idx": fi, "frame_png": frame})
+            try:
+                for fi, frame in enumerate(self._iter_frames(data)):
+                    if fi % self.every_k == 0:
+                        rows.append(
+                            {"video_id": vid, "frame_idx": fi, "frame_png": frame}
+                        )
+            except (ValueError, struct.error):
+                rows.append({"video_id": vid, "frame_idx": -1, "frame_png": b""})
         return pa.Table.from_pylist(
             rows,
             schema=pa.schema(
                 [("video_id", pa.string()), ("frame_idx", pa.int64()), ("frame_png", pa.binary())]
             ),
         )
+
+
+def synthetic_videos(n: int = 12, config: WebConfig | str = "t1") -> rd.Dataset:
+    """Deterministic AVI corpus (video_id, bytes): each video's frames
+    are the synthetic web's image pixels shifted per frame index —
+    byte-exact across runs, real RIFF-AVI container."""
+    from ..videocodec import avi_encode
+
+    ids = [f"vid-mm-{i}" for i in range(n)]
+
+    def gen(batch: pa.Table) -> pa.Table:
+        w = SynthWeb(config)
+        recs = []
+        for vid in batch["video_id"].to_pylist():
+            base = w.image_record(vid)
+            px = imagecodec.decode(base["bytes"], base["fmt"])
+            nframes = 4 + (int(vid.rsplit("-", 1)[1]) % 5)
+            frames = [np.roll(px, 3 * f, axis=1) for f in range(nframes)]
+            recs.append({"video_id": vid, "bytes": avi_encode(frames, fps=10)})
+        return pa.Table.from_pylist(
+            recs,
+            schema=pa.schema([("video_id", pa.string()), ("bytes", pa.binary())]),
+        )
+
+    src = rd.from_arrow(pa.table({"video_id": ids}))
+    return src.map_batches(gen, batch_format="pyarrow", batch_size=4)
+
+
+def video_frame_sample(sf_dir: str, n: int = 12, every_k: int = 3) -> rd.Dataset:
+    """Demux + sample the deterministic AVI corpus via the actor-pool
+    stage (small batches — each row is a whole video payload). Rows-only
+    query: DuckDB cannot demux AVI; codec round-trip + sampling parity
+    are pinned in tests/test_ann_multimodal.py."""
+    return synthetic_videos(n).map_batches(
+        VideoFrameSample,
+        fn_constructor_kwargs={"every_k": every_k},
+        batch_format="pyarrow",
+        batch_size=4,
+        concurrency=2,
+        max_restarts=0,
+    )
 
 
 class ImagePatchify:

@@ -78,7 +78,7 @@ def test_image_phash_neardup_pipeline_runs():
     )
 
 
-def test_video_frame_sample_stub_plumbing():
+def test_video_frame_sample_legacy_container():
     import struct
 
     frames = [imagecodec.encode_png(np.full((4, 4, 3), i, dtype=np.uint8)) for i in range(7)]
@@ -90,6 +90,48 @@ def test_video_frame_sample_stub_plumbing():
     assert out["frame_idx"].to_pylist() == [0, 3, 6]
     px = imagecodec.decode_png(out["frame_png"].to_pylist()[1])
     assert (px == 3).all()
+
+
+def test_avi_codec_roundtrip():
+    from crawlkit import videocodec
+
+    rng = np.random.default_rng(5)
+    frames = [rng.integers(0, 256, size=(9, 7, 3)).astype(np.uint8) for _ in range(4)]
+    data = videocodec.avi_encode(frames, fps=10)
+    got, fps = videocodec.avi_decode(data)
+    assert fps == 10 and len(got) == 4
+    for a, b in zip(frames, got):
+        assert (a == b).all()
+    with pytest.raises(ValueError):
+        videocodec.avi_decode(b"RIFFxxxxWAVE")
+
+
+def test_video_frame_sample_real_avi():
+    """Real RIFF-AVI demux: sampled frames decode to the exact source
+    pixels; a garbage payload yields the frame_idx=-1 error row."""
+    from crawlkit import videocodec
+
+    base = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    frames = [np.roll(base, f, axis=1) for f in range(7)]
+    t = pa.table(
+        {
+            "video_id": ["v1", "bad"],
+            "bytes": [videocodec.avi_encode(frames, fps=10), b"RIFF\x00\x00\x00\x00JUNK"],
+        }
+    )
+    out = multimodal.VideoFrameSample(every_k=3)(t).to_pandas()
+    v1 = out[out.video_id == "v1"]
+    assert v1["frame_idx"].tolist() == [0, 3, 6]
+    for _, row in v1.iterrows():
+        px = imagecodec.decode_png(row["frame_png"])
+        assert (px == np.roll(base, int(row["frame_idx"]), axis=1)).all()
+    assert out[out.video_id == "bad"]["frame_idx"].tolist() == [-1]
+
+
+def test_video_frames_query_runs():
+    out = multimodal.video_frame_sample("unused", n=6, every_k=3).to_pandas()
+    assert (out["frame_idx"] >= 0).all() and len(out) >= 6
+    assert set(out["video_id"]).issuperset({f"vid-mm-{i}" for i in range(6)})
 
 
 def test_wav_codec_roundtrip():
