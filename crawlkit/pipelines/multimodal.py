@@ -609,7 +609,9 @@ class VideoFrameSample:
 def synthetic_videos(n: int = 12, config: WebConfig | str = "t1") -> rd.Dataset:
     """Deterministic AVI corpus (video_id, bytes): each video's frames
     are the synthetic web's image pixels shifted per frame index —
-    byte-exact across runs, real RIFF-AVI container."""
+    byte-exact across runs, real RIFF-AVI container. Every THIRD video
+    has a planted SCENE CUT (pixel inversion) at frame ``nframes//2``,
+    so cut-detection pipelines over this fixture have real positives."""
     from ..videocodec import avi_encode
 
     ids = [f"vid-mm-{i}" for i in range(n)]
@@ -620,8 +622,12 @@ def synthetic_videos(n: int = 12, config: WebConfig | str = "t1") -> rd.Dataset:
         for vid in batch["video_id"].to_pylist():
             base = w.image_record(vid)
             px = imagecodec.decode(base["bytes"], base["fmt"])
-            nframes = 4 + (int(vid.rsplit("-", 1)[1]) % 5)
+            i = int(vid.rsplit("-", 1)[1])
+            nframes = 4 + (i % 5)
             frames = [np.roll(px, 3 * f, axis=1) for f in range(nframes)]
+            if i % 3 == 0:  # planted scene cut
+                for f in range(nframes // 2, nframes):
+                    frames[f] = 255 - frames[f]
             recs.append({"video_id": vid, "bytes": avi_encode(frames, fps=10)})
         return pa.Table.from_pylist(
             recs,
@@ -630,6 +636,74 @@ def synthetic_videos(n: int = 12, config: WebConfig | str = "t1") -> rd.Dataset:
 
     src = rd.from_arrow(pa.table({"video_id": ids}))
     return src.map_batches(gen, batch_format="pyarrow", batch_size=4)
+
+
+class VideoSceneCuts:
+    """Scene-cut detection over real AVI rows: mean absolute pixel
+    difference between consecutive frames, integer-exact
+    (Σ|Δ|·1000 // npix), cut where mad_milli ≥ tau_milli. The standard
+    pre-step before "sample k frames per scene" in video training-data
+    pipelines. Undecodable payloads emit frame_idx = -1 (T4 OnError
+    convention)."""
+
+    def __init__(self, tau_milli: int = 30_000):
+        from ..videocodec import avi_decode
+
+        self.tau = tau_milli
+        self._decode = avi_decode
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        rows = []
+        for vid, data in zip(t["video_id"].to_pylist(), t["bytes"].to_pylist()):
+            try:
+                frames, _ = self._decode(data)
+            except ValueError:
+                rows.append(
+                    dict(video_id=vid, frame_idx=-1, mad_milli=0, is_cut=False)
+                )
+                continue
+            if len(frames) < 2:
+                continue
+            stack = np.stack(frames).astype(np.int64)
+            diff = np.abs(stack[1:] - stack[:-1]).sum(axis=(1, 2, 3))
+            npix = int(np.prod(stack.shape[1:]))
+            mads = diff * 1000 // npix
+            for fi, mad in enumerate(mads, start=1):
+                rows.append(
+                    dict(
+                        video_id=vid,
+                        frame_idx=fi,
+                        mad_milli=int(mad),
+                        is_cut=bool(mad >= self.tau),
+                    )
+                )
+        return pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [
+                    ("video_id", pa.string()),
+                    ("frame_idx", pa.int64()),
+                    ("mad_milli", pa.int64()),
+                    ("is_cut", pa.bool_()),
+                ]
+            ),
+        )
+
+
+def video_scene_cuts(
+    sf_dir: str, n: int = 12, tau_milli: int = 30_000
+) -> rd.Dataset:
+    """Per-frame cut scores over the deterministic AVI corpus (planted
+    inversion cuts must be found; rolling motion must not trigger).
+    Rows-only query; planted-cut exactness pinned in tests."""
+    return synthetic_videos(n).map_batches(
+        VideoSceneCuts,
+        fn_constructor_kwargs={"tau_milli": tau_milli},
+        batch_format="pyarrow",
+        batch_size=4,
+        concurrency=2,
+        max_restarts=0,
+    )
 
 
 def video_frame_sample(sf_dir: str, n: int = 12, every_k: int = 3) -> rd.Dataset:

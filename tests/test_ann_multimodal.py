@@ -134,6 +134,18 @@ def test_video_frames_query_runs():
     assert set(out["video_id"]).issuperset({f"vid-mm-{i}" for i in range(6)})
 
 
+def test_video_scene_cuts_planted():
+    """Planted inversion cuts (every 3rd video, at nframes//2) are
+    detected exactly; rolling-motion frames never trigger."""
+    out = multimodal.video_scene_cuts("unused", n=12).to_pandas()
+    assert (out["frame_idx"] > 0).all()  # all payloads decodable
+    for i in range(12):
+        v = out[out.video_id == f"vid-mm-{i}"]
+        cuts = v[v.is_cut]["frame_idx"].tolist()
+        nframes = 4 + (i % 5)
+        assert cuts == ([nframes // 2] if i % 3 == 0 else []), (i, cuts)
+
+
 def test_wav_codec_roundtrip():
     from crawlkit import audiocodec
 
