@@ -361,6 +361,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_image_verify": multimodal.image_verify,  # rows-only (corrupt-row oracle in tests)
         # REAL RIFF/PCM decode (audiocodec.py) — integer-exact features
         "mm_audio_features": multimodal.audio_features,  # rows-only (numpy brute oracle in tests)
+        "mm_audio_segments": multimodal.audio_segments,  # rows-only (planted-silence oracle in tests)
         # REAL RIFF-AVI demux (videocodec.py) — frame sampling
         "mm_video_frames": multimodal.video_frame_sample,  # rows-only (codec round-trip in tests)
         "mm_video_scene_cuts": multimodal.video_scene_cuts,  # rows-only (planted-cut oracle in tests)

@@ -481,6 +481,8 @@ def synthetic_audio(n: int = 48, seed: str = "t1") -> rd.Dataset:
             x = saw + square * ((h >> 24) % 2)
             if h % 7 == 0:  # some clipped rows for the clip metric
                 x = x * 4
+            if h % 5 == 0:  # planted mid-row silence → real VAD segments
+                x[n_samp // 3 : 2 * n_samp // 3] = 0
             recs.append({"audio_id": aid, "bytes": wav_encode(x, rate)})
         return pa.Table.from_pylist(
             recs,
@@ -538,6 +540,82 @@ class AudioFeatures:
                 )
             )
         return pa.Table.from_pylist(rows, schema=AUDIO_FEATURES_SCHEMA)
+
+
+class AudioSegments:
+    """Energy-based VAD segmentation over binary WAV rows: windowed
+    integer RMS (isqrt of the per-window mean square), merge consecutive
+    active windows (rms ≥ tau) into segments — the speech-data
+    pre-filter that splits long recordings into trainable utterances.
+    Fully vectorized per row (reshape + reduceat + run-length on the
+    boolean mask); all outputs integer-exact."""
+
+    def __init__(self, win_ms: int = 20, tau: int = 500):
+        from ..audiocodec import wav_decode
+
+        self.win_ms = win_ms
+        self.tau = tau
+        self._decode = wav_decode
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import math
+
+        rows = []
+        for aid, data in zip(t["audio_id"].to_pylist(), t["bytes"].to_pylist()):
+            try:
+                x, rate = self._decode(data)
+            except ValueError:
+                continue
+            if x.ndim > 1:
+                x = x[:, 0]
+            win = max(rate * self.win_ms // 1000, 1)
+            nwin = len(x) // win
+            if nwin == 0:
+                continue
+            sq = (x[: nwin * win].astype(np.int64) ** 2).reshape(nwin, win)
+            rms = np.array([math.isqrt(int(s) // win) for s in sq.sum(axis=1)])
+            active = rms >= self.tau
+            edges = np.flatnonzero(np.diff(np.r_[0, active.view(np.int8), 0]))
+            for seg_idx, (a, b) in enumerate(zip(edges[::2], edges[1::2])):
+                rows.append(
+                    dict(
+                        audio_id=aid,
+                        seg_idx=seg_idx,
+                        start_ms=int(a) * win * 1000 // rate,
+                        end_ms=int(b) * win * 1000 // rate,
+                        n_windows=int(b - a),
+                        rms_max=int(rms[a:b].max()),
+                    )
+                )
+        return pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [
+                    ("audio_id", pa.string()),
+                    ("seg_idx", pa.int64()),
+                    ("start_ms", pa.int64()),
+                    ("end_ms", pa.int64()),
+                    ("n_windows", pa.int64()),
+                    ("rms_max", pa.int64()),
+                ]
+            ),
+        )
+
+
+def audio_segments(
+    sf_dir: str, n: int = 48, win_ms: int = 20, tau: int = 500
+) -> rd.Dataset:
+    """VAD segments over the deterministic WAV corpus (rows with planted
+    mid-row silence must split into ≥2 segments). Rows-only query;
+    brute parity pinned in tests."""
+    return synthetic_audio(n).map_batches(
+        AudioSegments,
+        fn_constructor_kwargs={"win_ms": win_ms, "tau": tau},
+        batch_format="pyarrow",
+        batch_size=16,
+        concurrency=2,
+        max_restarts=0,
+    )
 
 
 def audio_features(sf_dir: str, n: int = 48) -> rd.Dataset:

@@ -190,6 +190,38 @@ def test_audio_features_match_numpy_brute():
     assert bad["duration_ms"].to_pylist() == [-1]
 
 
+def test_audio_segments_planted_silence():
+    """Rows with the planted mid-row silence split into ≥2 segments;
+    always-active rows give exactly 1 full-length segment; segment
+    windows are exactly the rms>=tau run-lengths (brute check on one)."""
+    import math
+
+    from crawlkit import audiocodec
+    from crawlkit.hashing import hash64_np
+
+    corpus = multimodal.synthetic_audio(16).to_pandas().set_index("audio_id")
+    out = multimodal.audio_segments("unused", n=16).to_pandas()
+    planted = saw_one = False
+    for aid in corpus.index:
+        h = int(hash64_np(np.array([aid], dtype=object))[0])
+        segs = out[out.audio_id == aid]
+        if h % 5 == 0:
+            assert len(segs) >= 2, (aid, len(segs))
+            planted = True
+        else:
+            assert len(segs) == 1, (aid, len(segs))
+            saw_one = True
+    assert planted and saw_one
+
+    aid = out.iloc[0]["audio_id"]
+    x, rate = audiocodec.wav_decode(corpus.loc[aid]["bytes"])
+    win = rate * 20 // 1000
+    nwin = len(x) // win
+    sq = (x[: nwin * win].astype(np.int64) ** 2).reshape(nwin, win)
+    rms = np.array([math.isqrt(int(s) // win) for s in sq.sum(axis=1)])
+    assert int(out[out.audio_id == aid]["n_windows"].sum()) == int((rms >= 500).sum())
+
+
 def test_image_phash_neardup_planted_pairs():
     """plant_pairs seeds LSB-perturbed near-dup images: the pipeline
     must find every planted pair (non-vacuous driver fixture)."""
