@@ -50,20 +50,25 @@ def wav_decode(data: bytes) -> tuple[np.ndarray, int]:
     pos = 12
     rate = channels = bits = None
     payload = None
-    while pos + 8 <= len(data):
-        cid = data[pos : pos + 4]
-        (ln,) = struct.unpack("<I", data[pos + 4 : pos + 8])
-        body = data[pos + 8 : pos + 8 + ln]
-        if cid == b"fmt ":
-            fmt, channels, rate = struct.unpack("<HHI", body[:8])
-            bits = struct.unpack("<H", body[14:16])[0]
-            if fmt != 1 or bits != 16:
-                raise ValueError(f"unsupported WAV format tag={fmt} bits={bits}")
-        elif cid == b"data":
-            payload = body
-        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+    try:
+        while pos + 8 <= len(data):
+            cid = data[pos : pos + 4]
+            (ln,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+            body = data[pos + 8 : pos + 8 + ln]
+            if cid == b"fmt ":
+                fmt, channels, rate = struct.unpack("<HHI", body[:8])
+                bits = struct.unpack("<H", body[14:16])[0]
+                if fmt != 1 or bits != 16:
+                    raise ValueError(f"unsupported WAV format tag={fmt} bits={bits}")
+            elif cid == b"data":
+                payload = body
+            pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+    except struct.error as e:  # truncated chunk → the documented ValueError
+        raise ValueError(f"truncated WAV chunk: {e}") from e
     if rate is None or payload is None:
         raise ValueError("missing fmt/data chunk")
+    if rate <= 0:
+        raise ValueError(f"invalid sample rate {rate}")
     x = np.frombuffer(payload, dtype="<i2")
     if channels and channels > 1:
         x = x[: len(x) - len(x) % channels].reshape(-1, channels)

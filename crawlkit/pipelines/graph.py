@@ -48,14 +48,14 @@ def _read_nodes(sf_dir: str) -> rd.Dataset:
     return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
 
 
-@ray.remote(num_cpus=1)
-def _dense_edges_task(block: pa.Table, n_docs: int):
-    """Edge triple (src, dst, outdeg-per-edge) for one node block —
-    same md5 rule as the shuffle path's ``build_edges``; the tuple
-    stays in the object store and is re-read by every iteration."""
+def _derive_edges(v: np.ndarray, n_docs: int):
+    """THE graph-defining hash rule — the single source of truth shared
+    by every graph op here AND mirrored in the DuckDB oracle SQL
+    (oracles.py md5_number_lower edge derivation): outdeg(x) =
+    1 + md5(x∥'-d') % 3; the j-th edge of x points at
+    md5(x∥'-e'∥j) % n_docs. Returns (src, dst, outdeg-per-node)."""
     from .dedup import _md5_lower64
 
-    v = block["doc_id"].to_numpy()
     outdeg = (_md5_lower64([f"{x}-d" for x in v.tolist()]) % np.uint64(3)).astype(
         np.int64
     ) + 1
@@ -69,6 +69,14 @@ def _dense_edges_task(block: pa.Table, n_docs: int):
         _md5_lower64([f"{s}-e{j}" for s, j in zip(src.tolist(), js.tolist())])
         % np.uint64(n_docs)
     ).astype(np.int64)
+    return src, dst, outdeg
+
+
+@ray.remote(num_cpus=1)
+def _dense_edges_task(block: pa.Table, n_docs: int):
+    """Edge triple (src, dst, outdeg-per-edge) for one node block — the
+    tuple stays in the object store and is re-read by every iteration."""
+    src, dst, outdeg = _derive_edges(block["doc_id"].to_numpy(), n_docs)
     return src, dst, np.repeat(outdeg, outdeg)
 
 
@@ -86,6 +94,23 @@ def _dense_contrib_task(edges, r: np.ndarray) -> np.ndarray:
 def _dense_bfs_task(edges, mask: np.ndarray) -> np.ndarray:
     src, dst, _ = edges
     return np.unique(dst[mask[src]])
+
+
+@ray.remote(num_cpus=1)
+def _sum2_task(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return a + b
+
+
+def _tree_sum(refs: list) -> np.ndarray:
+    """Pairwise remote reduce of dense int64 partials: the driver pulls
+    ONE n_docs-length array instead of blocks × n_docs (at the 2²¹ cap
+    with a many-block read, the difference is GBs per iteration)."""
+    while len(refs) > 1:
+        refs = [
+            _sum2_task.remote(refs[i], refs[i + 1]) if i + 1 < len(refs) else refs[i]
+            for i in range(0, len(refs), 2)
+        ]
+    return ray.get(refs[0])
 
 
 def _dense_graph(sf_dir: str):
@@ -115,7 +140,6 @@ def pagerank(sf_dir: str, iters: int = 5) -> rd.Dataset:
     outdeg(v) = 1 + md5(v ∥ '-d') % 3, the j-th edge of v points at
     md5(v ∥ '-e' ∥ j) % N. Returns (doc_id, rank) for every doc after
     ``iters`` damped iterations (rank scale 1e6)."""
-    from .dedup import _md5_lower64
     from .dedup import _nonempty_blocks
 
     nodes, n_docs, dense_refs = _dense_graph(sf_dir)
@@ -132,8 +156,9 @@ def pagerank(sf_dir: str, iters: int = 5) -> rd.Dataset:
         r = np.full(n_docs, R0, np.int64)
         for _ in range(iters):
             r_ref = ray.put(r)
-            accs = ray.get([_dense_contrib_task.remote(e, r_ref) for e in dense_refs])
-            acc = np.sum(accs, axis=0, dtype=np.int64)
+            acc = _tree_sum(
+                [_dense_contrib_task.remote(e, r_ref) for e in dense_refs]
+            )
             r = TELEPORT + (acc * 85) // 100
         return pd.DataFrame(
             {"doc_id": np.arange(n_docs, dtype=np.int64), "rank": r}
@@ -145,16 +170,7 @@ def pagerank(sf_dir: str, iters: int = 5) -> rd.Dataset:
     rank_schema = pa.schema([("node", pa.int64()), ("r", pa.int64())])
 
     def build_edges(t: pa.Table) -> pa.Table:
-        v = t["doc_id"].to_numpy()
-        outdeg = (
-            _md5_lower64([f"{x}-d" for x in v.tolist()]) % np.uint64(3)
-        ).astype(np.int64) + 1
-        src = np.repeat(v, outdeg)
-        js = np.concatenate([np.arange(d) for d in outdeg]) if len(v) else np.empty(0, np.int64)
-        dst = (
-            _md5_lower64([f"{s}-e{j}" for s, j in zip(src.tolist(), js.tolist())])
-            % np.uint64(n_docs)
-        ).astype(np.int64)
+        src, dst, outdeg = _derive_edges(t["doc_id"].to_numpy(), n_docs)
         return pa.table(
             {"src": src, "dst": dst, "outdeg": np.repeat(outdeg, outdeg)},
             schema=edge_schema,
@@ -285,7 +301,7 @@ def triangle_count(sf_dir: str) -> pd.DataFrame:
     elsewhere). Wedge/edge keys pack (v, w) into one int64 (v<<32|w);
     beyond 2³¹ nodes the key becomes the 2×int64 digest pair the exact
     dedup already uses. Oracle: three-way DuckDB self-join u<v<w."""
-    from .dedup import _md5_lower64, _nonempty_blocks
+    from .dedup import _nonempty_blocks
 
     nodes = _read_nodes(sf_dir)
     n_docs = nodes.count()
@@ -294,20 +310,7 @@ def triangle_count(sf_dir: str) -> pd.DataFrame:
     edge_schema = pa.schema([("u", pa.int64()), ("v", pa.int64())])
 
     def build_undirected(t: pa.Table) -> pa.Table:
-        src = t["doc_id"].to_numpy()
-        outdeg = (
-            _md5_lower64([f"{x}-d" for x in src.tolist()]) % np.uint64(3)
-        ).astype(np.int64) + 1
-        s = np.repeat(src, outdeg)
-        js = (
-            np.concatenate([np.arange(d) for d in outdeg])
-            if len(src)
-            else np.empty(0, np.int64)
-        )
-        d = (
-            _md5_lower64([f"{a}-e{j}" for a, j in zip(s.tolist(), js.tolist())])
-            % np.uint64(n_docs)
-        ).astype(np.int64)
+        s, d, _ = _derive_edges(t["doc_id"].to_numpy(), n_docs)
         u = np.minimum(s, d)
         v = np.maximum(s, d)
         keep = u != v  # drop self-loops
@@ -399,7 +402,7 @@ def degree_hist(sf_dir: str, nshards: int = 32) -> pd.DataFrame:
     histogram fold is a second tiny reduce over (degree → n_nodes)
     partials — O(max_degree) rows reach the driver. The zero-degree
     count is n_nodes − Σ n_nodes(deg>0): pure arithmetic, no anti-join."""
-    from .dedup import _md5_lower64, _nonempty_blocks, pandas_with_schema
+    from .dedup import _nonempty_blocks, pandas_with_schema
     from .relational import _sharded_agg
 
     nodes = _read_nodes(sf_dir)
@@ -411,20 +414,7 @@ def degree_hist(sf_dir: str, nshards: int = 32) -> pd.DataFrame:
         )
 
     def build_dst(t: pa.Table) -> pa.Table:
-        v = t["doc_id"].to_numpy()
-        outdeg = (
-            _md5_lower64([f"{x}-d" for x in v.tolist()]) % np.uint64(3)
-        ).astype(np.int64) + 1
-        src = np.repeat(v, outdeg)
-        js = (
-            np.concatenate([np.arange(d) for d in outdeg])
-            if len(v)
-            else np.empty(0, np.int64)
-        )
-        dst = (
-            _md5_lower64([f"{s}-e{j}" for s, j in zip(src.tolist(), js.tolist())])
-            % np.uint64(n_docs)
-        ).astype(np.int64)
+        _, dst, _ = _derive_edges(t["doc_id"].to_numpy(), n_docs)
         # per-batch partial: count per dst (final count needs the shuffle)
         u, c = np.unique(dst, return_counts=True)
         return pa.table({"dst": u.astype(np.int64), "c": c.astype(np.int64)})
@@ -483,7 +473,7 @@ def bfs_levels(
     frontier empties. Oracle: DuckDB recursive CTE bounded at
     ``max_depth`` with MIN(dist) — identical to Bellman-Ford truncated
     at ``max_depth`` rounds, which frontier BFS computes exactly."""
-    from .dedup import _md5_lower64, _nonempty_blocks, pandas_with_schema
+    from .dedup import _nonempty_blocks, pandas_with_schema
     from .relational import _sharded_agg
 
     nodes, n_docs, dense_refs = _dense_graph(sf_dir)
@@ -519,20 +509,7 @@ def bfs_levels(
     dist_schema = pa.schema([("node", pa.int64()), ("lvl", pa.int64())])
 
     def build_edges(t: pa.Table) -> pa.Table:
-        v = t["doc_id"].to_numpy()
-        outdeg = (
-            _md5_lower64([f"{x}-d" for x in v.tolist()]) % np.uint64(3)
-        ).astype(np.int64) + 1
-        src = np.repeat(v, outdeg)
-        js = (
-            np.concatenate([np.arange(d) for d in outdeg])
-            if len(v)
-            else np.empty(0, np.int64)
-        )
-        dst = (
-            _md5_lower64([f"{s}-e{j}" for s, j in zip(src.tolist(), js.tolist())])
-            % np.uint64(n_docs)
-        ).astype(np.int64)
+        src, dst, _ = _derive_edges(t["doc_id"].to_numpy(), n_docs)
         return pa.table({"src": src, "dst": dst}, schema=edge_schema)
 
     # materialized once, re-joined every round (pagerank's edge-reuse shape)

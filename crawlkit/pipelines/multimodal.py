@@ -669,13 +669,16 @@ class VideoFrameSample:
         rows = []
         for vid, data in zip(t["video_id"].to_pylist(), t["bytes"].to_pylist()):
             try:
-                for fi, frame in enumerate(self._iter_frames(data)):
-                    if fi % self.every_k == 0:
-                        rows.append(
-                            {"video_id": vid, "frame_idx": fi, "frame_png": frame}
-                        )
+                # collect per video first: a mid-demux failure must not
+                # leave the video both partially decoded AND flagged -1
+                vid_rows = [
+                    {"video_id": vid, "frame_idx": fi, "frame_png": frame}
+                    for fi, frame in enumerate(self._iter_frames(data))
+                    if fi % self.every_k == 0
+                ]
             except (ValueError, struct.error):
-                rows.append({"video_id": vid, "frame_idx": -1, "frame_png": b""})
+                vid_rows = [{"video_id": vid, "frame_idx": -1, "frame_png": b""}]
+            rows.extend(vid_rows)
         return pa.Table.from_pylist(
             rows,
             schema=pa.schema(

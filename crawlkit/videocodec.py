@@ -104,7 +104,10 @@ def avi_decode(data: bytes) -> tuple[list[np.ndarray], int]:
                 payloads.append(body)
             pos += 8 + ln + (ln & 1)
 
-    walk(data[12:])
+    try:
+        walk(data[12:])
+    except struct.error as e:  # truncated chunk → the documented ValueError
+        raise ValueError(f"truncated AVI chunk: {e}") from e
     if w is None or h is None:
         raise ValueError("missing strf header")
     return [_frame_from_dib(p, w, abs(h)) for p in payloads], fps

@@ -104,6 +104,8 @@ def test_avi_codec_roundtrip():
         assert (a == b).all()
     with pytest.raises(ValueError):
         videocodec.avi_decode(b"RIFFxxxxWAVE")
+    with pytest.raises(ValueError):  # truncated strf → ValueError, not struct.error
+        videocodec.avi_decode(data[:40])
 
 
 def test_video_frame_sample_real_avi():
@@ -156,6 +158,18 @@ def test_wav_codec_roundtrip():
     assert rate == 12000 and (y == x).all()
     with pytest.raises(ValueError):
         audiocodec.wav_decode(b"not a riff stream")
+    # truncated chunk and zero-rate headers must raise the DOCUMENTED
+    # ValueError (not struct.error / ZeroDivisionError downstream), so
+    # the stages' error-row convention holds for any corrupt payload
+    with pytest.raises(ValueError):
+        audiocodec.wav_decode(data[:20])
+    with pytest.raises(ValueError):
+        audiocodec.wav_decode(audiocodec.wav_encode(x, 0))
+    import struct as _s
+
+    bad_fmt = b"RIFF" + _s.pack("<I", 16) + b"WAVE" + b"fmt " + _s.pack("<I", 4) + b"\x01\x00\x01\x00"
+    with pytest.raises(ValueError):
+        audiocodec.wav_decode(bad_fmt)
 
 
 def test_audio_features_match_numpy_brute():

@@ -105,6 +105,25 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), na_position="first").reset_index(drop=True)
 
 
+def test_graph_shuffle_path_matches_dense(edge_dir, monkeypatch):
+    """The join/groupby shuffle path (the beyond-2²¹-nodes scale story)
+    stays bit-identical to the dense fast path the fixtures normally
+    exercise — without this, a shuffle-path regression would only
+    surface at >2M docs or non-contiguous ids in production."""
+    from crawlkit.pipelines import graph
+
+    def canon(df):
+        if not isinstance(df, pd.DataFrame):
+            df = df.to_pandas()
+        return df[sorted(df.columns)].sort_values(sorted(df.columns)).reset_index(drop=True)
+
+    dense_pr = canon(graph.pagerank(edge_dir))
+    dense_bfs = canon(graph.bfs_levels(edge_dir))
+    monkeypatch.setattr(graph, "_DENSE_MAX_NODES", 0)  # force shuffle path
+    pd.testing.assert_frame_equal(canon(graph.pagerank(edge_dir)), dense_pr)
+    pd.testing.assert_frame_equal(canon(graph.bfs_levels(edge_dir)), dense_bfs)
+
+
 @pytest.mark.parametrize("name", DOC_QUERIES)
 def test_edge_corpus_matches_oracle(name, edge_dir, edge_con):
     queries, oracles = entrymod.queries(), entrymod.oracle_sql()
