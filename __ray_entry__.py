@@ -365,6 +365,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # REAL RIFF-AVI demux (videocodec.py) — frame sampling
         "mm_video_frames": multimodal.video_frame_sample,  # rows-only (codec round-trip in tests)
         "mm_video_scene_cuts": multimodal.video_scene_cuts,  # rows-only (planted-cut oracle in tests)
+        "mm_video_phash_neardup": multimodal.video_phash_neardup,  # rows-only (planted-pair oracle in tests)
         # --- the crawl engine itself ---
         "crawl_flagship": crawl_flagship,  # rows-only (oracle = refsim in tests)
         "crawl_recrawl": crawl_recrawl,  # rows-only (oracle = refsim prior_seen)

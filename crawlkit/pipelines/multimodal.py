@@ -3,11 +3,12 @@ typed metadata, processed by actor-pool ``map_batches`` stages.
 
 Sandbox reality: PNG decode is REAL (imagecodec.py), "jpeg" is a
 deterministic quantized stand-in, PCM-WAV audio decode is REAL
-(audiocodec.py — compressed audio codecs fail cleanly), and the video
-demuxer is a STUB over a deterministic fake container. The Ray-side
-plumbing (schemas, binary-safe Arrow batches, small batch sizes for
-wide binary rows, actor signatures, output layout) is real and tested
-end-to-end throughout.
+(audiocodec.py), and the video demuxer is a REAL RIFF-AVI/DIB parser
+(videocodec.py) — compressed codecs (mp3/h264/...) fail cleanly and
+need soundfile/pyav outside the sandbox. The Ray-side plumbing
+(schemas, binary-safe Arrow batches, small batch sizes for wide binary
+rows, actor signatures, output layout) is real and tested end-to-end
+throughout.
 """
 
 from __future__ import annotations
@@ -687,28 +688,38 @@ class VideoFrameSample:
         )
 
 
-def synthetic_videos(n: int = 12, config: WebConfig | str = "t1") -> rd.Dataset:
+def synthetic_videos(
+    n: int = 12, config: WebConfig | str = "t1", plant_pairs: int = 0
+) -> rd.Dataset:
     """Deterministic AVI corpus (video_id, bytes): each video's frames
     are the synthetic web's image pixels shifted per frame index —
     byte-exact across runs, real RIFF-AVI container. Every THIRD video
     has a planted SCENE CUT (pixel inversion) at frame ``nframes//2``,
-    so cut-detection pipelines over this fixture have real positives."""
+    so cut-detection pipelines over this fixture have real positives.
+    ``plant_pairs``: additionally derive, for the first ``plant_pairs``
+    base videos, a near-duplicate row (``<id>-dup``: same frames minus
+    the last) so video near-dup pipelines have real pairs to find."""
     from ..videocodec import avi_encode
 
     ids = [f"vid-mm-{i}" for i in range(n)]
+    ids += [f"vid-mm-{i}-dup" for i in range(min(plant_pairs, n))]
 
     def gen(batch: pa.Table) -> pa.Table:
         w = SynthWeb(config)
         recs = []
         for vid in batch["video_id"].to_pylist():
-            base = w.image_record(vid)
+            is_dup = vid.endswith("-dup")
+            base_id = vid[: -len("-dup")] if is_dup else vid
+            base = w.image_record(base_id)
             px = imagecodec.decode(base["bytes"], base["fmt"])
-            i = int(vid.rsplit("-", 1)[1])
+            i = int(base_id.rsplit("-", 1)[1])
             nframes = 4 + (i % 5)
             frames = [np.roll(px, 3 * f, axis=1) for f in range(nframes)]
             if i % 3 == 0:  # planted scene cut
                 for f in range(nframes // 2, nframes):
                     frames[f] = 255 - frames[f]
+            if is_dup:  # near-dup: same frames minus the last
+                frames = frames[:-1]
             recs.append({"video_id": vid, "bytes": avi_encode(frames, fps=10)})
         return pa.Table.from_pylist(
             recs,
@@ -769,6 +780,88 @@ class VideoSceneCuts:
                 ]
             ),
         )
+
+
+def video_phash_neardup(
+    sf_dir: str, n: int = 12, plant_pairs: int = 3, tau_milli: int = 500
+) -> "pd.DataFrame":
+    """NEAR-DUPLICATE VIDEO detection — the dedup × multimodal
+    crossover: each video's signature is the SET of its frames' 64-bit
+    phashes (computed in the decode task — one row per video, so the
+    signature needs no shuffle), candidate pairs come from shared-frame
+    buckets (groupby on the frame phash — a video pair sharing ANY
+    perceptual frame is a candidate), and the verify is the exact
+    set-Jaccard of the two signatures, emitted ONLY in the pair's
+    minimal shared phash bucket (the image_phash_neardup /
+    SimHash emission rule — no cross-bucket dedup shuffle).
+
+    Partitioning assumption (documented like ``bucket_cap`` elsewhere):
+    signatures are bounded — production pipelines sample ≤64 frames per
+    video, so carrying the signature with each exploded row is O(64)
+    ints. Rows-only query; planted ``-dup`` rows (same frames minus the
+    last) must pair with their base and distinct videos must not."""
+    import pandas as pd
+
+    from ..videocodec import avi_decode
+
+    class SigExplode:
+        def __init__(self):
+            self._decode = avi_decode
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids, phs, sigs = [], [], []
+            for vid, data in zip(t["video_id"].to_pylist(), t["bytes"].to_pylist()):
+                try:
+                    frames, _ = self._decode(data)
+                except ValueError:
+                    continue
+                sig = sorted({imagecodec.phash64(px) for px in frames})
+                sig_s = ",".join(map(str, sig))
+                for p in sig:
+                    ids.append(vid)
+                    phs.append(np.uint64(p).astype(np.int64))
+                    sigs.append(sig_s)
+            return pa.table(
+                {
+                    "video_id": pa.array(ids, pa.string()),
+                    "phash": pa.array(np.array(phs, dtype=np.int64)),
+                    "sig": pa.array(sigs, pa.string()),
+                }
+            )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out = {"id_a": [], "id_b": [], "jaccard_milli": []}
+        g = g.drop_duplicates("video_id").sort_values("video_id")
+        bucket = int(g["phash"].iloc[0])
+        vids = g["video_id"].tolist()
+        sigs = [set(map(int, s.split(","))) for s in g["sig"]]
+        for i in range(len(vids)):
+            for j in range(i + 1, len(vids)):
+                shared = sigs[i] & sigs[j]
+                # emission rule: only the minimal shared phash's bucket
+                # emits this pair (sig values are unsigned; the bucket
+                # column is the int64 two's-complement view)
+                if int(np.uint64(min(shared)).astype(np.int64)) != bucket:
+                    continue
+                jac = len(shared) * 1000 // len(sigs[i] | sigs[j])
+                if jac >= tau_milli:
+                    out["id_a"].append(vids[i])
+                    out["id_b"].append(vids[j])
+                    out["jaccard_milli"].append(jac)
+        return pd.DataFrame(out).astype(
+            {"id_a": "string", "id_b": "string", "jaccard_milli": "int64"}
+        )
+
+    from .dedup import pandas_with_schema
+
+    exploded = synthetic_videos(n, plant_pairs=plant_pairs).map_batches(
+        SigExplode, batch_format="pyarrow", batch_size=4, concurrency=2,
+        max_restarts=0,
+    )
+    res = exploded.groupby("phash").map_groups(pairs, batch_format="pandas")
+    return pandas_with_schema(
+        res, {"id_a": "string", "id_b": "string", "jaccard_milli": "int64"}
+    )
 
 
 def video_scene_cuts(

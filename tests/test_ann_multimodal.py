@@ -136,6 +136,17 @@ def test_video_frames_query_runs():
     assert set(out["video_id"]).issuperset({f"vid-mm-{i}" for i in range(6)})
 
 
+def test_video_phash_neardup_planted():
+    """Planted -dup videos (same frames minus the last) pair with their
+    base exactly once; distinct videos never pair; deterministic."""
+    out = multimodal.video_phash_neardup("unused", n=10, plant_pairs=3)
+    got = sorted(zip(out["id_a"], out["id_b"]))
+    assert got == [(f"vid-mm-{i}", f"vid-mm-{i}-dup") for i in range(3)], got
+    assert (out["jaccard_milli"] >= 500).all()
+    again = multimodal.video_phash_neardup("unused", n=10, plant_pairs=3)
+    assert sorted(zip(again["id_a"], again["id_b"])) == got
+
+
 def test_video_scene_cuts_planted():
     """Planted inversion cuts (every 3rd video, at nframes//2) are
     detected exactly; rolling-motion frames never trigger."""
