@@ -1675,10 +1675,21 @@ def q10_returned(sf_dir: str, k: int = 20, nshards: int = 32) -> pd.DataFrame:
     ).sort_values(
         ["revenue_cents", "o_custkey"], ascending=[False, True]
     ).head(k).reset_index(drop=True)
-    # dimension lookups: k rows × small dims → driver-side merge (the
-    # distributed form is the same broadcast into a map_batches)
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"]).to_pandas()
-    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    # dimension lookups: k keys → FILTERED direct parquet reads (row-
+    # group pruned; only the k matching rows reach the driver — never
+    # the whole dimension, and no Dataset-executor round per dim)
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_nationkey"],
+        filters=[("c_custkey", "in", top_df["o_custkey"].tolist())],
+    ).to_pandas()
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name"],
+        filters=[("n_nationkey", "in", cust["c_nationkey"].unique().tolist())],
+    ).to_pandas()
     out = (
         top_df.merge(cust, left_on="o_custkey", right_on="c_custkey")
         .merge(nat, left_on="c_nationkey", right_on="n_nationkey")
