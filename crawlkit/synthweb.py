@@ -60,6 +60,11 @@ PROFILES = {
     "frontier8m": WebConfig(
         n_seeds=51200, n_hosts=8192, max_last_page=16, articles_mod=25
     ),
+    # ~16M-URL frontier (2× seeds / 2× hosts of frontier8m) — extends
+    # the dataset-mode flat-throughput trend one more doubling
+    "frontier16m": WebConfig(
+        n_seeds=102400, n_hosts=16384, max_last_page=16, articles_mod=25
+    ),
     # ~0.3M-URL frontier — same shape as frontier1m at ~1/3 the wall
     # time, for phase-profiling iterations on the dataset-mode loop
     "frontier300k": WebConfig(
