@@ -119,6 +119,64 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return fetch_report(res.fetch_log_store)
 
+    def _crawl_with_archive() -> tuple:
+        from crawlkit.pipelines.crawl import run_crawl
+        from crawlkit.refsim import CrawlSpec
+
+        out = tempfile.mkdtemp(prefix="warc_q_", dir="/tmp")
+        root = f"{out}/archive"
+        res = run_crawl(
+            "t1", spec=CrawlSpec(host_budget_per_round=32),
+            out_dir=f"{out}/crawl", num_seen_shards=2, fetch_concurrency=4,
+            archive_root=root,
+        )
+        return res, root
+
+    def archive_warc(sf_dir: str):
+        """WARC archival layer (state/warcstore): the fused fetch stage
+        persists every 200-fetch as per-record-gzip WARC shards + CDX
+        index fragments, committed atomically per round. Rolls up the
+        index per (schema_name, depth). Rows-only; byte-parity,
+        idempotent rewrite and tamper detection are pinned in
+        tests/test_warcstore.py."""
+        import pandas as pd
+        import pyarrow as pa
+
+        res, _root = _crawl_with_archive()
+        idx = res.archive_store.read_dataset()
+
+        def partial(t: "pa.Table") -> "pa.Table":
+            df = t.select(["schema_name", "depth", "nbytes", "length"]).to_pandas()
+            g = df.groupby(["schema_name", "depth"], as_index=False).agg(
+                records=("nbytes", "size"), body_bytes=("nbytes", "sum"),
+                archive_bytes=("length", "sum"),
+            )
+            return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+        agg = idx.map_batches(partial, batch_format="pyarrow").to_pandas()
+        out_df = agg.groupby(["schema_name", "depth"], as_index=False).sum()
+        return out_df.sort_values(["schema_name", "depth"]).reset_index(drop=True)
+
+    def archive_reparse(sf_dir: str):
+        """Archive reprocessing: re-run the registered parsers over
+        archived WARC HTML — new extraction logic with ZERO re-fetching,
+        index-pruned to depth-1 listing records before any archive byte
+        is read. Rows-only; result ≡ the live crawl's entries, pinned in
+        tests/test_warcstore.py::test_reparse_matches_live_entries."""
+        import pyarrow.compute as pc
+
+        from crawlkit.state import warcstore
+
+        _res, root = _crawl_with_archive()
+        recs = warcstore.read_warc(
+            root,
+            index_filter=lambda idx: idx.map_batches(
+                lambda t: t.filter(pc.equal(t["depth"], 1)),
+                batch_format="pyarrow",
+            ),
+        )
+        return warcstore.reparse_entries(recs)
+
     return {
         # --- SURVEY §2 relational operators (SQL-checked) ---
         "g1_group_merge": relational.g1_group_merge,
@@ -371,6 +429,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_recrawl": crawl_recrawl,  # rows-only (oracle = refsim prior_seen)
         "crawl_distributed": crawl_distributed,  # rows-only (oracle = refsim sets)
         "crawl_fetch_report": crawl_fetch_report,  # rows-only (refsim page counts)
+        "archive_warc": archive_warc,  # rows-only (byte-parity in tests)
+        "archive_reparse": archive_reparse,  # rows-only (≡ live entries in tests)
     }
 
 

@@ -86,6 +86,10 @@ class CrawlResult:
     images_store: TableStore | None = None
     fetch_log_store: TableStore | None = None
     catalog: CatalogStore | None = None
+    # WARC archive index (state/warcstore) — set when run_crawl was
+    # given archive_root; shards live next to it under <root>/shards
+    archive_store: TableStore | None = None
+    archive_root: str | None = None
     # cumulative per-phase driver wall time (seconds) — the scaling
     # bottleneck ledger; phases other than "fetch_exec" are serial
     phase_sec: dict = field(default_factory=dict)
@@ -145,6 +149,7 @@ def run_crawl(
     fetch_mode: str = "tasks",
     prior_seen_dirs: "list[str] | None" = None,
     host_salt_cap: int = 1024,
+    archive_root: str | None = None,
 ) -> CrawlResult:
     """Run the crawl to frontier exhaustion (or ``spec.max_rounds``).
 
@@ -174,6 +179,8 @@ def run_crawl(
         images_store=TableStore(f"{out_dir}/images"),
         fetch_log_store=TableStore(f"{out_dir}/fetch_log"),
         catalog=CatalogStore(f"{out_dir}/catalog"),
+        archive_store=TableStore(f"{archive_root}/index") if archive_root else None,
+        archive_root=archive_root,
     )
     # schema catalog: last-wins per SchemaKey across runs (S4/G3 analog)
     from ..stages import parsers as _parsers
@@ -317,6 +324,7 @@ def run_crawl(
             "images_root": f"{out_dir}/images",
             "fetch_images": spec.fetch_images,
             "logs_root": f"{out_dir}/fetch_log" if in_task_logs else None,
+            "archive_root": archive_root,
         }
         if fetch_mode == "actors":
             union_ds = in_ds.map_batches(
@@ -409,6 +417,7 @@ def run_crawl(
         n_entries = sum(m["rows"] for m in emetas)
         imetas = _frag_metas("ifrag")
         n_images = sum(m["rows"] for m in imetas)
+        ametas = _frag_metas("afrag") if archive_root else []
         _t = _tick("log_commit", _t)
 
         # --- discoveries → dedup-admit in sort order (shared contract).
@@ -477,7 +486,7 @@ def run_crawl(
 
         def _commit_round(
             rnd=rnd, log_t=log_t, lmetas=lmetas, emetas=emetas,
-            imetas=imetas, front_t=front_t, metrics=metrics,
+            imetas=imetas, ametas=ametas, front_t=front_t, metrics=metrics,
         ):
             try:
                 if lmetas is not None:
@@ -486,6 +495,8 @@ def run_crawl(
                     res.fetch_log_store.append(log_t, key=f"log-r{rnd:04d}")
                 res.entries_store.commit_fragments(emetas)
                 res.images_store.commit_fragments(imetas)
+                if ametas:
+                    res.archive_store.commit_fragments(ametas)
                 ckpt.save_round(rnd, front_t, None, metrics)  # seen already snapshot
             except BaseException as e:  # surfaced at the next join
                 commit_err.append(e)

@@ -129,6 +129,7 @@ class FetchParse:
         fetch_timeout_s: float | None = None,
         fetch_images: bool = True,
         logs_root: str | None = None,
+        archive_root: str | None = None,
     ):
         """``entries_root``/``images_root``: when given, the stage is
         FUSED — extracted entries are normalized and written as
@@ -154,6 +155,15 @@ class FetchParse:
         # spanning all retry attempts; exceeded → STATUS_TIMEOUT log row
         self.fetch_timeout_s = fetch_timeout_s
         self.fetch_images = fetch_images
+        # WARC archival (ISO 28500 analogue): persist the RAW bytes this
+        # task fetched as per-record-gzip shards + CDX index fragments,
+        # so later pipelines re-parse without re-fetching (state/warcstore)
+        if archive_root is not None:
+            from ..state.warcstore import WarcWriter
+
+            self.archiver: WarcWriter | None = WarcWriter(archive_root)
+        else:
+            self.archiver = None
 
     def _fetch_robots(self, url: str) -> str | None:
         """Robots fetch goes through the SAME ≤5-attempt retry loop as
@@ -186,6 +196,7 @@ class FetchParse:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows: list[dict] = []
+        arch: list[dict] = []
         n = batch.num_rows
         cols = {name: batch[name].to_pylist() for name in batch.column_names}
         for i in range(n):
@@ -226,6 +237,14 @@ class FetchParse:
             )
             if r.status != 200:
                 continue
+            if self.archiver is not None:
+                arch.append(
+                    {"url": url, "status": 200, "body": r.body.encode(),
+                     "schema_name": base["schema_name"],
+                     "schema_version": base["schema_version"],
+                     "domain": base["domain"], "created": base["created"],
+                     "depth": depth}
+                )
             if depth == 0:
                 anchors = parsers.parse_pagination(r.body)
                 last = max(anchors, default=0)  # G2 running max
@@ -262,6 +281,10 @@ class FetchParse:
         if self.entries_store is not None:
             rnd0 = cols.get("round", [0] * n)[0] if n else 0
             rows = self._write_payloads(rows, rnd0)
+        if self.archiver is not None and arch:
+            meta = self.archiver.write_batch(arch)
+            rows.append({"kind": "afrag", "frag_key": meta["key"],
+                         "frag_rows": meta["rows"], "frag_path": meta["path"]})
         slim = self.entries_store is not None and self.logs_store is not None
         return _rows_to_table(rows, SLIM_UNION_SCHEMA if slim else UNION_SCHEMA)
 
@@ -352,10 +375,11 @@ def make_fetch_parse_fn(
     images_root: str | None = None,
     fetch_images: bool = True,
     logs_root: str | None = None,
+    archive_root: str | None = None,
 ):
     key = (
         repr(web_config), obey_robots, max_depth, entries_root, images_root,
-        fetch_images, logs_root,
+        fetch_images, logs_root, archive_root,
     )
 
     def fetch_parse(batch: pa.Table) -> pa.Table:
@@ -369,6 +393,7 @@ def make_fetch_parse_fn(
                 images_root=images_root,
                 fetch_images=fetch_images,
                 logs_root=logs_root,
+                archive_root=archive_root,
             )
         return inst(batch)
 

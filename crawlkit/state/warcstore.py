@@ -1,0 +1,386 @@
+"""WARC-style web-archive shards: distributed write, CDX index, parallel
+range-read, and re-parse without re-fetching.
+
+Web-scale crawls persist RAW fetched responses in WARC (ISO 28500) so
+any later pipeline — re-extraction with new parsers, text mining,
+training-data assembly — runs from the archive instead of re-hitting
+the web. The reference stops at extracted entries and loose payload
+files in MinIO (``storage/handler.go:66-123``); this module adds the
+archival layer a production crawler needs, Ray-Data-first:
+
+* **Write** is a ``map_batches`` actor stage: each batch of page rows is
+  fetched (``SynthWeb`` — the sandbox's deterministic network) and
+  serialized as one ``.warc.gz`` shard: each record an independent gzip
+  member (standard WARC framing → any record is readable without
+  scanning the shard). Shard names are CONTENT-deterministic
+  (blake2b of the member URLs), so task retries and whole re-runs
+  rewrite byte-identical files — never duplicate.
+* **Index** (CDX analogue) rows ``(shard, offset, length, url, status,
+  digest, schema…)`` are written as uncommitted :class:`TableStore`
+  fragments in-task and committed ONCE by the driver — crash before
+  commit leaves only invisible fragments (same contract as the
+  entries/images stores).
+* **Read** is index-driven: ``read_warc`` maps over committed index
+  rows; each task preads exactly its ``(offset, length)`` ranges —
+  embarrassingly parallel, no shard-alignment requirement, and a
+  predicate on the index (host, status, schema) prunes I/O before any
+  byte of archive is touched.
+* **Re-parse** (``reparse_entries``) re-runs the registered parsers
+  over archived HTML. Records carry ``WARC-X-*`` metadata headers
+  (schema/domain/created/depth), so the archive is self-describing:
+  re-extraction needs no side lookup. Parity with the live crawl's
+  entries is pinned in tests/test_warcstore.py.
+
+Scale notes (100 TB): shard size = write ``batch_size`` × mean record
+size — tune batch_size so shards land ~0.5-1 GiB; the index is ~100
+bytes/page (0.01 % of the archive) and is itself a parquet Dataset, so
+index scans distribute. gzip members use ``mtime=0`` → byte-stable.
+"""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+import os
+from typing import TYPE_CHECKING
+
+import numpy as np
+import pyarrow as pa
+
+from crawlkit.state.lancelike import TableStore
+
+if TYPE_CHECKING:  # pragma: no cover
+    import ray.data
+
+_WARC_DATE = "2026-01-01T00:00:00Z"  # fixed: shards are content-addressed
+_REASON = {200: "OK", 404: "Not Found", 503: "Service Unavailable"}
+
+INDEX_SCHEMA = pa.schema(
+    [
+        ("shard", pa.string()),
+        ("offset", pa.int64()),
+        ("length", pa.int64()),
+        ("url", pa.string()),
+        ("status", pa.int32()),
+        ("nbytes", pa.int64()),
+        ("payload_digest", pa.string()),
+        ("schema_name", pa.string()),
+        ("schema_version", pa.string()),
+        ("domain", pa.string()),
+        ("created", pa.string()),
+        ("depth", pa.int32()),
+    ]
+)
+
+RECORD_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("status", pa.int32()),
+        ("body", pa.binary()),
+        ("nbytes", pa.int64()),
+        ("payload_digest", pa.string()),
+        ("schema_name", pa.string()),
+        ("schema_version", pa.string()),
+        ("domain", pa.string()),
+        ("created", pa.string()),
+        ("depth", pa.int32()),
+    ]
+)
+
+
+def build_record(url: str, status: int, body: bytes, meta: dict | None = None) -> bytes:
+    """One WARC/1.0 response record as an independent gzip member.
+
+    ``meta`` (schema_name/schema_version/domain/created/depth) is
+    embedded as ``WARC-X-*`` headers so the archive re-parses without
+    any external lookup.
+    """
+    digest = hashlib.sha1(body).hexdigest()
+    reason = _REASON.get(status, "")
+    http = (
+        f"HTTP/1.1 {status} {reason}\r\n"
+        f"Content-Type: text/html\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode() + body
+    lines = [
+        "WARC/1.0",
+        "WARC-Type: response",
+        f"WARC-Target-URI: {url}",
+        f"WARC-Date: {_WARC_DATE}",
+        f"WARC-Record-ID: <urn:sha1:{digest}>",
+        f"WARC-Payload-Digest: sha1:{digest}",
+        "Content-Type: application/http; msgtype=response",
+        f"Content-Length: {len(http)}",
+    ]
+    for k, v in (meta or {}).items():
+        lines.append(f"WARC-X-{k}: {v}")
+    raw = ("\r\n".join(lines) + "\r\n\r\n").encode() + http + b"\r\n\r\n"
+    return gzip.compress(raw, mtime=0)
+
+
+def parse_record(raw: bytes) -> dict:
+    """Inverse of :func:`build_record` for one decompressed record."""
+    head, rest = raw.split(b"\r\n\r\n", 1)
+    warc: dict[str, str] = {}
+    for ln in head.decode().split("\r\n")[1:]:
+        k, _, v = ln.partition(": ")
+        warc[k] = v
+    clen = int(warc["Content-Length"])
+    http = rest[:clen]
+    hhead, body = http.split(b"\r\n\r\n", 1)
+    status = int(hhead.split(b" ", 2)[1])
+    digest = warc.get("WARC-Payload-Digest", "")[len("sha1:") :]
+    if hashlib.sha1(body).hexdigest() != digest:
+        raise ValueError(f"payload digest mismatch for {warc.get('WARC-Target-URI')}")
+    return {
+        "url": warc.get("WARC-Target-URI", ""),
+        "status": status,
+        "body": body,
+        "nbytes": len(body),
+        "payload_digest": digest,
+        "schema_name": warc.get("WARC-X-schema_name", ""),
+        "schema_version": warc.get("WARC-X-schema_version", ""),
+        "domain": warc.get("WARC-X-domain", ""),
+        "created": warc.get("WARC-X-created", ""),
+        "depth": int(warc.get("WARC-X-depth", "0")),
+    }
+
+
+def _shard_key(urls: list[str]) -> str:
+    h = hashlib.blake2b(digest_size=8)
+    for u in urls:
+        h.update(u.encode())
+        h.update(b"\x1f")
+    return f"w-{h.hexdigest()}"
+
+
+_META_KEYS = ("schema_name", "schema_version", "domain", "created", "depth")
+
+
+class WarcWriter:
+    """In-task WARC shard + index-fragment writer (no Ray dependency —
+    usable from any map_batches stage, including the crawl's fused fetch
+    task, which archives the bytes it ACTUALLY fetched)."""
+
+    def __init__(self, root: str):
+        self.root = root
+        self.store = TableStore(f"{root}/index")
+        os.makedirs(f"{root}/shards", exist_ok=True)
+
+    def write_batch(self, records: list[dict]) -> dict:
+        """``records``: dicts with url, status, body (bytes) + the
+        ``_META_KEYS``. Returns the uncommitted index-fragment meta
+        (commit is the driver's single atomic step). Records are sorted
+        by url so shard bytes are arrival-order independent."""
+        records = sorted(records, key=lambda r: r["url"])
+        urls = [r["url"] for r in records]
+        key = _shard_key(urls)
+        shard_rel = f"shards/{key}.warc.gz"
+        shard_path = f"{self.root}/{shard_rel}"
+        members: list[bytes] = []
+        index_rows: list[dict] = []
+        offset = 0
+        for r in records:
+            body = r["body"]
+            meta = {k: r.get(k, "" if k != "depth" else 0) for k in _META_KEYS}
+            member = build_record(r["url"], r["status"], body, meta)
+            members.append(member)
+            index_rows.append(
+                {
+                    "shard": shard_rel,
+                    "offset": offset,
+                    "length": len(member),
+                    "url": r["url"],
+                    "status": r["status"],
+                    "nbytes": len(body),
+                    "payload_digest": hashlib.sha1(body).hexdigest(),
+                    **meta,
+                }
+            )
+            offset += len(member)
+        tmp = shard_path + f".tmp-{key}"
+        with open(tmp, "wb") as f:
+            f.write(b"".join(members))
+        os.replace(tmp, shard_path)  # atomic; retries rewrite same bytes
+        idx = pa.Table.from_pylist(index_rows, schema=INDEX_SCHEMA)
+        return self.store.write_fragment(idx, key)
+
+
+class ArchiveFetchWrite:
+    """Actor-pool stage: page rows → one ``.warc.gz`` shard per batch +
+    uncommitted index fragment; emits the fragment metas for the
+    driver's single atomic commit.
+
+    Input batch columns: ``url`` (+ optional ``schema_name``,
+    ``schema_version``, ``domain``, ``created``, ``depth``). Rows are
+    sorted by url inside the batch so the shard key — and therefore the
+    shard bytes — are independent of upstream arrival order (the
+    crawl_dist determinism lesson).
+    """
+
+    def __init__(self, web_config, root: str):
+        from crawlkit.synthweb import SynthWeb
+
+        self.web = SynthWeb(web_config)
+        self.writer = WarcWriter(root)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from crawlkit.stages.fetch import FRAG_META_SCHEMA
+
+        n = batch.num_rows
+
+        def col(name: str, default):
+            if name in batch.column_names:
+                return batch[name].to_pylist()
+            return [default] * n
+
+        meta_cols = {k: col(k, 0 if k == "depth" else "") for k in _META_KEYS}
+        records = []
+        for i, url in enumerate(batch["url"].to_pylist()):
+            r = self.web.fetch(url, attempt=self.web.fail_attempts(url) + 1)
+            records.append(
+                {
+                    "url": url,
+                    "status": r.status,
+                    "body": (r.body or "").encode(),
+                    **{k: v[i] for k, v in meta_cols.items()},
+                }
+            )
+        meta = self.writer.write_batch(records)
+        return pa.Table.from_pylist([meta], schema=FRAG_META_SCHEMA)
+
+
+def archive_pages(
+    web_config,
+    pages: "ray.data.Dataset",
+    root: str,
+    *,
+    batch_size: int = 256,
+    concurrency: int = 4,
+) -> TableStore:
+    """Archive every page row of ``pages`` into WARC shards under
+    ``root``; returns the committed index :class:`TableStore`.
+
+    Streaming end to end: shards + index fragments are written in-task;
+    only the tiny frag-meta rows reach the driver for the atomic commit.
+    """
+    metas = pages.map_batches(
+        ArchiveFetchWrite,
+        fn_constructor_args=(web_config, root),
+        batch_size=batch_size,
+        concurrency=concurrency,
+        batch_format="pyarrow",
+        max_restarts=0,
+    ).take_all()  # frag metas: one row per shard — driver-size by design
+    store = TableStore(f"{root}/index")
+    store.commit_fragments([dict(m) for m in metas])
+    return store
+
+
+def _read_record_ranges(batch: pa.Table, root: str) -> pa.Table:
+    """Index rows → archived records via exact-range preads (one file
+    open per distinct shard in the batch, offsets read in file order)."""
+    shards = batch["shard"].to_pylist()
+    offsets = np.asarray(batch["offset"].to_pylist(), dtype=np.int64)
+    lengths = np.asarray(batch["length"].to_pylist(), dtype=np.int64)
+    order = sorted(range(len(shards)), key=lambda i: (shards[i], int(offsets[i])))
+    rows: list[dict] = [None] * len(shards)  # type: ignore[list-item]
+    fh = None
+    fh_shard = None
+    try:
+        for i in order:
+            s = shards[i]
+            if s != fh_shard:
+                if fh is not None:
+                    fh.close()
+                fh = open(os.path.join(root, s), "rb")
+                fh_shard = s
+            fh.seek(int(offsets[i]))
+            raw = gzip.decompress(fh.read(int(lengths[i])))
+            rows[int(i)] = parse_record(raw)
+    finally:
+        if fh is not None:
+            fh.close()
+    return pa.Table.from_pylist(rows, schema=RECORD_SCHEMA)
+
+
+def read_warc(
+    root: str,
+    *,
+    version: int | None = None,
+    index_filter=None,
+    batch_size: int = 512,
+) -> "ray.data.Dataset":
+    """Archived records as a Ray Dataset, driven by the committed index.
+
+    ``index_filter(index_ds) -> index_ds`` lets callers prune (by host,
+    status, schema, url prefix) BEFORE any archive byte is read — the
+    WARC analogue of parquet predicate pushdown.
+    """
+    store = TableStore(f"{root}/index")
+    idx = store.read_dataset(version)
+    if index_filter is not None:
+        idx = index_filter(idx)
+    return idx.map_batches(
+        _read_record_ranges,
+        fn_kwargs={"root": root},
+        batch_size=batch_size,
+        batch_format="pyarrow",
+    )
+
+
+def reparse_entries(records: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Re-run the registered listing parsers over archived depth-1 HTML —
+    the archive-reprocessing path: new extraction logic without a single
+    network fetch. Output rows match the live crawl's normalized entries
+    (pinned byte-level in tests/test_warcstore.py)."""
+    from crawlkit.stages import parsers
+    from crawlkit.stages.fetch import normalize_entries
+
+    def reparse(batch: pa.Table) -> pa.Table:
+        from crawlkit import canon
+
+        mask = [
+            d == 1 and s == 200
+            for d, s in zip(batch["depth"].to_pylist(), batch["status"].to_pylist())
+        ]
+        batch = batch.filter(pa.array(mask, pa.bool_()))
+        raw: list[dict] = []
+        for row in batch.to_pylist():
+            spec = parsers.get_parser(row["schema_name"])
+            for a in spec.parse(row["body"].decode(), row["url"]):
+                raw.append(
+                    {
+                        "schema_name": row["schema_name"],
+                        "schema_version": row["schema_version"],
+                        "domain": row["domain"],
+                        "created": row["created"],
+                        "title": a["title"],
+                        "name": a["name"],
+                        "region": a["region"],
+                        "rooms_raw": a["rooms_raw"],
+                        "price_raw": a["price_raw"],
+                        "total_price_raw": a["total_price_raw"],
+                        "area_raw": a["area_raw"],
+                        "link": canon.take_characters_before_one(a["href"], ".html"),
+                    }
+                )
+        if not raw:
+            return normalize_entries(
+                pa.Table.from_pylist(
+                    [],
+                    schema=pa.schema(
+                        [
+                            (n, pa.string())
+                            for n in (
+                                "schema_name schema_version domain created title "
+                                "name region rooms_raw price_raw total_price_raw "
+                                "area_raw link"
+                            ).split()
+                        ]
+                    ),
+                )
+            )
+        return normalize_entries(pa.Table.from_pylist(raw))
+
+    return records.map_batches(reparse, batch_format="pyarrow")

@@ -1,0 +1,128 @@
+"""WARC archive layer: roundtrip byte-parity, idempotent rewrite,
+index-pruned reads, and archive re-parse ≡ live-crawl entries."""
+
+import glob
+import gzip
+
+import pyarrow.compute as pc
+import pytest
+import ray.data
+
+from crawlkit.state import warcstore
+from crawlkit.synthweb import SynthWeb, WebConfig
+
+CFG = WebConfig(n_seeds=4, n_hosts=3, max_last_page=4)
+
+
+@pytest.fixture(scope="module")
+def crawl_and_archive(tmp_path_factory):
+    from crawlkit.pipelines.crawl import run_crawl
+    from crawlkit.refsim import CrawlSpec
+
+    base = tmp_path_factory.mktemp("warc")
+    root = str(base / "archive")
+    res = run_crawl(
+        SynthWeb(CFG),
+        spec=CrawlSpec(host_budget_per_round=32),
+        out_dir=str(base / "crawl"),
+        num_seen_shards=2,
+        fetch_concurrency=2,
+        archive_root=root,
+    )
+    return res, root
+
+
+def test_record_roundtrip_unit():
+    body = b"<html>hello</html>"
+    meta = {"schema_name": "flat", "schema_version": "v1", "domain": "d",
+            "created": "2026-01-01", "depth": 1}
+    raw = warcstore.build_record("https://host0.test/x", 200, body, meta)
+    rec = warcstore.parse_record(gzip.decompress(raw))
+    assert rec["url"] == "https://host0.test/x"
+    assert rec["status"] == 200
+    assert rec["body"] == body
+    assert rec["schema_name"] == "flat"
+    assert rec["depth"] == 1
+    # deterministic bytes (mtime=0): same inputs → same gzip member
+    assert raw == warcstore.build_record("https://host0.test/x", 200, body, meta)
+
+
+def test_archive_matches_fetch_log(crawl_and_archive):
+    res, root = crawl_and_archive
+    log = res.fetch_log_table()
+    n_ok = log.filter(pc.equal(log["status"], 200)).num_rows
+    idx = warcstore.TableStore(f"{root}/index").read_table()
+    assert idx.num_rows == n_ok
+    assert pc.all(pc.equal(idx["status"], 200)).as_py()
+
+
+def test_archive_roundtrip_bytes(crawl_and_archive):
+    _res, root = crawl_and_archive
+    web = SynthWeb(CFG)
+    recs = warcstore.read_warc(root).to_pandas()
+    assert len(recs) > 0
+    for url, body in zip(recs["url"], recs["body"]):
+        expect = web.fetch(url, attempt=web.fail_attempts(url) + 1).body.encode()
+        assert body == expect
+
+
+def test_index_pruned_read(crawl_and_archive):
+    _res, root = crawl_and_archive
+    idx_all = warcstore.TableStore(f"{root}/index").read_table()
+    n_depth1 = idx_all.filter(pc.equal(idx_all["depth"], 1)).num_rows
+    assert 0 < n_depth1 < idx_all.num_rows
+    recs = warcstore.read_warc(
+        root,
+        index_filter=lambda idx: idx.map_batches(
+            lambda t: t.filter(pc.equal(t["depth"], 1)), batch_format="pyarrow"
+        ),
+    ).to_pandas()
+    assert len(recs) == n_depth1
+    assert (recs["depth"] == 1).all()
+
+
+def test_reparse_matches_live_entries(crawl_and_archive):
+    res, root = crawl_and_archive
+    live = res.entries_table().to_pandas()
+    re = warcstore.reparse_entries(warcstore.read_warc(root)).to_pandas()
+    cols = sorted(live.columns)
+    assert sorted(re.columns) == cols
+    live_s = live[cols].sort_values(cols).reset_index(drop=True)
+    re_s = re[cols].sort_values(cols).reset_index(drop=True)
+    assert live_s.equals(re_s)
+
+
+def test_standalone_archive_idempotent(tmp_path):
+    """archive_pages (page-list mode) rewrites byte-identical shards and
+    commits zero duplicate index rows on a second run."""
+    web = SynthWeb(CFG)
+    pages = ray.data.from_items(
+        [
+            {"url": s["url"], "schema_name": s["schema_name"],
+             "schema_version": s["schema_version"], "domain": s["domain"],
+             "created": "2026-01-01", "depth": 0}
+            for s in web.seeds()
+        ]
+    )
+    root = str(tmp_path / "arch2")
+    store = warcstore.archive_pages(CFG, pages, root, batch_size=8, concurrency=1)
+    n1 = store.count_rows()
+    v1 = store.latest_version()
+    shards1 = {p: open(p, "rb").read() for p in glob.glob(f"{root}/shards/*.warc.gz")}
+    assert n1 == len(web.seeds()) and shards1
+    store2 = warcstore.archive_pages(CFG, pages, root, batch_size=8, concurrency=1)
+    assert store2.count_rows() == n1
+    assert store2.latest_version() == v1
+    for p, b in shards1.items():
+        assert open(p, "rb").read() == b
+
+
+def test_digest_tamper_detected(crawl_and_archive):
+    _res, root = crawl_and_archive
+    shard = sorted(glob.glob(f"{root}/shards/*.warc.gz"))[0]
+    raw = gzip.decompress(open(shard, "rb").read())  # first member(s)
+    head, rest = raw.split(b"\r\n\r\n", 1)
+    assert b"<html" in rest
+    tampered = head + b"\r\n\r\n" + rest.replace(b"<html", b"<hxml", 1)
+    with pytest.raises(ValueError, match="digest mismatch"):
+        warcstore.parse_record(tampered)
