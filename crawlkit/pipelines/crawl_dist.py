@@ -222,6 +222,7 @@ def run_crawl_dataset(
     fetch_batch_size: int = 64,
     resume: bool = False,
     track_order: bool = False,
+    archive_root: str | None = None,
 ) -> CrawlResult:
     """Frontier-as-Dataset crawl to exhaustion (or spec.max_rounds).
 
@@ -257,6 +258,9 @@ def run_crawl_dataset(
     res.entries_store = TableStore(f"{out_dir}/entries")
     res.images_store = TableStore(f"{out_dir}/images")
     res.fetch_log_store = TableStore(f"{out_dir}/fetch_log")
+    if archive_root is not None:  # WARC shards written in the fetch tasks
+        res.archive_store = TableStore(f"{archive_root}/index")
+        res.archive_root = archive_root
 
     start_round = 0
     frontier_ds = None
@@ -295,6 +299,7 @@ def run_crawl_dataset(
         images_root=f"{out_dir}/images",
         fetch_images=spec.fetch_images,
         logs_root=f"{out_dir}/fetch_log",
+        archive_root=archive_root,
     )
 
     def route(t: pa.Table) -> pa.Table:
@@ -455,6 +460,7 @@ def run_crawl_dataset(
             ("lfrag", res.fetch_log_store),
             ("efrag", res.entries_store),
             ("ifrag", res.images_store),
+            *((("afrag", res.archive_store),) if res.archive_store is not None else ()),
         ):
             f = small[small["kind"] == kind]
             store.commit_fragments(

@@ -117,6 +117,28 @@ def test_standalone_archive_idempotent(tmp_path):
         assert open(p, "rb").read() == b
 
 
+def test_dist_mode_archive_parity(crawl_and_archive, tmp_path):
+    """Distributed-frontier mode archives the SAME record set (urls,
+    statuses, payload digests) as driver mode — batching differs, bytes
+    per record don't."""
+    from crawlkit.pipelines.crawl_dist import run_crawl_dataset
+    from crawlkit.refsim import CrawlSpec
+
+    _res, root = crawl_and_archive
+    droot = str(tmp_path / "arc_dist")
+    res_d = run_crawl_dataset(
+        SynthWeb(CFG), spec=CrawlSpec(host_budget_per_round=32),
+        out_dir=str(tmp_path / "crawl_dist"), num_seen_shards=2, nblocks=4,
+        archive_root=droot,
+    )
+    idx_driver = warcstore.TableStore(f"{root}/index").read_table().to_pandas()
+    idx_dist = res_d.archive_store.read_table().to_pandas()
+    cols = ["url", "status", "payload_digest", "schema_name", "depth"]
+    a = idx_driver[cols].sort_values(cols).reset_index(drop=True)
+    b = idx_dist[cols].sort_values(cols).reset_index(drop=True)
+    assert a.equals(b)
+
+
 def test_digest_tamper_detected(crawl_and_archive):
     _res, root = crawl_and_archive
     shard = sorted(glob.glob(f"{root}/shards/*.warc.gz"))[0]
