@@ -202,6 +202,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out_df = agg.groupby(["schema_name", "depth"], as_index=False).sum()
         return out_df.sort_values(["schema_name", "depth"]).reset_index(drop=True)
 
+    def archive_delta(sf_dir: str):
+        """Incremental change detection across crawl generations: two
+        full crawls of a GROWN web, each archiving to WARC; the CDX
+        indexes are full-outer-joined on url and classified by payload
+        digest (added / changed / unchanged / removed) — no archive
+        byte is read. Rows-only; class semantics pinned in
+        tests/test_warcstore.py::test_archive_delta_classes."""
+        import pandas as pd
+
+        from crawlkit.pipelines.crawl import run_crawl
+        from crawlkit.refsim import CrawlSpec
+        from crawlkit.state import warcstore
+        from crawlkit.synthweb import SynthWeb, WebConfig
+
+        base = tempfile.mkdtemp(prefix="warc_delta_q_", dir="/tmp")
+        spec = CrawlSpec(host_budget_per_round=32)
+        for gen, mlp in (("a", 3), ("b", 6)):
+            run_crawl(
+                SynthWeb(WebConfig(n_seeds=4, n_hosts=3, max_last_page=mlp)),
+                spec=spec, out_dir=f"{base}/crawl_{gen}", num_seen_shards=2,
+                fetch_concurrency=4, archive_root=f"{base}/arc_{gen}",
+            )
+        delta = warcstore.archive_delta(f"{base}/arc_a", f"{base}/arc_b")
+
+        def partial(t):
+            import pyarrow as pa
+
+            df = t.select(["change"]).to_pandas()
+            g = df.groupby("change", as_index=False).agg(pages=("change", "size"))
+            return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+        agg = delta.map_batches(partial, batch_format="pyarrow").to_pandas()
+        out_df = agg.groupby("change", as_index=False).sum()
+        return out_df.sort_values("change").reset_index(drop=True)
+
     return {
         # --- SURVEY §2 relational operators (SQL-checked) ---
         "g1_group_merge": relational.g1_group_merge,
@@ -457,6 +492,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "archive_warc": archive_warc,  # rows-only (byte-parity in tests)
         "archive_reparse": archive_reparse,  # rows-only (≡ live entries in tests)
         "archive_wet": archive_wet,  # rows-only (tag-strip exactness in tests)
+        "archive_delta": archive_delta,  # rows-only (class semantics in tests)
     }
 
 

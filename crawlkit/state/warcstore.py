@@ -359,6 +359,83 @@ def wet_extract(records: "ray.data.Dataset") -> "ray.data.Dataset":
     return records.map_batches(to_wet, batch_format="pyarrow")
 
 
+def archive_delta(root_a: str, root_b: str) -> "ray.data.Dataset":
+    """Change detection between two archive generations (recrawl
+    cadence): full-outer join of the two CDX indexes on url, classified
+    by payload digest — ``added`` (only in B), ``removed`` (only in A),
+    ``changed`` (digest differs), ``unchanged``.
+
+    Joins the INDEXES only (~100 bytes/page) — no archive byte is read;
+    at 10^10 URLs this is a hash join on the url key, never a scan of
+    the WARC shards. Output: (url, change, status_a, status_b)."""
+    import ray.data  # noqa: F401  (Dataset API)
+
+    from crawlkit.pipelines.dedup import _nonempty_blocks
+
+    def slim(which: str):
+        store = TableStore(f"{(root_a if which == 'a' else root_b)}/index")
+        ds = store.read_dataset()
+
+        def prep(t: pa.Table, which=which) -> pa.Table:
+            cols = {
+                f"url_{which}": t["url"],
+                f"digest_{which}": t["payload_digest"],
+                f"status_{which}": t["status"],
+            }
+            if which == "b":
+                # Dataset.join merges key columns (the right key is
+                # dropped); duplicate it so right-only rows keep a url
+                cols["url_b_data"] = t["url"]
+            return pa.table(cols)
+
+        fields = [
+            (f"url_{which}", pa.string()),
+            (f"digest_{which}", pa.string()),
+            (f"status_{which}", pa.int32()),
+        ]
+        if which == "b":
+            fields.append(("url_b_data", pa.string()))
+        return _nonempty_blocks(
+            ds.map_batches(prep, batch_format="pyarrow"), pa.schema(fields)
+        )
+
+    joined = slim("a").join(
+        slim("b"),
+        join_type="full_outer",
+        num_partitions=8,
+        on=("url_a",),
+        right_on=("url_b",),
+    )
+
+    def classify(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        da, db = t["digest_a"], t["digest_b"]
+        only_b = pc.is_null(da)
+        only_a = pc.is_null(db)
+        same = pc.fill_null(pc.equal(da, db), False)
+        change = pc.if_else(
+            only_b,
+            pa.scalar("added"),
+            pc.if_else(
+                only_a,
+                pa.scalar("removed"),
+                pc.if_else(same, pa.scalar("unchanged"), pa.scalar("changed")),
+            ),
+        )
+        url = pc.coalesce(t["url_a"], t["url_b_data"])
+        return pa.table(
+            {
+                "url": url,
+                "change": change,
+                "status_a": t["status_a"],
+                "status_b": t["status_b"],
+            }
+        )
+
+    return joined.map_batches(classify, batch_format="pyarrow")
+
+
 def reparse_entries(records: "ray.data.Dataset") -> "ray.data.Dataset":
     """Re-run the registered listing parsers over archived depth-1 HTML —
     the archive-reprocessing path: new extraction logic without a single

@@ -161,6 +161,48 @@ def test_dist_mode_archive_parity(crawl_and_archive, tmp_path):
     assert a.equals(b)
 
 
+def test_archive_delta_classes(tmp_path):
+    """Full-outer CDX diff of two crawl generations of a grown web:
+    classes verified against a Python reference diff of the two
+    indexes (url → digest maps)."""
+    from crawlkit.pipelines.crawl import run_crawl
+    from crawlkit.refsim import CrawlSpec
+
+    spec = CrawlSpec(host_budget_per_round=32)
+    roots = {}
+    for gen, mlp in (("a", 3), ("b", 6)):
+        roots[gen] = str(tmp_path / f"arc_{gen}")
+        run_crawl(
+            SynthWeb(WebConfig(n_seeds=4, n_hosts=3, max_last_page=mlp)),
+            spec=spec, out_dir=str(tmp_path / f"crawl_{gen}"),
+            num_seen_shards=2, fetch_concurrency=2, archive_root=roots[gen],
+        )
+    delta = warcstore.archive_delta(roots["a"], roots["b"]).to_pandas()
+    ia = warcstore.TableStore(f"{roots['a']}/index").read_table().to_pandas()
+    ib = warcstore.TableStore(f"{roots['b']}/index").read_table().to_pandas()
+    da = dict(zip(ia["url"], ia["payload_digest"]))
+    db = dict(zip(ib["url"], ib["payload_digest"]))
+
+    def ref_class(u):
+        if u not in da:
+            return "added"
+        if u not in db:
+            return "removed"
+        return "unchanged" if da[u] == db[u] else "changed"
+
+    assert len(delta) == len(set(da) | set(db))
+    assert set(delta["url"]) == set(da) | set(db)
+    mism = [(u, c, ref_class(u)) for u, c in zip(delta["url"], delta["change"])
+            if c != ref_class(u)]
+    assert mism == []
+    counts = delta["change"].value_counts()
+    # grown web: new pages exist; some listings re-paginate (changed);
+    # offers shared by both generations are byte-stable (unchanged)
+    assert counts.get("added", 0) > 0
+    assert counts.get("changed", 0) > 0
+    assert counts.get("unchanged", 0) > 0
+
+
 def test_digest_tamper_detected(crawl_and_archive):
     _res, root = crawl_and_archive
     shard = sorted(glob.glob(f"{root}/shards/*.warc.gz"))[0]
