@@ -237,6 +237,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out_df = agg.groupby("change", as_index=False).sum()
         return out_df.sort_values("change").reset_index(drop=True)
 
+    def recrawl_schedule(sf_dir: str):
+        """Adaptive recrawl scheduling: three crawl generations of a
+        growing web → per-url digest-transition stats (Cho &
+        Garcia-Molina change-frequency estimator, integer sufficient
+        statistics) → recrawl buckets (new/cold/warm/hot), rolled up as
+        bucket counts. Index-only, url-hash-sharded single reduce.
+        Rows-only; per-url stats pinned against a Python reference in
+        tests/test_warcstore.py::test_change_rate_reference."""
+        import pandas as pd
+
+        from crawlkit.pipelines.crawl import run_crawl
+        from crawlkit.refsim import CrawlSpec
+        from crawlkit.state import warcstore
+        from crawlkit.synthweb import SynthWeb, WebConfig
+
+        base = tempfile.mkdtemp(prefix="recrawl_sched_q_", dir="/tmp")
+        spec = CrawlSpec(host_budget_per_round=32)
+        roots = []
+        for gen, mlp in (("g0", 3), ("g1", 3), ("g2", 6)):
+            roots.append(f"{base}/arc_{gen}")
+            run_crawl(
+                SynthWeb(WebConfig(n_seeds=4, n_hosts=3, max_last_page=mlp)),
+                spec=spec, out_dir=f"{base}/crawl_{gen}", num_seen_shards=2,
+                fetch_concurrency=4, archive_root=roots[-1],
+            )
+        rates = warcstore.change_rate(roots, nshards=8)
+
+        def partial(t):
+            import pyarrow as pa
+
+            df = t.select(["bucket", "changes"]).to_pandas()
+            g = df.groupby("bucket", as_index=False).agg(
+                urls=("changes", "size"), total_changes=("changes", "sum")
+            )
+            return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+        agg = rates.map_batches(partial, batch_format="pyarrow").to_pandas()
+        out_df = agg.groupby("bucket", as_index=False).sum()
+        return out_df.sort_values("bucket").reset_index(drop=True)
+
     return {
         # --- SURVEY §2 relational operators (SQL-checked) ---
         "g1_group_merge": relational.g1_group_merge,
@@ -493,6 +533,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "archive_reparse": archive_reparse,  # rows-only (≡ live entries in tests)
         "archive_wet": archive_wet,  # rows-only (tag-strip exactness in tests)
         "archive_delta": archive_delta,  # rows-only (class semantics in tests)
+        "recrawl_schedule": recrawl_schedule,  # rows-only (stats vs Python ref in tests)
     }
 
 

@@ -203,6 +203,57 @@ def test_archive_delta_classes(tmp_path):
     assert counts.get("unchanged", 0) > 0
 
 
+def test_change_rate_reference(tmp_path):
+    """change_rate per-url stats ≡ a Python reference over three
+    generations (g0 == g1 identical web, g2 grown): offers present in
+    all three gens are cold; every stat row matches the reference."""
+    from collections import defaultdict
+
+    from crawlkit.pipelines.crawl import run_crawl
+    from crawlkit.refsim import CrawlSpec
+
+    spec = CrawlSpec(host_budget_per_round=32)
+    roots = []
+    for gen, mlp in (("g0", 3), ("g1", 3), ("g2", 6)):
+        roots.append(str(tmp_path / f"arc_{gen}"))
+        run_crawl(
+            SynthWeb(WebConfig(n_seeds=4, n_hosts=3, max_last_page=mlp)),
+            spec=spec, out_dir=str(tmp_path / f"crawl_{gen}"),
+            num_seen_shards=2, fetch_concurrency=2, archive_root=roots[-1],
+        )
+    rates = warcstore.change_rate(roots, nshards=4).to_pandas()
+
+    hist = defaultdict(list)  # url -> [(gen, digest)] in gen order
+    for g, root in enumerate(roots):
+        idx = warcstore.TableStore(f"{root}/index").read_table().to_pandas()
+        for u, d in zip(idx["url"], idx["payload_digest"]):
+            hist[u].append((g, d))
+    assert len(rates) == len(hist)
+    by_url = rates.set_index("url")
+    for u, obs in hist.items():
+        digests = [d for _g, d in obs]
+        changes = sum(1 for a, b in zip(digests, digests[1:]) if a != b)
+        row = by_url.loc[u]
+        assert row["observations"] == len(obs), u
+        assert row["changes"] == changes, u
+        assert row["first_gen"] == obs[0][0] and row["last_gen"] == obs[-1][0], u
+        if len(obs) <= 1:
+            expect = "new"
+        elif changes == 0:
+            expect = "cold"
+        elif 2 * changes >= len(obs) - 1:
+            expect = "hot"
+        else:
+            expect = "warm"
+        assert row["bucket"] == expect, u
+    # g0 == g1: any url observed in both with no growth effect is cold;
+    # offers are content-stable across generations
+    offer_rows = rates[rates["url"].str.contains("/offer/")]
+    full_hist_offers = offer_rows[offer_rows["observations"] == 3]
+    assert len(full_hist_offers) > 0
+    assert (full_hist_offers["bucket"] == "cold").all()
+
+
 def test_digest_tamper_detected(crawl_and_archive):
     _res, root = crawl_and_archive
     shard = sorted(glob.glob(f"{root}/shards/*.warc.gz"))[0]
