@@ -277,6 +277,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out_df = agg.groupby("bucket", as_index=False).sum()
         return out_df.sort_values("bucket").reset_index(drop=True)
 
+    def archive_link_graph(sf_dir: str):
+        """Hyperlink graph from the archive: extract anchor edges from
+        archived HTML (no re-fetch), then the top-10 most-linked pages
+        by in-degree — dst-hash-sharded per-shard counts with per-shard
+        partial top-k, merged on the driver (10×nshards rows, never the
+        edge list). Rows-only; edge extraction pinned against a Python
+        reference in tests/test_warcstore.py::test_extract_links_reference."""
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+
+        from crawlkit.hashing import hash64_np
+        from crawlkit.state import warcstore
+
+        _res, root = _crawl_with_archive()
+        edges = warcstore.extract_links(warcstore.read_warc(root))
+        nshards = 8
+
+        def add_shard(t: "pa.Table") -> "pa.Table":
+            h = hash64_np(t["dst"].to_pylist())
+            return t.append_column(
+                "_shard", pa.array((h % np.uint64(nshards)).astype(np.int64))
+            )
+
+        def per_shard(df: "pd.DataFrame") -> "pa.Table":
+            from crawlkit import pandas_to_clean_arrow
+
+            g = df.groupby("dst", as_index=False).agg(in_degree=("src", "size"))
+            g = g.sort_values(["in_degree", "dst"], ascending=[False, True]).head(10)
+            return pandas_to_clean_arrow(g[["dst", "in_degree"]])
+
+        cand = (
+            edges.map_batches(add_shard, batch_format="pyarrow")
+            .groupby("_shard")
+            .map_groups(per_shard, batch_format="pandas")
+            .to_pandas()
+        )
+        return (
+            cand.sort_values(["in_degree", "dst"], ascending=[False, True])
+            .head(10)
+            .reset_index(drop=True)
+        )
+
     return {
         # --- SURVEY §2 relational operators (SQL-checked) ---
         "g1_group_merge": relational.g1_group_merge,
@@ -534,6 +577,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "archive_wet": archive_wet,  # rows-only (tag-strip exactness in tests)
         "archive_delta": archive_delta,  # rows-only (class semantics in tests)
         "recrawl_schedule": recrawl_schedule,  # rows-only (stats vs Python ref in tests)
+        "archive_link_graph": archive_link_graph,  # rows-only (edges vs Python ref in tests)
     }
 
 

@@ -511,6 +511,43 @@ def change_rate(roots: list[str], nshards: int = 32) -> "ray.data.Dataset":
     )
 
 
+def extract_links(records: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Hyperlink-graph extraction from archived HTML: one edge row per
+    anchor — ``kind='offer'`` (listing → offer article links) or
+    ``kind='page'`` (pager links, resolved relative to the source url).
+    Output: (src, dst, kind, src_depth). Compiled-regex per row inside
+    the batch task (same contract as stages/parsers; lxml swaps in
+    outside the sandbox). Feeds degree/pagerank-style graph ops without
+    touching the live web."""
+    import re
+
+    _href = re.compile(r'<h3><a href="([^"]+)"')
+    _pager_block = re.compile(r'<div id="pagerForm">(.*?)</div>', re.S)
+    _pager_a = re.compile(r'<li><a href="([^"#]+)"')
+
+    def links(t: pa.Table) -> pa.Table:
+        rows: list[dict] = []
+        for r in t.to_pylist():
+            html = r["body"].decode()
+            src = r["url"]
+            for dst in _href.findall(html):
+                rows.append({"src": src, "dst": dst, "kind": "offer",
+                             "src_depth": r["depth"]})
+            m = _pager_block.search(html)
+            if m:
+                base = src.split("?", 1)[0]  # RFC 3986: "?q" replaces query
+                for q in _pager_a.findall(m.group(1)):
+                    rows.append({"src": src, "dst": base + q, "kind": "page",
+                                 "src_depth": r["depth"]})
+        schema = pa.schema(
+            [("src", pa.string()), ("dst", pa.string()),
+             ("kind", pa.string()), ("src_depth", pa.int32())]
+        )
+        return pa.Table.from_pylist(rows, schema=schema)
+
+    return records.map_batches(links, batch_format="pyarrow")
+
+
 def reparse_entries(records: "ray.data.Dataset") -> "ray.data.Dataset":
     """Re-run the registered listing parsers over archived depth-1 HTML —
     the archive-reprocessing path: new extraction logic without a single

@@ -254,6 +254,33 @@ def test_change_rate_reference(tmp_path):
     assert (full_hist_offers["bucket"] == "cold").all()
 
 
+def test_extract_links_reference(crawl_and_archive):
+    """Edge extraction ≡ a Python reference over every archived page:
+    offer edges = article hrefs, page edges = RFC-3986-resolved pager
+    anchors; listing pages link every offer article they render."""
+    import re
+
+    _res, root = crawl_and_archive
+    recs = warcstore.read_warc(root).to_pandas()
+    edges = warcstore.extract_links(warcstore.read_warc(root)).to_pandas()
+    got = {(s, d, k) for s, d, k in zip(edges["src"], edges["dst"], edges["kind"])}
+
+    expect = set()
+    for url, body in zip(recs["url"], recs["body"]):
+        html = body.decode()
+        for href in re.findall(r'<h3><a href="([^"]+)"', html):
+            expect.add((url, href, "offer"))
+        m = re.search(r'<div id="pagerForm">(.*?)</div>', html, re.S)
+        if m:
+            base = url.split("?", 1)[0]
+            for q in re.findall(r'<li><a href="([^"#]+)"', m.group(1)):
+                expect.add((url, base + q, "page"))
+    assert got == expect
+    # depth-1 listing pages must contribute offer edges
+    d1 = edges[(edges["src_depth"] == 1) & (edges["kind"] == "offer")]
+    assert len(d1) > 0
+
+
 def test_digest_tamper_detected(crawl_and_archive):
     _res, root = crawl_and_archive
     shard = sorted(glob.glob(f"{root}/shards/*.warc.gz"))[0]
