@@ -328,6 +328,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_first": relational.dedup_exact_first,
         "f1_filter": relational.f1_filter,
         "f4_permissive_cast": relational.f4_permissive_cast,
+        "f_above_avg": relational.f_above_avg,
         "m2_extract_number": relational.m2_extract_number,
         "m3_take_before": relational.m3_take_before,
         "m6_range_expand": relational.m6_range_expand,

@@ -47,6 +47,15 @@ ORACLE_SQL: dict[str, str] = {
         FROM documents
         WHERE NULLIF(regexp_replace(source, '[^0-9]+', '', 'g'), '') IS NOT NULL
     """,
+    "f_above_avg": """
+        SELECT l_orderkey, l_linenumber,
+               CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem
+        WHERE CAST(FLOOR(l_extendedprice * 100) AS BIGINT)
+              * (SELECT COUNT(*) FROM lineitem)
+              > (SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                 FROM lineitem)
+    """,
     "m2_extract_number": """
         SELECT doc_id,
                CAST(NULLIF(regexp_replace(source, '[^0-9]+', '', 'g'), '') AS BIGINT) AS num

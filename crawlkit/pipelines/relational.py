@@ -197,6 +197,47 @@ def f4_permissive_cast(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def f_above_avg(sf_dir: str) -> rd.Dataset:
+    """Scalar-subquery pattern: lineitems priced above the GLOBAL mean.
+
+    Two-pass broadcast aggregate: pass 1 reduces to TWO integers (sum of
+    cents, row count) via per-batch partials; pass 2 filters with the
+    exact-fraction compare ``cents * n > sum`` — no float division, so
+    the cut is bit-exact and order-independent (int64 safe to ~1e11 rows
+    × 1e7 cents). The reduced scalar travels in the task closure; at
+    100 TB the second pass re-reads the pruned column rather than
+    holding pass 1's input materialized."""
+    cols = ["l_orderkey", "l_linenumber", "l_extendedprice"]
+    ds = _read(sf_dir, "lineitem", cols)
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = _cents(t["l_extendedprice"])
+        return pa.table(
+            {
+                "s": pa.array([pc.sum(c).as_py() or 0], pa.int64()),
+                "n": pa.array([t.num_rows], pa.int64()),
+            }
+        )
+
+    small = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    s, n = int(small["s"].sum()), int(small["n"].sum())
+
+    def keep(t: pa.Table) -> pa.Table:
+        out = pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_linenumber": t["l_linenumber"],
+                "cents": _cents(t["l_extendedprice"]),
+            }
+        )
+        return out.filter(
+            pc.greater(pc.multiply_checked(out["cents"], pa.scalar(n, pa.int64())),
+                       pa.scalar(s, pa.int64()))
+        )
+
+    return _read(sf_dir, "lineitem", cols).map_batches(keep, batch_format="pyarrow")
+
+
 # --- M2/M3: normalizers over driver data (FIXTURES.md §7)
 
 
