@@ -471,6 +471,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_containment": dedup.containment_pairs,  # SQL-checked
         # doc-level duplicate-span statistic (substring-dedup à la Lee et al.)
         "dup_span_fraction": dedup.dup_span_fraction,  # SQL-checked
+        # ExactSubstr dedup APPLIED: duplicate-span removal, first copy wins
+        "dedup_exact_substr": dedup.exact_substr_dedup,  # SQL-checked
         # connected components over the pair graph (recursive-CTE oracle)
         "dedup_clusters": dedup.dedup_clusters,  # SQL-checked
         # the corpus AFTER dedup (drop non-representative cluster members)

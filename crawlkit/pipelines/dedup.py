@@ -1048,3 +1048,194 @@ def dedup_incremental(
             "text": [x for part in keep_texts for x in part],
         }
     ).astype({"doc_id": "int64", "text": "object"})
+
+
+# --- ExactSubstr duplicate-SPAN removal (Lee et al. 2022) ----------------
+
+
+def _rebuild_doc(toks: np.ndarray, kills: "np.ndarray | None", w: int):
+    """Remove every token covered by a killed w-gram start position.
+
+    Coverage is computed with a +1/-1 delta array + cumsum (exact merged
+    interval union, fully vectorized). Returns (n_tokens, n_removed,
+    kept_text)."""
+    n = len(toks)
+    if kills is None or len(kills) == 0:
+        return n, 0, " ".join(toks)
+    delta = np.zeros(n + 1, dtype=np.int64)
+    np.add.at(delta, kills, 1)
+    np.add.at(delta, np.minimum(kills + w, n), -1)
+    cov = np.cumsum(delta[:n]) > 0
+    kept = np.asarray(toks, dtype=object)[~cov]
+    return n, int(cov.sum()), " ".join(kept)
+
+
+def exact_substr_dedup(
+    sf_dir: str,
+    w: int = 5,
+    nshards: int = 32,
+    broadcast_cap: int = 2_000_000,
+) -> rd.Dataset:
+    """ExactSubstr dedup APPLIED — duplicate-span REMOVAL, not just the
+    statistic (``dup_span_fraction`` scores; this one edits the corpus).
+    Semantics follow Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better") at word granularity: any word-``w``-gram
+    occurring ≥2 times corpus-wide keeps exactly ONE copy — the globally
+    minimal ``(doc_id, pos)`` occurrence — and every token covered by a
+    non-winning occurrence is removed from its document. A duplicated
+    span of length ≥ w is covered end-to-end by its duplicated w-grams,
+    so whole copied passages vanish while the first copy survives.
+
+    Distribution shape (the 100-TB story):
+    1. positional grams leave each doc as 64-bit HASHES + int64 pos
+       (24-byte rows), sharded by gram hash — ONE slim shuffle; the
+       per-shard sort/first-wins IS the global winner election because
+       every occurrence of a gram lands in one shard.
+    2. the resulting KILL LIST (doc_id, pos of losing occurrences) is
+       proportional to the duplicated volume, normally ≪ corpus. When it
+       fits ``broadcast_cap`` rows it is broadcast once via ``ray.put``
+       and applied in a streaming ``map_batches`` pass over the docs —
+       NO full-text shuffle. Above the cap, docs and kills are tagged
+       into one slim union and co-sharded by doc-id hash (the q10-style
+       union-shard merge) — one full exchange, no driver state.
+    3. span rebuild per doc is a vectorized delta/cumsum interval union.
+
+    The SQL oracle mirrors the winner election on the gram STRING via
+    ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, pos) and
+    reconstructs kept text with an anti-range-join + ordered string_agg
+    (identical output absent a 64-bit hash collision — the standing
+    fingerprint assumption). Docs with zero tokens are excluded on both
+    sides.
+    """
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def explode_positional(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        per: list[np.ndarray] = []
+        pos: list[np.ndarray] = []
+        for s in t["text"].to_pylist():
+            words = (s or "").split()
+            if len(words) < w:
+                per.append(np.empty(0, dtype=np.uint64))
+                pos.append(np.empty(0, dtype=np.int64))
+                continue
+            grams = [" ".join(words[j : j + w]) for j in range(len(words) - w + 1)]
+            per.append(hash64_np(grams))
+            pos.append(np.arange(len(grams), dtype=np.int64))
+        counts = np.array([len(p) for p in per], dtype=np.int64)
+        gram = np.concatenate(per) if per else np.empty(0, dtype=np.uint64)
+        return pa.table(
+            {
+                "doc_id": np.repeat(ids, counts),
+                "pos": np.concatenate(pos) if pos else np.empty(0, np.int64),
+                "gram": gram,
+                "shard": (gram % np.uint64(nshards)).astype(np.int32),
+            }
+        )
+
+    def shard_kills(g: pd.DataFrame) -> pa.Table:
+        from .. import pandas_to_clean_arrow
+
+        g = g.sort_values(["gram", "doc_id", "pos"], kind="mergesort")
+        dup = g.groupby("gram")["doc_id"].transform("size") >= 2
+        loser = dup & g["gram"].duplicated()  # all but the first occurrence
+        out = g.loc[loser, ["doc_id", "pos"]].reset_index(drop=True)
+        return pandas_to_clean_arrow(out.astype({"doc_id": "int64", "pos": "int64"}))
+
+    kills = (
+        ds.map_batches(explode_positional, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(shard_kills, batch_format="pandas")
+        .materialize()
+    )
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_tokens", pa.int64()),
+            ("n_removed", pa.int64()),
+            ("kept_text", pa.string()),
+        ]
+    )
+
+    def rows_table(rows: list) -> pa.Table:
+        if not rows:
+            return out_schema.empty_table()
+        ids, nt, nr, kt = zip(*rows)
+        return pa.table(
+            {
+                "doc_id": np.asarray(ids, np.int64),
+                "n_tokens": np.asarray(nt, np.int64),
+                "n_removed": np.asarray(nr, np.int64),
+                "kept_text": list(kt),
+            },
+            schema=out_schema,
+        )
+
+    n_kills = kills.count()
+    if n_kills <= broadcast_cap:
+        # sparse-duplication fast path: kill list broadcast once, docs
+        # stream through untouched (no full-text shuffle).
+        kdf = kills.to_pandas() if n_kills else pd.DataFrame({"doc_id": [], "pos": []})
+        kill_map = {
+            int(d): p["pos"].to_numpy(np.int64) for d, p in kdf.groupby("doc_id")
+        }
+        kref = ray.put(kill_map)
+
+        def apply_kills(t: pa.Table) -> pa.Table:
+            km = ray.get(kref)
+            rows = []
+            for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+                toks = (text or "").split()
+                if not toks:
+                    continue
+                rows.append((doc_id, *_rebuild_doc(toks, km.get(doc_id), w)))
+            return rows_table(rows)
+
+        return ds.map_batches(apply_kills, batch_format="pyarrow")
+
+    # heavy-duplication path: co-shard docs + kills by doc-id hash and
+    # rebuild inside one map_groups (union-shard merge; q10 pattern).
+    def tag_docs(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy().astype(np.uint64)
+        with np.errstate(over="ignore"):
+            sh = ((ids * np.uint64(2654435761)) % np.uint64(nshards)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "pos": pa.array(np.full(len(t), -1, np.int64)),
+                "text": t["text"],
+                "dshard": pa.array(sh),
+            }
+        )
+
+    def tag_kills(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy().astype(np.uint64)
+        with np.errstate(over="ignore"):
+            sh = ((ids * np.uint64(2654435761)) % np.uint64(nshards)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "pos": t["pos"],
+                "text": pa.array([None] * len(t), pa.string()),
+                "dshard": pa.array(sh),
+            }
+        )
+
+    union = ds.map_batches(tag_docs, batch_format="pyarrow").union(
+        kills.map_batches(tag_kills, batch_format="pyarrow")
+    )
+
+    def rebuild(g: pd.DataFrame) -> pa.Table:
+        docs = g[g["text"].notna()]
+        ks = g[g["text"].isna()]
+        km = {int(d): p["pos"].to_numpy(np.int64) for d, p in ks.groupby("doc_id")}
+        rows = []
+        for doc_id, text in zip(docs["doc_id"], docs["text"]):
+            toks = (text or "").split()
+            if not toks:
+                continue
+            rows.append((int(doc_id), *_rebuild_doc(toks, km.get(int(doc_id)), w)))
+        return rows_table(rows)
+
+    return union.groupby("dshard").map_groups(rebuild, batch_format="pandas")

@@ -1856,3 +1856,43 @@ ORACLE_SQL["active_users_rolling"] = """
     FROM grid g JOIN hrs h ON h.hr BETWEEN g.hr - 23 AND g.hr
     GROUP BY g.hr
 """
+
+# ExactSubstr duplicate-span REMOVAL (Lee et al. 2022): every duplicated
+# 5-gram keeps only its minimal (doc_id, pos) occurrence; tokens covered
+# by losing occurrences are removed. Mirrors the engine's gram-shard
+# first-wins election (string grams here, 64-bit hashes there).
+ORACLE_SQL["dedup_exact_substr"] = r"""
+    WITH words AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+        FROM documents
+    ), grams AS (
+        SELECT doc_id, i - 1 AS pos,
+               ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+                     || ' ' || ws[i+4] AS gram
+        FROM words, UNNEST(range(1, len(ws) - 3)) AS t(i)
+        WHERE len(ws) >= 5
+    ), marked AS (
+        SELECT doc_id, pos,
+               COUNT(*) OVER (PARTITION BY gram) AS c,
+               ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+        FROM grams
+    ), kills AS (
+        SELECT doc_id, pos FROM marked WHERE c >= 2 AND rn > 1
+    ), toks AS (
+        SELECT doc_id, i - 1 AS tpos, ws[i] AS tok
+        FROM words, UNNEST(range(1, len(ws) + 1)) AS t(i)
+    ), removed AS (
+        SELECT DISTINCT t.doc_id, t.tpos
+        FROM toks t JOIN kills k
+          ON t.doc_id = k.doc_id AND t.tpos >= k.pos AND t.tpos < k.pos + 5
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(r.tpos) AS BIGINT) AS n_removed,
+           COALESCE(string_agg(CASE WHEN r.tpos IS NULL THEN t.tok END,
+                               ' ' ORDER BY t.tpos), '') AS kept_text
+    FROM toks t LEFT JOIN removed r
+      ON t.doc_id = r.doc_id AND t.tpos = r.tpos
+    GROUP BY t.doc_id
+"""

@@ -234,3 +234,44 @@ def test_semdedup_unplanted_keeps_everything():
     within-cluster pair reaches τ, so SemDeDup keeps the whole corpus."""
     got = _pdf(dedup.semdedup("/root/testdata/sf0.001"))
     assert got["keep"].all() and len(got) == 500
+
+
+def test_exact_substr_planted_span_removed(tmp_path):
+    """A 7-word span copied into a second doc disappears from the COPY
+    (w=5 grams cover it end to end) while the first occurrence — the
+    min-(doc_id,pos) winner — survives verbatim. Unique docs untouched."""
+    import pyarrow.parquet as pq_
+
+    span = "alpha beta gamma delta epsilon zeta eta"
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": [
+                f"one two {span} three four",
+                f"xx yy zz {span} qq rr",
+                "totally unique words here nothing repeats at all",
+            ],
+        }
+    )
+    pq_.write_table(docs, tmp_path / "documents.parquet")
+    out = _pdf(dedup.exact_substr_dedup(str(tmp_path))).set_index("doc_id")
+    assert out.loc[1, "kept_text"] == f"one two {span} three four"
+    assert out.loc[1, "n_removed"] == 0
+    assert out.loc[2, "kept_text"] == "xx yy zz qq rr"
+    assert out.loc[2, "n_removed"] == 7
+    assert out.loc[3, "n_removed"] == 0
+    assert out.loc[3, "n_tokens"] == 8
+
+
+def test_exact_substr_broadcast_and_shuffle_paths_agree():
+    """The sparse-kill broadcast fast path and the union-shard merge
+    (heavy-duplication) path return identical corpora on sf0.001."""
+    sf = "/root/testdata/sf0.001"
+    cols = ["doc_id", "n_tokens", "n_removed", "kept_text"]
+    a = _pdf(dedup.exact_substr_dedup(sf)).sort_values("doc_id").reset_index(drop=True)
+    b = (
+        _pdf(dedup.exact_substr_dedup(sf, broadcast_cap=0))
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a[cols], b[cols])

@@ -86,6 +86,7 @@ DOC_QUERIES = [
     "text_word_freq",
     "dedup_simhash",
     "dup_span_fraction",
+    "dedup_exact_substr",
     "text_quality_counts",
     "text_redact",
     "text_fingerprint32",
