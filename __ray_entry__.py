@@ -48,7 +48,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from crawlkit.pipelines import (
-        ann, dedup, graph, mixing, ml, multimodal, relational, text, windows,
+        ann, dedup, graph, mixing, ml, multimodal, relational, sources, text, windows,
     )
 
     def crawl_flagship(sf_dir: str):
@@ -333,6 +333,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "m3_take_before": relational.m3_take_before,
         "m6_range_expand": relational.m6_range_expand,
         "m13_json_extract": relational.m13_json_extract,
+        # JSONL file source: ray.data.read_json round-trip, decode-fidelity agg
+        "src_jsonl": sources.jsonl_roundtrip,  # SQL-checked
+        # CSV file source: ray.data.read_csv round-trip, float→cents exactness
+        "src_csv": sources.csv_roundtrip,  # SQL-checked
         "o1_sort_topk": relational.o1_sort_topk,
         "j_broadcast_join": relational.j_broadcast_join,
         "j_hash_join": relational.j_hash_join,

@@ -1896,3 +1896,23 @@ ORACLE_SQL["dedup_exact_substr"] = r"""
       ON t.doc_id = r.doc_id AND t.tpos = r.tpos
     GROUP BY t.doc_id
 """
+
+# JSONL source round-trip: the engine reads a JSONL export of documents
+# with ray.data.read_json and re-aggregates FROM THE DECODED TEXT; the
+# oracle aggregates the original parquet — a hash match proves decode
+# fidelity (unicode escapes included), not just row counts.
+ORACLE_SQL["src_jsonl"] = """
+    SELECT source, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY source, lang
+"""
+
+# CSV source round-trip: floats cross the CSV boundary as shortest
+# round-trip decimals, so integer cents match the parquet exactly.
+ORACLE_SQL["src_csv"] = """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM events GROUP BY event_type
+"""

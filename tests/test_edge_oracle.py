@@ -87,6 +87,7 @@ DOC_QUERIES = [
     "dedup_simhash",
     "dup_span_fraction",
     "dedup_exact_substr",
+    "src_jsonl",
     "text_quality_counts",
     "text_redact",
     "text_fingerprint32",
@@ -194,6 +195,7 @@ def edge_events_con(edge_events_dir):
 
 EVENT_QUERIES = [
     "g1_group_merge",
+    "src_csv",
     "g2_running_max",
     "d1_distinct",
     "f1_filter",
