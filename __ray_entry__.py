@@ -559,6 +559,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_image_dedup_exact": multimodal.image_dedup_exact,  # rows-only (brute oracle in tests)
         "mm_image_histogram": multimodal.image_histogram,  # rows-only (Σbins=w·h in tests)
         "mm_caption_filter": multimodal.caption_filter,  # rows-only (predicate oracle in tests)
+        # image-side corpus-assembly flagship: exact dedup → phash clusters →
+        # caption filter → split coin over the input_hint table
+        "mm_assemble_corpus": multimodal.assemble_image_corpus,  # rows-only (brute oracle in tests)
         # ViT-style patch extraction (reconstruction oracle in tests)
         "mm_image_patchify": multimodal.image_patchify,  # rows-only
         # per-channel mergeable moments + corpus-wide normalization reduce

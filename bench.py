@@ -108,6 +108,8 @@ def run_bench() -> dict:
     # round-3 session-4: star join + ranked retrieval
     timed("q10_returned", relational.q10_returned)
     timed("bm25_topk", text.bm25_topk)
+    # round-3 session-9: ExactSubstr duplicate-span removal applied
+    timed("dedup_exact_substr", dedup.exact_substr_dedup)
 
     total = round(sum(timings.values()), 3)
     out = {

@@ -16,6 +16,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 import ray.data as rd
 
 from .. import imagecodec
@@ -153,11 +154,18 @@ def image_phash_neardup(
     SimHash text dedup, proving the shared band-bucket groupby pattern.
     ``plant_pairs`` seeded near-dup rows keep the end-to-end fixture
     check non-vacuous (see synthetic_images)."""
-    import pandas as pd
-
     feats = image_features(sf_dir, n, plant_pairs=plant_pairs).select_columns(
         ["image_id", "phash"]
     )
+    return _phash_band_pairs(feats, max_hamming)
+
+
+def _phash_band_pairs(feats: rd.Dataset, max_hamming: int) -> rd.Dataset:
+    """Band-bucket near-dup pair mining over (image_id, phash) rows —
+    shared by the decode path (image_phash_neardup) and the manifest
+    path (assemble_image_corpus, where phash is already a column of the
+    input_hint table and nothing needs decoding)."""
+    import pandas as pd
 
     def explode(t: pa.Table) -> pa.Table:
         ids = t["image_id"].to_pylist()
@@ -440,6 +448,148 @@ def image_dedup_exact(
         grouped.map_batches(finish, batch_format="pyarrow"),
         {"image_id": "object", "n_copies": "int64"},
     )
+
+
+# --- image-corpus assembly (the image-side flagship composition) --------
+
+
+def assemble_image_corpus(
+    sf_dir: str | None = None,
+    n: int = 64,
+    plant_pairs: int = 4,
+    plant_copies: int = 4,
+    max_hamming: int = 10,
+    min_tokens: int = 3,
+    min_alpha_ratio_pct: int = 50,
+    train_pct: int = 80,
+    val_pct: int = 10,
+    nshards: int = 16,
+) -> rd.Dataset:
+    """The IMAGE-side corpus-assembly flagship — the LAION-pipeline
+    composition over the north-rule input_hint table (image_id, bytes,
+    w, h, fmt, caption, phash), mirroring what ``assemble_corpus`` does
+    for text: exact dedup → perceptual near-dup clustering → caption
+    quality filter → deterministic split assignment, ONE streaming pass
+    over the payload table with broadcast drop sets.
+
+    Stages and their 100-TB shapes:
+    1. EXACT losers — 128-bit blake2b of the encoded bytes computed
+       where the bytes live; only 16-byte digest keys + ids shuffle
+       (digest-hash sharded, per-shard vectorized min-id election).
+       Losers (= every member except the min image_id) form drop set A.
+    2. NEAR-DUP losers — band-bucket pair mining straight off the
+       table's ``phash`` COLUMN (no decode; the hash was computed at
+       ingest), minimal-band unique emission, then connected components
+       with min-id representatives. Pair graphs are near-dup-sized, so
+       the union-find runs on the driver (``dedup_clusters`` holds the
+       Dataset-native label-propagation path for billion-edge graphs).
+       Non-representatives form drop set B.
+    3. One streaming pass over the table: drop A ∪ B (broadcast via
+       ``ray.put`` — near-dup volume ≪ corpus), keep rows whose caption
+       has ≥ ``min_tokens`` tokens and ≥ ``min_alpha_ratio_pct``% alpha
+       chars (decode-free Arrow kernels, bytes column untouched), and
+       stamp ``split`` with the md5-low64 coin of the image_id —
+       partition-invariant and retry-safe.
+
+    Output manifest: (image_id, phash, n_cap_tokens, split). Rows-only
+    driver check (binary fixture); exactness is pinned by a brute-force
+    Python reference over the same planted table in
+    tests/test_ann_multimodal.py.
+    """
+    import hashlib
+
+    from ..hashing import hash64_np
+    from .dedup import pandas_with_schema
+
+    imgs = synthetic_images(n, plant_pairs=plant_pairs, plant_exact=plant_copies)
+
+    # --- stage 1: exact-duplicate losers (digest-sharded min-id election)
+    def digest(t: pa.Table) -> pa.Table:
+        data = t["bytes"].to_pylist()
+        hi = np.empty(len(data), dtype=np.uint64)
+        lo = np.empty(len(data), dtype=np.uint64)
+        blake = hashlib.blake2b
+        for i, b in enumerate(data):
+            d = blake(b, digest_size=16).digest()
+            hi[i] = int.from_bytes(d[:8], "little")
+            lo[i] = int.from_bytes(d[8:], "little")
+        return pa.table(
+            {
+                "image_id": t["image_id"],
+                "d1": pa.array(hi.view(np.int64)),
+                "d2": pa.array(lo.view(np.int64)),
+                "shard": pa.array(((hi ^ lo) % np.uint64(nshards)).astype(np.int64)),
+            }
+        )
+
+    def shard_losers(g) -> pa.Table:
+        win = g.groupby(["d1", "d2"])["image_id"].transform("min")
+        out = g.loc[g["image_id"] != win, ["image_id"]]
+        # typed empty (not inferred null) so Ray's block-schema check is quiet
+        return pa.table({"image_id": pa.array(out["image_id"].tolist(), pa.string())})
+
+    exact_losers = pandas_with_schema(
+        imgs.select_columns(["image_id", "bytes"])
+        .map_batches(digest, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(shard_losers, batch_format="pandas"),
+        {"image_id": "object"},
+    )
+
+    # --- stage 2: near-dup cluster losers (phash column, no decode)
+    pairs = _phash_band_pairs(
+        imgs.select_columns(["image_id", "phash"]), max_hamming
+    )
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["id_a"], pairs["id_b"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo_, hi_ = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi_] = lo_
+    neardup_losers = {x for x in parent if find(x) != x}
+
+    drop = set(exact_losers["image_id"]) | neardup_losers
+    drop_ref = ray.put(pa.array(sorted(drop), pa.string()))
+    names = np.array(["train", "val", "test"])
+
+    # --- stage 3: one streaming manifest pass (drop → filter → coin)
+    def manifest(t: pa.Table) -> pa.Table:
+        dropped = ray.get(drop_ref)
+        t = t.filter(pc.invert(pc.is_in(t["image_id"], value_set=dropped)))
+        cap = t["caption"]
+        n_tok = pc.cast(pc.count_substring_regex(cap, r"\S+"), pa.int64())
+        n_chars = pc.cast(pc.utf8_length(cap), pa.int64())
+        n_alpha = pc.cast(pc.count_substring_regex(cap, "[A-Za-z]"), pa.int64())
+        ok = pc.and_(
+            pc.greater_equal(n_tok, pa.scalar(min_tokens, pa.int64())),
+            pc.greater_equal(
+                pc.multiply(n_alpha, pa.scalar(100, pa.int64())),
+                pc.multiply(n_chars, pa.scalar(min_alpha_ratio_pct, pa.int64())),
+            ),
+        )
+        t = t.append_column("n_cap_tokens", n_tok).filter(ok)
+        ids2 = t["image_id"].to_pylist()
+        bucket = hash64_np(ids2) % np.uint64(100)
+        code = np.where(
+            bucket < train_pct, 0, np.where(bucket < train_pct + val_pct, 1, 2)
+        )
+        return pa.table(
+            {
+                "image_id": t["image_id"],
+                "phash": t["phash"],
+                "n_cap_tokens": t["n_cap_tokens"],
+                "split": pa.array(names[code.astype(np.int64)]),
+            }
+        )
+
+    return imgs.map_batches(manifest, batch_format="pyarrow")
 
 
 # --- audio: REAL PCM WAV path (stdlib codec); compressed codecs need

@@ -599,3 +599,77 @@ def test_image_blur_screen_dataset_flags(ray_session):
     df = _pdf(multimodal.image_blur_screen(n=16))
     assert len(df) == 16
     assert df["sharp"].any() and (~df["sharp"]).any()  # tau splits the fixture
+
+
+def test_assemble_image_corpus_matches_brute():
+    """The image-side flagship composition (exact dedup → phash-cluster
+    dedup → caption filter → split coin) must equal a brute-force Python
+    reference over the same planted input_hint table — including the
+    band-mining condition (a pair is found iff hamming ≤ τ AND a 16-bit
+    band matches) and min-id representative election."""
+    import itertools
+
+    import numpy as np
+
+    from crawlkit.hashing import hash64_np
+    from crawlkit.pipelines import multimodal as mm
+
+    n, pp, pcs, tau, min_tok = 32, 4, 3, 10, 8
+    imgs = mm.synthetic_images(n, plant_pairs=pp, plant_exact=pcs).to_pandas()
+
+    # exact losers: all but min image_id per identical byte payload
+    drop = set()
+    for _, grp in imgs.groupby(imgs["bytes"].map(bytes)):
+        ids = sorted(grp["image_id"])
+        drop.update(ids[1:])
+
+    # near-dup: pairs iff hamming ≤ tau AND some 16-bit band equal;
+    # components keep their min id
+    ph = {r.image_id: np.uint64(np.int64(r.phash)) for r in imgs.itertuples()}
+    adj = {i: set() for i in ph}
+    for a, b in itertools.combinations(sorted(ph), 2):
+        x = ph[a] ^ ph[b]
+        ham = bin(int(x)).count("1")
+        band_eq = any(
+            (int(x) >> (16 * k)) & 0xFFFF == 0 for k in range(4)
+        )
+        if ham <= tau and band_eq:
+            adj[a].add(b)
+            adj[b].add(a)
+    seen = set()
+    for start in sorted(adj):
+        if start in seen or not adj[start]:
+            continue
+        comp, stack = set(), [start]
+        while stack:
+            x = stack.pop()
+            if x in comp:
+                continue
+            comp.add(x)
+            stack.extend(adj[x] - comp)
+        seen |= comp
+        drop.update(sorted(comp)[1:])
+
+    # caption filter + split coin
+    import re
+
+    expected = {}
+    for r in imgs.itertuples():
+        if r.image_id in drop:
+            continue
+        toks = len(re.findall(r"\S+", r.caption))
+        alpha = len(re.findall("[A-Za-z]", r.caption))
+        if toks < min_tok or alpha * 100 < len(r.caption) * 50:
+            continue
+        bucket = int(hash64_np([r.image_id])[0] % np.uint64(100))
+        split = "train" if bucket < 80 else ("val" if bucket < 90 else "test")
+        expected[r.image_id] = (r.phash, toks, split)
+
+    out = mm.assemble_image_corpus(
+        n=n, plant_pairs=pp, plant_copies=pcs, max_hamming=tau, min_tokens=min_tok
+    ).to_pandas()
+    got = {
+        r.image_id: (r.phash, r.n_cap_tokens, r.split) for r in out.itertuples()
+    }
+    assert got == expected
+    assert len(expected) < len(imgs)  # composition is non-vacuous
