@@ -51,6 +51,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ann, dedup, graph, mixing, ml, multimodal, relational, sources, text, windows,
     )
 
+    def crawl_sitemap_seeds(sf_dir: str):
+        """Seed DISCOVERY from the web itself: distributed /sitemap.xml
+        fetch+parse → the ordered seed table (sf_dir unused). Rows-only;
+        pinned ≡ SynthWeb.seeds() in tests/test_parsers_politeness.py."""
+        import pandas as pd
+
+        from crawlkit.pipelines.crawl import seeds_from_sitemaps
+
+        return pd.DataFrame(seeds_from_sitemaps("t2"))
+
     def crawl_flagship(sf_dir: str):
         """The crawl engine end-to-end on the deterministic synthetic web
         (t1 profile): frontier rounds → fetch/extract → typed entries.
@@ -579,6 +589,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_video_phash_neardup": multimodal.video_phash_neardup,  # rows-only (planted-pair oracle in tests)
         # --- the crawl engine itself ---
         "crawl_flagship": crawl_flagship,  # rows-only (oracle = refsim in tests)
+        "crawl_sitemap_seeds": crawl_sitemap_seeds,  # rows-only (≡ configured seeds in tests)
         "crawl_recrawl": crawl_recrawl,  # rows-only (oracle = refsim prior_seen)
         "crawl_distributed": crawl_distributed,  # rows-only (oracle = refsim sets)
         "crawl_fetch_report": crawl_fetch_report,  # rows-only (refsim page counts)

@@ -137,6 +137,57 @@ def _split_budget(df: pl.DataFrame, budget: int) -> tuple[pl.DataFrame, pl.DataF
     return issued, deferred
 
 
+def seeds_from_sitemaps(web: SynthWeb | WebConfig | str = "t2") -> list[dict]:
+    """Seed DISCOVERY from the web itself: fetch every host's
+    /sitemap.xml in a distributed ``map_batches`` pass, parse the
+    ``<loc>`` URLs, and rebuild the seed table (seed_id = the listing's
+    category; domain/schema follow the same config formula as the
+    static list). Returns the same ordered seed dicts as
+    ``SynthWeb.seeds()`` — pinned by test — so a crawl can bootstrap
+    with zero configured URLs. Driver holds only the O(config) seed
+    list; sitemap bytes stay in the tasks."""
+    from urllib.parse import parse_qs, urlsplit
+
+    from ..stages.parsers import parse_sitemap
+
+    w = web if isinstance(web, SynthWeb) else SynthWeb(web)
+    cfg_key = w.cfg
+
+    def fetch_parse(t: pa.Table) -> pa.Table:
+        sw = SynthWeb(cfg_key)
+        urls: list[str] = []
+        for hidx in t["hidx"].to_pylist():
+            host = sw.host(hidx)
+            for attempt in range(1, 6):  # T3 retry parity (≤5 attempts)
+                res = sw.fetch(f"https://{host}/sitemap.xml", attempt=attempt)
+                if res.status == 200:
+                    urls.extend(parse_sitemap(res.body))
+                    break
+        sids = [int(parse_qs(urlsplit(u).query)["cat"][0]) for u in urls]
+        return pa.table(
+            {"seed_id": pa.array(sids, pa.int64()), "url": pa.array(urls, pa.string())}
+        )
+
+    hosts = rd.from_arrow(
+        pa.table({"hidx": pa.array(range(cfg_key.n_hosts), pa.int64())})
+    )
+    rows = (
+        hosts.map_batches(fetch_parse, batch_format="pyarrow")
+        .sort("seed_id")
+        .take_all()  # O(n_seeds) — config-sized, same as the static list
+    )
+    return [
+        {
+            "seed_id": r["seed_id"],
+            "url": r["url"],
+            "domain": f"domain-{r['seed_id'] % 4}",
+            "schema_name": "flat" if r["seed_id"] % 2 == 0 else "office",
+            "schema_version": "v0.0.3",
+        }
+        for r in rows
+    ]
+
+
 def run_crawl(
     web: SynthWeb | WebConfig | str = "t2",
     spec: CrawlSpec = CrawlSpec(),

@@ -35,6 +35,15 @@ _IMG = re.compile(r"data-image-id=\"([^\"]+)\"")
 _CAPTION = re.compile(r"<figcaption>(.*?)</figcaption>", re.S)
 
 
+_LOC = re.compile(r"<loc>(.*?)</loc>", re.S)
+
+
+def parse_sitemap(xml: str) -> list[str]:
+    """Sitemap ``<loc>`` URLs in document order (compiled regex — no
+    lxml in-sandbox; sitemap XML is flat enough that RE is exact)."""
+    return _LOC.findall(xml or "")
+
+
 def parse_pagination(html: str) -> list[int]:
     """Pagination anchors → ints; non-numeric anchors skipped (M5/F4,
     ``otodom/total_pages/handler.go:30-43``)."""

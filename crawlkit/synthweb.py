@@ -123,6 +123,28 @@ class SynthWeb:
     def host_blocks_offers(self, host: str) -> bool:
         return self._h("robots", host) % self.cfg.robots_block_offers_mod == 0
 
+    def sitemap_xml(self, host: str) -> str:
+        """Deterministic /sitemap.xml per host: every category-listing
+        seed URL this host serves, ascending by category — the seed-
+        DISCOVERY surface (crawlers bootstrap from sitemaps; the
+        reference hardcodes one SOURCE_URL per orchestrator env,
+        stack.yml:20-24)."""
+        try:
+            hidx = int(host.removeprefix("host").split(".")[0])
+        except ValueError:
+            return '<?xml version="1.0" encoding="UTF-8"?><urlset></urlset>'
+        locs = [
+            f"  <url><loc>https://{self.host(hidx)}/list?cat={sid}</loc></url>"
+            for sid in range(self.cfg.n_seeds)
+            if sid % self.cfg.n_hosts == hidx
+        ]
+        return (
+            '<?xml version="1.0" encoding="UTF-8"?>\n'
+            '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+            + "\n".join(locs)
+            + "\n</urlset>\n"
+        )
+
     # ---- page generation ------------------------------------------------
 
     def _fmt_price(self, v: int) -> str:
@@ -272,6 +294,8 @@ class SynthWeb:
             return None
         if parts.path == "/robots.txt":
             return self.robots_txt(host)
+        if parts.path == "/sitemap.xml":
+            return self.sitemap_xml(host)
         if parts.path == "/list":
             q = parse_qs(parts.query)
             cat = int(q.get("cat", ["-1"])[0])

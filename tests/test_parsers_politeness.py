@@ -76,3 +76,27 @@ def test_token_bucket_deterministic():
     assert not b.try_take(0.0)  # empty
     assert b.wait_time(0.0) == 0.5
     assert b.try_take(0.5)  # refilled 1 token
+
+
+def test_parse_sitemap_extracts_locs():
+    from crawlkit.stages.parsers import parse_sitemap
+    from crawlkit.synthweb import SynthWeb
+
+    w = SynthWeb("t1")
+    xml = w.sitemap_xml("host0.test")
+    urls = parse_sitemap(xml)
+    assert urls and all(u.startswith("https://host0.test/list?cat=") for u in urls)
+    assert parse_sitemap("") == []
+    assert parse_sitemap("<urlset></urlset>") == []
+
+
+def test_seed_discovery_matches_configured_seeds():
+    """Bootstrapping from /sitemap.xml reproduces the configured seed
+    list exactly (order included) — so a sitemap-seeded crawl is
+    byte-identical to the golden-tested configured-seed crawl."""
+    from crawlkit.pipelines.crawl import seeds_from_sitemaps
+    from crawlkit.synthweb import SynthWeb
+
+    for prof in ("t1", "t2"):
+        w = SynthWeb(prof)
+        assert seeds_from_sitemaps(w) == w.seeds()
