@@ -109,6 +109,8 @@ def run(n_docs: int) -> dict:
     # df_cap engages the stop-shingle hatch — the Zipf head would
     # otherwise make shingle groups quadratic (the documented scale knob)
     timed("dedup_minhash_lsh", lambda: dedup.minhash_lsh_pairs(sf_dir))
+    # session-9: ExactSubstr span removal (gram-shard election + kill apply)
+    timed("dedup_exact_substr", lambda: dedup.exact_substr_dedup(sf_dir))
     timed("decontaminate", lambda: dedup.decontaminate(sf_dir))
     timed("split_assign", lambda: mixing.split_assign(sf_dir))
     timed("inverted_index", lambda: text.inverted_index(sf_dir, min_df=5, max_df=n_docs))
