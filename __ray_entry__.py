@@ -501,6 +501,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mix_sample": mixing.mix_sample,  # SQL-checked (md5 coin)
         # GPT-style sample packing via an exact distributed prefix sum
         "pack_sequences": mixing.pack_sequences,  # SQL-checked
+        # shard MATERIALIZATION: tokens → packed seqs → idempotent versioned store
+        "training_shards": lambda sf: mixing.build_training_shards(
+            sf, out_root=tempfile.mkdtemp(prefix="shards_q_", dir="/tmp")
+        ),  # rows-only (brute + idempotency oracle in tests)
         # flagship composition: dedup → decontam → mix → split manifest
         "assemble_corpus": mixing.assemble_corpus,  # SQL-checked
         # DSIR importance weights vs a target slice (hashed unigrams)

@@ -510,3 +510,178 @@ def table_diff(sf_dir: str, nshards: int = 32) -> pd.DataFrame:
         .map_groups(classify, batch_format="pandas"),
         out_types,
     )
+
+
+# --- training-shard materialization (the artifact a trainer consumes) ----
+
+
+def build_training_shards(
+    sf_dir: str,
+    out_root: str | None = None,
+    seq_len: int = 128,
+    vocab: int = 32_768,
+) -> pd.DataFrame:
+    """END-TO-END shard build: corpus → token ids → exact GPT-style
+    packing → fixed-length training sequences MATERIALIZED in an
+    idempotent versioned store (the artifact a trainer actually mounts;
+    ``pack_sequences`` computes the manifest, this one writes the data).
+
+    Tokens are hashed-vocabulary ids (md5-low64(word) % vocab — the
+    deterministic stand-in for a trained tokenizer; ``bpe_tokenize``
+    holds the learned-merges path). Packing is exact concatenate-in-
+    doc_id-order-and-chunk; the trailing partial sequence is dropped
+    (standard GPT packing).
+
+    Distribution shape (the 100-TB story):
+    1. per-batch vectorized tokenize+hash → (doc_id, ids, n) rows; ONE
+       range sort by doc_id moves token IDS (2-4 bytes/token — the
+       compressed stream, never raw text).
+    2. exact prefix sum over the sorted blocks (the pack_sequences
+       primitive: O(blocks) metadata tasks + a driver fold).
+    3. each block CUTS its fully-owned sequences locally (one vectorized
+       reshape) and writes them as a content-keyed fragment from inside
+       the task — task retries and whole re-runs commit zero duplicate
+       rows (the lancelike manifest dedups keys).
+    4. boundary leftovers (≤ 2 pieces × seq_len tokens per block, each
+       piece provably within one sequence) are stitched on the driver —
+       O(blocks·seq_len) tokens of driver state — and committed as one
+       more fragment. One atomic manifest commit publishes the version.
+
+    Returns a one-row summary (n_docs, n_tokens, n_seqs, n_fragments,
+    version). Exactness (store ≡ brute concat+chunk) and re-run
+    idempotency are pinned in tests/test_mixing.py.
+    """
+    import ray
+
+    from ..hashing import hash64_np
+    from ..state.lancelike import TableStore, _content_key
+
+    out_root = out_root or f"/tmp/crawlkit_shards_{seq_len}"
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def tokenize(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        words_per: list[np.ndarray] = []
+        counts = np.empty(len(ids), dtype=np.int64)
+        for i, s in enumerate(t["text"].to_pylist()):
+            w = (s or "").split()
+            counts[i] = len(w)
+            words_per.append(w)
+        flat = [w for ws in words_per for w in ws]
+        tok = (
+            (hash64_np(flat) % np.uint64(vocab)).astype(np.int32)
+            if flat
+            else np.empty(0, np.int32)
+        )
+        offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+        keep = counts > 0
+        la = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), pa.array(tok))
+        out = pa.table({"doc_id": pa.array(ids), "ids": la, "n": pa.array(counts)})
+        return out.filter(pa.array(keep))
+
+    slim = ds.map_batches(tokenize, batch_format="pyarrow").sort("doc_id")
+    blocks = [r for r in slim.materialize().to_arrow_refs()]
+
+    @ray.remote(num_cpus=0)
+    def block_sum(t: pa.Table) -> tuple[int, int]:
+        import pyarrow.compute as _pc
+
+        if t.num_rows == 0:
+            return 0, 0
+        return int(_pc.sum(t["n"]).as_py() or 0), t.num_rows
+
+    stats = ray.get([block_sum.remote(b) for b in blocks])
+    sums = [s for s, _ in stats]
+    n_docs = sum(r for _, r in stats)
+    offsets = np.concatenate([[0], np.cumsum(sums)[:-1]]).astype(np.int64)
+    total = int(np.sum(sums))
+    n_keep_seqs = total // seq_len
+
+    store = TableStore(out_root)
+
+    @ray.remote
+    def cut_block(t: pa.Table, off: int):
+        """Cut fully-owned sequences, write them as a content-keyed
+        fragment, return (frag_meta|None, stitch_table)."""
+        stitch_schema = pa.schema([("pos", pa.int64()), ("ids", pa.list_(pa.int32()))])
+        if t.num_rows == 0:
+            return None, stitch_schema.empty_table()
+        vals = t["ids"].combine_chunks()
+        flat = vals.flatten().to_numpy()
+        n = len(flat)
+        end = off + n
+        s0 = -(-off // seq_len) * seq_len  # first seq start ≥ off
+        m = max(0, (end - s0) // seq_len)  # fully-owned sequences
+        frag = None
+        pieces = []
+        if m > 0:
+            body = flat[s0 - off : s0 - off + m * seq_len].reshape(m, seq_len)
+            seq_idx = (s0 // seq_len) + np.arange(m, dtype=np.int64)
+            la = pa.ListArray.from_arrays(
+                pa.array((np.arange(m + 1) * seq_len).astype(np.int32)),
+                pa.array(body.reshape(-1)),
+            )
+            ft = pa.table({"seq_idx": pa.array(seq_idx), "ids": la})
+            frag = TableStore(store.root).write_fragment(ft, _content_key(ft, "seqs"))
+            head_end = s0 - off
+            tail_start = s0 - off + m * seq_len
+        else:
+            head_end = n
+            tail_start = n
+        if head_end > 0:
+            pieces.append((off, flat[:head_end]))
+        if tail_start < n:
+            pieces.append((off + tail_start, flat[tail_start:]))
+        st = pa.table(
+            {
+                "pos": pa.array([p for p, _ in pieces], pa.int64()),
+                "ids": pa.array([a.tolist() for _, a in pieces], pa.list_(pa.int32())),
+            }
+        )
+        return frag, st
+
+    results = ray.get([cut_block.remote(b, int(o)) for b, o in zip(blocks, offsets)])
+    frags = [f for f, _ in results if f is not None]
+
+    # --- driver stitch: boundary pieces → the sequences no block owns
+    pieces: list[tuple[int, np.ndarray]] = []
+    for _, st in results:
+        for pos, arr in zip(st["pos"].to_pylist(), st["ids"].to_pylist()):
+            pieces.append((pos, np.asarray(arr, np.int32)))
+    pieces.sort(key=lambda x: x[0])
+    by_seq: dict[int, list[tuple[int, np.ndarray]]] = {}
+    for pos, arr in pieces:
+        by_seq.setdefault(pos // seq_len, []).append((pos, arr))
+    stitch_rows = []
+    for sidx in sorted(by_seq):
+        if sidx >= n_keep_seqs:
+            continue  # trailing partial — dropped by the packing rule
+        parts = [a for _, a in sorted(by_seq[sidx], key=lambda x: x[0])]
+        seq = np.concatenate(parts)
+        assert len(seq) == seq_len, (sidx, len(seq))
+        stitch_rows.append((sidx, seq))
+    if stitch_rows:
+        st_tab = pa.table(
+            {
+                "seq_idx": pa.array([s for s, _ in stitch_rows], pa.int64()),
+                "ids": pa.array(
+                    [a.tolist() for _, a in stitch_rows], pa.list_(pa.int32())
+                ),
+            }
+        )
+        frags.append(store.write_fragment(st_tab, _content_key(st_tab, "stitch")))
+    # snapshot commit: a rebuild REPLACES the logical table (block splits
+    # may differ run to run, so append semantics would duplicate rows;
+    # the row SET per version is what's invariant — pinned in tests)
+    version = store.commit_snapshot(frags) if frags else store.latest_version()
+
+    return pd.DataFrame(
+        {
+            "n_docs": [n_docs],
+            "n_tokens": [total],
+            "seq_len": [seq_len],
+            "n_seqs": [n_keep_seqs],
+            "n_fragments": [len(frags)],
+            "version": [version],
+        }
+    ).astype("int64")

@@ -89,6 +89,20 @@ class TableStore:
         man["fragments"] = man["fragments"] + fresh
         return self._commit(man)
 
+    def commit_snapshot(self, frags: list[dict]) -> int:
+        """Publish a version containing EXACTLY these fragments — the
+        REBUILD semantics (vs ``commit_fragments``' append): a re-run
+        replaces the logical table, older versions stay readable (time
+        travel), and within-run task retries stay deduped by content
+        key. If the latest version already lists exactly these keys the
+        commit is skipped (idempotent byte-identical rebuild)."""
+        man = self.manifest()
+        if man.get("version", 0) > 0 and {f["key"] for f in man["fragments"]} == {
+            f["key"] for f in frags
+        }:
+            return man["version"]
+        return self._commit({"fragments": list(frags)})
+
     def append(self, table: pa.Table, key: str) -> int:
         """write_fragment + commit in one step (driver-side convenience)."""
         return self.commit_fragments([self.write_fragment(table, key)])

@@ -131,3 +131,47 @@ def test_assemble_corpus_partitioned_export_roundtrip(tmp_path):
     b = back[["doc_id", "lang", "split"]].sort_values("doc_id").reset_index(drop=True)
     b["split"] = b["split"].astype(str)
     assert a.equals(b)
+
+
+def test_build_training_shards_exact_and_idempotent(tmp_path):
+    """The materialized shard store equals brute tokenize→concat→chunk
+    (trailing partial dropped), a rebuild publishes an identical row set
+    (snapshot commit — block splits may differ run to run), and prior
+    versions stay readable (time travel)."""
+    import numpy as np
+    import pyarrow.parquet as pq_
+
+    from crawlkit.hashing import hash64_np
+    from crawlkit.pipelines import mixing
+    from crawlkit.state.lancelike import TableStore
+
+    sf = "/root/testdata/sf0.001"
+    root = str(tmp_path / "shards")
+    summary = mixing.build_training_shards(sf, out_root=root, seq_len=128)
+    assert summary.loc[0, "n_seqs"] == summary.loc[0, "n_tokens"] // 128
+
+    docs = (
+        pq_.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    stream = [
+        (hash64_np(w) % np.uint64(32_768)).astype(np.int32)
+        for w in ((s or "").split() for s in docs["text"])
+        if w
+    ]
+    flat = np.concatenate(stream)
+    m = len(flat) // 128
+    want = flat[: m * 128].reshape(m, 128)
+
+    store = TableStore(root)
+    tab = store.read_table().to_pandas().sort_values("seq_idx").reset_index(drop=True)
+    assert (tab["seq_idx"].to_numpy() == np.arange(m)).all()
+    assert np.array_equal(np.stack(tab["ids"].map(np.asarray)), want)
+
+    v1, n1 = store.latest_version(), store.count_rows()
+    mixing.build_training_shards(sf, out_root=root, seq_len=128)
+    t2 = store.read_table().to_pandas().sort_values("seq_idx").reset_index(drop=True)
+    assert store.count_rows() == n1
+    assert all(np.array_equal(a, b) for a, b in zip(tab["ids"], t2["ids"]))
+    assert store.read_table(version=v1).num_rows == n1  # time travel
