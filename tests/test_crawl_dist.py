@@ -124,3 +124,28 @@ def test_dist_strict_budget_deferral(web, tmp_path):
     st = pa.Table.from_pylist(sim2.entries, schema=et.schema)
     assert _sorted_pdf(et).equals(_sorted_pdf(st))
     assert eng2.rounds > 3  # strict budget actually deferred work (3 = depth rounds)
+
+
+def test_dist_crash_window_replay(web, sim, tmp_path):
+    """The ADVICE-r2 crash window for DATASET mode: payload fragments,
+    frontier parquet and seen snapshot of a round are committed but its
+    _COMPLETE marker is lost — the replayed round must REPLACE (atomic
+    frontier rewrite) rather than append, and idempotent fragment keys
+    must keep every store duplicate-free, byte-level vs refsim."""
+    import os
+
+    out = str(tmp_path / "dcrash")
+    partial = refsim.CrawlSpec(host_budget_per_round=16, max_rounds=2)
+    run_crawl_dataset(web, spec=partial, out_dir=out, num_seen_shards=2, nblocks=4)
+    os.remove(f"{out}/rounds/1/_COMPLETE")  # crash between commit and marker
+
+    full = run_crawl_dataset(
+        web, spec=SPEC, out_dir=out, num_seen_shards=2, nblocks=4, resume=True
+    )
+    et = full.entries_table()
+    st = pa.Table.from_pylist(sim.entries, schema=et.schema)
+    assert _sorted_pdf(et).equals(_sorted_pdf(st))
+    it = full.images_table()
+    sit = pa.Table.from_pylist(sim.images, schema=it.schema)
+    assert _sorted_pdf(it).equals(_sorted_pdf(sit))
+    assert len(full.fetch_log_table()) == len(sim.fetch_log)
