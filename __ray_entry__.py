@@ -138,9 +138,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         res = run_crawl(
             "t1", spec=CrawlSpec(host_budget_per_round=32),
             out_dir=f"{out}/crawl", num_seen_shards=2, fetch_concurrency=4,
-            archive_root=root,
+            archive_root=root, archive_images=True,
         )
         return res, root
+
+    def archive_restore_images(sf_dir: str):
+        """Full-payload restore: rebuild the north-rule images table
+        (image_id, bytes, w, h, fmt, caption, phash) from the archive
+        ALONE — bytes from depth-3 payload records, captions from
+        re-parsed offer HTML, w/h/phash re-derived by decode. Rows-only;
+        byte-level ≡ the live images store is pinned in
+        tests/test_warcstore.py (sf_dir unused)."""
+        from crawlkit.state.warcstore import restore_images
+
+        _res, root = _crawl_with_archive()
+        ds = restore_images(root)
+        return ds.drop_columns(["bytes"])  # manifest view for the driver check
 
     def archive_warc(sf_dir: str):
         """WARC archival layer (state/warcstore): the fused fetch stage
@@ -600,6 +613,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "archive_warc": archive_warc,  # rows-only (byte-parity in tests)
         "archive_reparse": archive_reparse,  # rows-only (≡ live entries in tests)
         "archive_wet": archive_wet,  # rows-only (tag-strip exactness in tests)
+        "archive_restore_images": archive_restore_images,  # rows-only (byte-level ≡ live store in tests)
         "archive_delta": archive_delta,  # rows-only (class semantics in tests)
         "recrawl_schedule": recrawl_schedule,  # rows-only (stats vs Python ref in tests)
         "archive_link_graph": archive_link_graph,  # rows-only (edges vs Python ref in tests)

@@ -201,6 +201,7 @@ def run_crawl(
     prior_seen_dirs: "list[str] | None" = None,
     host_salt_cap: int = 1024,
     archive_root: str | None = None,
+    archive_images: bool = False,
 ) -> CrawlResult:
     """Run the crawl to frontier exhaustion (or ``spec.max_rounds``).
 
@@ -376,6 +377,7 @@ def run_crawl(
             "fetch_images": spec.fetch_images,
             "logs_root": f"{out_dir}/fetch_log" if in_task_logs else None,
             "archive_root": archive_root,
+            "archive_images": archive_images,
         }
         if fetch_mode == "actors":
             union_ds = in_ds.map_batches(

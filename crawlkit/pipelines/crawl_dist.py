@@ -223,6 +223,7 @@ def run_crawl_dataset(
     resume: bool = False,
     track_order: bool = False,
     archive_root: str | None = None,
+    archive_images: bool = False,
 ) -> CrawlResult:
     """Frontier-as-Dataset crawl to exhaustion (or spec.max_rounds).
 
@@ -300,6 +301,7 @@ def run_crawl_dataset(
         fetch_images=spec.fetch_images,
         logs_root=f"{out_dir}/fetch_log",
         archive_root=archive_root,
+        archive_images=archive_images,
     )
 
     def route(t: pa.Table) -> pa.Table:

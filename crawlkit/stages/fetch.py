@@ -130,6 +130,7 @@ class FetchParse:
         fetch_images: bool = True,
         logs_root: str | None = None,
         archive_root: str | None = None,
+        archive_images: bool = False,
     ):
         """``entries_root``/``images_root``: when given, the stage is
         FUSED — extracted entries are normalized and written as
@@ -164,6 +165,13 @@ class FetchParse:
             self.archiver: WarcWriter | None = WarcWriter(archive_root)
         else:
             self.archiver = None
+        # Common-Crawl-style FULL-payload archival: also archive each
+        # image payload as its own (binary) WARC record, depth=3, under
+        # a deterministic https://images.test/<id>.<fmt> URL — the
+        # archive then suffices to rebuild the whole input_hint images
+        # table without refetching (warcstore.restore_images). Fused
+        # mode only (that is where image bytes are materialized).
+        self.archive_images = archive_images
 
     def _fetch_robots(self, url: str) -> str | None:
         """Robots fetch goes through the SAME ≤5-attempt retry loop as
@@ -313,6 +321,23 @@ class FetchParse:
             meta = self.images_store.write_fragment(table, fkey)
             out.append({"kind": "ifrag", "frag_key": meta["key"],
                         "frag_rows": meta["rows"], "frag_path": meta["path"]})
+            if self.archiver is not None and self.archive_images:
+                img_arch = [
+                    {
+                        "url": f"https://images.test/{rec['image_id']}.{rec['fmt']}",
+                        "status": 200,
+                        "body": rec["bytes"],
+                        "schema_name": r.get("schema_name", ""),
+                        "schema_version": r.get("schema_version", ""),
+                        "domain": r.get("domain", ""),
+                        "created": r.get("created", ""),
+                        "depth": 3,
+                    }
+                    for rec, r in zip(recs, image_refs)
+                ]
+                ameta = self.archiver.write_batch(img_arch)
+                out.append({"kind": "afrag", "frag_key": ameta["key"],
+                            "frag_rows": ameta["rows"], "frag_path": ameta["path"]})
         if self.logs_store is not None:
             logs = [r for r in out if r["kind"] == "log"]
             out = [r for r in out if r["kind"] != "log"]
@@ -376,10 +401,11 @@ def make_fetch_parse_fn(
     fetch_images: bool = True,
     logs_root: str | None = None,
     archive_root: str | None = None,
+    archive_images: bool = False,
 ):
     key = (
         repr(web_config), obey_robots, max_depth, entries_root, images_root,
-        fetch_images, logs_root, archive_root,
+        fetch_images, logs_root, archive_root, archive_images,
     )
 
     def fetch_parse(batch: pa.Table) -> pa.Table:
@@ -394,6 +420,7 @@ def make_fetch_parse_fn(
                 fetch_images=fetch_images,
                 logs_root=logs_root,
                 archive_root=archive_root,
+                archive_images=archive_images,
             )
         return inst(batch)
 

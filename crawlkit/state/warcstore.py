@@ -603,3 +603,133 @@ def reparse_entries(records: "ray.data.Dataset") -> "ray.data.Dataset":
         return normalize_entries(pa.Table.from_pylist(raw))
 
     return records.map_batches(reparse, batch_format="pyarrow")
+
+
+# --- full-payload restore: rebuild the input_hint images table ----------
+
+
+class _RestoreDecode:
+    """Actor-pool decode stage for restored image rows: recompute the
+    derived columns (w, h, phash) from the archived bytes — nothing is
+    trusted from the index, everything is re-derived from payloads."""
+
+    def __init__(self):
+        from crawlkit import imagecodec
+
+        self._codec = imagecodec
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from crawlkit.stages.fetch import IMAGES_SCHEMA
+
+        rows = []
+        for r in t.to_pylist():
+            px = self._codec.decode(r["bytes"], r["fmt"])
+            rows.append(
+                {
+                    "image_id": r["image_id"],
+                    "bytes": r["bytes"],
+                    "w": px.shape[1],
+                    "h": px.shape[0],
+                    "fmt": r["fmt"],
+                    "caption": r["caption"],
+                    "phash": np.int64(np.uint64(self._codec.phash64(px))).item(),
+                }
+            )
+        return pa.Table.from_pylist(rows, schema=IMAGES_SCHEMA)
+
+
+def restore_images(
+    root: str,
+    *,
+    version: int | None = None,
+    batch_size: int = 64,
+    concurrency: int = 2,
+    num_partitions: int = 8,
+) -> "ray.data.Dataset":
+    """Rebuild the NORTH-RULE images table (image_id, bytes, w, h, fmt,
+    caption, phash) from the archive ALONE — no refetch: image payload
+    records (depth 3, archived when the crawl ran with
+    ``archive_images=True``) supply bytes+fmt; re-parsing the archived
+    offer HTML (depth 2) supplies (image_id, caption); a decode stage
+    re-derives w/h/phash from the payload bytes. Output is byte-level
+    equal to the live crawl's images store (pinned in tests).
+
+    Scale shape: both sides are index-pruned BEFORE any archive byte
+    moves; the only exchange is one image_id hash join (ids + captions
+    on the right — the megapixel bytes stay on the left and move once);
+    decode runs in a small-batch actor pool (wide binary rows)."""
+    import ray.data as rd  # noqa: F401  (type only)
+
+    from crawlkit.stages import parsers as _parsers
+
+    payloads = read_warc(
+        root,
+        version=version,
+        index_filter=lambda ds: ds.filter(expr="depth == 3 and status == 200"),
+        batch_size=batch_size,
+    )
+
+    def payload_rows(t: pa.Table) -> pa.Table:
+        ids, fmts, blobs = [], [], []
+        for u, b in zip(t["url"].to_pylist(), t["body"].to_pylist()):
+            base = u.rsplit("/", 1)[1]
+            iid, fmt = base.rsplit(".", 1)
+            ids.append(iid)
+            fmts.append(fmt)
+            blobs.append(b)
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "fmt": pa.array(fmts, pa.string()),
+                "bytes": pa.array(blobs, pa.binary()),
+            }
+        )
+
+    offers = read_warc(
+        root,
+        version=version,
+        index_filter=lambda ds: ds.filter(expr="depth == 2 and status == 200"),
+        batch_size=batch_size,
+    )
+
+    def caption_rows(t: pa.Table) -> pa.Table:
+        ids, caps = [], []
+        for u, b in zip(t["url"].to_pylist(), t["body"].to_pylist()):
+            for im in _parsers.parse_offer_images(b.decode(), u):
+                ids.append(im["image_id"])
+                caps.append(im["caption"])
+        return pa.table(
+            {
+                "cap_image_id": pa.array(ids, pa.string()),
+                "caption": pa.array(caps, pa.string()),
+            }
+        )
+
+    from crawlkit.pipelines.dedup import _nonempty_blocks
+
+    left = _nonempty_blocks(
+        payloads.map_batches(payload_rows, batch_format="pyarrow"),
+        pa.schema(
+            [("image_id", pa.string()), ("fmt", pa.string()), ("bytes", pa.binary())]
+        ),
+    )
+    right = _nonempty_blocks(
+        offers.map_batches(caption_rows, batch_format="pyarrow"),
+        pa.schema([("cap_image_id", pa.string()), ("caption", pa.string())]),
+    )
+    joined = left.join(
+        right,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("image_id",),
+        right_on=("cap_image_id",),
+    )
+    return joined.map_batches(
+        _RestoreDecode,
+        batch_format="pyarrow",
+        batch_size=8,  # wide binary rows (SURVEY §7.5.4)
+        concurrency=concurrency,
+        max_restarts=0,
+    )

@@ -290,3 +290,57 @@ def test_digest_tamper_detected(crawl_and_archive):
     tampered = head + b"\r\n\r\n" + rest.replace(b"<html", b"<hxml", 1)
     with pytest.raises(ValueError, match="digest mismatch"):
         warcstore.parse_record(tampered)
+
+
+def test_image_archive_restores_input_hint_table(tmp_path):
+    """archive_images=True: every image payload becomes its own binary
+    WARC record (depth 3); restore_images rebuilds the full north-rule
+    table from the archive alone — bytes from payload records, captions
+    from re-parsed offer HTML, w/h/phash re-derived by decode — byte-
+    level equal to the live crawl's images store. Dist mode archives the
+    identical image record set."""
+    import pandas as pd
+
+    from crawlkit.pipelines.crawl import run_crawl
+    from crawlkit.pipelines.crawl_dist import run_crawl_dataset
+    from crawlkit.refsim import CrawlSpec
+    from crawlkit.state import warcstore
+    from crawlkit.state.lancelike import TableStore
+
+    root = str(tmp_path / "archive")
+    res = run_crawl(
+        SynthWeb(CFG),
+        spec=CrawlSpec(host_budget_per_round=32),
+        out_dir=str(tmp_path / "crawl"),
+        num_seen_shards=2,
+        archive_root=root,
+        archive_images=True,
+    )
+    live = res.images_table().to_pandas().sort_values("image_id").reset_index(drop=True)
+    rest = (
+        warcstore.restore_images(root)
+        .to_pandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    assert len(rest) == len(live) > 0
+    meta_cols = ["image_id", "w", "h", "fmt", "caption", "phash"]
+    pd.testing.assert_frame_equal(live[meta_cols], rest[meta_cols])
+    assert all(bytes(a) == bytes(b) for a, b in zip(live["bytes"], rest["bytes"]))
+
+    # dist mode: identical image record set in the index
+    droot = str(tmp_path / "darchive")
+    run_crawl_dataset(
+        SynthWeb(CFG),
+        spec=CrawlSpec(host_budget_per_round=32),
+        out_dir=str(tmp_path / "dcrawl"),
+        num_seen_shards=2,
+        nblocks=4,
+        archive_root=droot,
+        archive_images=True,
+    )
+    def img_index(r):
+        t = TableStore(f"{r}/index").read_table(columns=["url", "payload_digest", "depth"])
+        df = t.to_pandas()
+        return set(map(tuple, df[df["depth"] == 3][["url", "payload_digest"]].to_numpy()))
+    assert img_index(droot) == img_index(root)
