@@ -37,6 +37,10 @@ def configure_data_context() -> None:
 
         ctx = DataContext.get_current()
         ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PULL_BASED
+        # fused operator names exceed 100 chars; keep full names instead
+        # of the one-time truncation WARNING (progress bars are off in
+        # bench/rehearsal anyway)
+        ctx.DEFAULT_ENABLE_PROGRESS_BAR_NAME_TRUNCATION = False
     except Exception:
         pass  # older/newer Ray without this knob: keep defaults
 

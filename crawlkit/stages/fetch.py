@@ -231,10 +231,16 @@ class FetchParse:
                 )
                 continue
             if self.buckets is not None:
-                wait = self.buckets.bucket(host).wait_time(time.monotonic())
+                # robots Crawl-delay overrides the default per-host rate
+                # (pacing only — issue order/budget stay scheduler-owned,
+                # so refsim parity is untouched)
+                delay = self.robots.delay_for(host) if self.obey_robots else None
+                rate_override = (1.0 / delay) if delay else None
+                b = self.buckets.bucket(host, rate_override)
+                wait = b.wait_time(time.monotonic())
                 if wait > 0:
                     time.sleep(wait)
-                self.buckets.bucket(host).try_take(time.monotonic())
+                b.try_take(time.monotonic())
             r, attempts = self._fetch_with_retry(url)
             status = 200 if r.status == 200 else (
                 STATUS_TIMEOUT if r.status == 598 else STATUS_EXHAUSTED

@@ -21,9 +21,13 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 
-def parse_robots(text: str) -> list[str]:
-    """Minimal robots parser: Disallow prefixes for User-agent: * blocks."""
+def parse_robots_full(text: str) -> "tuple[list[str], float | None]":
+    """Minimal robots parser for User-agent: * blocks: Disallow prefixes
+    plus the Crawl-delay directive (seconds; None when absent or
+    malformed — malformed values are skipped like any permissive parse
+    here, F4-style)."""
     rules: list[str] = []
+    delay: float | None = None
     applies = False
     for line in text.splitlines():
         line = line.split("#", 1)[0].strip()
@@ -35,7 +39,19 @@ def parse_robots(text: str) -> list[str]:
             applies = val == "*"
         elif key == "disallow" and applies and val:
             rules.append(val)
-    return rules
+        elif key == "crawl-delay" and applies:
+            try:
+                d = float(val)
+                if d > 0:
+                    delay = d
+            except ValueError:
+                pass
+    return rules, delay
+
+
+def parse_robots(text: str) -> list[str]:
+    """Disallow prefixes only (back-compat wrapper)."""
+    return parse_robots_full(text)[0]
 
 
 def allowed(path: str, disallow_prefixes: list[str]) -> bool:
@@ -52,14 +68,22 @@ class RobotsCache:
         instead of permanently failing open."""
         self._fetch = fetch_fn
         self._rules: dict[str, list[str]] = {}
+        self._delay: dict[str, float | None] = {}
 
     def rules_for(self, host: str, scheme: str = "https") -> list[str]:
         if host not in self._rules:
             body = self._fetch(f"{scheme}://{host}/robots.txt")
             if body is None:
                 return []  # fail open this once; do not cache
-            self._rules[host] = parse_robots(body)
+            self._rules[host], self._delay[host] = parse_robots_full(body)
         return self._rules[host]
+
+    def delay_for(self, host: str) -> "float | None":
+        """Crawl-delay seconds for the host (None = no directive). Only
+        meaningful after rules_for() populated the cache; returns None
+        on a transient robots failure (fail-open, like rules_for)."""
+        self.rules_for(host)
+        return self._delay.get(host)
 
     def allowed(self, host: str, path: str) -> bool:
         return allowed(path, self.rules_for(host))
@@ -100,8 +124,12 @@ class HostBuckets:
         self.capacity = capacity if capacity is not None else max(1.0, rate)
         self._buckets: dict[str, TokenBucket] = {}
 
-    def bucket(self, host: str) -> TokenBucket:
+    def bucket(self, host: str, rate_override: "float | None" = None) -> TokenBucket:
+        """Per-host bucket; ``rate_override`` (e.g. 1/Crawl-delay from
+        robots) wins over the default rate at creation time."""
         b = self._buckets.get(host)
         if b is None:
-            b = self._buckets[host] = TokenBucket(self.rate, self.capacity)
+            rate = rate_override if rate_override else self.rate
+            cap = max(1.0, rate) if rate_override else self.capacity
+            b = self._buckets[host] = TokenBucket(rate, cap)
         return b

@@ -118,6 +118,11 @@ class SynthWeb:
         lines = ["User-agent: *", "Disallow: /blocked/"]
         if self._h("robots", host) % self.cfg.robots_block_offers_mod == 0:
             lines.append("Disallow: /offer/")
+        # every 5th host asks for politeness pacing (Crawl-delay honors
+        # pacing ONLY — issue order/budget are scheduler-owned, so this
+        # never affects refsim parity; buckets are off by default)
+        if self._h("cdelay", host) % 5 == 0:
+            lines.append("Crawl-delay: 2")
         return "\n".join(lines) + "\n"
 
     def host_blocks_offers(self, host: str) -> bool:

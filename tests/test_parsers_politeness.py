@@ -100,3 +100,38 @@ def test_seed_discovery_matches_configured_seeds():
     for prof in ("t1", "t2"):
         w = SynthWeb(prof)
         assert seeds_from_sitemaps(w) == w.seeds()
+
+
+def test_parse_robots_crawl_delay():
+    from crawlkit.stages.politeness import parse_robots_full
+
+    rules, delay = parse_robots_full(
+        "User-agent: *\nDisallow: /x/\nCrawl-delay: 2.5\n"
+    )
+    assert rules == ["/x/"] and delay == 2.5
+    # malformed / absent / non-star blocks → None
+    assert parse_robots_full("User-agent: *\nCrawl-delay: soon\n")[1] is None
+    assert parse_robots_full("User-agent: other\nCrawl-delay: 9\n")[1] is None
+    assert parse_robots_full("")[1] is None
+
+
+def test_crawl_delay_overrides_bucket_rate():
+    """A host with robots Crawl-delay gets a 1/delay token-bucket rate
+    in the fetch stage; hosts without keep the default. Pacing only —
+    outputs/ordering are pinned elsewhere (golden tests)."""
+    from crawlkit.stages.fetch import FetchParse
+    from crawlkit.synthweb import SynthWeb
+
+    w = SynthWeb("t1")
+    # find one host of each kind among the configured hosts
+    delayed = [h for i in range(w.cfg.n_hosts)
+               if "Crawl-delay" in w.robots_txt(h := w.host(i))]
+    plain = [h for i in range(w.cfg.n_hosts)
+             if "Crawl-delay" not in w.robots_txt(h := w.host(i))]
+    stage = FetchParse("t1", rate_per_host=10.0)
+    if delayed:
+        d = stage.robots.delay_for(delayed[0])
+        assert d == 2.0
+        assert stage.buckets.bucket(delayed[0], 1.0 / d).rate == 0.5
+    assert plain and stage.robots.delay_for(plain[0]) is None
+    assert stage.buckets.bucket(plain[0], None).rate == 10.0
