@@ -211,7 +211,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from crawlkit.state import warcstore
 
         _res, root = _crawl_with_archive()
-        wet = warcstore.wet_extract(warcstore.read_warc(root))
+        wet = warcstore.wet_extract(
+            warcstore.read_warc(
+                root,
+                index_filter=lambda ds: ds.filter(expr="content_type == 'text/html'"),
+            )
+        )
 
         def partial(t: "pa.Table") -> "pa.Table":
             df = t.select(["schema_name", "depth", "nwords", "nbytes"]).to_pandas()
@@ -315,7 +320,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from crawlkit.state import warcstore
 
         _res, root = _crawl_with_archive()
-        edges = warcstore.extract_links(warcstore.read_warc(root))
+        edges = warcstore.extract_links(
+            warcstore.read_warc(
+                root,
+                index_filter=lambda ds: ds.filter(expr="content_type == 'text/html'"),
+            )
+        )
         nshards = 8
 
         def add_shard(t: "pa.Table") -> "pa.Table":

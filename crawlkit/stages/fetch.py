@@ -332,6 +332,7 @@ class FetchParse:
                     {
                         "url": f"https://images.test/{rec['image_id']}.{rec['fmt']}",
                         "status": 200,
+                        "content_type": f"image/{rec['fmt']}",
                         "body": rec["bytes"],
                         "schema_name": r.get("schema_name", ""),
                         "schema_version": r.get("schema_version", ""),

@@ -62,6 +62,7 @@ INDEX_SCHEMA = pa.schema(
         ("length", pa.int64()),
         ("url", pa.string()),
         ("status", pa.int32()),
+        ("content_type", pa.string()),
         ("nbytes", pa.int64()),
         ("payload_digest", pa.string()),
         ("schema_name", pa.string()),
@@ -76,6 +77,7 @@ RECORD_SCHEMA = pa.schema(
     [
         ("url", pa.string()),
         ("status", pa.int32()),
+        ("content_type", pa.string()),
         ("body", pa.binary()),
         ("nbytes", pa.int64()),
         ("payload_digest", pa.string()),
@@ -88,18 +90,26 @@ RECORD_SCHEMA = pa.schema(
 )
 
 
-def build_record(url: str, status: int, body: bytes, meta: dict | None = None) -> bytes:
+def build_record(
+    url: str,
+    status: int,
+    body: bytes,
+    meta: dict | None = None,
+    content_type: str = "text/html",
+) -> bytes:
     """One WARC/1.0 response record as an independent gzip member.
 
     ``meta`` (schema_name/schema_version/domain/created/depth) is
     embedded as ``WARC-X-*`` headers so the archive re-parses without
-    any external lookup.
+    any external lookup. ``content_type`` is the payload's real HTTP
+    Content-Type (``image/png`` for archived image bytes) — downstream
+    text stages (WET, link graph) filter on it, Common-Crawl style.
     """
     digest = hashlib.sha1(body).hexdigest()
     reason = _REASON.get(status, "")
     http = (
         f"HTTP/1.1 {status} {reason}\r\n"
-        f"Content-Type: text/html\r\n"
+        f"Content-Type: {content_type}\r\n"
         f"Content-Length: {len(body)}\r\n\r\n"
     ).encode() + body
     lines = [
@@ -129,12 +139,19 @@ def parse_record(raw: bytes) -> dict:
     http = rest[:clen]
     hhead, body = http.split(b"\r\n\r\n", 1)
     status = int(hhead.split(b" ", 2)[1])
+    content_type = "text/html"
+    for hl in hhead.decode().split("\r\n")[1:]:
+        hk, _, hv = hl.partition(": ")
+        if hk.lower() == "content-type":
+            content_type = hv
+            break
     digest = warc.get("WARC-Payload-Digest", "")[len("sha1:") :]
     if hashlib.sha1(body).hexdigest() != digest:
         raise ValueError(f"payload digest mismatch for {warc.get('WARC-Target-URI')}")
     return {
         "url": warc.get("WARC-Target-URI", ""),
         "status": status,
+        "content_type": content_type,
         "body": body,
         "nbytes": len(body),
         "payload_digest": digest,
@@ -182,8 +199,9 @@ class WarcWriter:
         offset = 0
         for r in records:
             body = r["body"]
+            ctype = r.get("content_type", "text/html")
             meta = {k: r.get(k, "" if k != "depth" else 0) for k in _META_KEYS}
-            member = build_record(r["url"], r["status"], body, meta)
+            member = build_record(r["url"], r["status"], body, meta, content_type=ctype)
             members.append(member)
             index_rows.append(
                 {
@@ -192,6 +210,7 @@ class WarcWriter:
                     "length": len(member),
                     "url": r["url"],
                     "status": r["status"],
+                    "content_type": ctype,
                     "nbytes": len(body),
                     "payload_digest": hashlib.sha1(body).hexdigest(),
                     **meta,
@@ -336,11 +355,14 @@ def wet_extract(records: "ray.data.Dataset") -> "ray.data.Dataset":
     Fully vectorized — Arrow RE2 kernels only (strip tags → decode the
     few entities the synth web emits → collapse whitespace → count
     words); zero Python per row. Output: (url, schema_name, depth,
-    text, nwords, nbytes)."""
+    text, nwords, nbytes). Non-HTML records (archived image payloads,
+    ``content_type != text/*``) are dropped batch-side — the
+    Common-Crawl WET rule."""
 
     def to_wet(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        t = t.filter(pc.starts_with(t["content_type"], "text/"))
         html = pc.cast(t["body"], pa.string())
         txt = pc.replace_substring_regex(html, pattern=r"<[^>]*>", replacement=" ")
         txt = pc.replace_substring_regex(txt, pattern=r"\s+", replacement=" ")
@@ -526,6 +548,9 @@ def extract_links(records: "ray.data.Dataset") -> "ray.data.Dataset":
     _pager_a = re.compile(r'<li><a href="([^"#]+)"')
 
     def links(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.starts_with(t["content_type"], "text/"))
         rows: list[dict] = []
         for r in t.to_pylist():
             html = r["body"].decode()

@@ -328,6 +328,20 @@ def test_image_archive_restores_input_hint_table(tmp_path):
     pd.testing.assert_frame_equal(live[meta_cols], rest[meta_cols])
     assert all(bytes(a) == bytes(b) for a, b in zip(live["bytes"], rest["bytes"]))
 
+    # mixed archive (HTML + binary image payloads): text stages must
+    # filter to content_type text/* instead of UTF-8-casting image bytes
+    # (rehearsal-caught regression after image archiving landed)
+    idx = TableStore(f"{root}/index").read_table(
+        columns=["content_type", "depth"]
+    ).to_pandas()
+    assert (idx["depth"] == 3).any()
+    assert (idx.loc[idx["depth"] == 3, "content_type"].str.startswith("image/")).all()
+    assert (idx.loc[idx["depth"] < 3, "content_type"] == "text/html").all()
+    wet = warcstore.wet_extract(warcstore.read_warc(root)).to_pandas()
+    assert len(wet) > 0 and (wet["depth"] < 3).all()
+    edges = warcstore.extract_links(warcstore.read_warc(root)).to_pandas()
+    assert len(edges) > 0
+
     # dist mode: identical image record set in the index
     droot = str(tmp_path / "darchive")
     run_crawl_dataset(
