@@ -142,4 +142,9 @@ def test_rate_limited_fetch_path():
     out = fp(_frontier_batch(web, [{"url": web.seeds()[0]["url"]}]))
     log = out.filter(pa.compute.equal(out["kind"], "log"))
     assert log["status"].to_pylist() == [200]
-    assert fp.buckets is not None and fp.buckets.bucket("host0.test").rate == 10_000.0
+    # host0.test's robots declares "Crawl-delay: 2" (every 5th host in
+    # SynthWeb) → the fetch path creates its bucket at 1/delay, winning
+    # over the configured rate; hosts without the directive get the
+    # configured rate.
+    assert fp.buckets is not None and fp.buckets.bucket("host0.test").rate == 0.5
+    assert fp.buckets.bucket("host1.test").rate == 10_000.0
