@@ -114,6 +114,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return res.entries_table()
 
+    def crawl_redirects(sf_dir: str):
+        """Redirect-following crawl (3xx chains — colly/Go http.Client
+        parity, ≤10 hops): crawl a web where a third of the offers have
+        MOVED (301 at the old path, some via a 2-hop chain); return the
+        per-url fetch-log rows of followed chains. Rows-only; byte-level
+        engine ≡ refsim (order/seen/entries/images/log incl. hop counts)
+        is pinned in tests/test_crawl_redirects.py."""
+        import pyarrow.compute as _pc
+
+        from crawlkit.pipelines.crawl import run_crawl
+        from crawlkit.refsim import CrawlSpec
+        from crawlkit.synthweb import SynthWeb, WebConfig
+
+        out = tempfile.mkdtemp(prefix="crawl_redir_q_", dir="/tmp")
+        res = run_crawl(
+            SynthWeb(WebConfig(n_seeds=4, n_hosts=3, redirect_mod=3)),
+            spec=CrawlSpec(host_budget_per_round=32),
+            out_dir=out, num_seen_shards=2, fetch_concurrency=4,
+        )
+        log = res.fetch_log_table()
+        return log.filter(_pc.greater(log["redirects"], 0)).sort_by("canon_url")
+
     def crawl_fetch_report(sf_dir: str):
         """M10 telemetry rollup: run the t1 crawl, then aggregate its
         fetch_log per (host, status) as a streaming Dataset pass.
@@ -618,6 +640,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_flagship": crawl_flagship,  # rows-only (oracle = refsim in tests)
         "crawl_sitemap_seeds": crawl_sitemap_seeds,  # rows-only (≡ configured seeds in tests)
         "crawl_recrawl": crawl_recrawl,  # rows-only (oracle = refsim prior_seen)
+        "crawl_redirects": crawl_redirects,  # rows-only (oracle = refsim hop parity)
         "crawl_distributed": crawl_distributed,  # rows-only (oracle = refsim sets)
         "crawl_fetch_report": crawl_fetch_report,  # rows-only (refsim page counts)
         "archive_warc": archive_warc,  # rows-only (byte-parity in tests)

@@ -442,7 +442,7 @@ def run_crawl(
             # fetch log + issue order (derived from the deterministic
             # sort, never from completion order)
             log_t = logs.select(
-                ["canon_url", "host", "status", "attempts", "error", "nbytes"]
+                ["canon_url", "host", "status", "attempts", "redirects", "error", "nbytes"]
             ).append_column("round", pa.array([rnd] * logs.num_rows, pa.int32()))
             blocked = set(
                 logs.filter(pc.equal(logs["status"], STATUS_ROBOTS_BLOCKED))[
@@ -513,6 +513,27 @@ def run_crawl(
             frontier = pl.concat([deferred, fresh], how="vertical_relaxed").rechunk()
         else:
             frontier = deferred.rechunk()
+        # redirect chains: the FINAL url of every followed chain enters
+        # the seen set (never the frontier) — an independent discovery
+        # of the page's new home is content we already hold. Disjoint
+        # path namespace from page discoveries, so ordering vs the page
+        # admission above cannot matter (shared refsim contract).
+        red = control_t.filter(pc.equal(control_t["kind"], "redirect"))
+        if red.num_rows:
+            rd_ = np.stack(
+                [
+                    red["digest_hi"].to_numpy(zero_copy_only=False),
+                    red["digest_lo"].to_numpy(zero_copy_only=False),
+                ],
+                axis=1,
+            ).astype(np.uint64)
+            rmask = seen.check_and_add_digests(rd_)
+            radmitted = [
+                cu for cu, m in zip(red["canon_url"].to_pylist(), rmask) if m
+            ]
+            admitted_canon.extend(radmitted)
+            if track_order:
+                res.seen.update(radmitted)
         _t = _tick("dedup_admit", _t)
 
         # --- per-partition lineage + metrics, checkpoint commit --------

@@ -402,7 +402,30 @@ def run_crawl_dataset(
                     if (route_p == s).any()
                 ]
                 ray.get(futs)
-            big_mask = pc.is_in(ctrl["kind"], value_set=pa.array(["page", "defer"]))
+            # redirect chains: final-url digests go STRAIGHT to the
+            # owning seen shards (idempotent set add — retry-safe, and
+            # snapshot-included for resume). Never frontier candidates;
+            # when track_order, the rows also ride the collector so the
+            # driver can reconstruct res.seen for parity tests.
+            red_t = ctrl.filter(pc.equal(ctrl["kind"], "redirect"))
+            if red_t.num_rows:
+                rhi = red_t["digest_hi"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                rlo = red_t["digest_lo"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                rdg = np.stack([rhi, rlo], axis=1)
+                route_r = (rhi % np.uint64(num_shards)).astype(np.int64)
+                ray.get(
+                    [
+                        shard_handles[s].check_and_add.remote(rdg[route_r == s])
+                        for s in range(num_shards)
+                        if (route_r == s).any()
+                    ]
+                )
+            big_mask = pc.is_in(
+                ctrl["kind"],
+                value_set=pa.array(
+                    ["page", "defer"] + ([] if track_order else ["redirect"])
+                ),
+            )
             small_t = ctrl.filter(pc.invert(big_mask))
             if small_t.num_rows:
                 # synchronous put: the task only completes once the
@@ -474,6 +497,10 @@ def run_crawl_dataset(
         if track_order:
             o = small[small["kind"] == "ord"]
             order_frames.append(o[_CONTRACT].assign(round=rnd))
+            # redirect targets are in the shard seen sets (added in-task);
+            # mirror them into the parity-test res.seen (set membership —
+            # idempotent adds, so no new/old distinction needed here)
+            res.seen.update(small[small["kind"] == "redirect"]["canon_url"])
         hs = small[small["kind"] == "hstat"]
         n_issued = int(hs["n_issued"].sum()) if len(hs) else 0
         if n_issued == 0:

@@ -42,8 +42,10 @@ from .stages import parsers
 from .synthweb import SynthWeb
 
 RETRY_ATTEMPTS = 5  # otodom/flat_crawler/handler.go:53
+MAX_REDIRECTS = 10  # Go http.Client default (colly rides it silently)
 STATUS_ROBOTS_BLOCKED = -2
 STATUS_EXHAUSTED = -1
+STATUS_TOO_MANY_REDIRECTS = -4
 
 
 @dataclass(frozen=True)
@@ -69,12 +71,33 @@ class SimResult:
 
 
 def _fetch_with_retry(web: SynthWeb, url: str):
-    """T3 semantics: up to RETRY_ATTEMPTS attempts, first success wins."""
+    """T3 semantics: up to RETRY_ATTEMPTS attempts, first success wins.
+    A 301 with a Location counts as success for the retry loop (the
+    redirect is followed by :func:`_fetch_following`)."""
     for attempt in range(1, RETRY_ATTEMPTS + 1):
         r = web.fetch(url, attempt=attempt)
-        if r.status == 200:
+        if r.status == 200 or (r.status == 301 and r.location):
             return r, attempt
     return r, RETRY_ATTEMPTS
+
+
+def _fetch_following(web: SynthWeb, url: str):
+    """Redirect-following fetch, shared contract with the engine
+    (stages/fetch.py:_fetch_following): each hop gets the full ≤5-attempt
+    budget; > MAX_REDIRECTS hops → STATUS_TOO_MANY_REDIRECTS. Returns
+    (result, final_hop_attempts, hops)."""
+    hops = 0
+    cur = url
+    while True:
+        r, attempts = _fetch_with_retry(web, cur)
+        if r.status != 301 or not r.location:
+            return r, attempts, hops
+        hops += 1
+        if hops > MAX_REDIRECTS:
+            r.status = 599
+            r.error = "too many redirects"
+            return r, attempts, hops
+        cur = r.location
 
 
 def simulate(
@@ -142,18 +165,26 @@ def simulate(
             if spec.obey_robots and f["host"] and f["depth"] == 2 and web.host_blocks_offers(f["host"]):
                 res.fetch_log.append(
                     {"canon_url": f["canon_url"], "host": f["host"], "round": rnd,
-                     "status": STATUS_ROBOTS_BLOCKED, "attempts": 0, "error": "robots", "bytes": 0}
+                     "status": STATUS_ROBOTS_BLOCKED, "attempts": 0, "redirects": 0,
+                     "error": "robots", "bytes": 0}
                 )
                 continue
             res.order.append(f["canon_url"])
-            r, attempts = _fetch_with_retry(web, f["url"])
+            r, attempts, hops = _fetch_following(web, f["url"])
+            status = 200 if r.status == 200 else (
+                STATUS_TOO_MANY_REDIRECTS if r.status == 599 else STATUS_EXHAUSTED
+            )
             res.fetch_log.append(
                 {"canon_url": f["canon_url"], "host": f["host"], "round": rnd,
-                 "status": r.status if r.status == 200 else STATUS_EXHAUSTED,
-                 "attempts": attempts, "error": r.error or "", "bytes": r.nbytes}
+                 "status": status, "attempts": attempts, "redirects": hops,
+                 "error": r.error or "", "bytes": r.nbytes}
             )
             if r.status != 200:
                 continue
+            if hops:
+                # the chain's final url is now held content — seen, never
+                # a frontier candidate (engine: kind="redirect" rows)
+                res.seen.add(canon.canonicalize_url_one(r.url))
             name, version, domain = seed_schema[f["seed_id"]]
             if f["depth"] == 0:
                 anchors = parsers.parse_pagination(r.body)

@@ -39,6 +39,11 @@ from . import parsers
 from .politeness import HostBuckets, RobotsCache
 
 RETRY_ATTEMPTS = 5  # otodom/flat_crawler/handler.go:53
+# colly rides Go's http.Client, which silently follows up to 10
+# redirects (flat_crawler/handler.go:92 uses the default collector) —
+# ours follows the same cap but logs the hop count and marks the FINAL
+# url seen so an independently-discovered target is never refetched.
+MAX_REDIRECTS = 10
 
 
 def _digest_pair(canon_url: str) -> tuple[int, int]:
@@ -51,6 +56,7 @@ def _digest_pair(canon_url: str) -> tuple[int, int]:
 STATUS_ROBOTS_BLOCKED = -2
 STATUS_EXHAUSTED = -1
 STATUS_TIMEOUT = -3
+STATUS_TOO_MANY_REDIRECTS = -4
 
 UNION_FIELDS: list[tuple[str, pa.DataType]] = [
     ("kind", pa.string()),
@@ -58,6 +64,7 @@ UNION_FIELDS: list[tuple[str, pa.DataType]] = [
     ("host", pa.string()),
     ("status", pa.int32()),
     ("attempts", pa.int32()),
+    ("redirects", pa.int32()),
     ("error", pa.string()),
     ("nbytes", pa.int64()),
     ("url", pa.string()),
@@ -194,13 +201,39 @@ class FetchParse:
         )
         for attempt in range(1, RETRY_ATTEMPTS + 1):
             r = self.web.fetch(url, attempt=attempt)
-            if r.status == 200:
+            if r.status == 200 or (r.status == 301 and r.location):
                 return r, attempt
             if deadline is not None and time.monotonic() > deadline:
                 r.status = 598  # timeout sentinel; logged as STATUS_TIMEOUT
                 r.error = "fetch deadline exceeded"
                 return r, attempt
         return r, RETRY_ATTEMPTS
+
+    def _fetch_following(self, url: str):
+        """Fetch with redirect following: each hop gets the full
+        ≤5-attempt retry budget (T3 applies per request, as Go's
+        http.Client retriers would); ≤ MAX_REDIRECTS hops, then the
+        599 sentinel (logged as STATUS_TOO_MANY_REDIRECTS). Returns
+        ``(result, final_hop_attempts, hops, hop_records)`` where
+        hop_records lists every 301 (url, location) traversed —
+        archived as WARC redirect records when archiving is on.
+        ``attempts`` stays the FINAL hop's count so the ≤5 T3 invariant
+        holds per logged row; ``redirects`` carries the hop count."""
+        hops = 0
+        hop_records: list[tuple[str, str]] = []
+        cur = url
+        while True:
+            r, attempts = self._fetch_with_retry(cur)
+            if r.status != 301 or not r.location:
+                return r, attempts, hops, hop_records
+            hop_records.append((cur, r.location))
+            hops += 1
+            if hops > MAX_REDIRECTS:
+                r.status = 599
+                r.error = "too many redirects"
+                r.location = None
+                return r, attempts, hops, hop_records
+            cur = r.location
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows: list[dict] = []
@@ -227,7 +260,7 @@ class FetchParse:
             if self.obey_robots and not self.robots.allowed(host, path):
                 rows.append(
                     {**base, "kind": "log", "status": STATUS_ROBOTS_BLOCKED,
-                     "attempts": 0, "error": "robots", "nbytes": 0}
+                     "attempts": 0, "redirects": 0, "error": "robots", "nbytes": 0}
                 )
                 continue
             if self.buckets is not None:
@@ -241,19 +274,44 @@ class FetchParse:
                 if wait > 0:
                     time.sleep(wait)
                 b.try_take(time.monotonic())
-            r, attempts = self._fetch_with_retry(url)
+            r, attempts, hops, hop_records = self._fetch_following(url)
             status = 200 if r.status == 200 else (
-                STATUS_TIMEOUT if r.status == 598 else STATUS_EXHAUSTED
+                STATUS_TIMEOUT if r.status == 598 else (
+                    STATUS_TOO_MANY_REDIRECTS if r.status == 599 else STATUS_EXHAUSTED
+                )
             )
             rows.append(
-                {**base, "kind": "log", "status": status,
-                 "attempts": attempts, "error": r.error or "", "nbytes": r.nbytes}
+                {**base, "kind": "log", "status": status, "attempts": attempts,
+                 "redirects": hops, "error": r.error or "", "nbytes": r.nbytes}
             )
+            if self.archiver is not None:
+                # archive every 301 hop as its own redirect record
+                # (Common-Crawl does the same; Location in the HTTP block)
+                for src, loc in hop_records:
+                    arch.append(
+                        {"url": src, "status": 301, "body": b"",
+                         "location": loc,
+                         "schema_name": base["schema_name"],
+                         "schema_version": base["schema_version"],
+                         "domain": base["domain"], "created": base["created"],
+                         "depth": depth}
+                    )
             if r.status != 200:
                 continue
+            if hops:
+                # the chain's FINAL url is content we now hold: mark it
+                # seen (kind=redirect control row → seen-set add, never a
+                # frontier candidate) so an independent discovery of the
+                # new location is not refetched (shared refsim contract)
+                final_cu = canon.canonicalize_url_one(r.url)
+                dh, dl = _digest_pair(final_cu)
+                rows.append({**base, "kind": "redirect", "url": r.url,
+                             "canon_url": final_cu,
+                             "host": canon.host_of_one(r.url),
+                             "digest_hi": dh, "digest_lo": dl})
             if self.archiver is not None:
                 arch.append(
-                    {"url": url, "status": 200, "body": r.body.encode(),
+                    {"url": r.url, "status": 200, "body": r.body.encode(),
                      "schema_name": base["schema_name"],
                      "schema_version": base["schema_version"],
                      "domain": base["domain"], "created": base["created"],
@@ -355,6 +413,9 @@ class FetchParse:
                         "host": pa.array([r["host"] for r in logs], pa.string()),
                         "status": pa.array([r["status"] for r in logs], pa.int32()),
                         "attempts": pa.array([r["attempts"] for r in logs], pa.int32()),
+                        "redirects": pa.array(
+                            [r.get("redirects", 0) for r in logs], pa.int32()
+                        ),
                         "error": pa.array([r["error"] for r in logs], pa.string()),
                         "nbytes": pa.array([r["nbytes"] for r in logs], pa.int64()),
                         "round": pa.array([rnd] * len(logs), pa.int32()),

@@ -53,7 +53,12 @@ if TYPE_CHECKING:  # pragma: no cover
     import ray.data
 
 _WARC_DATE = "2026-01-01T00:00:00Z"  # fixed: shards are content-addressed
-_REASON = {200: "OK", 404: "Not Found", 503: "Service Unavailable"}
+_REASON = {
+    200: "OK",
+    301: "Moved Permanently",
+    404: "Not Found",
+    503: "Service Unavailable",
+}
 
 INDEX_SCHEMA = pa.schema(
     [
@@ -78,6 +83,7 @@ RECORD_SCHEMA = pa.schema(
         ("url", pa.string()),
         ("status", pa.int32()),
         ("content_type", pa.string()),
+        ("location", pa.string()),
         ("body", pa.binary()),
         ("nbytes", pa.int64()),
         ("payload_digest", pa.string()),
@@ -96,6 +102,7 @@ def build_record(
     body: bytes,
     meta: dict | None = None,
     content_type: str = "text/html",
+    location: str | None = None,
 ) -> bytes:
     """One WARC/1.0 response record as an independent gzip member.
 
@@ -107,8 +114,10 @@ def build_record(
     """
     digest = hashlib.sha1(body).hexdigest()
     reason = _REASON.get(status, "")
+    loc_line = f"Location: {location}\r\n" if location else ""
     http = (
         f"HTTP/1.1 {status} {reason}\r\n"
+        f"{loc_line}"
         f"Content-Type: {content_type}\r\n"
         f"Content-Length: {len(body)}\r\n\r\n"
     ).encode() + body
@@ -140,11 +149,13 @@ def parse_record(raw: bytes) -> dict:
     hhead, body = http.split(b"\r\n\r\n", 1)
     status = int(hhead.split(b" ", 2)[1])
     content_type = "text/html"
+    location = ""
     for hl in hhead.decode().split("\r\n")[1:]:
         hk, _, hv = hl.partition(": ")
         if hk.lower() == "content-type":
             content_type = hv
-            break
+        elif hk.lower() == "location":
+            location = hv
     digest = warc.get("WARC-Payload-Digest", "")[len("sha1:") :]
     if hashlib.sha1(body).hexdigest() != digest:
         raise ValueError(f"payload digest mismatch for {warc.get('WARC-Target-URI')}")
@@ -152,6 +163,7 @@ def parse_record(raw: bytes) -> dict:
         "url": warc.get("WARC-Target-URI", ""),
         "status": status,
         "content_type": content_type,
+        "location": location,
         "body": body,
         "nbytes": len(body),
         "payload_digest": digest,
@@ -201,7 +213,10 @@ class WarcWriter:
             body = r["body"]
             ctype = r.get("content_type", "text/html")
             meta = {k: r.get(k, "" if k != "depth" else 0) for k in _META_KEYS}
-            member = build_record(r["url"], r["status"], body, meta, content_type=ctype)
+            member = build_record(
+                r["url"], r["status"], body, meta, content_type=ctype,
+                location=r.get("location"),
+            )
             members.append(member)
             index_rows.append(
                 {

@@ -41,6 +41,14 @@ class WebConfig:
     images_per_offer_max: int = 3
     fail_bucket_mod: int = 10  # bucket 0 → first 2 attempts fail
     robots_block_offers_mod: int = 5  # hosts with h%mod==0 disallow /offer/
+    # 0 = no redirects (default; all pre-redirect parity fixtures
+    # unchanged). >0: offers with h%mod==0 have MOVED — /offer/<oid>.html
+    # answers 301 → /offer-new/<oid>.html (a third of those via a 2-hop
+    # chain through /moved/<oid>.html). The crawler must follow the
+    # chain (colly rides Go's http.Client, which follows up to 10
+    # redirects silently — flat_crawler/handler.go:92) and mark the
+    # FINAL url seen so an independent discovery never refetches it.
+    redirect_mod: int = 0
 
 
 PROFILES = {
@@ -80,6 +88,7 @@ class FetchResult:
     body: str | None
     error: str | None = None
     nbytes: int = 0
+    location: str | None = None  # 3xx target (absolute URL)
 
 
 class SynthWeb:
@@ -276,11 +285,43 @@ class SynthWeb:
         """Number of leading attempts that fail for this URL (0 or 2)."""
         return 2 if self._h("fail", url) % self.cfg.fail_bucket_mod == 0 else 0
 
+    def redirect_target(self, url: str) -> str | None:
+        """301 Location for ``url``, or None. Deterministic in (seed,
+        oid): moved offers answer 301 at their ORIGINAL path; a third of
+        them hop twice (/moved/ → /offer-new/). ``/loop/a|b.html`` is a
+        planted redirect cycle (never linked from any page — reachable
+        only by direct fetch, for the hop-cap tests)."""
+        if not self.cfg.redirect_mod:
+            return None
+        from urllib.parse import urlsplit
+
+        parts = urlsplit(url)
+        base = f"https://{parts.netloc}"
+        path = parts.path
+        if path == "/loop/a.html":
+            return f"{base}/loop/b.html"
+        if path == "/loop/b.html":
+            return f"{base}/loop/a.html"
+        for prefix, two_hop_src in (("/offer/", True), ("/moved/", False)):
+            if path.startswith(prefix) and path.endswith(".html"):
+                oid = path[len(prefix):-len(".html")]
+                if self._h("redir", oid) % self.cfg.redirect_mod != 0:
+                    return None
+                if two_hop_src and self._h("redir2", oid) % 3 == 0:
+                    return f"{base}/moved/{oid}.html"
+                return f"{base}/offer-new/{oid}.html"
+        return None
+
     def fetch(self, url: str, attempt: int = 1) -> FetchResult:
         """GET a synthetic URL. ``attempt`` is 1-based; transient 503s for
-        fail-bucket URLs on attempts ≤ fail_attempts(url)."""
+        fail-bucket URLs on attempts ≤ fail_attempts(url). Moved pages
+        (redirect_target) answer 301 with a Location — the transient-fail
+        bucket applies to the REQUESTED url first, as on a real server."""
         if attempt <= self.fail_attempts(url):
             return FetchResult(url, 503, None, error="synthetic transient failure")
+        loc = self.redirect_target(url)
+        if loc is not None:
+            return FetchResult(url, 301, None, location=loc)
         body = self._route(url)
         if body is None:
             return FetchResult(url, 404, None, error="not found")
@@ -313,4 +354,13 @@ class SynthWeb:
         if parts.path.startswith("/offer/") and parts.path.endswith(".html"):
             oid = parts.path[len("/offer/") : -len(".html")]
             return self.offer_html(oid)
+        if (
+            self.cfg.redirect_mod
+            and parts.path.startswith("/offer-new/")
+            and parts.path.endswith(".html")
+        ):
+            # the moved offer's final home serves the SAME offer page
+            oid = parts.path[len("/offer-new/") : -len(".html")]
+            if self._h("redir", oid) % self.cfg.redirect_mod == 0:
+                return self.offer_html(oid)
         return None
