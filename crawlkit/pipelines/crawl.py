@@ -404,11 +404,15 @@ def run_crawl(
         _join_commit()  # round r-1's tail must finish before new commits
 
         def _frag_metas(kind: str) -> list[dict]:
+            import json as _json
+
             f = control_t.filter(pc.equal(control_t["kind"], kind))
             return [
                 {"key": k, "rows": r, "path": p}
-                for k, r, p in zip(
-                    f["frag_key"].to_pylist(), f["frag_rows"].to_pylist(), f["frag_path"].to_pylist()
+                | ({"stats": _json.loads(s)} if s else {})
+                for k, r, p, s in zip(
+                    f["frag_key"].to_pylist(), f["frag_rows"].to_pylist(),
+                    f["frag_path"].to_pylist(), f["frag_stats"].to_pylist(),
                 )
             ]
 

@@ -488,10 +488,15 @@ def run_crawl_dataset(
             *((("afrag", res.archive_store),) if res.archive_store is not None else ()),
         ):
             f = small[small["kind"] == kind]
+            import json as _json
+
             store.commit_fragments(
                 [
                     {"key": k, "rows": r, "path": p}
-                    for k, r, p in zip(f["frag_key"], f["frag_rows"], f["frag_path"])
+                    | ({"stats": _json.loads(s)} if isinstance(s, str) and s else {})
+                    for k, r, p, s in zip(
+                        f["frag_key"], f["frag_rows"], f["frag_path"], f["frag_stats"]
+                    )
                 ]
             )
         if track_order:

@@ -88,6 +88,7 @@ UNION_FIELDS: list[tuple[str, pa.DataType]] = [
     ("frag_key", pa.string()),
     ("frag_rows", pa.int64()),
     ("frag_path", pa.string()),
+    ("frag_stats", pa.string()),  # JSON per-column [lo,hi] manifest stats
     ("digest_hi", pa.uint64()),
     ("digest_lo", pa.uint64()),
     # per-host stat rows (kind=hstat, fused no-track mode): the driver
@@ -107,7 +108,7 @@ _COLS = [f[0] for f in UNION_FIELDS]
 _SLIM_SET = {
     "kind", "canon_url", "host", "nbytes", "url", "priority", "depth",
     "seed_id", "schema_name", "schema_version", "domain", "created",
-    "frag_key", "frag_rows", "frag_path", "digest_hi", "digest_lo",
+    "frag_key", "frag_rows", "frag_path", "frag_stats", "digest_hi", "digest_lo",
     "n_issued", "n_ok", "n_failed", "n_blocked",
 }
 SLIM_UNION_SCHEMA = pa.schema([(n, t) for n, t in UNION_FIELDS if n in _SLIM_SET])
@@ -116,6 +117,18 @@ SLIM_UNION_SCHEMA = pa.schema([(n, t) for n, t in UNION_FIELDS if n in _SLIM_SET
 def _rows_to_table(rows: list[dict], schema: pa.Schema = UNION_SCHEMA) -> pa.Table:
     arrays = {c: [r.get(c) for r in rows] for c in schema.names}
     return pa.Table.from_pydict(arrays, schema=schema)
+
+
+def _frag_row(kind: str, meta: dict) -> dict:
+    """Fragment-metadata control row; manifest stats ride as JSON so the
+    driver's commit records them (pruned reads — lancelike.pruned_paths)."""
+    import json
+
+    row = {"kind": kind, "frag_key": meta["key"], "frag_rows": meta["rows"],
+           "frag_path": meta["path"]}
+    if meta.get("stats"):
+        row["frag_stats"] = json.dumps(meta["stats"], separators=(",", ":"))
+    return row
 
 
 class FetchParse:
@@ -355,8 +368,7 @@ class FetchParse:
             rows = self._write_payloads(rows, rnd0)
         if self.archiver is not None and arch:
             meta = self.archiver.write_batch(arch)
-            rows.append({"kind": "afrag", "frag_key": meta["key"],
-                         "frag_rows": meta["rows"], "frag_path": meta["path"]})
+            rows.append(_frag_row("afrag", meta))
         slim = self.entries_store is not None and self.logs_store is not None
         return _rows_to_table(rows, SLIM_UNION_SCHEMA if slim else UNION_SCHEMA)
 
@@ -374,8 +386,7 @@ class FetchParse:
                 "entfrag", *sorted(r["canon_url"] for r in entries), len(entries), size=8
             ).hex()
             meta = self.entries_store.write_fragment(table, fkey)
-            out.append({"kind": "efrag", "frag_key": meta["key"],
-                        "frag_rows": meta["rows"], "frag_path": meta["path"]})
+            out.append(_frag_row("efrag", meta))
         if image_refs and self.images_store is not None:
             recs = [self.web.image_record(r["image_id"]) for r in image_refs]
             table = pa.Table.from_pylist(recs, schema=IMAGES_SCHEMA)
@@ -383,8 +394,7 @@ class FetchParse:
                 "imgfrag", *sorted(r["image_id"] for r in image_refs), size=8
             ).hex()
             meta = self.images_store.write_fragment(table, fkey)
-            out.append({"kind": "ifrag", "frag_key": meta["key"],
-                        "frag_rows": meta["rows"], "frag_path": meta["path"]})
+            out.append(_frag_row("ifrag", meta))
             if self.archiver is not None and self.archive_images:
                 img_arch = [
                     {
@@ -401,8 +411,7 @@ class FetchParse:
                     for rec, r in zip(recs, image_refs)
                 ]
                 ameta = self.archiver.write_batch(img_arch)
-                out.append({"kind": "afrag", "frag_key": ameta["key"],
-                            "frag_rows": ameta["rows"], "frag_path": ameta["path"]})
+                out.append(_frag_row("afrag", ameta))
         if self.logs_store is not None:
             logs = [r for r in out if r["kind"] == "log"]
             out = [r for r in out if r["kind"] != "log"]
@@ -425,8 +434,7 @@ class FetchParse:
                     "logfrag", *sorted(r["canon_url"] for r in logs), rnd, size=8
                 ).hex()
                 meta = self.logs_store.write_fragment(table, fkey)
-                out.append({"kind": "lfrag", "frag_key": meta["key"],
-                            "frag_rows": meta["rows"], "frag_path": meta["path"]})
+                out.append(_frag_row("lfrag", meta))
                 # per-host stats replace the raw rows on the control path
                 stats: dict[str, list[int]] = {}
                 for r in logs:

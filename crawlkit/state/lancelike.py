@@ -29,6 +29,50 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 
+_STATS_TRUNC = 64  # Iceberg-style string-bound truncation length
+
+
+def _upper_bound_str(s: str) -> str | None:
+    """Truncate ``s`` to a still-valid UPPER bound: keep the first
+    ``_STATS_TRUNC`` chars and increment the last kept char (Iceberg's
+    truncate-and-increment). None if no char can be bumped."""
+    if len(s) <= _STATS_TRUNC:
+        return s
+    head = s[:_STATS_TRUNC]
+    for i in range(len(head) - 1, -1, -1):
+        c = ord(head[i])
+        if c < 0x10FFFF:
+            return head[:i] + chr(c + 1)
+    return None
+
+
+def fragment_stats(table: pa.Table) -> dict:
+    """Per-column [lower, upper] bounds for int / float / string columns
+    (nulls ignored; all-null and other-typed columns skipped). String
+    bounds are truncated Iceberg-style so manifests stay small while the
+    bounds remain sound for range pruning."""
+    import pyarrow.compute as pc
+
+    out: dict[str, list] = {}
+    for name, col in zip(table.column_names, table.columns):
+        t = col.type
+        if not (pa.types.is_integer(t) or pa.types.is_floating(t) or pa.types.is_string(t)):
+            continue
+        if col.null_count == len(col):
+            continue
+        mm = pc.min_max(col)
+        lo, hi = mm["min"].as_py(), mm["max"].as_py()
+        if lo is None:
+            continue
+        if pa.types.is_string(t):
+            lo = lo[:_STATS_TRUNC]  # a prefix is always a valid lower bound
+            hi = _upper_bound_str(hi)
+            if hi is None:
+                continue
+        out[name] = [lo, hi]
+    return out
+
+
 class TableStore:
     def __init__(self, root: str):
         self.root = root
@@ -70,13 +114,20 @@ class TableStore:
         """Write one fragment file (NOT yet visible — commit makes it so).
 
         Safe to call from concurrent Ray tasks: the name is deterministic
-        in ``key`` and the write goes tmp→rename.
+        in ``key`` and the write goes tmp→rename. The returned meta
+        carries per-column min/max ``stats`` (Iceberg-manifest style);
+        committed into the manifest they let readers PRUNE fragments by
+        predicate range before any file I/O (``pruned_paths``).
         """
         path = f"{self.root}/fragments/{key}.parquet"
         tmp = f"{self.root}/fragments/.{key}.tmp"
         pq.write_table(table, tmp)
         os.replace(tmp, path)
-        return {"key": key, "rows": table.num_rows, "path": path}
+        meta = {"key": key, "rows": table.num_rows, "path": path}
+        stats = fragment_stats(table)
+        if stats:
+            meta["stats"] = stats
+        return meta
 
     def commit_fragments(self, frags: list[dict]) -> int:
         """Append fragments as a new version; already-committed keys are
@@ -112,11 +163,54 @@ class TableStore:
     def fragment_paths(self, version: int | None = None) -> list[str]:
         return [f["path"] for f in self.manifest(version)["fragments"]]
 
-    def read_dataset(self, version: int | None = None, **read_kwargs):
-        """As a ``ray.data.Dataset`` (streaming; preferred for big tables)."""
+    def pruned_paths(
+        self, ranges: dict, version: int | None = None
+    ) -> tuple[list[str], int]:
+        """Manifest-stat fragment pruning (the Iceberg scan-planning
+        step): keep only fragments whose per-column [lower, upper]
+        bounds INTERSECT every requested range. ``ranges`` maps column →
+        ``(lo, hi)`` (either end may be None = unbounded; a scalar means
+        equality). Fragments without stats for a column are kept —
+        pruning is strictly conservative. Returns (paths, n_pruned) —
+        at 100 TB this is the difference between opening every file and
+        opening the few whose ranges can match."""
+        frags = self.manifest(version)["fragments"]
+        keep: list[str] = []
+        pruned = 0
+        for f in frags:
+            stats = f.get("stats") or {}
+            ok = True
+            for col, rng in ranges.items():
+                if not isinstance(rng, (tuple, list)):
+                    rng = (rng, rng)
+                lo, hi = rng
+                b = stats.get(col)
+                if b is None:
+                    continue  # no stats → cannot prune on this column
+                flo, fhi = b
+                if (hi is not None and flo > hi) or (lo is not None and fhi < lo):
+                    ok = False
+                    break
+            if ok:
+                keep.append(f["path"])
+            else:
+                pruned += 1
+        return keep, pruned
+
+    def read_dataset(
+        self, version: int | None = None, ranges: dict | None = None, **read_kwargs
+    ):
+        """As a ``ray.data.Dataset`` (streaming; preferred for big
+        tables). ``ranges``: optional manifest-stat pruning (see
+        :meth:`pruned_paths`) — fragments that cannot contain matching
+        rows are never opened; combine with a row-level ``filter=`` in
+        ``read_kwargs`` for exact results."""
         import ray.data as rd
 
-        paths = self.fragment_paths(version)
+        if ranges:
+            paths, _ = self.pruned_paths(ranges, version)
+        else:
+            paths = self.fragment_paths(version)
         if not paths:
             return rd.from_items([])
         return rd.read_parquet(paths, **read_kwargs)

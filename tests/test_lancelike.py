@@ -129,3 +129,72 @@ def test_datasink_uncommitted_fragments_invisible(tmp_path):
     store.write_fragment(t, _content_key(t, "w"))  # no commit
     assert store.count_rows() == 0
     assert store.read_table().num_rows == 0
+
+
+def test_fragment_stats_and_pruned_reads(tmp_path):
+    """Iceberg-style manifest stats: write_fragment records per-column
+    [lo, hi]; pruned_paths opens only fragments whose ranges can match."""
+    from crawlkit.state.lancelike import fragment_stats
+
+    store = TableStore(str(tmp_path / "s"))
+    for lo in (0, 100, 200):
+        t = pa.table(
+            {
+                "id": list(range(lo, lo + 50)),
+                "host": [f"host{lo + i}.test" for i in range(50)],
+                "blob": [b"x"] * 50,  # binary → no stats
+            }
+        )
+        store.append(t, f"f{lo}")
+    man = store.manifest()
+    assert all("stats" in f for f in man["fragments"])
+    s0 = man["fragments"][0]["stats"]
+    assert s0["id"] == [0, 49] and "blob" not in s0
+    # int range pruning: only the middle fragment can hold id 120-130
+    paths, pruned = store.pruned_paths({"id": (120, 130)})
+    assert len(paths) == 1 and pruned == 2
+    # equality (scalar) form + string column — lexicographic bounds:
+    # f0 spans host0..host9 (string order) which STRADDLES host205, so
+    # only f100 (host100..host149) is prunable
+    paths, pruned = store.pruned_paths({"host": "host205.test"})
+    assert pruned == 1 and not any("f100" in p for p in paths)
+    # unbounded side
+    paths, pruned = store.pruned_paths({"id": (200, None)})
+    assert len(paths) == 1 and pruned == 2
+    # no-stats column → conservative keep
+    paths, pruned = store.pruned_paths({"blob": (b"a", b"z")})
+    assert len(paths) == 3 and pruned == 0
+    # pruned read returns exactly the filtered rows
+    tbl = pa.concat_tables(
+        [__import__("pyarrow.parquet", fromlist=["pq"]).read_table(p) for p in
+         store.pruned_paths({"id": (120, 130)})[0]]
+    )
+    assert set(range(100, 150)) == set(tbl["id"].to_pylist())
+    # long-string truncation keeps bounds sound
+    long_lo = "a" * 200
+    long_hi = "m" * 200
+    st = fragment_stats(pa.table({"s": [long_lo, long_hi]}))
+    assert st["s"][0] <= long_lo and st["s"][1] >= long_hi
+    assert len(st["s"][0]) <= 64 and len(st["s"][1]) <= 64
+
+
+def test_crawl_manifests_carry_stats(tmp_path):
+    """The fused fetch path threads fragment stats through the control
+    rows into the committed manifests (both crawl modes share the
+    stage); phash/host ranges then prune image/log scans."""
+    from crawlkit.pipelines.crawl import run_crawl
+    from crawlkit.refsim import CrawlSpec
+
+    out = str(tmp_path / "run")
+    res = run_crawl(
+        "t1", spec=CrawlSpec(host_budget_per_round=16), out_dir=out,
+        num_seen_shards=2, fetch_concurrency=2,
+    )
+    for st in (res.entries_store, res.images_store, res.fetch_log_store):
+        frags = st.manifest()["fragments"]
+        assert frags and all(f.get("stats") for f in frags)
+    # a host-range prune on the fetch log skips at least one fragment
+    img = res.images_store.manifest()["fragments"]
+    phash_lo = min(f["stats"]["phash"][0] for f in img)
+    paths, pruned = res.images_store.pruned_paths({"phash": (phash_lo, phash_lo)})
+    assert len(paths) >= 1 and pruned >= 1
