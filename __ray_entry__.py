@@ -136,6 +136,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
         log = res.fetch_log_table()
         return log.filter(_pc.greater(log["redirects"], 0)).sort_by("canon_url")
 
+    def crawl_recrawl_conditional(sf_dir: str):
+        """Bandwidth-aware cadence re-run: run 1 crawls + archives a
+        small web; run 2 recrawls the SAME web with If-None-Match — every
+        listing answers 304 (zero body bytes moved), content is
+        range-read from run 1's WARC, extraction still complete. Returns
+        the per-status log rollup of run 2. Rows-only; byte-level engine
+        ≡ refsim(prior_etags) pinned in tests/test_crawl_conditional.py."""
+        from crawlkit.pipelines.crawl import recrawl_conditional, run_crawl
+        from crawlkit.refsim import CrawlSpec
+        from crawlkit.synthweb import SynthWeb, WebConfig
+
+        cfg = WebConfig(n_seeds=4, n_hosts=3, max_last_page=3)
+        spec = CrawlSpec(host_budget_per_round=32)
+        base = tempfile.mkdtemp(prefix="cond_q_", dir="/tmp")
+        run_crawl(
+            SynthWeb(cfg), spec=spec, out_dir=f"{base}/run1",
+            num_seen_shards=2, fetch_concurrency=4, archive_root=f"{base}/arch",
+        )
+        res = recrawl_conditional(
+            SynthWeb(cfg), prior_dir=f"{base}/run1",
+            prior_archive_root=f"{base}/arch", out_dir=f"{base}/run2",
+            spec=spec, num_seen_shards=2, fetch_concurrency=4,
+        )
+        log = res.fetch_log_table().to_pandas()
+        return (
+            log.groupby("status", as_index=False)
+            .agg(pages=("canon_url", "count"), body_bytes=("nbytes", "sum"))
+            .sort_values("status")
+            .reset_index(drop=True)
+        )
+
     def crawl_fetch_report(sf_dir: str):
         """M10 telemetry rollup: run the t1 crawl, then aggregate its
         fetch_log per (host, status) as a streaming Dataset pass.
@@ -641,6 +672,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_sitemap_seeds": crawl_sitemap_seeds,  # rows-only (≡ configured seeds in tests)
         "crawl_recrawl": crawl_recrawl,  # rows-only (oracle = refsim prior_seen)
         "crawl_redirects": crawl_redirects,  # rows-only (oracle = refsim hop parity)
+        "crawl_recrawl_conditional": crawl_recrawl_conditional,  # rows-only (refsim 304 parity)
         "crawl_distributed": crawl_distributed,  # rows-only (oracle = refsim sets)
         "crawl_fetch_report": crawl_fetch_report,  # rows-only (refsim page counts)
         "archive_warc": archive_warc,  # rows-only (byte-parity in tests)

@@ -202,6 +202,8 @@ def run_crawl(
     host_salt_cap: int = 1024,
     archive_root: str | None = None,
     archive_images: bool = False,
+    prior_etags: "dict[str, str] | None" = None,
+    prior_archive_root: str | None = None,
 ) -> CrawlResult:
     """Run the crawl to frontier exhaustion (or ``spec.max_rounds``).
 
@@ -225,6 +227,9 @@ def run_crawl(
     if prior_seen_dirs:
         prior = SeenSet(num_seen_shards)
         prior.restore(prior_seen_dirs)
+    # conditional recrawl: broadcast the prior ETag map ONCE (ray.put →
+    # one object-store copy per node, read zero-copy by every fetch task)
+    prior_etags_ref = ray.put(prior_etags) if prior_etags else None
     res = CrawlResult(
         out_dir=out_dir,
         entries_store=TableStore(f"{out_dir}/entries"),
@@ -378,6 +383,8 @@ def run_crawl(
             "logs_root": f"{out_dir}/fetch_log" if in_task_logs else None,
             "archive_root": archive_root,
             "archive_images": archive_images,
+            "prior_etags_ref": prior_etags_ref,
+            "prior_archive_root": prior_archive_root,
         }
         if fetch_mode == "actors":
             union_ds = in_ds.map_batches(
@@ -446,7 +453,8 @@ def run_crawl(
             # fetch log + issue order (derived from the deterministic
             # sort, never from completion order)
             log_t = logs.select(
-                ["canon_url", "host", "status", "attempts", "redirects", "error", "nbytes"]
+                ["canon_url", "host", "status", "attempts", "redirects", "etag",
+                 "error", "nbytes"]
             ).append_column("round", pa.array([rnd] * logs.num_rows, pa.int32()))
             blocked = set(
                 logs.filter(pc.equal(logs["status"], STATUS_ROBOTS_BLOCKED))[
@@ -461,7 +469,7 @@ def run_crawl(
                 .group_by("host")
                 .agg(
                     pl.len().alias("issued"),
-                    (pl.col("status") == 200).sum().alias("ok"),
+                    pl.col("status").is_in([200, 304]).sum().alias("ok"),
                     (pl.col("status") == -1).sum().alias("failed"),
                     (pl.col("status") == STATUS_ROBOTS_BLOCKED).sum().alias("blocked"),
                     pl.col("nbytes").sum().alias("bytes"),
@@ -607,6 +615,65 @@ def recrawl(
     if not dirs:
         raise ValueError(f"no completed rounds under {prior_dir}")
     return run_crawl(web, spec=spec, out_dir=out_dir, prior_seen_dirs=dirs, **kwargs)
+
+
+def recrawl_conditional(
+    web: SynthWeb | WebConfig | str,
+    prior_dir: str,
+    prior_archive_root: str,
+    out_dir: str,
+    spec: CrawlSpec = CrawlSpec(),
+    **kwargs,
+) -> CrawlResult:
+    """Bandwidth-aware cadence re-run: conditional GETs (If-None-Match
+    with the prior generation's ETags) + archive-backed body reuse.
+
+    Unchanged pages answer **304 Not Modified** — zero body bytes move;
+    their content is range-read from the prior generation's WARC archive
+    (CDX lookup inside the fetch task), so link discovery and
+    re-extraction still run at full fidelity. Changed/new pages fetch
+    normally. This is the Cho & Garcia-Molina freshness economics the
+    ``change_rate``/``recrawl_schedule`` queries plan for, applied at
+    the fetch layer; the reference re-downloads everything every cron
+    tick (colly has no cache, ``flat_crawler/handler.go:92``).
+
+    The ETag map is built from the prior run's fetch log (status-200
+    rows), restricted to urls present in the prior archive index (a 304
+    without an archived copy would have nothing to re-parse — the fetch
+    stage additionally falls back to an unconditional refetch). In the
+    sandbox the map is a ``ray.put`` broadcast; at 10^10-URL scale it
+    becomes an ``etag`` column carried by the frontier rows (a keyed
+    join at admission), same semantics.
+    """
+    from ..state.lancelike import TableStore as _TS
+
+    dirs = RunCheckpoint(prior_dir).seen_dirs()
+    if not dirs:
+        raise ValueError(f"no completed rounds under {prior_dir}")
+    log_t = _TS(f"{prior_dir}/fetch_log").read_table(
+        columns=["canon_url", "status", "etag"]
+    )
+    from .. import canon as _canon
+
+    idx = _TS(f"{prior_archive_root}/index").read_table(columns=["url", "status"])
+    archived = {
+        _canon.canonicalize_url_one(u)
+        for u, st in zip(idx["url"].to_pylist(), idx["status"].to_pylist())
+        if st == 200
+    }
+    etags = {
+        cu: et
+        for cu, st, et in zip(
+            log_t["canon_url"].to_pylist(),
+            log_t["status"].to_pylist(),
+            log_t["etag"].to_pylist(),
+        )
+        if st == 200 and et and cu in archived
+    }
+    return run_crawl(
+        web, spec=spec, out_dir=out_dir, prior_seen_dirs=dirs,
+        prior_etags=etags, prior_archive_root=prior_archive_root, **kwargs
+    )
 
 
 def fetch_report(fetch_log_store) -> "pd.DataFrame":

@@ -70,18 +70,19 @@ class SimResult:
     fetch_log: list[dict] = field(default_factory=list)
 
 
-def _fetch_with_retry(web: SynthWeb, url: str):
+def _fetch_with_retry(web: SynthWeb, url: str, if_none_match: str | None = None):
     """T3 semantics: up to RETRY_ATTEMPTS attempts, first success wins.
     A 301 with a Location counts as success for the retry loop (the
-    redirect is followed by :func:`_fetch_following`)."""
+    redirect is followed by :func:`_fetch_following`); so does a 304
+    Not Modified (conditional recrawl)."""
     for attempt in range(1, RETRY_ATTEMPTS + 1):
-        r = web.fetch(url, attempt=attempt)
-        if r.status == 200 or (r.status == 301 and r.location):
+        r = web.fetch(url, attempt=attempt, if_none_match=if_none_match)
+        if r.status in (200, 304) or (r.status == 301 and r.location):
             return r, attempt
     return r, RETRY_ATTEMPTS
 
 
-def _fetch_following(web: SynthWeb, url: str):
+def _fetch_following(web: SynthWeb, url: str, if_none_match: str | None = None):
     """Redirect-following fetch, shared contract with the engine
     (stages/fetch.py:_fetch_following): each hop gets the full ≤5-attempt
     budget; > MAX_REDIRECTS hops → STATUS_TOO_MANY_REDIRECTS. Returns
@@ -89,7 +90,7 @@ def _fetch_following(web: SynthWeb, url: str):
     hops = 0
     cur = url
     while True:
-        r, attempts = _fetch_with_retry(web, cur)
+        r, attempts = _fetch_with_retry(web, cur, if_none_match)
         if r.status != 301 or not r.location:
             return r, attempts, hops
         hops += 1
@@ -101,14 +102,23 @@ def _fetch_following(web: SynthWeb, url: str):
 
 
 def simulate(
-    web: SynthWeb, spec: CrawlSpec = CrawlSpec(), prior_seen: "set[str] | None" = None
+    web: SynthWeb,
+    spec: CrawlSpec = CrawlSpec(),
+    prior_seen: "set[str] | None" = None,
+    prior_etags: "dict[str, str] | None" = None,
 ) -> SimResult:
     """``prior_seen``: the persisted seen set of a PREVIOUS run (the
     recrawl-cadence contract, shared with the engine): this-run dedup is
     unchanged, but frontier admission additionally skips depth-2 (offer)
     URLs already fetched by a prior run — listings (depth ≤ 1) are due
     for re-crawl on every cadence tick, content pages are fetched once
-    across runs (cross-run D1, ``commons/Entry.go:37``)."""
+    across runs (cross-run D1, ``commons/Entry.go:37``).
+
+    ``prior_etags``: canon_url → prior-generation ETag (conditional
+    recrawl). A matching ETag yields a 304 log row with zero bytes; the
+    simulator then parses the CURRENT body — sound because the ETag is
+    a content hash, so a match guarantees the live body equals the
+    archived copy the engine re-reads."""
     res = SimResult()
     seeds = web.seeds()
     frontier: list[dict] = []
@@ -166,20 +176,25 @@ def simulate(
                 res.fetch_log.append(
                     {"canon_url": f["canon_url"], "host": f["host"], "round": rnd,
                      "status": STATUS_ROBOTS_BLOCKED, "attempts": 0, "redirects": 0,
-                     "error": "robots", "bytes": 0}
+                     "etag": None, "error": "robots", "bytes": 0}
                 )
                 continue
             res.order.append(f["canon_url"])
-            r, attempts, hops = _fetch_following(web, f["url"])
-            status = 200 if r.status == 200 else (
+            et = prior_etags.get(f["canon_url"]) if prior_etags else None
+            r, attempts, hops = _fetch_following(web, f["url"], if_none_match=et)
+            if r.status == 304:
+                # ETag matched (content hash) → live body ≡ archived body
+                r.body = web._route(r.url)
+            status = 200 if r.status in (200, 304) else (
                 STATUS_TOO_MANY_REDIRECTS if r.status == 599 else STATUS_EXHAUSTED
             )
             res.fetch_log.append(
                 {"canon_url": f["canon_url"], "host": f["host"], "round": rnd,
-                 "status": status, "attempts": attempts, "redirects": hops,
+                 "status": 304 if r.status == 304 else status,
+                 "attempts": attempts, "redirects": hops, "etag": r.etag,
                  "error": r.error or "", "bytes": r.nbytes}
             )
-            if r.status != 200:
+            if r.status not in (200, 304):
                 continue
             if hops:
                 # the chain's final url is now held content — seen, never

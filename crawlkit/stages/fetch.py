@@ -65,6 +65,7 @@ UNION_FIELDS: list[tuple[str, pa.DataType]] = [
     ("status", pa.int32()),
     ("attempts", pa.int32()),
     ("redirects", pa.int32()),
+    ("etag", pa.string()),
     ("error", pa.string()),
     ("nbytes", pa.int64()),
     ("url", pa.string()),
@@ -151,6 +152,8 @@ class FetchParse:
         logs_root: str | None = None,
         archive_root: str | None = None,
         archive_images: bool = False,
+        prior_etags_ref=None,
+        prior_archive_root: str | None = None,
     ):
         """``entries_root``/``images_root``: when given, the stage is
         FUSED — extracted entries are normalized and written as
@@ -185,6 +188,23 @@ class FetchParse:
             self.archiver: WarcWriter | None = WarcWriter(archive_root)
         else:
             self.archiver = None
+        # Conditional recrawl (If-None-Match → 304): ``prior_etags_ref``
+        # is a ray.put ObjectRef (or plain dict in unit tests) mapping
+        # canon_url → the prior generation's ETag; ``prior_archive_root``
+        # is that generation's WARC root — a 304's body is range-read
+        # from the archive (CDX lookup, lazy-loaded once per worker)
+        # instead of transferred, so unchanged pages cost ZERO body
+        # bytes on the wire. At 10^10 scale the etag map becomes a
+        # frontier-column join instead of a broadcast (documented in
+        # pipelines/crawl.py::recrawl_conditional).
+        if prior_etags_ref is not None and not isinstance(prior_etags_ref, dict):
+            import ray
+
+            self.prior_etags: dict | None = ray.get(prior_etags_ref)
+        else:
+            self.prior_etags = prior_etags_ref
+        self.prior_archive_root = prior_archive_root
+        self._prior_index: dict | None = None  # lazy canon_url → (path, off, len)
         # Common-Crawl-style FULL-payload archival: also archive each
         # image payload as its own (binary) WARC record, depth=3, under
         # a deterministic https://images.test/<id>.<fmt> URL — the
@@ -208,13 +228,13 @@ class FetchParse:
             return ""
         return None
 
-    def _fetch_with_retry(self, url: str):
+    def _fetch_with_retry(self, url: str, if_none_match: str | None = None):
         deadline = (
             time.monotonic() + self.fetch_timeout_s if self.fetch_timeout_s else None
         )
         for attempt in range(1, RETRY_ATTEMPTS + 1):
-            r = self.web.fetch(url, attempt=attempt)
-            if r.status == 200 or (r.status == 301 and r.location):
+            r = self.web.fetch(url, attempt=attempt, if_none_match=if_none_match)
+            if r.status in (200, 304) or (r.status == 301 and r.location):
                 return r, attempt
             if deadline is not None and time.monotonic() > deadline:
                 r.status = 598  # timeout sentinel; logged as STATUS_TIMEOUT
@@ -222,7 +242,7 @@ class FetchParse:
                 return r, attempt
         return r, RETRY_ATTEMPTS
 
-    def _fetch_following(self, url: str):
+    def _fetch_following(self, url: str, if_none_match: str | None = None):
         """Fetch with redirect following: each hop gets the full
         ≤5-attempt retry budget (T3 applies per request, as Go's
         http.Client retriers would); ≤ MAX_REDIRECTS hops, then the
@@ -236,7 +256,7 @@ class FetchParse:
         hop_records: list[tuple[str, str]] = []
         cur = url
         while True:
-            r, attempts = self._fetch_with_retry(cur)
+            r, attempts = self._fetch_with_retry(cur, if_none_match=if_none_match)
             if r.status != 301 or not r.location:
                 return r, attempts, hops, hop_records
             hop_records.append((cur, r.location))
@@ -247,6 +267,45 @@ class FetchParse:
                 r.location = None
                 return r, attempts, hops, hop_records
             cur = r.location
+
+    def _archived_body(self, canon_url: str) -> str | None:
+        """Range-read one archived body from the PRIOR generation's WARC
+        (CDX lookup; the index dict loads lazily once per worker — at
+        multi-node scale the index is itself hash-partitioned and this
+        becomes a keyed shard lookup). Returns None when the record is
+        missing (caller falls back to an unconditional refetch)."""
+        if self.prior_archive_root is None:
+            return None
+        if self._prior_index is None:
+            from ..state.lancelike import TableStore as _TS
+
+            idx = _TS(f"{self.prior_archive_root}/index").read_table(
+                columns=["url", "status", "shard", "offset", "length"]
+            )
+            if "url" not in idx.column_names:  # empty/absent index store
+                self._prior_index = {}
+                return None
+            self._prior_index = {
+                canon.canonicalize_url_one(u): (s, o, ln)
+                for u, st, s, o, ln in zip(
+                    idx["url"].to_pylist(), idx["status"].to_pylist(),
+                    idx["shard"].to_pylist(), idx["offset"].to_pylist(),
+                    idx["length"].to_pylist(),
+                )
+                if st == 200
+            }
+        loc = self._prior_index.get(canon_url)
+        if loc is None:
+            return None
+        import gzip
+
+        from ..state.warcstore import parse_record
+
+        shard, off, ln = loc
+        with open(f"{self.prior_archive_root}/{shard}", "rb") as f:
+            f.seek(off)
+            raw = f.read(ln)
+        return parse_record(gzip.decompress(raw))["body"].decode("utf-8")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows: list[dict] = []
@@ -287,15 +346,33 @@ class FetchParse:
                 if wait > 0:
                     time.sleep(wait)
                 b.try_take(time.monotonic())
-            r, attempts, hops, hop_records = self._fetch_following(url)
-            status = 200 if r.status == 200 else (
+            et = self.prior_etags.get(cu) if self.prior_etags else None
+            r, attempts, hops, hop_records = self._fetch_following(
+                url, if_none_match=et
+            )
+            if r.status == 304:
+                # unchanged (ETag matched): zero body bytes moved; the
+                # content is range-read from the PRIOR generation's
+                # archive so discovery/extraction still runs. Keyed by
+                # the url that answered 304 (== requested url unless the
+                # chain redirected — the archive stores final urls).
+                # Missing archived copy (defensive) → unconditional
+                # refetch.
+                body = self._archived_body(canon.canonicalize_url_one(r.url))
+                if body is None:
+                    r, attempts, hops, hop_records = self._fetch_following(url)
+                else:
+                    r.body = body
+            status = 200 if r.status in (200, 304) else (
                 STATUS_TIMEOUT if r.status == 598 else (
                     STATUS_TOO_MANY_REDIRECTS if r.status == 599 else STATUS_EXHAUSTED
                 )
             )
             rows.append(
-                {**base, "kind": "log", "status": status, "attempts": attempts,
-                 "redirects": hops, "error": r.error or "", "nbytes": r.nbytes}
+                {**base, "kind": "log",
+                 "status": 304 if r.status == 304 else status,
+                 "attempts": attempts, "redirects": hops, "etag": r.etag,
+                 "error": r.error or "", "nbytes": r.nbytes}
             )
             if self.archiver is not None:
                 # archive every 301 hop as its own redirect record
@@ -309,7 +386,7 @@ class FetchParse:
                          "domain": base["domain"], "created": base["created"],
                          "depth": depth}
                     )
-            if r.status != 200:
+            if r.status not in (200, 304):
                 continue
             if hops:
                 # the chain's FINAL url is content we now hold: mark it
@@ -322,7 +399,10 @@ class FetchParse:
                              "canon_url": final_cu,
                              "host": canon.host_of_one(r.url),
                              "digest_hi": dh, "digest_lo": dl})
-            if self.archiver is not None:
+            if self.archiver is not None and r.status == 200:
+                # 304s are not re-archived: the prior generation already
+                # holds the identical bytes (conditional recrawl trades
+                # per-generation archive completeness for bandwidth)
                 arch.append(
                     {"url": r.url, "status": 200, "body": r.body.encode(),
                      "schema_name": base["schema_name"],
@@ -425,6 +505,7 @@ class FetchParse:
                         "redirects": pa.array(
                             [r.get("redirects", 0) for r in logs], pa.int32()
                         ),
+                        "etag": pa.array([r.get("etag") for r in logs], pa.string()),
                         "error": pa.array([r["error"] for r in logs], pa.string()),
                         "nbytes": pa.array([r["nbytes"] for r in logs], pa.int64()),
                         "round": pa.array([rnd] * len(logs), pa.int32()),
@@ -441,7 +522,7 @@ class FetchParse:
                     s = stats.setdefault(r["host"], [0, 0, 0, 0, 0])
                     s[0] += 1
                     st = r["status"]
-                    if st == 200:
+                    if st in (200, 304):
                         s[1] += 1
                     elif st == STATUS_EXHAUSTED:
                         s[2] += 1
@@ -478,10 +559,14 @@ def make_fetch_parse_fn(
     logs_root: str | None = None,
     archive_root: str | None = None,
     archive_images: bool = False,
+    prior_etags_ref=None,
+    prior_archive_root: str | None = None,
 ):
     key = (
         repr(web_config), obey_robots, max_depth, entries_root, images_root,
         fetch_images, logs_root, archive_root, archive_images,
+        prior_etags_ref.hex() if hasattr(prior_etags_ref, "hex") else id(prior_etags_ref),
+        prior_archive_root,
     )
 
     def fetch_parse(batch: pa.Table) -> pa.Table:
@@ -497,6 +582,8 @@ def make_fetch_parse_fn(
                 logs_root=logs_root,
                 archive_root=archive_root,
                 archive_images=archive_images,
+                prior_etags_ref=prior_etags_ref,
+                prior_archive_root=prior_archive_root,
             )
         return inst(batch)
 

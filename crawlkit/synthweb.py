@@ -89,6 +89,7 @@ class FetchResult:
     error: str | None = None
     nbytes: int = 0
     location: str | None = None  # 3xx target (absolute URL)
+    etag: str | None = None  # content ETag (200 and 304 responses)
 
 
 class SynthWeb:
@@ -312,11 +313,30 @@ class SynthWeb:
                 return f"{base}/offer-new/{oid}.html"
         return None
 
-    def fetch(self, url: str, attempt: int = 1) -> FetchResult:
+    @staticmethod
+    def _etag_of(body: str) -> str:
+        import hashlib
+
+        return hashlib.blake2b(body.encode("utf-8"), digest_size=8).hexdigest()
+
+    def etag(self, url: str) -> str | None:
+        """Current content ETag for ``url`` (None for 3xx/404 paths).
+        Pure content hash, as real servers derive it — identical content
+        across web generations keeps its ETag."""
+        if self.redirect_target(url) is not None:
+            return None
+        body = self._route(url)
+        return None if body is None else self._etag_of(body)
+
+    def fetch(
+        self, url: str, attempt: int = 1, if_none_match: str | None = None
+    ) -> FetchResult:
         """GET a synthetic URL. ``attempt`` is 1-based; transient 503s for
         fail-bucket URLs on attempts ≤ fail_attempts(url). Moved pages
         (redirect_target) answer 301 with a Location — the transient-fail
-        bucket applies to the REQUESTED url first, as on a real server."""
+        bucket applies to the REQUESTED url first, as on a real server.
+        ``if_none_match``: conditional GET — when it equals the current
+        content ETag the server answers 304 Not Modified with no body."""
         if attempt <= self.fail_attempts(url):
             return FetchResult(url, 503, None, error="synthetic transient failure")
         loc = self.redirect_target(url)
@@ -325,7 +345,10 @@ class SynthWeb:
         body = self._route(url)
         if body is None:
             return FetchResult(url, 404, None, error="not found")
-        return FetchResult(url, 200, body, nbytes=len(body))
+        et = self._etag_of(body)
+        if if_none_match is not None and if_none_match == et:
+            return FetchResult(url, 304, None, nbytes=0, etag=et)
+        return FetchResult(url, 200, body, nbytes=len(body), etag=et)
 
     def _route(self, url: str) -> str | None:
         from urllib.parse import urlsplit, parse_qs

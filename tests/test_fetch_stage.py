@@ -57,7 +57,7 @@ def test_listing_fetch_emits_entries_and_offers():
 
 def test_retry_exhaustion_marks_failed_row():
     class AlwaysFail(SynthWeb):
-        def fetch(self, url, attempt=1):
+        def fetch(self, url, attempt=1, if_none_match=None):
             from crawlkit.synthweb import FetchResult
 
             return FetchResult(url, 503, None, error="down")
@@ -73,7 +73,7 @@ def test_retry_exhaustion_marks_failed_row():
 
 def test_fetch_timeout_plumbing():
     class SlowFail(SynthWeb):
-        def fetch(self, url, attempt=1):
+        def fetch(self, url, attempt=1, if_none_match=None):
             import time
 
             from crawlkit.synthweb import FetchResult
