@@ -645,23 +645,33 @@ def recrawl_conditional(
     becomes an ``etag`` column carried by the frontier rows (a keyed
     join at admission), same semantics.
     """
-    from ..state.lancelike import TableStore as _TS
-
     dirs = RunCheckpoint(prior_dir).seen_dirs()
     if not dirs:
         raise ValueError(f"no completed rounds under {prior_dir}")
+    etags = build_etag_map(prior_dir, prior_archive_root)
+    return run_crawl(
+        web, spec=spec, out_dir=out_dir, prior_seen_dirs=dirs,
+        prior_etags=etags, prior_archive_root=prior_archive_root, **kwargs
+    )
+
+
+def build_etag_map(prior_dir: str, prior_archive_root: str) -> dict:
+    """ETags of the prior generation's 200 responses, restricted to urls
+    whose bodies are in the prior archive (a 304 needs an archived copy
+    to re-parse; urls outside the map fetch unconditionally)."""
+    from .. import canon as _canon
+    from ..state.lancelike import TableStore as _TS
+
     log_t = _TS(f"{prior_dir}/fetch_log").read_table(
         columns=["canon_url", "status", "etag"]
     )
-    from .. import canon as _canon
-
     idx = _TS(f"{prior_archive_root}/index").read_table(columns=["url", "status"])
     archived = {
         _canon.canonicalize_url_one(u)
         for u, st in zip(idx["url"].to_pylist(), idx["status"].to_pylist())
         if st == 200
     }
-    etags = {
+    return {
         cu: et
         for cu, st, et in zip(
             log_t["canon_url"].to_pylist(),
@@ -670,10 +680,6 @@ def recrawl_conditional(
         )
         if st == 200 and et and cu in archived
     }
-    return run_crawl(
-        web, spec=spec, out_dir=out_dir, prior_seen_dirs=dirs,
-        prior_etags=etags, prior_archive_root=prior_archive_root, **kwargs
-    )
 
 
 def fetch_report(fetch_log_store) -> "pd.DataFrame":

@@ -224,6 +224,9 @@ def run_crawl_dataset(
     track_order: bool = False,
     archive_root: str | None = None,
     archive_images: bool = False,
+    prior_seen_dirs: "list[str] | None" = None,
+    prior_etags: "dict[str, str] | None" = None,
+    prior_archive_root: str | None = None,
 ) -> CrawlResult:
     """Frontier-as-Dataset crawl to exhaustion (or spec.max_rounds).
 
@@ -291,6 +294,19 @@ def run_crawl_dataset(
 
     shard_handles = seen.shards  # actor handles — serializable into tasks
     num_shards = seen.num_shards
+    if prior_seen_dirs:
+        # recrawl cadence: each shard loads the PRIOR run's snapshot
+        # deltas read-only, claim-filtered by current routing (prior
+        # shard count irrelevant); resolve_admit withholds depth≥2
+        # winners the prior run fetched (= driver-mode recrawl)
+        import glob as _glob
+
+        files = [
+            p for d in prior_seen_dirs for p in sorted(_glob.glob(f"{d}/shard-*.parquet"))
+        ]
+        ray.get(
+            [s.load_prior.remote(files, num_shards) for s in shard_handles]
+        )
     collector = _CtrlCollector.remote()
     fetch_fn = make_fetch_parse_fn(
         web_cfg,
@@ -302,6 +318,8 @@ def run_crawl_dataset(
         logs_root=f"{out_dir}/fetch_log",
         archive_root=archive_root,
         archive_images=archive_images,
+        prior_etags_ref=ray.put(prior_etags) if prior_etags else None,
+        prior_archive_root=prior_archive_root,
     )
 
     def route(t: pa.Table) -> pa.Table:
@@ -529,26 +547,30 @@ def run_crawl_dataset(
         )
         # fresh frontier: resolve the round's proposal exchange — each
         # shard admits its never-seen proposed digests (exact, atomic)
-        # and returns the winning packed rows as an owned Arrow table.
-        # Only REFS flow through the driver (from_arrow_refs); the rows
-        # go straight from shard actors into the next pipeline's tasks.
+        # and returns the winning packed rows as an owned Arrow table
+        # (``frontier`` False for depth≥2 rows a prior run fetched —
+        # recrawl withholding happens shard-side). Only REFS flow
+        # through the driver (from_arrow_refs); the rows go straight
+        # from shard actors into the next pipeline's tasks.
+        resolve_refs = [s.resolve_admit.remote() for s in shard_handles]
+        if track_order:
+            # parity-test mode: seen = ALL mask-admitted winners,
+            # including recrawl-withheld ones (matches driver mode /
+            # refsim, where admit_pending adds to seen before the
+            # prior-run filter)
+            for t in ray.get(resolve_refs):
+                if t.num_rows:
+                    res.seen.update(
+                        _unpack_keys(t, rnd + 1)["canon_url"].to_pylist()
+                    )
         fresh = (
-            rd.from_arrow_refs(
-                [s.resolve_admit.remote() for s in shard_handles]
-            )
+            rd.from_arrow_refs(resolve_refs)
             .map_batches(
-                lambda t, rnd=rnd: _unpack_keys(t, rnd + 1), batch_format="pyarrow"
+                lambda t, rnd=rnd: _unpack_keys(t.filter(t["frontier"]), rnd + 1),
+                batch_format="pyarrow",
             )
             .map_batches(_norm_frontier, batch_format="pyarrow")
         )
-        if track_order:
-            fresh = fresh.materialize()
-            for ref in fresh.to_arrow_refs():
-                t = ray.get(ref)
-                # Ray aggregates emit 0-COLUMN blocks for empty hash
-                # partitions and map_batches skips empty blocks
-                if t.num_rows and "canon_url" in t.column_names:
-                    res.seen.update(t["canon_url"].to_pylist())
         # next frontier stays a DATASET: union, materialize (object-store
         # blocks, spillable), checkpoint via task-side parquet writes —
         # the driver never holds a frontier-sized table
@@ -601,3 +623,33 @@ def run_crawl_dataset(
     else:
         res.seen = set()  # order/seen lists not tracked in bench mode
     return res
+
+
+def recrawl_dataset(
+    web: SynthWeb | WebConfig | str,
+    prior_dir: str,
+    out_dir: str,
+    spec: CrawlSpec = CrawlSpec(),
+    prior_archive_root: str | None = None,
+    **kwargs,
+) -> CrawlResult:
+    """Cadence re-run in the DISTRIBUTED-FRONTIER mode (the only mode
+    that exists at 10^10 URLs): listings re-crawled, offers the prior
+    run fetched withheld shard-side (SeenShard.load_prior — the prior
+    snapshots are claim-filtered by current routing, so shard counts may
+    differ across runs). With ``prior_archive_root`` the re-run is also
+    CONDITIONAL: If-None-Match from the prior fetch log, 304 bodies
+    range-read from the prior WARC (same contract as
+    crawl.recrawl_conditional / refsim.simulate(prior_seen, prior_etags))."""
+    from .crawl import build_etag_map
+
+    dirs = RunCheckpoint(prior_dir).seen_dirs()
+    if not dirs:
+        raise ValueError(f"no completed rounds under {prior_dir}")
+    etags = (
+        build_etag_map(prior_dir, prior_archive_root) if prior_archive_root else None
+    )
+    return run_crawl_dataset(
+        web, spec=spec, out_dir=out_dir, prior_seen_dirs=dirs,
+        prior_etags=etags, prior_archive_root=prior_archive_root, **kwargs
+    )

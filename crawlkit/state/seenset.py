@@ -308,6 +308,7 @@ class SeenShard:
         self.shard_id = shard_id
         self.state = SeenShardState(capacity)
         self._prop: dict[bytes, str] = {}  # round-scoped digest → min skey
+        self._prior: SeenShardState | None = None  # recrawl cadence (read-only)
 
     def check_and_add(self, digests: np.ndarray) -> np.ndarray:
         return self.state.check_and_add(digests)
@@ -349,19 +350,54 @@ class SeenShard:
                 d[k] = s
         return True
 
+    def load_prior(self, snapshot_files: list[str], num_shards: int) -> int:
+        """Recrawl cadence: load a PREVIOUS run's seen snapshots into a
+        separate READ-ONLY store. Claim-filtered by the CURRENT routing
+        (shard_id, num_shards), so the prior run's shard count is
+        irrelevant. resolve_admit then withholds depth≥2 winners the
+        prior run already fetched from the returned frontier rows —
+        exactly driver mode's ``admit = mask & ~(depth2 & prior)``."""
+        if self._prior is None:
+            self._prior = SeenShardState()
+        n = 0
+        for p in snapshot_files:
+            n += self._prior.restore(
+                p, shard_id=self.shard_id, num_shards=num_shards
+            )
+        return n
+
     def resolve_admit(self) -> "pa.Table":
         """End-of-round: admit never-seen proposed digests into the seen
         set and return their winning skeys (owned Arrow table → object
         store; the driver passes the REF into from_arrow_refs, the rows
-        never land on the driver). Clears the proposal map."""
+        never land on the driver). Clears the proposal map.
+
+        Output columns: ``skey`` (mask-admitted winners — ALL of them,
+        for seen-set reconstruction) and ``frontier`` (False for depth≥2
+        rows a prior run already fetched — recrawl semantics; the
+        downstream frontier build filters on it)."""
         if not self._prop:
-            return pa.table({"skey": pa.array([], pa.string())})
+            return pa.table(
+                {"skey": pa.array([], pa.string()),
+                 "frontier": pa.array([], pa.bool_())}
+            )
         keys = list(self._prop.keys())
         skeys = list(self._prop.values())
         d = np.frombuffer(b"".join(keys), dtype=np.uint64).reshape(-1, 2)
         mask = self.state.check_and_add(d)
+        win_keys = [k for k, m in zip(keys, mask) if m]
+        win_skeys = [s for s, m in zip(skeys, mask) if m]
+        if self._prior is not None and win_keys:
+            wd = np.frombuffer(b"".join(win_keys), dtype=np.uint64).reshape(-1, 2)
+            in_prior = self._prior.contains(wd)
+            # skey packs depth first (2 zero-padded chars) — no unpack
+            depth2 = np.array([s[:2] >= "02" for s in win_skeys], dtype=bool)
+            front = ~(depth2 & in_prior)
+        else:
+            front = np.ones(len(win_skeys), dtype=bool)
         out = pa.table(
-            {"skey": pa.array([s for s, m in zip(skeys, mask) if m], pa.string())}
+            {"skey": pa.array(win_skeys, pa.string()),
+             "frontier": pa.array(front)}
         )
         self._prop = {}
         return out

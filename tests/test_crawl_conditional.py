@@ -158,3 +158,44 @@ def test_missing_archive_record_falls_back_to_refetch(tmp_path):
     log = out.filter(pc.equal(out["kind"], "log"))
     assert log["status"].to_pylist() == [200]
     assert log["nbytes"].to_pylist()[0] > 0
+
+
+def test_dist_mode_recrawl_parity(run1, tmp_path):
+    """Distributed-frontier cadence re-run (recrawl_dataset): prior-run
+    offers withheld SHARD-side (load_prior, different shard count on
+    purpose), listings re-crawled — order/seen ≡ refsim(prior_seen)."""
+    from crawlkit.pipelines.crawl_dist import recrawl_dataset
+
+    d1, arch, sim1 = run1
+    res = recrawl_dataset(
+        SynthWeb(CFG2), prior_dir=d1, out_dir=str(tmp_path / "dist_re"),
+        spec=SPEC, num_seen_shards=3, nblocks=4, track_order=True,
+    )
+    sim2 = refsim.simulate(SynthWeb(CFG2), SPEC, prior_seen=sim1.seen)
+    assert res.order == sim2.order
+    assert res.seen == sim2.seen
+    offers1 = {u for u in sim1.order if "/offer/" in u}
+    offers2 = {u for u in res.order if "/offer/" in u}
+    assert offers2 and offers1.isdisjoint(offers2)
+
+
+def test_dist_mode_conditional_recrawl_parity(run1, tmp_path):
+    """Dist-mode conditional re-run: If-None-Match + archive-backed 304
+    reuse inside the fused round tasks — full parity with
+    refsim(prior_seen, prior_etags) including hop/etag log columns."""
+    from crawlkit.pipelines.crawl_dist import recrawl_dataset
+
+    d1, arch, sim1 = run1
+    res = recrawl_dataset(
+        SynthWeb(CFG2), prior_dir=d1, out_dir=str(tmp_path / "dist_cond"),
+        spec=SPEC, prior_archive_root=arch, num_seen_shards=3, nblocks=4,
+        track_order=True,
+    )
+    sim2 = refsim.simulate(
+        SynthWeb(CFG2), SPEC, prior_seen=sim1.seen, prior_etags=_etag_map(sim1)
+    )
+    assert res.order == sim2.order
+    assert res.seen == sim2.seen
+    log = _log_vs_ref(res, sim2)
+    assert (log.status == 304).any() and (log.status == 200).any()
+    assert log[log.status == 304].nbytes.sum() == 0
