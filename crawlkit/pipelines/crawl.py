@@ -129,11 +129,38 @@ def _sort(df: pl.DataFrame) -> pl.DataFrame:
     return df.sort(SORT_KEYS + ["url"])
 
 
-def _split_budget(df: pl.DataFrame, budget: int) -> tuple[pl.DataFrame, pl.DataFrame]:
-    """Per-host top-k in sort order (the politeness budget, P2 analog)."""
+def _split_budget(
+    df: pl.DataFrame, budget: int, host_used: "dict[str, int] | None" = None,
+    cap: "int | None" = None,
+) -> tuple[pl.DataFrame, pl.DataFrame]:
+    """Per-host top-k in sort order (the politeness budget, P2 analog).
+
+    ``cap`` (with the all-run ``host_used`` counters): the trap guard —
+    per host, ranks ≤ min(budget, cap - used) issue, ranks ≤ cap - used
+    defer, the rest are DROPPED (a calendar/session-id URL trap would
+    otherwise grow the frontier forever). Shared refsim contract."""
     df = _sort(df).with_columns(pl.col("host").cum_count().over("host").alias("_rk"))
-    issued = df.filter(pl.col("_rk") <= budget).drop("_rk")
-    deferred = df.filter(pl.col("_rk") > budget).drop("_rk")
+    if cap is None:
+        issued = df.filter(pl.col("_rk") <= budget).drop("_rk")
+        deferred = df.filter(pl.col("_rk") > budget).drop("_rk")
+        return issued, deferred
+    used = host_used or {}
+    if used:
+        # order-preserving map (a join could reorder the contract sort)
+        df = df.with_columns(
+            pl.col("host")
+            .replace_strict(used, default=0, return_dtype=pl.Int64)
+            .alias("_used")
+        )
+    else:
+        df = df.with_columns(pl.lit(0, dtype=pl.Int64).alias("_used"))
+    rem = pl.lit(cap) - pl.col("_used")
+    issued = df.filter(
+        (pl.col("_rk") <= budget) & (pl.col("_rk") <= rem)
+    ).drop(["_rk", "_used"])
+    deferred = df.filter(
+        (pl.col("_rk") > budget) & (pl.col("_rk") <= rem)
+    ).drop(["_rk", "_used"])
     return issued, deferred
 
 
@@ -261,6 +288,7 @@ def run_crawl(
     res.catalog.register_run(regs, spec.run_ts)
 
     start_round = 0
+    host_issued_total: dict[str, int] = {}  # all-run issue slots (trap cap)
     if resume and (last := ckpt.latest_complete_round()) is not None:
         seen.restore([ckpt.seen_dir(r) for r in range(last + 1)])
         frontier = pl.from_arrow(ckpt.load_frontier(last))
@@ -269,6 +297,11 @@ def run_crawl(
             for m in ckpt.all_metrics():
                 res.order.extend(m.get("order", []))
                 res.seen.update(m.get("admitted", []))
+        if spec.max_pages_per_host is not None:
+            for m in ckpt.all_metrics():
+                for row in m.get("per_host", []):
+                    h = row["host"]
+                    host_issued_total[h] = host_issued_total.get(h, 0) + row["issued"]
     seed_admitted: list[str] = []
     if start_round == 0:
         frontier = _seed_frontier(web)
@@ -309,7 +342,15 @@ def run_crawl(
         if frontier.height == 0:
             break
         _t = _time.perf_counter()
-        issued, deferred = _split_budget(frontier, spec.host_budget_per_round)
+        issued, deferred = _split_budget(
+            frontier, spec.host_budget_per_round,
+            host_used=host_issued_total, cap=spec.max_pages_per_host,
+        )
+        if spec.max_pages_per_host is not None and issued.height:
+            for h, c in (
+                issued.group_by("host").len().iter_rows()
+            ):
+                host_issued_total[h] = host_issued_total.get(h, 0) + c
         _t = _tick("sort_budget", _t)
 
         # combine_chunks: the frontier is built by polars concat/filter

@@ -336,6 +336,18 @@ def run_crawl_dataset(
         return t.select(FRONTIER_SCHEMA.names).cast(FRONTIER_SCHEMA)
 
     order_frames: list[pd.DataFrame] = []  # (track_order only)
+    # trap guard (max_pages_per_host): all-run issue slots per host —
+    # O(hosts) driver state (the stated budget of this mode), shipped to
+    # the round tasks once per round via the object store
+    host_issued_total: dict[str, int] = {}
+    if (
+        spec.max_pages_per_host is not None
+        and start_round > 0
+    ):
+        for r_ in range(start_round):
+            for row in ckpt.load_metrics(r_).get("per_host", []):
+                h_ = row["host"]
+                host_issued_total[h_] = host_issued_total.get(h_, 0) + row["issued"]
 
     import time as _time
 
@@ -347,8 +359,13 @@ def run_crawl_dataset(
         return t1
 
     for rnd in range(start_round, spec.max_rounds):
+        used_ref = (
+            ray.put(host_issued_total)
+            if spec.max_pages_per_host is not None
+            else None
+        )
 
-        def round_fn(g: pa.Table, rnd=rnd) -> pa.Table:
+        def round_fn(g: pa.Table, rnd=rnd, used_ref=used_ref) -> pa.Table:
             """FUSED round stage for one host-block: contract sort →
             per-host top-``budget`` issued/deferred split → fused fetch
             in ``fetch_batch_size`` chunks (bounds fragment size +
@@ -362,7 +379,20 @@ def run_crawl_dataset(
             df = df.sort_values(_CONTRACT, kind="mergesort").reset_index(drop=True)
             rk = df.groupby("host", sort=False).cumcount().to_numpy()
             outs: list[pa.Table] = []
-            issued_df = df[rk < budget]
+            if used_ref is not None:
+                # trap cap: rk < min(budget, cap - used) issues,
+                # rk < cap - used defers, the rest DROP (refsim contract)
+                used_d = ray.get(used_ref)
+                cap_ = spec.max_pages_per_host
+                rem = (
+                    cap_ - df["host"].map(used_d).fillna(0).to_numpy()
+                ).astype(np.int64)
+                issue_mask = rk < np.minimum(budget, rem)
+                defer_mask = (~issue_mask) & (rk < rem)
+            else:
+                issue_mask = rk < budget
+                defer_mask = ~issue_mask
+            issued_df = df[issue_mask]
             if len(issued_df):
                 it = (
                     pa.Table.from_pandas(issued_df, preserve_index=False)
@@ -384,7 +414,7 @@ def run_crawl_dataset(
                 )
                 for lo in range(0, it.num_rows, fetch_batch_size):
                     outs.append(_to_ctrl(fetch_fn(it.slice(lo, fetch_batch_size))))
-            defer_df = df[rk >= budget]
+            defer_df = df[defer_mask]
             if len(defer_df):
                 dt = (
                     pa.Table.from_pandas(defer_df, preserve_index=False)
@@ -539,6 +569,10 @@ def run_crawl_dataset(
             .to_dict("records")
         )
         blocked_total = int(hs["n_blocked"].sum()) if len(hs) else 0
+        if spec.max_pages_per_host is not None:
+            for row in by_host:
+                h_ = row["host"]
+                host_issued_total[h_] = host_issued_total.get(h_, 0) + row["issued"]
         _t = _phase("commit", _t)
 
         deferred = control.map_batches(

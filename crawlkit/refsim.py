@@ -53,6 +53,10 @@ class CrawlSpec:
     """Politeness/budget config shared by the oracle and the engine."""
 
     host_budget_per_round: int = 4  # max fetches per host per round
+    # trap guard (Heritrix max-pages-per-host analog): total issue slots
+    # per host across the WHOLE run; candidates beyond it are DROPPED at
+    # issue time (in contract sort order). None = unbounded.
+    max_pages_per_host: "int | None" = None
     max_rounds: int = 64
     max_depth: int = 2  # 0 seeds, 1 listing pages, 2 offers
     obey_robots: bool = True
@@ -157,18 +161,28 @@ def simulate(
         discover(s["url"], 0, 0, s["seed_id"])
     admit_pending(0)
 
+    host_total: dict[str, int] = {}  # all-run issue slots per host (cap)
     for rnd in range(spec.max_rounds):
         if not frontier:
             break
         frontier.sort(key=lambda f: (f["depth"], f["seed_id"], f["priority"], f["host"], f["canon_url"]))
-        issued, deferred, host_used = [], [], {}
-        for f in frontier:
-            used = host_used.get(f["host"], 0)
-            if used >= spec.host_budget_per_round:
+        issued, deferred, rank = [], [], {}
+        total_at_round_start = dict(host_total)  # rem is vs the ROUND-START
+        for f in frontier:  # totals (engine ships one used-dict per round)
+            h = f["host"]
+            r = rank.get(h, 0) + 1
+            rank[h] = r
+            rem = (
+                spec.max_pages_per_host - total_at_round_start.get(h, 0)
+                if spec.max_pages_per_host is not None
+                else None
+            )
+            if r <= spec.host_budget_per_round and (rem is None or r <= rem):
+                issued.append(f)
+                host_total[h] = host_total.get(h, 0) + 1
+            elif rem is None or r <= rem:
                 deferred.append(f)
-                continue
-            host_used[f["host"]] = used + 1
-            issued.append(f)
+            # else: over the all-run cap → dropped (trap guard)
         frontier = deferred
 
         for f in issued:
