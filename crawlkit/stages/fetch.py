@@ -399,17 +399,29 @@ class FetchParse:
                              "canon_url": final_cu,
                              "host": canon.host_of_one(r.url),
                              "digest_hi": dh, "digest_lo": dl})
-            if self.archiver is not None and r.status == 200:
-                # 304s are not re-archived: the prior generation already
-                # holds the identical bytes (conditional recrawl trades
-                # per-generation archive completeness for bandwidth)
-                arch.append(
-                    {"url": r.url, "status": 200, "body": r.body.encode(),
-                     "schema_name": base["schema_name"],
-                     "schema_version": base["schema_version"],
-                     "domain": base["domain"], "created": base["created"],
-                     "depth": depth}
-                )
+            if self.archiver is not None:
+                if r.status == 200:
+                    arch.append(
+                        {"url": r.url, "status": 200, "body": r.body.encode(),
+                         "schema_name": base["schema_name"],
+                         "schema_version": base["schema_version"],
+                         "domain": base["domain"], "created": base["created"],
+                         "depth": depth}
+                    )
+                else:  # 304 → WARC revisit record (server-not-modified):
+                    # empty-bodied but indexed under the UNCHANGED
+                    # content's digest, so this generation's CDX stays
+                    # complete for archive_delta / change_rate
+                    import hashlib as _hl
+
+                    arch.append(
+                        {"url": r.url, "status": 304, "body": b"",
+                         "revisit_digest": _hl.sha1(r.body.encode()).hexdigest(),
+                         "schema_name": base["schema_name"],
+                         "schema_version": base["schema_version"],
+                         "domain": base["domain"], "created": base["created"],
+                         "depth": depth}
+                    )
             if depth == 0:
                 anchors = parsers.parse_pagination(r.body)
                 last = max(anchors, default=0)  # G2 running max

@@ -56,6 +56,7 @@ _WARC_DATE = "2026-01-01T00:00:00Z"  # fixed: shards are content-addressed
 _REASON = {
     200: "OK",
     301: "Moved Permanently",
+    304: "Not Modified",
     404: "Not Found",
     503: "Service Unavailable",
 }
@@ -84,6 +85,7 @@ RECORD_SCHEMA = pa.schema(
         ("status", pa.int32()),
         ("content_type", pa.string()),
         ("location", pa.string()),
+        ("refers_to_digest", pa.string()),
         ("body", pa.binary()),
         ("nbytes", pa.int64()),
         ("payload_digest", pa.string()),
@@ -103,6 +105,7 @@ def build_record(
     meta: dict | None = None,
     content_type: str = "text/html",
     location: str | None = None,
+    revisit_of: str | None = None,
 ) -> bytes:
     """One WARC/1.0 response record as an independent gzip member.
 
@@ -111,6 +114,11 @@ def build_record(
     any external lookup. ``content_type`` is the payload's real HTTP
     Content-Type (``image/png`` for archived image bytes) — downstream
     text stages (WET, link graph) filter on it, Common-Crawl style.
+    ``revisit_of``: the sha1 of the UNCHANGED content a 304 refers to —
+    the record becomes a WARC *revisit* record (server-not-modified
+    profile), empty-bodied but carrying the content digest, so a
+    conditionally-recrawled generation's index stays complete for
+    archive_delta / change_rate.
     """
     digest = hashlib.sha1(body).hexdigest()
     reason = _REASON.get(status, "")
@@ -123,7 +131,7 @@ def build_record(
     ).encode() + body
     lines = [
         "WARC/1.0",
-        "WARC-Type: response",
+        "WARC-Type: revisit" if revisit_of else "WARC-Type: response",
         f"WARC-Target-URI: {url}",
         f"WARC-Date: {_WARC_DATE}",
         f"WARC-Record-ID: <urn:sha1:{digest}>",
@@ -131,6 +139,11 @@ def build_record(
         "Content-Type: application/http; msgtype=response",
         f"Content-Length: {len(http)}",
     ]
+    if revisit_of:
+        lines.insert(
+            2, "WARC-Profile: http://netpreserve.org/warc/1.0/revisit/server-not-modified"
+        )
+        lines.insert(3, f"WARC-Refers-To-Payload-Digest: sha1:{revisit_of}")
     for k, v in (meta or {}).items():
         lines.append(f"WARC-X-{k}: {v}")
     raw = ("\r\n".join(lines) + "\r\n\r\n").encode() + http + b"\r\n\r\n"
@@ -164,6 +177,9 @@ def parse_record(raw: bytes) -> dict:
         "status": status,
         "content_type": content_type,
         "location": location,
+        "refers_to_digest": warc.get("WARC-Refers-To-Payload-Digest", "")[
+            len("sha1:"):
+        ],
         "body": body,
         "nbytes": len(body),
         "payload_digest": digest,
@@ -216,6 +232,7 @@ class WarcWriter:
             member = build_record(
                 r["url"], r["status"], body, meta, content_type=ctype,
                 location=r.get("location"),
+                revisit_of=r.get("revisit_digest"),
             )
             members.append(member)
             index_rows.append(
@@ -227,7 +244,11 @@ class WarcWriter:
                     "status": r["status"],
                     "content_type": ctype,
                     "nbytes": len(body),
-                    "payload_digest": hashlib.sha1(body).hexdigest(),
+                    # a revisit row indexes the digest of the UNCHANGED
+                    # content it refers to — cross-generation delta /
+                    # change-rate see continuity, not a removal
+                    "payload_digest": r.get("revisit_digest")
+                    or hashlib.sha1(body).hexdigest(),
                     **meta,
                 }
             )

@@ -199,3 +199,40 @@ def test_dist_mode_conditional_recrawl_parity(run1, tmp_path):
     log = _log_vs_ref(res, sim2)
     assert (log.status == 304).any() and (log.status == 200).any()
     assert log[log.status == 304].nbytes.sum() == 0
+
+
+def test_304_revisit_records_keep_archive_delta_continuity(run1, tmp_path):
+    """A conditionally-recrawled generation archives 304s as WARC
+    REVISIT records (server-not-modified profile): empty-bodied, but
+    indexed under the UNCHANGED content's digest — archive_delta then
+    classifies those urls 'unchanged' instead of 'removed', and
+    read_warc exposes the refers-to digest."""
+    import hashlib
+
+    from crawlkit.state.warcstore import archive_delta, read_warc
+
+    d1, arch1, sim1 = run1
+    arch2 = str(tmp_path / "arch2")
+    recrawl_conditional(
+        SynthWeb(CFG1), prior_dir=d1, prior_archive_root=arch1,
+        out_dir=str(tmp_path / "run2"), spec=SPEC,
+        num_seen_shards=2, fetch_concurrency=2, archive_root=arch2,
+    )
+    recs = read_warc(arch2).to_pandas()
+    rev = recs[recs["status"] == 304]
+    assert len(rev) > 0
+    assert (rev["nbytes"] == 0).all()
+    assert (rev["refers_to_digest"].str.len() == 40).all()
+    # the referred digest is the sha1 of the gen-1 content
+    gen1 = read_warc(arch1).to_pandas()
+    gen1_digest = {
+        u: hashlib.sha1(b).hexdigest()
+        for u, b in zip(gen1["url"], gen1["body"])
+    }
+    for u, d in zip(rev["url"], rev["refers_to_digest"]):
+        assert gen1_digest[u] == d
+    # delta: every url present in gen2 (all 304 revisits) is UNCHANGED
+    delta = archive_delta(arch1, arch2).to_pandas()
+    in_gen2 = delta[delta["status_b"].notna()]
+    assert len(in_gen2) == len(rev)
+    assert (in_gen2["change"] == "unchanged").all()
