@@ -181,15 +181,31 @@ def seeds_from_sitemaps(web: SynthWeb | WebConfig | str = "t2") -> list[dict]:
     cfg_key = w.cfg
 
     def fetch_parse(t: pa.Table) -> pa.Table:
+        from ..stages.politeness import parse_robots_sitemaps
+
         sw = SynthWeb(cfg_key)
         urls: list[str] = []
+
+        def _get(u: str):
+            for attempt in range(1, 6):  # T3 retry parity (≤5 attempts)
+                res = sw.fetch(u, attempt=attempt)
+                if res.status == 200:
+                    return res
+            return None
+
         for hidx in t["hidx"].to_pylist():
             host = sw.host(hidx)
-            for attempt in range(1, 6):  # T3 retry parity (≤5 attempts)
-                res = sw.fetch(f"https://{host}/sitemap.xml", attempt=attempt)
-                if res.status == 200:
+            # robots.txt's group-independent Sitemap: directive names the
+            # sitemap location (a third of synth hosts serve a
+            # non-default path there); fall back to /sitemap.xml
+            robots = _get(f"https://{host}/robots.txt")
+            sm_urls = parse_robots_sitemaps(robots.body) if robots else []
+            if not sm_urls:
+                sm_urls = [f"https://{host}/sitemap.xml"]
+            for sm in sm_urls:
+                res = _get(sm)
+                if res is not None:
                     urls.extend(parse_sitemap(res.body))
-                    break
         sids = [int(parse_qs(urlsplit(u).query)["cat"][0]) for u in urls]
         return pa.table(
             {"seed_id": pa.array(sids, pa.int64()), "url": pa.array(urls, pa.string())}

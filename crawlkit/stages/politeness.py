@@ -54,6 +54,19 @@ def parse_robots(text: str) -> list[str]:
     return parse_robots_full(text)[0]
 
 
+def parse_robots_sitemaps(text: str) -> list[str]:
+    """``Sitemap:`` directive URLs in document order (the directive is
+    group-independent per the robots.txt spec — not scoped to a
+    User-agent block)."""
+    out: list[str] = []
+    for line in text.splitlines():
+        line = line.split("#", 1)[0].strip()
+        key, _, val = line.partition(":")
+        if key.strip().lower() == "sitemap" and val.strip():
+            out.append(val.strip())
+    return out
+
+
 def allowed(path: str, disallow_prefixes: list[str]) -> bool:
     return not any(path.startswith(p) for p in disallow_prefixes)
 

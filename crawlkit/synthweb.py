@@ -124,6 +124,15 @@ class SynthWeb:
     def last_page(self, cat: int) -> int:
         return 2 + self._h("last", cat) % self.cfg.max_last_page
 
+    def sitemap_path(self, host: str) -> str:
+        """Where this host serves its sitemap. A third of hosts use a
+        NON-default path declared only via the robots ``Sitemap:``
+        directive — discovery must actually read robots (the default
+        /sitemap.xml answers 404 there)."""
+        if self._h("smpath", host) % 3 == 0:
+            return "/sitemap-index.xml"
+        return "/sitemap.xml"
+
     def robots_txt(self, host: str) -> str:
         lines = ["User-agent: *", "Disallow: /blocked/"]
         if self._h("robots", host) % self.cfg.robots_block_offers_mod == 0:
@@ -133,6 +142,8 @@ class SynthWeb:
         # never affects refsim parity; buckets are off by default)
         if self._h("cdelay", host) % 5 == 0:
             lines.append("Crawl-delay: 2")
+        # group-independent per the spec; seeds_from_sitemaps reads it
+        lines.append(f"Sitemap: https://{host}{self.sitemap_path(host)}")
         return "\n".join(lines) + "\n"
 
     def host_blocks_offers(self, host: str) -> bool:
@@ -363,7 +374,7 @@ class SynthWeb:
             return None
         if parts.path == "/robots.txt":
             return self.robots_txt(host)
-        if parts.path == "/sitemap.xml":
+        if parts.path == self.sitemap_path(host):
             return self.sitemap_xml(host)
         if parts.path == "/list":
             q = parse_qs(parts.query)

@@ -135,3 +135,29 @@ def test_crawl_delay_overrides_bucket_rate():
         assert stage.buckets.bucket(delayed[0], 1.0 / d).rate == 0.5
     assert plain and stage.robots.delay_for(plain[0]) is None
     assert stage.buckets.bucket(plain[0], None).rate == 10.0
+
+
+def test_robots_sitemap_directive_drives_discovery():
+    """robots.txt declares the sitemap location (group-independent
+    Sitemap: directive); a third of synth hosts serve it at a
+    NON-default path where /sitemap.xml answers 404 — discovery must
+    actually read robots to find those hosts' seeds."""
+    from crawlkit.stages.politeness import parse_robots_sitemaps
+    from crawlkit.synthweb import SynthWeb
+
+    w = SynthWeb("t2")
+    nondefault = [
+        w.host(i) for i in range(w.cfg.n_hosts)
+        if w.sitemap_path(w.host(i)) != "/sitemap.xml"
+    ]
+    assert nondefault, "fixture must include non-default sitemap hosts"
+    h = nondefault[0]
+    sm = parse_robots_sitemaps(w.robots_txt(h))
+    assert sm == [f"https://{h}/sitemap-index.xml"]
+    # the default path 404s there; the declared path serves the sitemap
+    assert w.fetch(f"https://{h}/sitemap.xml", attempt=5).status == 404
+    assert w.fetch(sm[0], attempt=5).status == 200
+    # directives are parsed outside User-agent groups; comments stripped
+    assert parse_robots_sitemaps(
+        "User-agent: x\nSitemap: https://a/s.xml # c\n\nsitemap: https://b/t.xml"
+    ) == ["https://a/s.xml", "https://b/t.xml"]
