@@ -468,12 +468,11 @@ def run_crawl(
         _join_commit()  # round r-1's tail must finish before new commits
 
         def _frag_metas(kind: str) -> list[dict]:
-            import json as _json
+            from ..state.lancelike import decode_frag_stats
 
             f = control_t.filter(pc.equal(control_t["kind"], kind))
             return [
-                {"key": k, "rows": r, "path": p}
-                | ({"stats": _json.loads(s)} if s else {})
+                {"key": k, "rows": r, "path": p} | decode_frag_stats(s)
                 for k, r, p, s in zip(
                     f["frag_key"].to_pylist(), f["frag_rows"].to_pylist(),
                     f["frag_path"].to_pylist(), f["frag_stats"].to_pylist(),
@@ -542,6 +541,29 @@ def run_crawl(
         ametas = _frag_metas("afrag") if archive_root else []
         _t = _tick("log_commit", _t)
 
+        # redirect chains FIRST (matching refsim, which marks the final
+        # url seen during the fetch loop, and dist mode, which inserts
+        # in-task before resolve): the FINAL url of every followed chain enters
+        # the seen set (never the frontier) — an independent discovery
+        # of the page's new home is content we already hold. Disjoint
+        # path namespace from page discoveries, so ordering vs the page
+        # admission above cannot matter (shared refsim contract).
+        red = control_t.filter(pc.equal(control_t["kind"], "redirect"))
+        if red.num_rows:
+            rd_ = np.stack(
+                [
+                    red["digest_hi"].to_numpy(zero_copy_only=False),
+                    red["digest_lo"].to_numpy(zero_copy_only=False),
+                ],
+                axis=1,
+            ).astype(np.uint64)
+            rmask = seen.check_and_add_digests(rd_)
+            radmitted = [
+                cu for cu, m in zip(red["canon_url"].to_pylist(), rmask) if m
+            ]
+            admitted_canon.extend(radmitted)
+            if track_order:
+                res.seen.update(radmitted)
         # --- discoveries → dedup-admit in sort order (shared contract).
         # canon_url/host were computed IN the fetch tasks (parallel), the
         # driver only sorts + routes the dedup-admit. ------------------
@@ -582,27 +604,6 @@ def run_crawl(
             frontier = pl.concat([deferred, fresh], how="vertical_relaxed").rechunk()
         else:
             frontier = deferred.rechunk()
-        # redirect chains: the FINAL url of every followed chain enters
-        # the seen set (never the frontier) — an independent discovery
-        # of the page's new home is content we already hold. Disjoint
-        # path namespace from page discoveries, so ordering vs the page
-        # admission above cannot matter (shared refsim contract).
-        red = control_t.filter(pc.equal(control_t["kind"], "redirect"))
-        if red.num_rows:
-            rd_ = np.stack(
-                [
-                    red["digest_hi"].to_numpy(zero_copy_only=False),
-                    red["digest_lo"].to_numpy(zero_copy_only=False),
-                ],
-                axis=1,
-            ).astype(np.uint64)
-            rmask = seen.check_and_add_digests(rd_)
-            radmitted = [
-                cu for cu, m in zip(red["canon_url"].to_pylist(), rmask) if m
-            ]
-            admitted_canon.extend(radmitted)
-            if track_order:
-                res.seen.update(radmitted)
         _t = _tick("dedup_admit", _t)
 
         # --- per-partition lineage + metrics, checkpoint commit --------
@@ -712,31 +713,87 @@ def recrawl_conditional(
     )
 
 
-def build_etag_map(prior_dir: str, prior_archive_root: str) -> dict:
-    """ETags of the prior generation's 200 responses, restricted to urls
-    whose bodies are in the prior archive (a 304 needs an archived copy
-    to re-parse; urls outside the map fetch unconditionally)."""
+def build_etag_map(
+    prior_dir: str, prior_archive_root: "str | list[str]"
+) -> dict:
+    """ETags the prior generation proved current, restricted to urls
+    whose bodies some prior archive generation holds (a 304 needs an
+    archived copy to re-parse; urls outside the map fetch
+    unconditionally).
+
+    * status 304 rows count too — their etag is still valid, so
+      conditional recrawls CHAIN across generations (gen-3 keeps the
+      bandwidth saving even though gen-2 archived only revisit records);
+      pass the full archive chain newest-first for the body lookup.
+    * a url that redirected in the prior run is archived under its
+      FINAL url; reachability follows the archived 301 chain, so
+      moved-but-unchanged pages also ride the 304 path.
+    """
     from .. import canon as _canon
     from ..state.lancelike import TableStore as _TS
 
+    roots = (
+        [prior_archive_root]
+        if isinstance(prior_archive_root, str)
+        else list(prior_archive_root)
+    )
     log_t = _TS(f"{prior_dir}/fetch_log").read_table(
         columns=["canon_url", "status", "etag"]
     )
-    idx = _TS(f"{prior_archive_root}/index").read_table(columns=["url", "status"])
-    archived = {
-        _canon.canonicalize_url_one(u)
-        for u, st in zip(idx["url"].to_pylist(), idx["status"].to_pylist())
-        if st == 200
-    }
-    return {
-        cu: et
-        for cu, st, et in zip(
+    if "canon_url" not in log_t.column_names:
+        return {}
+    archived: set[str] = set()  # canon urls with a 200 body in SOME root
+    redir: dict[str, str] = {}  # archived 301 chain: canon(src) → canon(loc)
+    for root in roots:
+        idx = _TS(f"{root}/index").read_table(columns=["url", "status"])
+        if "url" not in idx.column_names:
+            continue
+        for u, st in zip(idx["url"].to_pylist(), idx["status"].to_pylist()):
+            if st == 200:
+                archived.add(_canon.canonicalize_url_one(u))
+    # 301 locations live in the records, not the index — load them only
+    # when some log row redirected (rare path, small slice via the index
+    # status predicate)
+    def _reachable(cu: str) -> bool:
+        for _ in range(12):
+            if cu in archived:
+                return True
+            nxt = redir.get(cu)
+            if nxt is None:
+                return False
+            cu = nxt
+        return False
+
+    need_redirects = False
+    rows = list(
+        zip(
             log_t["canon_url"].to_pylist(),
             log_t["status"].to_pylist(),
             log_t["etag"].to_pylist(),
         )
-        if st == 200 and et and cu in archived
-    }
+    )
+    candidates = [(cu, et) for cu, st, et in rows if st in (200, 304) and et]
+    if any(cu not in archived for cu, _ in candidates):
+        need_redirects = True
+    if need_redirects:
+        from ..state.warcstore import read_warc
+
+        for root in roots:
+            try:
+                recs = read_warc(
+                    root,
+                    index_filter=lambda ds: ds.filter(expr="status == 301"),
+                )
+                for b in recs.iter_batches(batch_format="pyarrow"):
+                    for u, loc in zip(b["url"].to_pylist(), b["location"].to_pylist()):
+                        if loc:
+                            redir.setdefault(
+                                _canon.canonicalize_url_one(u),
+                                _canon.canonicalize_url_one(loc),
+                            )
+            except Exception:
+                continue  # no 301s archived in this root
+    return {cu: et for cu, et in candidates if _reachable(cu)}
 
 
 def fetch_report(fetch_log_store) -> "pd.DataFrame":

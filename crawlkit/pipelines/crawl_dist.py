@@ -536,12 +536,11 @@ def run_crawl_dataset(
             *((("afrag", res.archive_store),) if res.archive_store is not None else ()),
         ):
             f = small[small["kind"] == kind]
-            import json as _json
+            from ..state.lancelike import decode_frag_stats
 
             store.commit_fragments(
                 [
-                    {"key": k, "rows": r, "path": p}
-                    | ({"stats": _json.loads(s)} if isinstance(s, str) and s else {})
+                    {"key": k, "rows": r, "path": p} | decode_frag_stats(s)
                     for k, r, p, s in zip(
                         f["frag_key"], f["frag_rows"], f["frag_path"], f["frag_stats"]
                     )

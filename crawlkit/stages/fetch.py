@@ -269,31 +269,40 @@ class FetchParse:
             cur = r.location
 
     def _archived_body(self, canon_url: str) -> str | None:
-        """Range-read one archived body from the PRIOR generation's WARC
+        """Range-read one archived body from the PRIOR generations' WARCs
         (CDX lookup; the index dict loads lazily once per worker — at
         multi-node scale the index is itself hash-partitioned and this
-        becomes a keyed shard lookup). Returns None when the record is
-        missing (caller falls back to an unconditional refetch)."""
+        becomes a keyed shard lookup). ``prior_archive_root`` may be a
+        CHAIN of roots, newest first — a generation that archived only a
+        304 revisit record defers to the older generation that holds the
+        bytes. Returns None when no generation has a 200 record (caller
+        falls back to an unconditional refetch)."""
         if self.prior_archive_root is None:
             return None
         if self._prior_index is None:
             from ..state.lancelike import TableStore as _TS
 
-            idx = _TS(f"{self.prior_archive_root}/index").read_table(
-                columns=["url", "status", "shard", "offset", "length"]
+            roots = (
+                [self.prior_archive_root]
+                if isinstance(self.prior_archive_root, str)
+                else list(self.prior_archive_root)
             )
-            if "url" not in idx.column_names:  # empty/absent index store
-                self._prior_index = {}
-                return None
-            self._prior_index = {
-                canon.canonicalize_url_one(u): (s, o, ln)
+            self._prior_index = {}
+            for root in roots:  # newest first: first writer wins
+                idx = _TS(f"{root}/index").read_table(
+                    columns=["url", "status", "shard", "offset", "length"]
+                )
+                if "url" not in idx.column_names:  # empty/absent index
+                    continue
                 for u, st, s, o, ln in zip(
                     idx["url"].to_pylist(), idx["status"].to_pylist(),
                     idx["shard"].to_pylist(), idx["offset"].to_pylist(),
                     idx["length"].to_pylist(),
-                )
-                if st == 200
-            }
+                ):
+                    if st == 200:
+                        self._prior_index.setdefault(
+                            canon.canonicalize_url_one(u), (root, s, o, ln)
+                        )
         loc = self._prior_index.get(canon_url)
         if loc is None:
             return None
@@ -301,8 +310,8 @@ class FetchParse:
 
         from ..state.warcstore import parse_record
 
-        shard, off, ln = loc
-        with open(f"{self.prior_archive_root}/{shard}", "rb") as f:
+        root, shard, off, ln = loc
+        with open(f"{root}/{shard}", "rb") as f:
             f.seek(off)
             raw = f.read(ln)
         return parse_record(gzip.decompress(raw))["body"].decode("utf-8")
@@ -574,15 +583,21 @@ def make_fetch_parse_fn(
     prior_etags_ref=None,
     prior_archive_root: str | None = None,
 ):
+    # plain-dict etag maps (unit-test path) are NOT cached: id() can be
+    # reused after gc and alias a stale FetchParse with the wrong map —
+    # the run paths always pass a ray.put ObjectRef (stable .hex key)
+    cacheable = prior_etags_ref is None or hasattr(prior_etags_ref, "hex")
     key = (
         repr(web_config), obey_robots, max_depth, entries_root, images_root,
         fetch_images, logs_root, archive_root, archive_images,
-        prior_etags_ref.hex() if hasattr(prior_etags_ref, "hex") else id(prior_etags_ref),
-        prior_archive_root,
+        prior_etags_ref.hex() if hasattr(prior_etags_ref, "hex") else None,
+        tuple(prior_archive_root)
+        if isinstance(prior_archive_root, (list, tuple))
+        else prior_archive_root,
     )
 
     def fetch_parse(batch: pa.Table) -> pa.Table:
-        inst = _FETCHER_CACHE.get(key)
+        inst = _FETCHER_CACHE.get(key) if cacheable else None
         if inst is None:
             inst = _FETCHER_CACHE[key] = FetchParse(
                 web_config,

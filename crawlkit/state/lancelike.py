@@ -73,6 +73,18 @@ def fragment_stats(table: pa.Table) -> dict:
     return out
 
 
+def decode_frag_stats(s) -> dict:
+    """Decode a ``frag_stats`` control-row value (JSON str | None | NaN)
+    into the optional ``stats`` entry of a fragment meta dict — shared
+    by both crawl modes' commit paths (fetch.py::_frag_row is the
+    writer)."""
+    import json
+
+    if isinstance(s, str) and s:
+        return {"stats": json.loads(s)}
+    return {}
+
+
 class TableStore:
     def __init__(self, root: str):
         self.root = root

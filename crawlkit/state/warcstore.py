@@ -398,7 +398,15 @@ def wet_extract(records: "ray.data.Dataset") -> "ray.data.Dataset":
     def to_wet(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        t = t.filter(pc.starts_with(t["content_type"], "text/"))
+        # only CONTENT records: 301 hops and 304 revisits are archived
+        # with a text/html HTTP header but carry no payload — without
+        # the status filter they read as empty zero-word documents
+        t = t.filter(
+            pc.and_(
+                pc.starts_with(t["content_type"], "text/"),
+                pc.equal(t["status"], 200),
+            )
+        )
         html = pc.cast(t["body"], pa.string())
         txt = pc.replace_substring_regex(html, pattern=r"<[^>]*>", replacement=" ")
         txt = pc.replace_substring_regex(txt, pattern=r"\s+", replacement=" ")
@@ -586,7 +594,15 @@ def extract_links(records: "ray.data.Dataset") -> "ray.data.Dataset":
     def links(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        t = t.filter(pc.starts_with(t["content_type"], "text/"))
+        # only CONTENT records: 301 hops and 304 revisits are archived
+        # with a text/html HTTP header but carry no payload — without
+        # the status filter they read as empty zero-word documents
+        t = t.filter(
+            pc.and_(
+                pc.starts_with(t["content_type"], "text/"),
+                pc.equal(t["status"], 200),
+            )
+        )
         rows: list[dict] = []
         for r in t.to_pylist():
             html = r["body"].decode()

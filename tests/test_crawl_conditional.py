@@ -236,3 +236,42 @@ def test_304_revisit_records_keep_archive_delta_continuity(run1, tmp_path):
     in_gen2 = delta[delta["status_b"].notna()]
     assert len(in_gen2) == len(rev)
     assert (in_gen2["change"] == "unchanged").all()
+
+
+def test_conditional_chain_generation3_stays_304(run1, tmp_path):
+    """Conditional recrawls CHAIN: gen-2 archives only revisit records,
+    but its 304 log rows still carry valid ETags and the archive-chain
+    body lookup falls through to gen-1 — so gen-3 is again all-304 /
+    zero body bytes with complete extraction, and matches
+    refsim(prior_seen=gen2.seen, prior_etags=gen2-incl-304s)."""
+    d1, arch1, sim1 = run1
+    d2 = str(tmp_path / "run2")
+    arch2 = str(tmp_path / "arch2")
+    recrawl_conditional(
+        SynthWeb(CFG1), prior_dir=d1, prior_archive_root=arch1,
+        out_dir=d2, spec=SPEC, num_seen_shards=2, fetch_concurrency=2,
+        archive_root=arch2,
+    )
+    eng3 = recrawl_conditional(
+        SynthWeb(CFG1), prior_dir=d2, prior_archive_root=[arch2, arch1],
+        out_dir=str(tmp_path / "run3"), spec=SPEC,
+        num_seen_shards=2, fetch_concurrency=2,
+    )
+    sim2 = refsim.simulate(
+        SynthWeb(CFG1), SPEC, prior_seen=sim1.seen, prior_etags=_etag_map(sim1)
+    )
+    etags2 = {
+        r["canon_url"]: r["etag"]
+        for r in sim2.fetch_log
+        if r["status"] in (200, 304) and r["etag"]
+    }
+    sim3 = refsim.simulate(
+        SynthWeb(CFG1), SPEC, prior_seen=sim2.seen, prior_etags=etags2
+    )
+    assert eng3.order == sim3.order
+    assert eng3.seen == sim3.seen
+    log = eng3.fetch_log_table().to_pandas()
+    fetched = log[log.status > 0]
+    assert len(fetched) and (fetched.status == 304).all()
+    assert fetched.nbytes.sum() == 0
+    assert eng3.entries_table().num_rows == len(sim3.entries) > 0
