@@ -318,6 +318,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out_df = agg.groupby("change", as_index=False).sum()
         return out_df.sort_values("change").reset_index(drop=True)
 
+    def archive_dedup_revisit(sf_dir: str):
+        """URL-agnostic archive dedup (Common-Crawl style): gen-2 of a
+        GROWN web crawls with ``archive_dedup=True`` against gen-1's
+        archive — any fetched payload whose sha1 already exists in the
+        chain is stored as an identical-payload-digest WARC revisit
+        record (zero body bytes). Rolls up gen-2's index per
+        record_type; resolved-read byte-parity vs a dedup-off archive
+        is pinned in tests/test_archive_dedup.py. Rows-only."""
+        import pandas as pd
+        import pyarrow as pa
+
+        from crawlkit.pipelines.crawl import run_crawl
+        from crawlkit.refsim import CrawlSpec
+        from crawlkit.state.lancelike import TableStore
+        from crawlkit.synthweb import SynthWeb, WebConfig
+
+        base = tempfile.mkdtemp(prefix="arch_dedup_q_", dir="/tmp")
+        spec = CrawlSpec(host_budget_per_round=32)
+        for gen, mlp, prior in (("a", 3, None), ("b", 6, f"{base}/arc_a")):
+            run_crawl(
+                SynthWeb(WebConfig(n_seeds=4, n_hosts=3, max_last_page=mlp)),
+                spec=spec, out_dir=f"{base}/crawl_{gen}", num_seen_shards=2,
+                fetch_concurrency=4, archive_root=f"{base}/arc_{gen}",
+                archive_images=True, prior_archive_root=prior,
+                archive_dedup=prior is not None,
+            )
+        idx = TableStore(f"{base}/arc_b/index").read_dataset()
+
+        def partial(t: "pa.Table") -> "pa.Table":
+            df = t.select(["record_type", "nbytes", "length"]).to_pandas()
+            g = df.groupby("record_type", as_index=False).agg(
+                records=("nbytes", "size"), body_bytes=("nbytes", "sum"),
+                archive_bytes=("length", "sum"),
+            )
+            return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+        agg = idx.map_batches(partial, batch_format="pyarrow").to_pandas()
+        out_df = agg.groupby("record_type", as_index=False).sum()
+        assert set(out_df["record_type"]) == {"response", "revisit"}
+        return out_df.sort_values("record_type").reset_index(drop=True)
+
     def recrawl_schedule(sf_dir: str):
         """Adaptive recrawl scheduling: three crawl generations of a
         growing web → per-url digest-transition stats (Cho &
@@ -680,6 +721,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "archive_wet": archive_wet,  # rows-only (tag-strip exactness in tests)
         "archive_restore_images": archive_restore_images,  # rows-only (byte-level ≡ live store in tests)
         "archive_delta": archive_delta,  # rows-only (class semantics in tests)
+        # URL-agnostic digest dedup: gen-2 archives zero bytes for moved/unchanged payloads
+        "archive_dedup_revisit": archive_dedup_revisit,  # rows-only (byte-parity in tests)
         "recrawl_schedule": recrawl_schedule,  # rows-only (stats vs Python ref in tests)
         "archive_link_graph": archive_link_graph,  # rows-only (edges vs Python ref in tests)
     }

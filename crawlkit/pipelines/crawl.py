@@ -247,6 +247,7 @@ def run_crawl(
     archive_images: bool = False,
     prior_etags: "dict[str, str] | None" = None,
     prior_archive_root: str | None = None,
+    archive_dedup: bool = False,
 ) -> CrawlResult:
     """Run the crawl to frontier exhaustion (or ``spec.max_rounds``).
 
@@ -442,6 +443,7 @@ def run_crawl(
             "archive_images": archive_images,
             "prior_etags_ref": prior_etags_ref,
             "prior_archive_root": prior_archive_root,
+            "archive_dedup": archive_dedup,
         }
         if fetch_mode == "actors":
             union_ds = in_ds.map_batches(
@@ -742,15 +744,29 @@ def build_etag_map(
     )
     if "canon_url" not in log_t.column_names:
         return {}
-    archived: set[str] = set()  # canon urls with a 200 body in SOME root
+    archived: set[str] = set()  # canon urls whose BYTES the chain holds
+    url_digest: dict[str, str] = {}  # revisit urls → referent digest
+    digests: set[str] = set()  # digests with a content record in SOME root
     redir: dict[str, str] = {}  # archived 301 chain: canon(src) → canon(loc)
     for root in roots:
-        idx = _TS(f"{root}/index").read_table(columns=["url", "status"])
+        idx = _TS(f"{root}/index").read_table(
+            columns=["url", "status", "record_type", "payload_digest"]
+        )
         if "url" not in idx.column_names:
             continue
-        for u, st in zip(idx["url"].to_pylist(), idx["status"].to_pylist()):
-            if st == 200:
+        for u, st, rt, dg in zip(
+            idx["url"].to_pylist(), idx["status"].to_pylist(),
+            idx["record_type"].to_pylist(), idx["payload_digest"].to_pylist(),
+        ):
+            if rt == "response" and st == 200:
                 archived.add(_canon.canonicalize_url_one(u))
+                digests.add(dg)
+            elif rt == "revisit":
+                # 304 or identical-payload row: the url's bytes are held
+                # under the referenced digest (possibly another url /
+                # generation) — archived iff some root has the content
+                url_digest.setdefault(_canon.canonicalize_url_one(u), dg)
+    archived |= {cu for cu, dg in url_digest.items() if dg in digests}
     # 301 locations live in the records, not the index — load them only
     # when some log row redirected (rare path, small slice via the index
     # status predicate)

@@ -227,6 +227,7 @@ def run_crawl_dataset(
     prior_seen_dirs: "list[str] | None" = None,
     prior_etags: "dict[str, str] | None" = None,
     prior_archive_root: str | None = None,
+    archive_dedup: bool = False,
 ) -> CrawlResult:
     """Frontier-as-Dataset crawl to exhaustion (or spec.max_rounds).
 
@@ -320,6 +321,7 @@ def run_crawl_dataset(
         archive_images=archive_images,
         prior_etags_ref=ray.put(prior_etags) if prior_etags else None,
         prior_archive_root=prior_archive_root,
+        archive_dedup=archive_dedup,
     )
 
     def route(t: pa.Table) -> pa.Table:

@@ -154,6 +154,7 @@ class FetchParse:
         archive_images: bool = False,
         prior_etags_ref=None,
         prior_archive_root: str | None = None,
+        archive_dedup: bool = False,
     ):
         """``entries_root``/``images_root``: when given, the stage is
         FUSED — extracted entries are normalized and written as
@@ -204,7 +205,18 @@ class FetchParse:
         else:
             self.prior_etags = prior_etags_ref
         self.prior_archive_root = prior_archive_root
-        self._prior_index: dict | None = None  # lazy canon_url → (path, off, len)
+        self._prior_index: dict | None = None  # lazy canon_url → sha1 digest
+        self._prior_bodies: dict | None = None  # lazy digest → (root, shard, off, len)
+        # Common-Crawl-style URL-AGNOSTIC dedup against the prior
+        # generations' archives: a fetched 200 whose payload sha1 already
+        # exists in some prior index is archived as an
+        # identical-payload-digest revisit record (zero body bytes in the
+        # new archive) — content that MOVED to a new url between
+        # generations (the case the ETag/304 path cannot catch: the new
+        # url has no prior ETag) costs no archive bytes. Extraction from
+        # the new generation resolves by digest across the chain
+        # (warcstore.read_warc(resolve_revisits=True)).
+        self.archive_dedup = archive_dedup and prior_archive_root is not None
         # Common-Crawl-style FULL-payload archival: also archive each
         # image payload as its own (binary) WARC record, depth=3, under
         # a deterministic https://images.test/<id>.<fmt> URL — the
@@ -268,42 +280,60 @@ class FetchParse:
                 return r, attempts, hops, hop_records
             cur = r.location
 
+    def _load_prior_index(self) -> None:
+        """Lazy once-per-worker CDX load across the prior generation
+        CHAIN (newest first): ``_prior_index`` maps canon_url → payload
+        sha1 (response AND revisit rows — a revisit row indexes the
+        digest of the content it refers to), ``_prior_bodies`` maps
+        digest → the newest generation's content-record location. At
+        multi-node scale both are hash-partitioned keyed shard lookups,
+        not worker-resident dicts."""
+        from ..state.lancelike import TableStore as _TS
+
+        roots = (
+            [self.prior_archive_root]
+            if isinstance(self.prior_archive_root, str)
+            else list(self.prior_archive_root)
+        )
+        self._prior_index = {}
+        self._prior_bodies = {}
+        for root in roots:  # newest first: first writer wins
+            idx = _TS(f"{root}/index").read_table(
+                columns=[
+                    "url", "status", "record_type", "shard", "offset",
+                    "length", "payload_digest",
+                ]
+            )
+            if "url" not in idx.column_names:  # empty/absent index
+                continue
+            for u, st, rt, s, o, ln, dg in zip(
+                idx["url"].to_pylist(), idx["status"].to_pylist(),
+                idx["record_type"].to_pylist(), idx["shard"].to_pylist(),
+                idx["offset"].to_pylist(), idx["length"].to_pylist(),
+                idx["payload_digest"].to_pylist(),
+            ):
+                if rt == "response" and st == 200:
+                    cu = canon.canonicalize_url_one(u)
+                    self._prior_index.setdefault(cu, dg)
+                    self._prior_bodies.setdefault(dg, (root, s, o, ln))
+                elif rt == "revisit":
+                    # 304 server-not-modified OR identical-payload
+                    # dedup row: the url's content digest is known even
+                    # though the bytes live in another capture
+                    self._prior_index.setdefault(canon.canonicalize_url_one(u), dg)
+
     def _archived_body(self, canon_url: str) -> str | None:
         """Range-read one archived body from the PRIOR generations' WARCs
-        (CDX lookup; the index dict loads lazily once per worker — at
-        multi-node scale the index is itself hash-partitioned and this
-        becomes a keyed shard lookup). ``prior_archive_root`` may be a
-        CHAIN of roots, newest first — a generation that archived only a
-        304 revisit record defers to the older generation that holds the
-        bytes. Returns None when no generation has a 200 record (caller
-        falls back to an unconditional refetch)."""
+        by digest resolution: url → digest (any record kind in any
+        generation) → the newest content record holding those bytes.
+        Returns None when no generation has the bytes (caller falls back
+        to an unconditional refetch)."""
         if self.prior_archive_root is None:
             return None
         if self._prior_index is None:
-            from ..state.lancelike import TableStore as _TS
-
-            roots = (
-                [self.prior_archive_root]
-                if isinstance(self.prior_archive_root, str)
-                else list(self.prior_archive_root)
-            )
-            self._prior_index = {}
-            for root in roots:  # newest first: first writer wins
-                idx = _TS(f"{root}/index").read_table(
-                    columns=["url", "status", "shard", "offset", "length"]
-                )
-                if "url" not in idx.column_names:  # empty/absent index
-                    continue
-                for u, st, s, o, ln in zip(
-                    idx["url"].to_pylist(), idx["status"].to_pylist(),
-                    idx["shard"].to_pylist(), idx["offset"].to_pylist(),
-                    idx["length"].to_pylist(),
-                ):
-                    if st == 200:
-                        self._prior_index.setdefault(
-                            canon.canonicalize_url_one(u), (root, s, o, ln)
-                        )
-        loc = self._prior_index.get(canon_url)
+            self._load_prior_index()
+        dg = self._prior_index.get(canon_url)
+        loc = self._prior_bodies.get(dg) if dg else None
         if loc is None:
             return None
         import gzip
@@ -410,13 +440,29 @@ class FetchParse:
                              "digest_hi": dh, "digest_lo": dl})
             if self.archiver is not None:
                 if r.status == 200:
-                    arch.append(
-                        {"url": r.url, "status": 200, "body": r.body.encode(),
-                         "schema_name": base["schema_name"],
-                         "schema_version": base["schema_version"],
-                         "domain": base["domain"], "created": base["created"],
-                         "depth": depth}
-                    )
+                    body_b = r.body.encode()
+                    rec = {"url": r.url, "status": 200, "body": body_b,
+                           "schema_name": base["schema_name"],
+                           "schema_version": base["schema_version"],
+                           "domain": base["domain"], "created": base["created"],
+                           "depth": depth}
+                    if self.archive_dedup:
+                        # URL-agnostic dedup vs the prior generations:
+                        # identical bytes (typically content that MOVED
+                        # url) become an identical-payload revisit —
+                        # zero body bytes archived, digest continuity
+                        # for delta/change_rate, resolvable by digest
+                        import hashlib as _hl
+
+                        dg = _hl.sha1(body_b).hexdigest()
+                        if self._prior_index is None:
+                            self._load_prior_index()
+                        if dg in self._prior_bodies:
+                            rec.update(
+                                body=b"", revisit_digest=dg,
+                                revisit_profile="identical-payload-digest",
+                            )
+                    arch.append(rec)
                 else:  # 304 → WARC revisit record (server-not-modified):
                     # empty-bodied but indexed under the UNCHANGED
                     # content's digest, so this generation's CDX stays
@@ -511,6 +557,21 @@ class FetchParse:
                     }
                     for rec, r in zip(recs, image_refs)
                 ]
+                if self.archive_dedup:
+                    # image payloads are the archive's bulk — unchanged
+                    # images (the common recrawl case) dedup by digest
+                    # against the prior generations exactly like pages
+                    import hashlib as _hl
+
+                    if self._prior_index is None:
+                        self._load_prior_index()
+                    for ia in img_arch:
+                        dg = _hl.sha1(ia["body"]).hexdigest()
+                        if dg in self._prior_bodies:
+                            ia.update(
+                                body=b"", revisit_digest=dg,
+                                revisit_profile="identical-payload-digest",
+                            )
                 ameta = self.archiver.write_batch(img_arch)
                 out.append(_frag_row("afrag", ameta))
         if self.logs_store is not None:
@@ -582,6 +643,7 @@ def make_fetch_parse_fn(
     archive_images: bool = False,
     prior_etags_ref=None,
     prior_archive_root: str | None = None,
+    archive_dedup: bool = False,
 ):
     # plain-dict etag maps (unit-test path) are NOT cached: id() can be
     # reused after gc and alias a stale FetchParse with the wrong map —
@@ -594,12 +656,13 @@ def make_fetch_parse_fn(
         tuple(prior_archive_root)
         if isinstance(prior_archive_root, (list, tuple))
         else prior_archive_root,
+        archive_dedup,
     )
 
     def fetch_parse(batch: pa.Table) -> pa.Table:
         inst = _FETCHER_CACHE.get(key) if cacheable else None
         if inst is None:
-            inst = _FETCHER_CACHE[key] = FetchParse(
+            inst = FetchParse(
                 web_config,
                 obey_robots=obey_robots,
                 max_depth=max_depth,
@@ -611,7 +674,10 @@ def make_fetch_parse_fn(
                 archive_images=archive_images,
                 prior_etags_ref=prior_etags_ref,
                 prior_archive_root=prior_archive_root,
+                archive_dedup=archive_dedup,
             )
+            if cacheable:  # never cache dict-etag instances (aliasing)
+                _FETCHER_CACHE[key] = inst
         return inst(batch)
 
     return fetch_parse

@@ -68,6 +68,11 @@ INDEX_SCHEMA = pa.schema(
         ("length", pa.int64()),
         ("url", pa.string()),
         ("status", pa.int32()),
+        # "response" | "revisit": a revisit row's payload_digest is the
+        # digest of the CONTENT it refers to (held by some response row,
+        # possibly in another generation) — readers that need bytes must
+        # resolve it; readers of digests (delta, change_rate) need not
+        ("record_type", pa.string()),
         ("content_type", pa.string()),
         ("nbytes", pa.int64()),
         ("payload_digest", pa.string()),
@@ -83,6 +88,7 @@ RECORD_SCHEMA = pa.schema(
     [
         ("url", pa.string()),
         ("status", pa.int32()),
+        ("record_type", pa.string()),
         ("content_type", pa.string()),
         ("location", pa.string()),
         ("refers_to_digest", pa.string()),
@@ -106,6 +112,7 @@ def build_record(
     content_type: str = "text/html",
     location: str | None = None,
     revisit_of: str | None = None,
+    revisit_profile: str = "server-not-modified",
 ) -> bytes:
     """One WARC/1.0 response record as an independent gzip member.
 
@@ -114,11 +121,14 @@ def build_record(
     any external lookup. ``content_type`` is the payload's real HTTP
     Content-Type (``image/png`` for archived image bytes) — downstream
     text stages (WET, link graph) filter on it, Common-Crawl style.
-    ``revisit_of``: the sha1 of the UNCHANGED content a 304 refers to —
-    the record becomes a WARC *revisit* record (server-not-modified
-    profile), empty-bodied but carrying the content digest, so a
-    conditionally-recrawled generation's index stays complete for
-    archive_delta / change_rate.
+    ``revisit_of``: the sha1 of identical content this record refers to —
+    the record becomes a WARC *revisit* record, empty-bodied but carrying
+    the content digest, so the generation's index stays complete for
+    archive_delta / change_rate. ``revisit_profile`` picks the standard
+    profile: ``server-not-modified`` (a 304 answer — the conditional
+    recrawl path) or ``identical-payload-digest`` (the fetched bytes
+    already exist under some other capture — Common-Crawl-style
+    URL-agnostic deduplication).
     """
     digest = hashlib.sha1(body).hexdigest()
     reason = _REASON.get(status, "")
@@ -141,7 +151,7 @@ def build_record(
     ]
     if revisit_of:
         lines.insert(
-            2, "WARC-Profile: http://netpreserve.org/warc/1.0/revisit/server-not-modified"
+            2, f"WARC-Profile: http://netpreserve.org/warc/1.0/revisit/{revisit_profile}"
         )
         lines.insert(3, f"WARC-Refers-To-Payload-Digest: sha1:{revisit_of}")
     for k, v in (meta or {}).items():
@@ -175,6 +185,7 @@ def parse_record(raw: bytes) -> dict:
     return {
         "url": warc.get("WARC-Target-URI", ""),
         "status": status,
+        "record_type": warc.get("WARC-Type", "response"),
         "content_type": content_type,
         "location": location,
         "refers_to_digest": warc.get("WARC-Refers-To-Payload-Digest", "")[
@@ -233,6 +244,7 @@ class WarcWriter:
                 r["url"], r["status"], body, meta, content_type=ctype,
                 location=r.get("location"),
                 revisit_of=r.get("revisit_digest"),
+                revisit_profile=r.get("revisit_profile", "server-not-modified"),
             )
             members.append(member)
             index_rows.append(
@@ -242,6 +254,7 @@ class WarcWriter:
                     "length": len(member),
                     "url": r["url"],
                     "status": r["status"],
+                    "record_type": "revisit" if r.get("revisit_digest") else "response",
                     "content_type": ctype,
                     "nbytes": len(body),
                     # a revisit row indexes the digest of the UNCHANGED
@@ -359,29 +372,154 @@ def _read_record_ranges(batch: pa.Table, root: str) -> pa.Table:
     return pa.Table.from_pylist(rows, schema=RECORD_SCHEMA)
 
 
+_REF_SEP = "\x1f"
+
+
+def _referent_locations(roots: list[str]) -> "ray.data.Dataset":
+    """digest → packed best content-record location across an archive
+    generation chain (newest first wins): every response row's location
+    is packed into one lexicographically-ordered string
+    ``gen|offset|length|shard`` so a single ``Min`` aggregation picks the
+    newest generation's copy deterministically — index-only, the same
+    16-bytes-per-row shuffle discipline as the dedup engines."""
+    import pyarrow.compute as pc
+    import ray.data  # noqa: F401
+
+    from ray.data.aggregate import Min
+
+    parts = []
+    for g, rroot in enumerate(roots):
+        rds = TableStore(f"{rroot}/index").read_dataset()
+
+        def slim(t: pa.Table, g=g) -> pa.Table:
+            t = t.filter(
+                pc.and_(
+                    pc.equal(t["record_type"], "response"),
+                    pc.equal(t["status"], 200),
+                )
+            )
+            gcol = pa.array([f"{g:03d}"] * t.num_rows, pa.string())
+            off = pc.utf8_lpad(pc.cast(t["offset"], pa.string()), 15, "0")
+            ln = pc.utf8_lpad(pc.cast(t["length"], pa.string()), 15, "0")
+            packed = pc.binary_join_element_wise(gcol, off, ln, t["shard"], _REF_SEP)
+            return pa.table({"ref_digest": t["payload_digest"], "ref_loc": packed})
+
+        parts.append(rds.map_batches(slim, batch_format="pyarrow"))
+    allr = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+    return allr.groupby("ref_digest").aggregate(Min("ref_loc", alias_name="ref_loc"))
+
+
+_REVISIT_META = ("url", "schema_name", "schema_version", "domain", "created", "depth")
+
+
+def _read_resolved(batch: pa.Table, roots: list[str]) -> pa.Table:
+    """Joined (revisit index row × referent location) → reconstructed
+    content records: the referent's bytes under the revisit capture's
+    url + crawl metadata (how pywb/warcio replay revisit records)."""
+    locs = [loc.split(_REF_SEP) for loc in batch["ref_loc"].to_pylist()]
+    shards = [f"{roots[int(g)]}/{shard}" for g, _, _, shard in locs]
+    offsets = [int(off) for _, off, _, _ in locs]
+    lengths = [int(ln) for _, _, ln, _ in locs]
+    order = sorted(range(len(locs)), key=lambda i: (shards[i], offsets[i]))
+    meta = {k: batch[k].to_pylist() for k in _REVISIT_META}
+    rows: list[dict] = [None] * len(locs)  # type: ignore[list-item]
+    fh, fh_shard = None, None
+    try:
+        for i in order:
+            if shards[i] != fh_shard:
+                if fh is not None:
+                    fh.close()
+                fh = open(shards[i], "rb")
+                fh_shard = shards[i]
+            fh.seek(offsets[i])
+            rec = parse_record(gzip.decompress(fh.read(lengths[i])))
+            rec.update({k: meta[k][i] for k in _REVISIT_META})
+            rows[i] = rec
+    finally:
+        if fh is not None:
+            fh.close()
+    return pa.Table.from_pylist(rows, schema=RECORD_SCHEMA)
+
+
 def read_warc(
     root: str,
     *,
     version: int | None = None,
     index_filter=None,
     batch_size: int = 512,
+    resolve_revisits: bool = False,
+    resolve_roots: list[str] | None = None,
+    num_partitions: int = 8,
 ) -> "ray.data.Dataset":
     """Archived records as a Ray Dataset, driven by the committed index.
 
     ``index_filter(index_ds) -> index_ds`` lets callers prune (by host,
     status, schema, url prefix) BEFORE any archive byte is read — the
     WARC analogue of parquet predicate pushdown.
-    """
+
+    ``resolve_revisits=True`` reconstructs revisit records (304
+    server-not-modified captures and identical-payload-digest
+    deduplicated captures) into full content records: the referent
+    bytes are found by digest across ``resolve_roots`` (an archive
+    generation chain, newest first; defaults to ``[root]``) via an
+    index-level hash join — no archive byte moves for the resolution
+    itself, and each referent range is read exactly once per resolved
+    row. Revisits whose digest no generation holds are dropped (the
+    callers' refetch path covers them)."""
+    import pyarrow.compute as pc  # noqa: F401  (filters below)
+
     store = TableStore(f"{root}/index")
     idx = store.read_dataset(version)
     if index_filter is not None:
         idx = index_filter(idx)
-    return idx.map_batches(
+    if not resolve_revisits:
+        return idx.map_batches(
+            _read_record_ranges,
+            fn_kwargs={"root": root},
+            batch_size=batch_size,
+            batch_format="pyarrow",
+        )
+    from crawlkit.pipelines.dedup import _nonempty_blocks
+
+    roots = list(resolve_roots) if resolve_roots else [root]
+    direct = idx.filter(expr="record_type == 'response'").map_batches(
         _read_record_ranges,
         fn_kwargs={"root": root},
         batch_size=batch_size,
         batch_format="pyarrow",
     )
+
+    def slim_revisit(t: pa.Table) -> pa.Table:
+        return t.select(["payload_digest", *_REVISIT_META])
+
+    rev_schema = pa.schema(
+        [("payload_digest", pa.string())]
+        + [(k, pa.int32() if k == "depth" else pa.string()) for k in _REVISIT_META]
+    )
+    revisit = _nonempty_blocks(
+        idx.filter(expr="record_type == 'revisit'").map_batches(
+            slim_revisit, batch_format="pyarrow"
+        ),
+        rev_schema,
+    )
+    ref_best = _nonempty_blocks(
+        _referent_locations(roots),
+        pa.schema([("ref_digest", pa.string()), ("ref_loc", pa.string())]),
+    )
+    joined = revisit.join(
+        ref_best,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("payload_digest",),
+        right_on=("ref_digest",),
+    )
+    resolved = joined.map_batches(
+        _read_resolved,
+        fn_kwargs={"roots": roots},
+        batch_size=batch_size,
+        batch_format="pyarrow",
+    )
+    return direct.union(resolved)
 
 
 def wet_extract(records: "ray.data.Dataset") -> "ray.data.Dataset":
@@ -398,13 +536,18 @@ def wet_extract(records: "ray.data.Dataset") -> "ray.data.Dataset":
     def to_wet(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        # only CONTENT records: 301 hops and 304 revisits are archived
-        # with a text/html HTTP header but carry no payload — without
-        # the status filter they read as empty zero-word documents
+        # only CONTENT records: 301 hops, 304 revisits and deduplicated
+        # identical-payload revisits carry a text/html HTTP header but
+        # no payload — without the status + record-type filter they
+        # read as empty zero-word documents (pass the records through
+        # resolve_revisits first to include deduplicated captures)
         t = t.filter(
             pc.and_(
-                pc.starts_with(t["content_type"], "text/"),
-                pc.equal(t["status"], 200),
+                pc.and_(
+                    pc.starts_with(t["content_type"], "text/"),
+                    pc.equal(t["status"], 200),
+                ),
+                pc.equal(t["record_type"], "response"),
             )
         )
         html = pc.cast(t["body"], pa.string())
@@ -594,13 +737,18 @@ def extract_links(records: "ray.data.Dataset") -> "ray.data.Dataset":
     def links(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        # only CONTENT records: 301 hops and 304 revisits are archived
-        # with a text/html HTTP header but carry no payload — without
-        # the status filter they read as empty zero-word documents
+        # only CONTENT records: 301 hops, 304 revisits and deduplicated
+        # identical-payload revisits carry a text/html HTTP header but
+        # no payload — without the status + record-type filter they
+        # read as empty zero-word documents (pass the records through
+        # resolve_revisits first to include deduplicated captures)
         t = t.filter(
             pc.and_(
-                pc.starts_with(t["content_type"], "text/"),
-                pc.equal(t["status"], 200),
+                pc.and_(
+                    pc.starts_with(t["content_type"], "text/"),
+                    pc.equal(t["status"], 200),
+                ),
+                pc.equal(t["record_type"], "response"),
             )
         )
         rows: list[dict] = []
@@ -724,6 +872,7 @@ def restore_images(
     batch_size: int = 64,
     concurrency: int = 2,
     num_partitions: int = 8,
+    resolve_roots: list[str] | None = None,
 ) -> "ray.data.Dataset":
     """Rebuild the NORTH-RULE images table (image_id, bytes, w, h, fmt,
     caption, phash) from the archive ALONE — no refetch: image payload
@@ -746,6 +895,9 @@ def restore_images(
         version=version,
         index_filter=lambda ds: ds.filter(expr="depth == 3 and status == 200"),
         batch_size=batch_size,
+        resolve_revisits=resolve_roots is not None,
+        resolve_roots=resolve_roots,
+        num_partitions=num_partitions,
     )
 
     def payload_rows(t: pa.Table) -> pa.Table:
@@ -769,6 +921,9 @@ def restore_images(
         version=version,
         index_filter=lambda ds: ds.filter(expr="depth == 2 and status == 200"),
         batch_size=batch_size,
+        resolve_revisits=resolve_roots is not None,
+        resolve_roots=resolve_roots,
+        num_partitions=num_partitions,
     )
 
     def caption_rows(t: pa.Table) -> pa.Table:
