@@ -283,6 +283,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out_df = agg.groupby(["schema_name", "depth"], as_index=False).sum()
         return out_df.sort_values(["schema_name", "depth"]).reset_index(drop=True)
 
+    def archive_wat(sf_dir: str):
+        """WARC → WAT: per-record metadata extraction (Common-Crawl WAT
+        analogue) — every anchor/image reference with its anchor text
+        as a nested Arrow list<struct{url,text,kind}> column, flattened
+        per batch with pc.list_flatten (zero Python objects) and rolled
+        up per (depth, kind). Rows-only; link-set ≡ Python reference +
+        extract_links superset pinned in tests/test_warcstore.py."""
+        import pandas as pd
+        import pyarrow as pa
+
+        from crawlkit.state import warcstore
+
+        _res, root = _crawl_with_archive()
+        wat = warcstore.wat_extract(warcstore.read_warc(root))
+
+        def partial(t: "pa.Table") -> "pa.Table":
+            import pyarrow.compute as pc
+
+            t = t.combine_chunks()
+            depth = pc.take(t["depth"], pc.list_parent_indices(t["links"]))
+            flat = pc.list_flatten(t["links"])
+            if isinstance(flat, pa.ChunkedArray):
+                flat = flat.combine_chunks()
+            vc = (
+                pa.table({"depth": depth, "kind": flat.field("kind")})
+                .group_by(["depth", "kind"])
+                .aggregate([("kind", "count")])
+            )
+            return vc.rename_columns(["depth", "kind", "links"])
+
+        agg = wat.map_batches(partial, batch_format="pyarrow").to_pandas()
+        out_df = agg.groupby(["depth", "kind"], as_index=False).sum()
+        return out_df.sort_values(["depth", "kind"]).reset_index(drop=True)
+
     def archive_delta(sf_dir: str):
         """Incremental change detection across crawl generations: two
         full crawls of a GROWN web, each archiving to WARC; the CDX
@@ -719,6 +753,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "archive_warc": archive_warc,  # rows-only (byte-parity in tests)
         "archive_reparse": archive_reparse,  # rows-only (≡ live entries in tests)
         "archive_wet": archive_wet,  # rows-only (tag-strip exactness in tests)
+        # WAT metadata: nested list<struct> outlink records, Arrow-flattened rollup
+        "archive_wat": archive_wat,  # rows-only (link-set ≡ Python ref in tests)
         "archive_restore_images": archive_restore_images,  # rows-only (byte-level ≡ live store in tests)
         "archive_delta": archive_delta,  # rows-only (class semantics in tests)
         # URL-agnostic digest dedup: gen-2 archives zero bytes for moved/unchanged payloads

@@ -568,6 +568,94 @@ def wet_extract(records: "ray.data.Dataset") -> "ray.data.Dataset":
     return records.map_batches(to_wet, batch_format="pyarrow")
 
 
+_WAT_LINK = pa.struct(
+    [("url", pa.string()), ("text", pa.string()), ("kind", pa.string())]
+)
+WAT_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("schema_name", pa.string()),
+        ("depth", pa.int32()),
+        ("content_type", pa.string()),
+        ("nbytes", pa.int64()),
+        ("payload_digest", pa.string()),
+        ("n_links", pa.int64()),
+        ("links", pa.list_(_WAT_LINK)),
+    ]
+)
+
+
+def wat_extract(records: "ray.data.Dataset") -> "ray.data.Dataset":
+    """WARC → WAT: per-record METADATA extraction (the Common-Crawl WAT
+    analogue) — one row per content record carrying the envelope
+    (url, digest, payload size) plus the outlink metadata a WAT's
+    ``HTML-Metadata/Links`` array holds: EVERY anchor and image
+    reference with its anchor text, as a nested Arrow
+    ``list<struct{url, text, kind}>`` column.
+
+    Strictly richer than :func:`extract_links` (which keeps only
+    crawlable offer/pager edges): WAT also records the non-crawlable
+    ``#`` nav anchor (kind='nav') and image references with their
+    figcaptions (kind='img') — the anchor-text corpus LLM pipelines
+    mine. Compiled-regex per row inside the batch task (same contract
+    as stages/parsers); nested output stays Arrow end-to-end, so
+    downstream ops flatten with ``pc.list_flatten`` — no Python object
+    columns. Pass the records through ``resolve_revisits`` first to
+    include deduplicated captures."""
+    import re
+
+    _offer_a = re.compile(r'<h3><a href="([^"]+)"><span><span>([^<]*)</span>')
+    _pager_block = re.compile(r'<div id="pagerForm">(.*?)</div>', re.S)
+    _pager_a = re.compile(r'<li><a href="([^"]+)">([^<]*)</a>')
+    _img = re.compile(r'<img data-image-id="[^"]*" src="([^"]+)"/>'
+                      r"(?:<figcaption>([^<]*)</figcaption>)?")
+
+    def to_wat(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(
+            pc.and_(
+                pc.and_(
+                    pc.starts_with(t["content_type"], "text/"),
+                    pc.equal(t["status"], 200),
+                ),
+                pc.equal(t["record_type"], "response"),
+            )
+        )
+        rows: list[dict] = []
+        for r in t.to_pylist():
+            html = r["body"].decode()
+            src = r["url"]
+            links: list[dict] = []
+            for dst, text in _offer_a.findall(html):
+                links.append({"url": dst, "text": text, "kind": "offer"})
+            m = _pager_block.search(html)
+            if m:
+                base = src.split("?", 1)[0]  # RFC 3986: "?q" replaces query
+                for q, text in _pager_a.findall(m.group(1)):
+                    if q.startswith("#"):  # non-crawlable nav anchor
+                        links.append({"url": src + q, "text": text, "kind": "nav"})
+                    else:
+                        links.append({"url": base + q, "text": text, "kind": "page"})
+            for isrc, cap in _img.findall(html):
+                links.append({"url": isrc, "text": cap or "", "kind": "img"})
+            rows.append(
+                {
+                    "url": src,
+                    "schema_name": r["schema_name"],
+                    "depth": r["depth"],
+                    "content_type": r["content_type"],
+                    "nbytes": r["nbytes"],
+                    "payload_digest": r["payload_digest"],
+                    "n_links": len(links),
+                    "links": links,
+                }
+            )
+        return pa.Table.from_pylist(rows, schema=WAT_SCHEMA)
+
+    return records.map_batches(to_wat, batch_format="pyarrow")
+
+
 def archive_delta(root_a: str, root_b: str) -> "ray.data.Dataset":
     """Change detection between two archive generations (recrawl
     cadence): full-outer join of the two CDX indexes on url, classified

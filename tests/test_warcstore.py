@@ -358,3 +358,99 @@ def test_image_archive_restores_input_hint_table(tmp_path):
         df = t.to_pandas()
         return set(map(tuple, df[df["depth"] == 3][["url", "payload_digest"]].to_numpy()))
     assert img_index(droot) == img_index(root)
+
+
+def test_wat_reference(crawl_and_archive):
+    """WAT metadata ≡ a Python reference over every archived page: ALL
+    anchor/image references with their anchor text — offer anchors
+    (span text), numeric pager anchors, the non-crawlable '#' nav
+    anchor, and img references with figcaptions."""
+    import re
+
+    _res, root = crawl_and_archive
+    recs = warcstore.read_warc(root).to_pandas()
+    wat = warcstore.wat_extract(warcstore.read_warc(root)).to_pandas()
+    assert len(wat) == len(recs)  # every content record → one WAT row
+
+    got = {
+        (r["url"], l["url"], l["text"], l["kind"])
+        for _, r in wat.iterrows()
+        for l in r["links"]
+    }
+    expect = set()
+    for url, body in zip(recs["url"], recs["body"]):
+        html = body.decode()
+        for href, text in re.findall(
+            r'<h3><a href="([^"]+)"><span><span>([^<]*)</span>', html
+        ):
+            expect.add((url, href, text, "offer"))
+        m = re.search(r'<div id="pagerForm">(.*?)</div>', html, re.S)
+        if m:
+            base = url.split("?", 1)[0]
+            for q, text in re.findall(r'<li><a href="([^"]+)">([^<]*)</a>', m.group(1)):
+                if q.startswith("#"):
+                    expect.add((url, url + q, text, "nav"))
+                else:
+                    expect.add((url, base + q, text, "page"))
+        for isrc, cap in re.findall(
+            r'<img data-image-id="[^"]*" src="([^"]+)"/><figcaption>([^<]*)</figcaption>',
+            html,
+        ):
+            expect.add((url, isrc, cap, "img"))
+    assert got == expect
+    # n_links is the per-row list length; listing pages carry a nav link
+    assert (wat["n_links"] == wat["links"].map(len)).all()
+    assert (wat[wat["depth"] == 1]["links"].map(
+        lambda ls: sum(1 for l in ls if l["kind"] == "nav")) == 1).all()
+    # depth-2 offer pages reference their images with captions
+    d2 = wat[wat["depth"] == 2]
+    assert d2["links"].map(
+        lambda ls: all(l["kind"] == "img" and l["text"] for l in ls)
+    ).all()
+
+
+def test_wat_superset_of_link_graph(crawl_and_archive):
+    """WAT's crawlable links (offer/page kinds) are exactly the
+    extract_links edge set — WAT is the strictly-richer metadata view."""
+    _res, root = crawl_and_archive
+    wat = warcstore.wat_extract(warcstore.read_warc(root)).to_pandas()
+    edges = warcstore.extract_links(warcstore.read_warc(root)).to_pandas()
+    got = {
+        (r["url"], l["url"], l["kind"])
+        for _, r in wat.iterrows()
+        for l in r["links"]
+        if l["kind"] in ("offer", "page")
+    }
+    expect = {(s, d, k) for s, d, k in zip(edges["src"], edges["dst"], edges["kind"])}
+    assert got == expect
+
+
+def test_wat_nested_flatten_arrow(crawl_and_archive):
+    """The nested list<struct> links column flattens with Arrow kernels
+    inside map_batches (no Python objects): per-kind link counts match
+    a pandas-side explode."""
+    import pyarrow as pa
+
+    _res, root = crawl_and_archive
+    wat_ds = warcstore.wat_extract(warcstore.read_warc(root))
+
+    def per_kind(t: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(t["links"])
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        kinds = flat.field("kind")
+        vc = pa.table({"kind": kinds}).group_by("kind").aggregate([("kind", "count")])
+        return vc.rename_columns(["kind", "n"])
+
+    agg = wat_ds.map_batches(per_kind, batch_format="pyarrow").to_pandas()
+    got = agg.groupby("kind")["n"].sum().to_dict()
+    ref = (
+        warcstore.wat_extract(warcstore.read_warc(root))
+        .to_pandas()["links"]
+        .explode()
+        .dropna()
+        .map(lambda l: l["kind"])
+        .value_counts()
+        .to_dict()
+    )
+    assert got == ref and set(got) == {"offer", "page", "nav", "img"}
