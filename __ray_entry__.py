@@ -317,6 +317,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out_df = agg.groupby(["depth", "kind"], as_index=False).sum()
         return out_df.sort_values(["depth", "kind"]).reset_index(drop=True)
 
+    def archive_anchor_text(sf_dir: str):
+        """Anchor-text corpus from the WAT layer: per-target inbound
+        anchor aggregation (count, distinct texts, most-frequent text)
+        — the classic web-scale IR/LLM training signal — dst-hash-
+        sharded single reduce with per-shard partial top-k. Rows-only;
+        ≡ pandas reference over the full WAT link set in
+        tests/test_warcstore.py."""
+        from crawlkit.state import warcstore
+
+        _res, root = _crawl_with_archive()
+        return warcstore.anchor_text_topk(root, k=10, nshards=8)
+
     def archive_delta(sf_dir: str):
         """Incremental change detection across crawl generations: two
         full crawls of a GROWN web, each archiving to WARC; the CDX
@@ -755,6 +767,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "archive_wet": archive_wet,  # rows-only (tag-strip exactness in tests)
         # WAT metadata: nested list<struct> outlink records, Arrow-flattened rollup
         "archive_wat": archive_wat,  # rows-only (link-set ≡ Python ref in tests)
+        # per-target anchor-text aggregation (inbound link descriptions)
+        "archive_anchor_text": archive_anchor_text,  # rows-only (pandas ref in tests)
         "archive_restore_images": archive_restore_images,  # rows-only (byte-level ≡ live store in tests)
         "archive_delta": archive_delta,  # rows-only (class semantics in tests)
         # URL-agnostic digest dedup: gen-2 archives zero bytes for moved/unchanged payloads

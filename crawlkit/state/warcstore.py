@@ -656,6 +656,83 @@ def wat_extract(records: "ray.data.Dataset") -> "ray.data.Dataset":
     return records.map_batches(to_wat, batch_format="pyarrow")
 
 
+def anchor_text_topk(
+    root: str, k: int = 10, nshards: int = 16
+) -> "pd.DataFrame":
+    """ANCHOR-TEXT CORPUS from the WAT layer — the classic web-scale
+    signal (link text describing the TARGET page; used for IR ranking
+    and query/title training data since McBryan '94 / Google '98).
+
+    Shape: WAT records → Arrow-flatten to slim (dst, text) edges
+    (crawlable anchors only — offer/page kinds; the nav '#' and img
+    refs carry no inbound description) → hash-shard by dst
+    (``hash64_np`` — never Python ``hash()``) → ONE per-shard pandas
+    reduce emits per-dst sufficient stats (anchors, distinct_texts,
+    top_text = most frequent, ties → lexicographically smallest) plus a
+    per-shard partial top-k, merged on the driver (≤ k×nshards rows —
+    the anchor corpus itself never leaves the cluster). Returns the
+    global top-k dsts by inbound anchor count."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from crawlkit.hashing import hash64_np
+
+    wat = wat_extract(
+        read_warc(
+            root,
+            index_filter=lambda ds: ds.filter(expr="content_type == 'text/html'"),
+        )
+    )
+
+    def flatten(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        flat = pc.list_flatten(t["links"])
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        keep = pc.is_in(flat.field("kind"), value_set=pa.array(["offer", "page"]))
+        dst = pc.filter(flat.field("url"), keep)
+        text = pc.filter(flat.field("text"), keep)
+        shard = pa.array(
+            (hash64_np(dst.to_pylist()) % np.uint64(nshards)).astype(np.int64)
+        )
+        return pa.table({"dst": dst, "text": text, "_shard": shard})
+
+    def per_shard(df: "pd.DataFrame") -> pa.Table:
+        from crawlkit import pandas_to_clean_arrow
+
+        per_text = df.groupby(["dst", "text"], as_index=False).agg(
+            n=("text", "size")
+        )
+        # most-frequent text per dst; ties → lexicographically smallest
+        per_text = per_text.sort_values(
+            ["dst", "n", "text"], ascending=[True, False, True]
+        )
+        top = per_text.drop_duplicates("dst", keep="first").rename(
+            columns={"text": "top_text"}
+        )[["dst", "top_text"]]
+        stats = per_text.groupby("dst", as_index=False).agg(
+            anchors=("n", "sum"), distinct_texts=("n", "size")
+        )
+        out = stats.merge(top, on="dst")
+        out = out.sort_values(["anchors", "dst"], ascending=[False, True]).head(k)
+        return pandas_to_clean_arrow(
+            out[["dst", "anchors", "distinct_texts", "top_text"]]
+        )
+
+    cand = (
+        wat.map_batches(flatten, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(per_shard, batch_format="pandas")
+        .to_pandas()
+    )
+    return (
+        cand.sort_values(["anchors", "dst"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
 def archive_delta(root_a: str, root_b: str) -> "ray.data.Dataset":
     """Change detection between two archive generations (recrawl
     cadence): full-outer join of the two CDX indexes on url, classified

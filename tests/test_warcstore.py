@@ -454,3 +454,43 @@ def test_wat_nested_flatten_arrow(crawl_and_archive):
         .to_dict()
     )
     assert got == ref and set(got) == {"offer", "page", "nav", "img"}
+
+
+def test_anchor_text_topk_reference(crawl_and_archive):
+    """Anchor-text corpus ≡ a pandas reference over the full WAT link
+    set: per-dst inbound anchor count, distinct texts, most-frequent
+    text (ties → lexicographically smallest), global top-k by count."""
+    import pandas as pd
+
+    _res, root = crawl_and_archive
+    k = 10
+    got = warcstore.anchor_text_topk(root, k=k, nshards=4)
+
+    wat = warcstore.wat_extract(warcstore.read_warc(root)).to_pandas()
+    edges = pd.DataFrame(
+        [
+            {"dst": l["url"], "text": l["text"]}
+            for ls in wat["links"]
+            for l in ls
+            if l["kind"] in ("offer", "page")
+        ]
+    )
+    per_text = edges.groupby(["dst", "text"], as_index=False).agg(n=("text", "size"))
+    per_text = per_text.sort_values(["dst", "n", "text"], ascending=[True, False, True])
+    top = per_text.drop_duplicates("dst", keep="first").rename(
+        columns={"text": "top_text"}
+    )[["dst", "top_text"]]
+    stats = per_text.groupby("dst", as_index=False).agg(
+        anchors=("n", "sum"), distinct_texts=("n", "size")
+    )
+    expect = (
+        stats.merge(top, on="dst")
+        .sort_values(["anchors", "dst"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)[["dst", "anchors", "distinct_texts", "top_text"]]
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"anchors": "int64", "distinct_texts": "int64"}),
+        expect.astype({"anchors": "int64", "distinct_texts": "int64"}),
+    )
+    assert (got["anchors"] > 0).all() and got["top_text"].str.len().gt(0).all()
