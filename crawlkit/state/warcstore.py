@@ -656,6 +656,107 @@ def wat_extract(records: "ray.data.Dataset") -> "ray.data.Dataset":
     return records.map_batches(to_wat, batch_format="pyarrow")
 
 
+def load_prior_index(roots: "list[str] | str") -> dict:
+    """Driver-side, BROADCASTABLE prior-generation CDX index for the
+    fetch stage's conditional-recrawl (304 body reuse) and
+    archive-dedup (identical-payload revisit) paths.
+
+    Returns a dict of sorted numpy byte arrays — zero-copy through the
+    Ray object store, so ``ray.put`` once on the driver and every fetch
+    worker maps the SAME plasma pages instead of re-reading ~2,700
+    index fragments and rebuilding Python dicts per worker (measured
+    6.7 s/worker × 28 workers at bench scale; the broadcast build is
+    ~2 s once). Lookups are ``np.searchsorted``:
+
+    * ``url_keys``/``url_digests`` — sorted canon-url bytes → payload
+      sha1 (response AND revisit rows: a revisit indexes the digest of
+      the content it refers to).
+    * ``body_digests`` + aligned ``body_gen/body_shard_idx/
+      body_offset/body_length`` — sorted content digests → the newest
+      generation's record location (first-wins across the
+      newest-first chain, matching the per-worker setdefault path).
+    * ``roots``/``shards`` — small Python lists resolving the int
+      indexes back to paths.
+
+    At multi-node scale the same structure hash-partitions into keyed
+    shard lookups; in-cluster it is one object-store copy per node."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from crawlkit import canon
+
+    roots = [roots] if isinstance(roots, str) else list(roots)
+    uk_parts, ud_parts = [], []
+    bd_parts, bg_parts, bs_parts, bo_parts, bl_parts = [], [], [], [], []
+    shards: list[str] = []
+    shard_idx: dict[str, int] = {}
+    for g, root in enumerate(roots):  # newest first: first writer wins
+        idx = TableStore(f"{root}/index").read_table(
+            columns=["url", "status", "record_type", "shard", "offset",
+                     "length", "payload_digest"]
+        )
+        if "url" not in idx.column_names:  # empty/absent index
+            continue
+        resp = pc.and_(
+            pc.equal(idx["record_type"], "response"), pc.equal(idx["status"], 200)
+        )
+        known = idx.filter(pc.or_(resp, pc.equal(idx["record_type"], "revisit")))
+        if known.num_rows:
+            cus = canon.canonicalize_urls(known["url"])
+            uk_parts.append(np.array(cus.to_pylist(), dtype="S"))
+            ud_parts.append(np.array(known["payload_digest"].to_pylist(), dtype="S40"))
+        bodies = idx.filter(resp)
+        if bodies.num_rows:
+            bd_parts.append(np.array(bodies["payload_digest"].to_pylist(), dtype="S40"))
+            bg_parts.append(np.full(bodies.num_rows, g, dtype=np.int32))
+            sidx = np.empty(bodies.num_rows, dtype=np.int32)
+            for i, s in enumerate(bodies["shard"].to_pylist()):
+                key = f"{g}/{s}"
+                if key not in shard_idx:
+                    shard_idx[key] = len(shards)
+                    shards.append(s)
+                sidx[i] = shard_idx[key]
+            bs_parts.append(sidx)
+            bo_parts.append(bodies["offset"].to_numpy())
+            bl_parts.append(bodies["length"].to_numpy())
+
+    def first_wins(keys_parts, *aligned_parts):
+        if not keys_parts:
+            return (np.array([], dtype="S1"),) + tuple(
+                np.array([], dtype=np.int64) for _ in aligned_parts
+            )
+        keys = np.concatenate(keys_parts)
+        aligned = [np.concatenate(p) for p in aligned_parts]
+        # np.unique keeps the FIRST occurrence in array order — the
+        # newest-first concatenation makes that the setdefault semantics
+        ukeys, first = np.unique(keys, return_index=True)
+        return (ukeys,) + tuple(a[first] for a in aligned)
+
+    url_keys, url_digests = first_wins(uk_parts, ud_parts)
+    body_digests, body_gen, body_shard_idx, body_offset, body_length = first_wins(
+        bd_parts, bg_parts, bs_parts, bo_parts, bl_parts
+    )
+    return {
+        "url_keys": url_keys, "url_digests": url_digests,
+        "body_digests": body_digests, "body_gen": body_gen,
+        "body_shard_idx": body_shard_idx, "body_offset": body_offset,
+        "body_length": body_length, "roots": roots, "shards": shards,
+    }
+
+
+def sorted_member_mask(keys: "np.ndarray", queries: "np.ndarray") -> "np.ndarray":
+    """Vectorized membership of ``queries`` in the SORTED byte array
+    ``keys`` (searchsorted + equality check) — the lookup primitive for
+    the broadcast prior index."""
+    import numpy as np
+
+    if len(keys) == 0 or len(queries) == 0:
+        return np.zeros(len(queries), dtype=bool)
+    pos = np.searchsorted(keys, queries)
+    pos_c = np.minimum(pos, len(keys) - 1)
+    return keys[pos_c] == queries
+
+
 def anchor_text_topk(
     root: str, k: int = 10, nshards: int = 16
 ) -> "pd.DataFrame":

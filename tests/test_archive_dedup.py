@@ -252,3 +252,29 @@ def test_conditional_gen3_over_dedup_gen2_chain(gen1, tmp_path):
     assert len(fetched) and (fetched.status == 304).all()
     assert fetched.nbytes.sum() == 0
     assert eng3.entries_table().num_rows == len(sim3.entries) > 0
+
+
+def test_dist_mode_dedup_parity(gen1, tmp_path):
+    """Distributed-frontier mode with archive_dedup archives the SAME
+    record set as driver mode — including which captures became
+    identical-payload revisits (digest-keyed, so batching differences
+    cannot change the classification)."""
+    from crawlkit.pipelines.crawl_dist import run_crawl_dataset
+
+    _d1, arch1, _res1 = gen1
+    arch_drv, arch_dst = str(tmp_path / "arc_drv"), str(tmp_path / "arc_dst")
+    run_crawl(
+        SynthWeb(CFG2), spec=SPEC, out_dir=str(tmp_path / "run_drv"),
+        num_seen_shards=2, fetch_concurrency=2, archive_root=arch_drv,
+        archive_images=True, prior_archive_root=arch1, archive_dedup=True,
+    )
+    run_crawl_dataset(
+        SynthWeb(CFG2), spec=SPEC, out_dir=str(tmp_path / "run_dst"),
+        num_seen_shards=2, nblocks=4, archive_root=arch_dst,
+        archive_images=True, prior_archive_root=arch1, archive_dedup=True,
+    )
+    cols = ["url", "status", "record_type", "payload_digest", "nbytes", "depth"]
+    a = _index_df(arch_drv)[cols].sort_values(cols).reset_index(drop=True)
+    b = _index_df(arch_dst)[cols].sort_values(cols).reset_index(drop=True)
+    assert a.equals(b)
+    assert (a["record_type"] == "revisit").any()
