@@ -278,3 +278,58 @@ def test_dist_mode_dedup_parity(gen1, tmp_path):
     b = _index_df(arch_dst)[cols].sort_values(cols).reset_index(drop=True)
     assert a.equals(b)
     assert (a["record_type"] == "revisit").any()
+
+
+def test_load_prior_index_first_wins_and_lookups(tmp_path):
+    """Broadcast CDX index semantics: newest-first generation chain —
+    a url captured in BOTH generations resolves to the NEWEST digest
+    and body location (matching the per-worker setdefault path);
+    lookups are searchsorted over sorted byte arrays and must handle
+    queries longer than any key (numpy width promotion, no truncation)."""
+    import numpy as np
+
+    from crawlkit.stages.fetch import FetchParse
+    from crawlkit.synthweb import WebConfig
+
+    meta = {"schema_name": "flat", "schema_version": "v1", "domain": "d",
+            "created": "2026-01-01", "depth": 1}
+    g1, g2 = str(tmp_path / "g1"), str(tmp_path / "g2")
+    body_a1, body_a2, body_b = b"<html>A v1</html>", b"<html>A v2</html>", b"<html>B</html>"
+    w1 = warcstore.WarcWriter(g1)
+    w1.store.commit_fragments([w1.write_batch([
+        {"url": "https://h.test/a", "status": 200, "body": body_a1, **meta},
+        {"url": "https://h.test/b", "status": 200, "body": body_b, **meta},
+    ])])
+    w2 = warcstore.WarcWriter(g2)
+    w2.store.commit_fragments([w2.write_batch([
+        {"url": "https://h.test/a", "status": 200, "body": body_a2, **meta},
+    ])])
+
+    pi = warcstore.load_prior_index([g2, g1])  # newest first
+    dg_a1 = hashlib.sha1(body_a1).hexdigest()
+    dg_a2 = hashlib.sha1(body_a2).hexdigest()
+    dg_b = hashlib.sha1(body_b).hexdigest()
+
+    fp = FetchParse(WebConfig(n_seeds=1), prior_index_ref=pi, archive_dedup=True)
+    # newest generation wins the url → digest mapping
+    assert fp._prior_digest_for_url("https://h.test/a") == dg_a2
+    assert fp._prior_digest_for_url("https://h.test/b") == dg_b
+    # a query LONGER than every key promotes width, never truncates
+    assert fp._prior_digest_for_url("https://h.test/a-much-longer-suffix") is None
+    # every content digest is locatable; locations point at their own gen
+    assert fp._prior_body_loc(dg_a2)[0] == g2
+    assert fp._prior_body_loc(dg_a1)[0] == g1
+    assert fp._prior_body_loc(dg_b)[0] == g1
+    assert fp._prior_body_loc("f" * 40) is None
+    # vectorized membership (the image-dedup hot path)
+    mask = fp._prior_has_bodies([dg_a1, "0" * 40, dg_b, dg_a2])
+    assert mask.tolist() == [True, False, True, True]
+    # byte parity through the resolution path: _archived_body range-reads
+    assert fp._archived_body("https://h.test/a") == body_a2.decode()
+    assert fp._archived_body("https://h.test/b") == body_b.decode()
+    # dict-fallback path (no ref) agrees
+    fb = FetchParse(WebConfig(n_seeds=1), prior_archive_root=[g2, g1])
+    assert fb._archived_body("https://h.test/a") == body_a2.decode()
+    assert np.array_equal(
+        fb._prior_has_bodies([dg_a1, "0" * 40, dg_b, dg_a2]), mask
+    )
