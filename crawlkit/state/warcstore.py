@@ -689,7 +689,6 @@ def load_prior_index(roots: "list[str] | str") -> dict:
     uk_parts, ud_parts = [], []
     bd_parts, bg_parts, bs_parts, bo_parts, bl_parts = [], [], [], [], []
     shards: list[str] = []
-    shard_idx: dict[str, int] = {}
     for g, root in enumerate(roots):  # newest first: first writer wins
         idx = TableStore(f"{root}/index").read_table(
             columns=["url", "status", "record_type", "shard", "offset",
@@ -709,14 +708,15 @@ def load_prior_index(roots: "list[str] | str") -> dict:
         if bodies.num_rows:
             bd_parts.append(np.array(bodies["payload_digest"].to_pylist(), dtype="S40"))
             bg_parts.append(np.full(bodies.num_rows, g, dtype=np.int32))
-            sidx = np.empty(bodies.num_rows, dtype=np.int32)
-            for i, s in enumerate(bodies["shard"].to_pylist()):
-                key = f"{g}/{s}"
-                if key not in shard_idx:
-                    shard_idx[key] = len(shards)
-                    shards.append(s)
-                sidx[i] = shard_idx[key]
-            bs_parts.append(sidx)
+            # vectorized shard-name factorization (dictionary-encode,
+            # then offset the codes into the global shard list)
+            denc = pc.dictionary_encode(
+                bodies["shard"].combine_chunks()
+            )
+            local_names = denc.dictionary.to_pylist()
+            base = len(shards)
+            shards.extend(local_names)
+            bs_parts.append(denc.indices.to_numpy().astype(np.int32) + base)
             bo_parts.append(bodies["offset"].to_numpy())
             bl_parts.append(bodies["length"].to_numpy())
 
