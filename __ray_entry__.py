@@ -329,6 +329,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _res, root = _crawl_with_archive()
         return warcstore.anchor_text_topk(root, k=10, nshards=8)
 
+    def archive_cdx_lookup(sf_dir: str):
+        """Common-Crawl CDX-API analogue: url-prefix query over the
+        archive index with Iceberg-style fragment-stat scan planning
+        (manifest [url_lo, url_hi] bounds prune files before any read),
+        then an exact vectorized prefix filter. Returns host0's records
+        rolled up per (depth): records + body bytes. Rows-only;
+        ≡ full-scan filter + pruning>0 pinned in tests/test_warcstore.py."""
+        import pandas as pd
+        import pyarrow as pa
+
+        from crawlkit.state import warcstore
+
+        _res, root = _crawl_with_archive()
+        hits = warcstore.cdx_lookup(root, "https://host0.test/")
+
+        def partial(t: "pa.Table") -> "pa.Table":
+            df = t.select(["depth", "nbytes"]).to_pandas()
+            g = df.groupby("depth", as_index=False).agg(
+                records=("nbytes", "size"), body_bytes=("nbytes", "sum")
+            )
+            return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+        agg = hits.map_batches(partial, batch_format="pyarrow").to_pandas()
+        out_df = agg.groupby("depth", as_index=False).sum()
+        return out_df.sort_values("depth").reset_index(drop=True)
+
     def archive_delta(sf_dir: str):
         """Incremental change detection across crawl generations: two
         full crawls of a GROWN web, each archiving to WARC; the CDX
@@ -769,6 +795,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "archive_wat": archive_wat,  # rows-only (link-set ≡ Python ref in tests)
         # per-target anchor-text aggregation (inbound link descriptions)
         "archive_anchor_text": archive_anchor_text,  # rows-only (pandas ref in tests)
+        # CDX prefix query with manifest-stat fragment pruning (scan planning)
+        "archive_cdx_lookup": archive_cdx_lookup,  # rows-only (≡ full scan in tests)
         "archive_restore_images": archive_restore_images,  # rows-only (byte-level ≡ live store in tests)
         "archive_delta": archive_delta,  # rows-only (class semantics in tests)
         # URL-agnostic digest dedup: gen-2 archives zero bytes for moved/unchanged payloads

@@ -656,6 +656,37 @@ def wat_extract(records: "ray.data.Dataset") -> "ray.data.Dataset":
     return records.map_batches(to_wat, batch_format="pyarrow")
 
 
+def cdx_lookup(
+    root: str, url_prefix: str, *, version: int | None = None
+) -> "ray.data.Dataset":
+    """Common-Crawl CDX-API analogue: the archive's index rows whose
+    url starts with ``url_prefix`` (a host, a path subtree, one url).
+
+    Scan planning runs BEFORE any file I/O: fragment-stat pruning keeps
+    only index fragments whose manifest [url_lo, url_hi] bounds
+    intersect the prefix range (the Iceberg planning step —
+    ``TableStore.pruned_paths``; fused fetch tasks write host-block
+    fragments, so host-prefix queries open a small fraction of the
+    files), then an exact vectorized ``starts_with`` filter runs on the
+    survivors. Callers chain the result into ``read_warc``-style range
+    reads for the record bytes. At 100 TB the CDX is the only thing
+    scanned — never the WARC shards."""
+    import ray.data as rd
+    import pyarrow.compute as _pc
+
+    store = TableStore(f"{root}/index")
+    # half-open prefix range [prefix, prefix+1): bump the last byte
+    hi = url_prefix[:-1] + chr(ord(url_prefix[-1]) + 1)
+    paths, _pruned = store.pruned_paths({"url": (url_prefix, hi)}, version)
+    if not paths:
+        return rd.from_arrow(INDEX_SCHEMA.empty_table())
+
+    def exact(t: pa.Table) -> pa.Table:
+        return t.filter(_pc.starts_with(t["url"], url_prefix))
+
+    return rd.read_parquet(paths).map_batches(exact, batch_format="pyarrow")
+
+
 def load_prior_index(roots: "list[str] | str") -> dict:
     """Driver-side, BROADCASTABLE prior-generation CDX index for the
     fetch stage's conditional-recrawl (304 body reuse) and

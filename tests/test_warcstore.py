@@ -494,3 +494,33 @@ def test_anchor_text_topk_reference(crawl_and_archive):
         expect.astype({"anchors": "int64", "distinct_texts": "int64"}),
     )
     assert (got["anchors"] > 0).all() and got["top_text"].str.len().gt(0).all()
+
+
+def test_cdx_lookup_prefix_pruning(crawl_and_archive):
+    """CDX prefix query ≡ full-scan filter, with Iceberg-style fragment
+    pruning doing the scan planning: a narrow prefix opens a strict
+    subset of the index files; an absent prefix reads ZERO files and
+    still returns a typed empty table."""
+    _res, root = crawl_and_archive
+    full = warcstore.TableStore(f"{root}/index").read_table().to_pandas()
+    host0 = sorted(u for u in full["url"] if u.startswith("https://host0.test/"))
+    got = warcstore.cdx_lookup(root, "https://host0.test/").to_pandas()
+    assert sorted(got["url"]) == host0 and len(host0) > 0
+    # scan planning: the narrow prefix prunes fragments before any read
+    store = warcstore.TableStore(f"{root}/index")
+    one = host0[0]
+    hi = one[:-1] + chr(ord(one[-1]) + 1)
+    paths, pruned = store.pruned_paths({"url": (one, hi)})
+    assert pruned > 0
+    assert len(paths) < len(store.fragment_paths())
+    g1 = warcstore.cdx_lookup(root, one).to_pandas()
+    assert len(g1) >= 1 and g1["url"].str.startswith(one).all()
+    # absent prefix: everything pruned, typed empty result
+    none_paths, none_pruned = store.pruned_paths(
+        {"url": ("https://nosuch.test/", "https://nosuch.test0")}
+    )
+    empty_ds = warcstore.cdx_lookup(root, "https://nosuch.test/")
+    # typed even when 0 fragments survive planning (to_pandas on an
+    # all-empty Dataset drops columns — assert on the Dataset schema)
+    assert empty_ds.count() == 0
+    assert {"url", "payload_digest"} <= set(empty_ds.schema().names)
