@@ -733,7 +733,11 @@ def load_prior_index(roots: "list[str] | str") -> dict:
         known = idx.filter(pc.or_(resp, pc.equal(idx["record_type"], "revisit")))
         if known.num_rows:
             cus = canon.canonicalize_urls(known["url"])
-            uk_parts.append(np.array(cus.to_pylist(), dtype="S"))
+            # encode explicitly: np.array(str, dtype='S') is ASCII-only
+            # and would raise on IDN/utf-8 urls
+            uk_parts.append(
+                np.array([u.encode() for u in cus.to_pylist()], dtype="S")
+            )
             ud_parts.append(np.array(known["payload_digest"].to_pylist(), dtype="S40"))
         bodies = idx.filter(resp)
         if bodies.num_rows:
