@@ -355,6 +355,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out_df = agg.groupby("depth", as_index=False).sum()
         return out_df.sort_values("depth").reset_index(drop=True)
 
+    def archive_compact(sf_dir: str):
+        """Archive maintenance: consolidate per-task .warc.gz shards
+        into ~1 MB shards (pure byte movement — gzip members copied
+        verbatim, digests unchanged), snapshot-commit the rewritten
+        index, then gc the unreferenced old files. Returns the
+        before/after shard counts + record count + a byte-parity flag.
+        Rows-only; full byte parity, idempotence and gc exactness
+        pinned in tests/test_warcstore.py."""
+        import hashlib as _hl
+
+        import pandas as pd
+
+        from crawlkit.state import warcstore
+
+        _res, root = _crawl_with_archive()
+        store = warcstore.TableStore(f"{root}/index")
+
+        def digest_all() -> str:
+            recs = warcstore.read_warc(root).to_pandas().sort_values("url")
+            h = _hl.sha1()
+            for b in recs["body"]:
+                h.update(bytes(b))
+            return h.hexdigest()
+
+        shards_before = len(set(store.read_table(columns=["shard"])["shard"].to_pylist()))
+        before = digest_all()
+        warcstore.compact_archive(root, target_bytes=1 << 20)
+        removed = warcstore.gc_shards(root)
+        idx = warcstore.TableStore(f"{root}/index").read_table()
+        return pd.DataFrame(
+            {
+                "records": [idx.num_rows],
+                "shards_after": [len(set(idx["shard"].to_pylist()))],
+                "compacted": [shards_before > len(set(idx["shard"].to_pylist()))],
+                "gc_removed_files": [removed > 0],
+                "byte_parity": [digest_all() == before],
+            }
+        )
+
     def archive_delta(sf_dir: str):
         """Incremental change detection across crawl generations: two
         full crawls of a GROWN web, each archiving to WARC; the CDX
@@ -797,6 +836,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "archive_anchor_text": archive_anchor_text,  # rows-only (pandas ref in tests)
         # CDX prefix query with manifest-stat fragment pruning (scan planning)
         "archive_cdx_lookup": archive_cdx_lookup,  # rows-only (≡ full scan in tests)
+        # shard consolidation + gc: pure byte movement, snapshot-committed index
+        "archive_compact": archive_compact,  # rows-only (byte parity in tests)
         "archive_restore_images": archive_restore_images,  # rows-only (byte-level ≡ live store in tests)
         "archive_delta": archive_delta,  # rows-only (class semantics in tests)
         # URL-agnostic digest dedup: gen-2 archives zero bytes for moved/unchanged payloads

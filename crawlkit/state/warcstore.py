@@ -656,6 +656,115 @@ def wat_extract(records: "ray.data.Dataset") -> "ray.data.Dataset":
     return records.map_batches(to_wat, batch_format="pyarrow")
 
 
+def compact_archive(
+    root: str, target_bytes: int = 256 << 20, num_partitions: int = 8
+) -> int:
+    """Consolidate many small ``.warc.gz`` shards into ~``target_bytes``
+    shards — the archive-maintenance step a long crawl needs (the fused
+    fetch stage writes one shard per task; a bench crawl leaves ~2,700
+    small files, and at 10^10 records per-file open cost dominates).
+
+    gzip members are independent, so compaction is PURE BYTE MOVEMENT:
+    each record's compressed member is copied verbatim into its new
+    shard — no decompress/recompress, digests and record bytes
+    unchanged. Planning happens on the INDEX alone (~100 bytes/record):
+    rows sort by url (locality for later prefix reads — this also makes
+    the new fragment url-stat bounds TIGHT, so ``cdx_lookup`` pruning
+    improves) and bin-pack into ~target_bytes bins; each bin rewrites
+    in its own task with a content-keyed deterministic shard name
+    (idempotent retries — re-running compaction is a no-op version).
+    The new index commits as a SNAPSHOT version: old versions still
+    reference the old shards (time travel) until :func:`gc_shards`.
+    Returns the committed index version."""
+    import json
+
+    import pandas as pd
+    import ray.data as rd
+
+    store = TableStore(f"{root}/index")
+    idx = store.read_table()
+    if idx.num_rows == 0:
+        return store.latest_version()
+    df = idx.to_pandas().sort_values("url", kind="mergesort").reset_index(drop=True)
+    start = df["length"].cumsum() - df["length"]
+    df["_bin"] = (start // target_bytes).astype("int64")
+
+    def rewrite_bin(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values("url", kind="mergesort").reset_index(drop=True)
+        key = _shard_key(list(g["url"]))
+        shard_rel = f"shards/{key}.warc.gz"
+        buf: list[bytes] = []
+        # read members grouped by source shard, offset-ordered: one
+        # sequential pass per old file
+        order = g.sort_values(["shard", "offset"]).index
+        chunks: dict[int, bytes] = {}
+        fh, cur = None, None
+        try:
+            for i in order:
+                s = g.at[i, "shard"]
+                if s != cur:
+                    if fh is not None:
+                        fh.close()
+                    fh = open(f"{root}/{s}", "rb")
+                    cur = s
+                fh.seek(int(g.at[i, "offset"]))
+                chunks[i] = fh.read(int(g.at[i, "length"]))
+        finally:
+            if fh is not None:
+                fh.close()
+        offset = 0
+        new_off = []
+        for i in range(len(g)):
+            buf.append(chunks[i])
+            new_off.append(offset)
+            offset += len(chunks[i])
+        tmp = f"{root}/{shard_rel}.tmp-{key}"
+        with open(tmp, "wb") as f:
+            f.write(b"".join(buf))
+        os.replace(tmp, f"{root}/{shard_rel}")
+        out = g.drop(columns=["_bin"]).copy()
+        out["shard"] = shard_rel
+        out["offset"] = new_off
+        new_idx = pa.Table.from_pandas(
+            out[[f.name for f in INDEX_SCHEMA]], preserve_index=False
+        ).cast(INDEX_SCHEMA)
+        meta = TableStore(f"{root}/index").write_fragment(new_idx, key)
+        # clean-arrow return: pandas-metadata dicts break Ray's
+        # block-schema hash dedup (CLAUDE.md gotcha)
+        return pa.table({"meta_json": pa.array([json.dumps(meta)], pa.string())})
+
+    metas = (
+        rd.from_arrow(
+            pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+        )
+        .repartition(num_partitions)
+        .groupby("_bin")
+        .map_groups(rewrite_bin, batch_format="pandas")
+        .to_pandas()
+    )
+    frags = [json.loads(m) for m in metas["meta_json"]]
+    return store.commit_snapshot(sorted(frags, key=lambda f: f["key"]))
+
+
+def gc_shards(root: str) -> int:
+    """Delete shard files the LATEST index version no longer references
+    (post-compaction garbage collection). DESTRUCTIVE for time travel:
+    older versions that referenced the removed shards stop being
+    range-readable; run only once the compacted version is the accepted
+    state. Returns the number of files removed."""
+    import glob as _glob
+
+    store = TableStore(f"{root}/index")
+    live = set(store.read_table(columns=["shard"])["shard"].to_pylist())
+    removed = 0
+    for p in _glob.glob(f"{root}/shards/*.warc.gz"):
+        rel = os.path.relpath(p, root)
+        if rel not in live:
+            os.remove(p)
+            removed += 1
+    return removed
+
+
 def cdx_lookup(
     root: str, url_prefix: str, *, version: int | None = None
 ) -> "ray.data.Dataset":

@@ -524,3 +524,52 @@ def test_cdx_lookup_prefix_pruning(crawl_and_archive):
     # all-empty Dataset drops columns — assert on the Dataset schema)
     assert empty_ds.count() == 0
     assert {"url", "payload_digest"} <= set(empty_ds.schema().names)
+
+
+def test_compact_archive_byte_parity_and_gc(crawl_and_archive, tmp_path):
+    """Shard compaction is pure byte movement: every record (bodies,
+    metadata, digests) reads back identically from the consolidated
+    shards; re-compaction is a no-op version; gc removes exactly the
+    unreferenced old files; CDX prefix queries stay exact."""
+    import glob as g
+    import shutil
+
+    _res, root = crawl_and_archive
+    croot = str(tmp_path / "arch_copy")
+    shutil.copytree(root, croot)
+    store = warcstore.TableStore(f"{croot}/index")
+    before = (
+        warcstore.read_warc(croot).to_pandas().sort_values("url").reset_index(drop=True)
+    )
+    shards_before = len(set(store.read_table(columns=["shard"])["shard"].to_pylist()))
+    files_before = len(g.glob(f"{croot}/shards/*.warc.gz"))
+    assert shards_before > 4
+
+    v1 = warcstore.compact_archive(croot, target_bytes=1 << 20)
+    store2 = warcstore.TableStore(f"{croot}/index")
+    idx2 = store2.read_table()
+    shards_after = len(set(idx2["shard"].to_pylist()))
+    assert shards_after < shards_before
+    assert idx2.num_rows == len(before)
+    after = (
+        warcstore.read_warc(croot).to_pandas().sort_values("url").reset_index(drop=True)
+    )
+    assert list(after["url"]) == list(before["url"])
+    for c in ("status", "content_type", "payload_digest", "depth", "created"):
+        assert list(after[c]) == list(before[c])
+    assert all(bytes(a) == bytes(b) for a, b in zip(after["body"], before["body"]))
+    # idempotent: same content → same keys → same version
+    assert warcstore.compact_archive(croot, target_bytes=1 << 20) == v1
+    # CDX prefix query exact on the compacted index (tighter url bounds)
+    full = idx2.to_pandas()
+    host0 = sorted(u for u in full["url"] if u.startswith("https://host0.test/"))
+    got = warcstore.cdx_lookup(croot, "https://host0.test/").to_pandas()
+    assert sorted(got["url"]) == host0
+    # gc: old shard files gone, exactly the referenced ones remain
+    removed = warcstore.gc_shards(croot)
+    assert removed == files_before
+    assert len(g.glob(f"{croot}/shards/*.warc.gz")) == shards_after
+    final = (
+        warcstore.read_warc(croot).to_pandas().sort_values("url").reset_index(drop=True)
+    )
+    assert all(bytes(a) == bytes(b) for a, b in zip(final["body"], before["body"]))
