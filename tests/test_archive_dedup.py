@@ -333,3 +333,45 @@ def test_load_prior_index_first_wins_and_lookups(tmp_path):
     assert np.array_equal(
         fb._prior_has_bodies([dg_a1, "0" * 40, dg_b, dg_a2]), mask
     )
+
+
+def test_resolution_survives_referent_compaction(gen1, tmp_path):
+    """Compacting (and gc-ing) the REFERENT generation must not break
+    digest resolution from a later dedup'd generation: the resolver
+    reads the referent's LATEST index version, which points at the
+    consolidated shards."""
+    import shutil
+
+    from crawlkit.state.lancelike import TableStore
+
+    _d1, arch1, _res1 = gen1
+    g1c = str(tmp_path / "arch1_copy")
+    shutil.copytree(arch1, g1c)
+    arch2 = str(tmp_path / "arch2")
+    run_crawl(
+        SynthWeb(CFG1), spec=SPEC, out_dir=str(tmp_path / "run2"),
+        num_seen_shards=2, fetch_concurrency=2, archive_root=arch2,
+        archive_images=True, prior_archive_root=g1c, archive_dedup=True,
+    )
+    before = (
+        warcstore.read_warc(arch2, resolve_revisits=True, resolve_roots=[arch2, g1c])
+        .to_pandas().sort_values("url").reset_index(drop=True)
+    )
+    assert len(before) > 0
+    warcstore.compact_archive(g1c, target_bytes=1 << 20)
+    assert warcstore.gc_shards(g1c) > 0
+    after = (
+        warcstore.read_warc(arch2, resolve_revisits=True, resolve_roots=[arch2, g1c])
+        .to_pandas().sort_values("url").reset_index(drop=True)
+    )
+    assert list(after["url"]) == list(before["url"])
+    assert all(bytes(a) == bytes(b) for a, b in zip(after["body"], before["body"]))
+    # the broadcast prior index is a point-in-time view: rebuilding it
+    # AFTER compaction yields working locations for a next generation
+    pi = warcstore.load_prior_index([arch2, g1c])
+    from crawlkit.stages.fetch import FetchParse
+    from crawlkit.synthweb import WebConfig as _WC
+
+    fp = FetchParse(_WC(n_seeds=1), prior_index_ref=pi)
+    row = before.iloc[0]
+    assert fp._archived_body(row["url"]) == bytes(row["body"]).decode()
