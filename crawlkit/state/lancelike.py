@@ -85,11 +85,20 @@ def decode_frag_stats(s) -> dict:
     return {}
 
 
+_SNAPSHOT_EVERY = 16  # delta-chain length bound (Delta-Lake checkpoint cadence)
+
+
 class TableStore:
     def __init__(self, root: str):
         self.root = root
         os.makedirs(f"{root}/fragments", exist_ok=True)
         os.makedirs(f"{root}/_versions", exist_ok=True)
+        # (version, fragments list) of the last manifest this INSTANCE
+        # folded or committed — long-lived driver stores (the crawl's
+        # per-round commits) skip the re-fold entirely; validity is
+        # guarded by the cheap _latest version check, so external
+        # writers are still seen
+        self._man_cache: "tuple[int, list] | None" = None
 
     # --- manifest --------------------------------------------------------
 
@@ -101,23 +110,69 @@ class TableStore:
             return 0
 
     def manifest(self, version: int | None = None) -> dict:
+        """Fragment list at ``version`` (latest by default).
+
+        Versions are a DELTA LOG (Delta-Lake-style): an append commit
+        writes only its new fragment metas (``{"version", "adds"}``);
+        a snapshot commit — rebuilds, compaction, and every
+        ``_SNAPSHOT_EVERY``-th append as a checkpoint — writes the full
+        list (``{"version", "fragments"}``). Reading folds deltas back
+        to the nearest snapshot, so commit cost is O(new fragments)
+        instead of O(table) — at 16M crawled pages the per-round
+        manifest rewrite was 10% of wall. Pre-delta-log stores read
+        unchanged (every old version file is a snapshot)."""
         v = self.latest_version() if version is None else version
         if v == 0:
             return {"version": 0, "fragments": []}
-        with open(f"{self.root}/_versions/{v}.json") as f:
-            return json.load(f)
+        if self._man_cache is not None and self._man_cache[0] == v:
+            return {"version": v, "fragments": list(self._man_cache[1])}
+        chain: list[list] = []
+        cur = v
+        frags: list = []
+        while cur > 0:
+            if self._man_cache is not None and self._man_cache[0] == cur:
+                frags = list(self._man_cache[1])
+                break
+            with open(f"{self.root}/_versions/{cur}.json") as f:
+                m = json.load(f)
+            if "fragments" in m:  # snapshot / checkpoint / pre-log file
+                frags = list(m["fragments"])
+                break
+            chain.append(m["adds"])
+            cur -= 1
+        for adds in reversed(chain):
+            frags.extend(adds)
+        self._man_cache = (v, list(frags))
+        return {"version": v, "fragments": frags}
 
-    def _commit(self, manifest: dict) -> int:
-        v = self.latest_version() + 1
-        manifest["version"] = v
+    def _write_version(self, v: int, payload: dict) -> None:
         tmp = f"{self.root}/_versions/.{v}.json.tmp"
         with open(tmp, "w") as f:
-            json.dump(manifest, f)
+            json.dump(payload, f)
         os.replace(tmp, f"{self.root}/_versions/{v}.json")  # atomic
         tmp2 = f"{self.root}/._latest.tmp"
         with open(tmp2, "w") as f:
             f.write(str(v))
         os.replace(tmp2, f"{self.root}/_latest")
+
+    def _commit(self, manifest: dict) -> int:
+        """Full-snapshot commit (rebuilds, compaction, checkpoints)."""
+        v = self.latest_version() + 1
+        manifest["version"] = v
+        self._write_version(v, manifest)
+        self._man_cache = (v, list(manifest["fragments"]))
+        return v
+
+    def _commit_delta(self, prev_version: int, all_fragments: list, adds: list) -> int:
+        """Append commit: write only ``adds`` (O(new)); every
+        ``_SNAPSHOT_EVERY``-th version writes the folded list as a
+        checkpoint so cold reads stay bounded."""
+        v = prev_version + 1
+        if v % _SNAPSHOT_EVERY == 0:
+            self._write_version(v, {"version": v, "fragments": all_fragments})
+        else:
+            self._write_version(v, {"version": v, "adds": adds})
+        self._man_cache = (v, list(all_fragments))
         return v
 
     # --- write -----------------------------------------------------------
@@ -143,14 +198,14 @@ class TableStore:
 
     def commit_fragments(self, frags: list[dict]) -> int:
         """Append fragments as a new version; already-committed keys are
-        skipped (idempotent re-commit)."""
+        skipped (idempotent re-commit). Writes a DELTA version (only the
+        new metas) — O(new fragments), not O(table)."""
         man = self.manifest()
         have = {f["key"] for f in man["fragments"]}
         fresh = [f for f in frags if f["key"] not in have]
         if not fresh:
             return man["version"]
-        man["fragments"] = man["fragments"] + fresh
-        return self._commit(man)
+        return self._commit_delta(man["version"], man["fragments"] + fresh, fresh)
 
     def commit_snapshot(self, frags: list[dict]) -> int:
         """Publish a version containing EXACTLY these fragments — the
