@@ -527,15 +527,23 @@ def run_crawl_dataset(
         # payload rows, and no second Ray execution over control)
         parts = ray.get(collector.drain.remote(rnd))
         _t = _phase("small_drain", _t)
-        small = (
+        # stay ARROW: converting the full mixed control table to pandas
+        # costs ~2 µs per object cell (15 cols × 190k frag rows/round at
+        # 16M = the whole small_parse phase); per-kind slices convert
+        # only the few columns each consumer reads
+        small_t = (
             pa.concat_tables(
                 [pa.ipc.open_stream(b).read_all() for b in parts]
-            ).to_pandas()
+            ).combine_chunks()
             if parts
-            else CTRL_SCHEMA.empty_table().to_pandas()
+            else CTRL_SCHEMA.empty_table()
         )
+
+        def _slice(kind: str) -> pa.Table:
+            return small_t.filter(pc.equal(small_t["kind"], kind))
+
         _t = _phase("small_parse", _t)
-        if len(small) == 0:  # empty frontier → crawl drained
+        if small_t.num_rows == 0:  # empty frontier → crawl drained
             res.rounds = rnd
             break
         for kind, store in (
@@ -544,25 +552,29 @@ def run_crawl_dataset(
             ("ifrag", res.images_store),
             *((("afrag", res.archive_store),) if res.archive_store is not None else ()),
         ):
-            f = small[small["kind"] == kind]
+            f = _slice(kind)
             from ..state.lancelike import decode_frag_stats
 
             store.commit_fragments(
                 [
                     {"key": k, "rows": r, "path": p} | decode_frag_stats(s)
                     for k, r, p, s in zip(
-                        f["frag_key"], f["frag_rows"], f["frag_path"], f["frag_stats"]
+                        f["frag_key"].to_pylist(), f["frag_rows"].to_pylist(),
+                        f["frag_path"].to_pylist(), f["frag_stats"].to_pylist(),
                     )
                 ]
             )
         if track_order:
-            o = small[small["kind"] == "ord"]
-            order_frames.append(o[_CONTRACT].assign(round=rnd))
+            o = _slice("ord").select(_CONTRACT).to_pandas()
+            order_frames.append(o.assign(round=rnd))
             # redirect targets are in the shard seen sets (added in-task);
             # mirror them into the parity-test res.seen (set membership —
             # idempotent adds, so no new/old distinction needed here)
-            res.seen.update(small[small["kind"] == "redirect"]["canon_url"])
-        hs = small[small["kind"] == "hstat"]
+            res.seen.update(_slice("redirect")["canon_url"].to_pylist())
+        hs_t = _slice("hstat")
+        hs = hs_t.select(
+            ["host", "n_issued", "n_ok", "n_failed", "n_blocked", "nbytes"]
+        ).to_pandas()
         n_issued = int(hs["n_issued"].sum()) if len(hs) else 0
         if n_issued == 0:
             res.rounds = rnd
@@ -632,8 +644,8 @@ def run_crawl_dataset(
             "round": rnd,
             "issued": n_issued,
             "fetched": n_issued - blocked_total,
-            "entries": int(small[small["kind"] == "efrag"]["frag_rows"].sum()),
-            "images": int(small[small["kind"] == "ifrag"]["frag_rows"].sum()),
+            "entries": int(pc.sum(_slice("efrag")["frag_rows"]).as_py() or 0),
+            "images": int(pc.sum(_slice("ifrag")["frag_rows"]).as_py() or 0),
             "per_host": by_host,
             "nblocks": nblocks,
             "frontier_dir": next_dir if n_next else None,
