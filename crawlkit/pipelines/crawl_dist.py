@@ -483,7 +483,13 @@ def run_crawl_dataset(
                     ["page", "defer"] + ([] if track_order else ["redirect"])
                 ),
             )
-            small_t = ctrl.filter(pc.invert(big_mask))
+            # combine_chunks BEFORE serializing: the ctrl table is a
+            # concat of per-chunk slivers (2-6 rows each), and
+            # pa.ipc.write_table emits one framed record batch PER
+            # CHUNK — ~1 KB of framing per batch dominated the control
+            # bytes 4-5× and the driver's read_all parsed ~240k frames
+            # per 16M round (measured 15-21 s/run before this line)
+            small_t = ctrl.filter(pc.invert(big_mask)).combine_chunks()
             if small_t.num_rows:
                 # synchronous put: the task only completes once the
                 # collector holds its rows (exactly-once, see actor doc)
@@ -531,13 +537,44 @@ def run_crawl_dataset(
         # costs ~2 µs per object cell (15 cols × 190k frag rows/round at
         # 16M = the whole small_parse phase); per-kind slices convert
         # only the few columns each consumer reads
-        small_t = (
-            pa.concat_tables(
-                [pa.ipc.open_stream(b).read_all() for b in parts]
-            ).combine_chunks()
-            if parts
-            else CTRL_SCHEMA.empty_table()
-        )
+        if os.environ.get("CRAWLKIT_DIST_STATS"):
+            import sys as _sys
+
+            _p0 = _time.perf_counter()
+            tabs = [pa.ipc.open_stream(b).read_all() for b in parts]
+            _p1 = _time.perf_counter()
+            small_t = (
+                pa.concat_tables(tabs).combine_chunks()
+                if tabs
+                else CTRL_SCHEMA.empty_table()
+            )
+            _p2 = _time.perf_counter()
+            colsz = {
+                c: sum(
+                    buf.size
+                    for chunk in small_t[c].chunks
+                    for buf in chunk.buffers()
+                    if buf is not None
+                )
+                for c in small_t.column_names
+            }
+            top = sorted(colsz.items(), key=lambda kv: -kv[1])[:6]
+            print(
+                f"== round {rnd} small: parts={len(parts)} "
+                f"bytes={sum(len(b) for b in parts)/1e6:.1f}MB "
+                f"read_all={_p1-_p0:.2f}s concat+combine={_p2-_p1:.2f}s "
+                f"rows={small_t.num_rows} top_cols="
+                + ",".join(f"{c}:{s/1e6:.1f}MB" for c, s in top),
+                file=_sys.stderr,
+            )
+        else:
+            small_t = (
+                pa.concat_tables(
+                    [pa.ipc.open_stream(b).read_all() for b in parts]
+                ).combine_chunks()
+                if parts
+                else CTRL_SCHEMA.empty_table()
+            )
 
         def _slice(kind: str) -> pa.Table:
             return small_t.filter(pc.equal(small_t["kind"], kind))

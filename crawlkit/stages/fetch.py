@@ -120,6 +120,15 @@ def _rows_to_table(rows: list[dict], schema: pa.Schema = UNION_SCHEMA) -> pa.Tab
     return pa.Table.from_pydict(arrays, schema=schema)
 
 
+# manifest-stat allowlists: bounds ride EVERY fragment control row and
+# manifest delta, so only the columns consumers prune on are recorded
+# (etag/error/price-text bounds were ~1 KB/fragment of pure weight —
+# 531 MB of control rows in one 16M round before the allowlist)
+_ENTRY_STATS_COLS = ["canon_url", "schema_name", "created"]
+_IMAGE_STATS_COLS = ["image_id"]
+_LOG_STATS_COLS = ["canon_url", "host", "status", "round"]
+
+
 def _frag_row(kind: str, meta: dict) -> dict:
     """Fragment-metadata control row; manifest stats ride as JSON so the
     driver's commit records them (pruned reads — lancelike.pruned_paths)."""
@@ -601,7 +610,9 @@ class FetchParse:
             fkey = stable_hash_bytes(
                 "entfrag", *sorted(r["canon_url"] for r in entries), len(entries), size=8
             ).hex()
-            meta = self.entries_store.write_fragment(table, fkey)
+            meta = self.entries_store.write_fragment(
+                table, fkey, stats_cols=_ENTRY_STATS_COLS
+            )
             out.append(_frag_row("efrag", meta))
         if image_refs and self.images_store is not None:
             recs = [self.web.image_record(r["image_id"]) for r in image_refs]
@@ -609,7 +620,9 @@ class FetchParse:
             fkey = stable_hash_bytes(
                 "imgfrag", *sorted(r["image_id"] for r in image_refs), size=8
             ).hex()
-            meta = self.images_store.write_fragment(table, fkey)
+            meta = self.images_store.write_fragment(
+                table, fkey, stats_cols=_IMAGE_STATS_COLS
+            )
             out.append(_frag_row("ifrag", meta))
             if self.archiver is not None and self.archive_images:
                 img_arch = [
@@ -666,7 +679,9 @@ class FetchParse:
                 fkey = stable_hash_bytes(
                     "logfrag", *sorted(r["canon_url"] for r in logs), rnd, size=8
                 ).hex()
-                meta = self.logs_store.write_fragment(table, fkey)
+                meta = self.logs_store.write_fragment(
+                    table, fkey, stats_cols=_LOG_STATS_COLS
+                )
                 out.append(_frag_row("lfrag", meta))
                 # per-host stats replace the raw rows on the control path
                 stats: dict[str, list[int]] = {}

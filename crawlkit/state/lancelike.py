@@ -46,13 +46,25 @@ def _upper_bound_str(s: str) -> str | None:
     return None
 
 
-def fragment_stats(table: pa.Table) -> dict:
+def fragment_stats(table: pa.Table, cols: "list[str] | None" = None) -> dict:
     """Per-column [lower, upper] bounds for int / float / string columns
     (nulls ignored; all-null and other-typed columns skipped). String
     bounds are truncated Iceberg-style so manifests stay small while the
-    bounds remain sound for range pruning."""
+    bounds remain sound for range pruning. ``cols``: restrict the
+    STRING columns recorded to the ones consumers actually prune on —
+    string bounds are ~130 bytes each and ride every fragment control
+    row AND every manifest delta, so un-prunable text bounds
+    (etag/error/price strings) are pure weight at 10^7+ fragments
+    (measured 531 MB of control rows in one 16M round). Numeric bounds
+    are ~20 bytes and always kept."""
     import pyarrow.compute as pc
 
+    if cols is not None:
+        keep = [
+            c for c, t in zip(table.column_names, table.schema.types)
+            if c in cols or not pa.types.is_string(t)
+        ]
+        table = table.select(keep)
     out: dict[str, list] = {}
     for name, col in zip(table.column_names, table.columns):
         t = col.type
@@ -177,7 +189,9 @@ class TableStore:
 
     # --- write -----------------------------------------------------------
 
-    def write_fragment(self, table: pa.Table, key: str) -> dict:
+    def write_fragment(
+        self, table: pa.Table, key: str, stats_cols: "list[str] | None" = None
+    ) -> dict:
         """Write one fragment file (NOT yet visible — commit makes it so).
 
         Safe to call from concurrent Ray tasks: the name is deterministic
@@ -191,7 +205,7 @@ class TableStore:
         pq.write_table(table, tmp)
         os.replace(tmp, path)
         meta = {"key": key, "rows": table.num_rows, "path": path}
-        stats = fragment_stats(table)
+        stats = fragment_stats(table, stats_cols)
         if stats:
             meta["stats"] = stats
         return meta

@@ -271,7 +271,12 @@ class WarcWriter:
             f.write(b"".join(members))
         os.replace(tmp, shard_path)  # atomic; retries rewrite same bytes
         idx = pa.Table.from_pylist(index_rows, schema=INDEX_SCHEMA)
-        return self.store.write_fragment(idx, key)
+        # prune-relevant bounds only (cdx_lookup prunes on url;
+        # restore/read filters use depth+status) — digest/shard/path
+        # bounds are un-prunable weight on every control row
+        return self.store.write_fragment(
+            idx, key, stats_cols=["url", "status", "depth"]
+        )
 
 
 class ArchiveFetchWrite:
@@ -728,7 +733,9 @@ def compact_archive(
         new_idx = pa.Table.from_pandas(
             out[[f.name for f in INDEX_SCHEMA]], preserve_index=False
         ).cast(INDEX_SCHEMA)
-        meta = TableStore(f"{root}/index").write_fragment(new_idx, key)
+        meta = TableStore(f"{root}/index").write_fragment(
+            new_idx, key, stats_cols=["url", "status", "depth"]
+        )
         # clean-arrow return: pandas-metadata dicts break Ray's
         # block-schema hash dedup (CLAUDE.md gotcha)
         return pa.table({"meta_json": pa.array([json.dumps(meta)], pa.string())})
