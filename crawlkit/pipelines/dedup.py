@@ -26,7 +26,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Min
+from ray.data.aggregate import Min
 
 from ..hashing import hash64_np
 
@@ -258,10 +258,25 @@ def minhash_lsh_pairs(
     tau_tenths: int = 2,
     num_perm: int = 64,
     band_size: int = 4,
+    bucket_cap: int = 512,
+    nshards: int = 32,
 ) -> rd.Dataset:
     """Candidate pairs via banded MinHash-LSH, then EXACT Jaccard verify
     (integer math, same threshold as ngram_jaccard_pairs — LSH only
-    prunes, the verify decides, so no false positives)."""
+    prunes, the verify decides, so no false positives).
+
+    Scale shape (round-3 VERDICT #1/#2): the exploded signature table is
+    grouped by ``(band, hash(band_hash) % nshards)`` — n_bands×nshards
+    groups of ~|corpus|/(n_bands·nshards) rows each, NOT n_bands
+    corpus-sized groups — and every LSH bucket (one band_hash value)
+    lands whole in exactly one shard because the shard is a pure
+    function of band_hash. ``bucket_cap`` skips band values shared by
+    more than cap docs (the simhash_pairs hot-bucket hatch: a
+    degenerate bucket would emit O(|bucket|²) candidate rows; members
+    of such a bucket are near-identical and the exact dedup / smaller
+    buckets of other bands still catch them). The cross-band candidate
+    distinct is a pair-hash-sharded pandas reduce, not the generic
+    two-int64-key Aggregate (~10× slower at 1M+ pairs)."""
     ds = _read_docs(sf_dir, ["doc_id", "text"])
     sigs = ds.map_batches(MinHasher, fn_constructor_kwargs={"num_perm": num_perm},
                           batch_format="pyarrow", batch_size=1024, concurrency=2,
@@ -272,45 +287,66 @@ def minhash_lsh_pairs(
     def explode_bands(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy()
         sig = np.stack(t["sig"].to_numpy(zero_copy_only=False))
-        rows_id, rows_band, rows_hash = [], [], []
+        rows_id, rows_gkey, rows_hash = [], [], []
         for b in range(n_bands):
             chunk = sig[:, b * band_size : (b + 1) * band_size]
             bh = np.zeros(len(ids), dtype=np.uint64)
             with np.errstate(over="ignore"):
                 for c in range(band_size):
                     bh = bh * np.uint64(1099511628211) + chunk[:, c]
+                # shard = f(band_hash) only → a bucket never splits
+                bh_mix = (bh * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)
+            gkey = b * nshards + (bh_mix % np.uint64(nshards)).astype(np.int64)
             rows_id.append(ids)
-            rows_band.append(np.full(len(ids), b, dtype=np.int32))
+            rows_gkey.append(gkey)
             rows_hash.append(bh)
         return pa.table(
             {
                 "doc_id": np.concatenate(rows_id),
-                "band": np.concatenate(rows_band),
+                "gkey": np.concatenate(rows_gkey),
                 "band_hash": np.concatenate(rows_hash),
             }
         )
 
-    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        """One call per BAND; vectorized self-merge on band_hash inside."""
+    def emit_pairs(g: pd.DataFrame) -> pa.Table:
+        """One call per (band, band_hash-shard); vectorized self-merge on
+        band_hash inside, capped buckets skipped, pair-shard routed."""
+        from .. import pandas_to_clean_arrow
+
         g = g[["doc_id", "band_hash"]].drop_duplicates()
+        sizes = g.groupby("band_hash")["doc_id"].transform("size")
+        g = g[sizes <= bucket_cap]
         m = g.merge(g, on="band_hash", suffixes=("_l", "_r"))
         m = m[m["doc_id_l"] < m["doc_id_r"]]
         out = m[["doc_id_l", "doc_id_r"]].drop_duplicates()
-        from .. import pandas_to_clean_arrow
-
+        a64 = out["doc_id_l"].to_numpy(dtype=np.int64).astype(np.uint64)
+        b64 = out["doc_id_r"].to_numpy(dtype=np.int64).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            pshard = (((a64 * np.uint64(0x9E3779B97F4A7C15)) ^ b64)
+                      % np.uint64(nshards)).astype(np.int64)
         return pandas_to_clean_arrow(pd.DataFrame(
             {
-                "doc_id_a": out["doc_id_l"].astype("int64").to_numpy(),
-                "doc_id_b": out["doc_id_r"].astype("int64").to_numpy(),
+                "doc_id_a": a64.astype(np.int64),
+                "doc_id_b": b64.astype(np.int64),
+                "pshard": pshard,
             }
+        ))
+
+    def distinct_pairs(g: pd.DataFrame) -> pa.Table:
+        """One call per PAIR shard: cross-band candidate dedup."""
+        from .. import pandas_to_clean_arrow
+
+        out = g[["doc_id_a", "doc_id_b"]].drop_duplicates()
+        return pandas_to_clean_arrow(out.astype(
+            {"doc_id_a": "int64", "doc_id_b": "int64"}
         ))
 
     candidates = (
         sigs.map_batches(explode_bands, batch_format="pyarrow")
-        .groupby("band")
+        .groupby("gkey")
         .map_groups(emit_pairs, batch_format="pandas")
-        .groupby(["doc_id_a", "doc_id_b"])
-        .aggregate(Count(alias_name="_nbands"))
+        .groupby("pshard")
+        .map_groups(distinct_pairs, batch_format="pandas")
     )
 
     # verify: JOIN-BACK to the exploded-distinct-shingle table (round-1

@@ -73,6 +73,30 @@ def test_minhash_lsh_no_false_positives_and_finds_strong_dups(tmp_path):
     assert (1, 2) in got_pairs and (2, 3) in got_pairs  # J≈0.8 → recall ~1
 
 
+def test_minhash_lsh_degenerate_bucket_capped(tmp_path):
+    """A band bucket with > bucket_cap identical docs must be SKIPPED
+    (not go quadratic / OOM): plant 40 byte-identical docs with cap=8 —
+    no pair among them survives candidate generation; distinct near-dup
+    pairs elsewhere in the corpus still come through."""
+    n_clones = 40
+    other = "one two three four five six seven eight nine ten eleven twelve"
+    docs = pa.table(
+        {
+            "doc_id": list(range(1, n_clones + 1)) + [100, 101],
+            "text": ["clone " + BASE] * n_clones + [other, other],
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    got = _pdf(dedup.minhash_lsh_pairs(str(tmp_path), tau_tenths=2, bucket_cap=8))
+    got_pairs = set(map(tuple, got[["doc_id_a", "doc_id_b"]].to_numpy()))
+    # identical clones share EVERY band bucket → every bucket they form is
+    # over cap → zero clone pairs emitted
+    assert not any(a <= n_clones and b <= n_clones for a, b in got_pairs)
+    # the shingle-disjoint exact-dup pair collides in all 16 bands with
+    # bucket size 2 ≤ cap → always survives
+    assert (100, 101) in got_pairs
+
+
 def test_simhash_exact_and_near(tmp_path):
     d, docs = _mk_corpus(tmp_path)
     sigs = dedup.simhash_signatures(d).to_pandas().set_index("doc_id")["simhash"]
