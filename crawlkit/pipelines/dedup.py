@@ -376,17 +376,15 @@ def minhash_lsh_pairs(
 # --- SimHash ------------------------------------------------------------
 
 
-def _md5_lower64(words: list[str]) -> np.ndarray:
+def _md5_lower64(words: "list[str] | np.ndarray") -> np.ndarray:
     """Per-word 64-bit hash = the low half of md5, matching DuckDB's
     ``md5_number_lower`` exactly (bytes 8..16, little-endian) — chosen so
-    SimHash signatures are SQL-oracle-reproducible bit for bit."""
-    import hashlib
+    SimHash signatures are SQL-oracle-reproducible bit for bit.
+    Vectorized (numpy one-block MD5) for short-ASCII batches; per-row
+    hashlib fallback otherwise — see crawlkit.hashing.md5_lower64_np."""
+    from crawlkit.hashing import md5_lower64_np
 
-    md5 = hashlib.md5
-    out = np.empty(len(words), dtype=np.uint64)
-    for i, w in enumerate(words):
-        out[i] = int.from_bytes(md5(w.encode("utf-8")).digest()[8:], "little")
-    return out
+    return md5_lower64_np(words)
 
 
 def simhash_signatures(sf_dir: str) -> rd.Dataset:

@@ -19,6 +19,8 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
+from crawlkit.hashing import md5_lower64_ids
+
 from .dedup import _md5_lower64, _read_docs
 
 # default mixture: per-mille keep rate per language (the source axis the
@@ -28,8 +30,9 @@ DEFAULT_RATE = 250
 
 
 def _id_hash(ids: np.ndarray) -> np.ndarray:
-    """md5-low64 of the DECIMAL doc_id string — the stable per-row coin."""
-    return _md5_lower64([str(int(i)) for i in ids])
+    """md5-low64 of the DECIMAL doc_id string — the stable per-row coin
+    (fully vectorized: numpy digit synthesis + one-block MD5)."""
+    return md5_lower64_ids(ids)
 
 
 def split_assign(sf_dir: str, train_pct: int = 80, val_pct: int = 10) -> rd.Dataset:
@@ -136,9 +139,7 @@ def assemble_corpus(
         keep = coin < rate
         ids = ids[keep]
         langs = [l for l, k in zip(langs, keep) if k]
-        sbucket = (
-            _md5_lower64([f"{int(i)}:split" for i in ids]) % np.uint64(100)
-        ).astype(np.int64)
+        sbucket = (md5_lower64_ids(ids, ":split") % np.uint64(100)).astype(np.int64)
         code = np.where(
             sbucket < train_pct, 0, np.where(sbucket < train_pct + val_pct, 1, 2)
         )
@@ -431,8 +432,9 @@ def dsir_sample(
 
 def _id_hash_salted(ids: np.ndarray, salt: str) -> np.ndarray:
     """md5-low64 of the decimal id string + salt — an independent stable
-    coin per (row, use-site)."""
-    return _md5_lower64([str(int(i)) + salt for i in ids])
+    coin per (row, use-site); vectorized digit synthesis, no per-row
+    Python."""
+    return md5_lower64_ids(ids, salt)
 
 
 # --- snapshot diff / reconciliation ---------------------------------------
