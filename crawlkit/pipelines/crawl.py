@@ -764,9 +764,21 @@ def build_etag_map(
         )
         if "url" not in idx.column_names:
             continue
+        # pre-record_type archives (older index format): every row is a
+        # plain response — the original status==200 semantics
+        n = idx.num_rows
+        rts = (
+            idx["record_type"].to_pylist()
+            if "record_type" in idx.column_names
+            else ["response"] * n
+        )
+        dgs = (
+            idx["payload_digest"].to_pylist()
+            if "payload_digest" in idx.column_names
+            else [None] * n
+        )
         for u, st, rt, dg in zip(
-            idx["url"].to_pylist(), idx["status"].to_pylist(),
-            idx["record_type"].to_pylist(), idx["payload_digest"].to_pylist(),
+            idx["url"].to_pylist(), idx["status"].to_pylist(), rts, dgs,
         ):
             if rt == "response" and st == 200:
                 archived.add(_canon.canonicalize_url_one(u))

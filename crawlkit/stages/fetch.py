@@ -217,12 +217,11 @@ class FetchParse:
         self.prior_archive_root = prior_archive_root
         # Broadcast prior index (warcstore.load_prior_index built ONCE on
         # the driver, ray.put): sorted numpy byte arrays — zero-copy from
-        # the object store, searchsorted lookups. The per-worker dict
-        # build below stays as the fallback for unit tests / ad-hoc use.
+        # the object store, searchsorted lookups. Without a ref the same
+        # canonical builder runs once per worker (no separate dict
+        # implementation to drift).
         self.prior_index_ref = prior_index_ref
-        self._pi: dict | None = None  # broadcast arrays (ray.get, zero-copy)
-        self._prior_index: dict | None = None  # lazy canon_url → sha1 digest
-        self._prior_bodies: dict | None = None  # lazy digest → (root, shard, off, len)
+        self._pi: dict | None = None  # sorted arrays (broadcast or local build)
         # Common-Crawl-style URL-AGNOSTIC dedup against the prior
         # generations' archives: a fetched 200 whose payload sha1 already
         # exists in some prior index is archived as an
@@ -300,52 +299,26 @@ class FetchParse:
 
     def _load_prior_index(self) -> None:
         """Lazy once-per-worker CDX load across the prior generation
-        CHAIN (newest first): ``_prior_index`` maps canon_url → payload
-        sha1 (response AND revisit rows — a revisit row indexes the
-        digest of the content it refers to), ``_prior_bodies`` maps
-        digest → the newest generation's content-record location. At
-        multi-node scale both are hash-partitioned keyed shard lookups,
-        not worker-resident dicts."""
-        from ..state.lancelike import TableStore as _TS
+        CHAIN (newest first) — delegates to the CANONICAL builder
+        (``warcstore.load_prior_index``), so the driver-broadcast path
+        and this per-worker fallback cannot drift: both produce the same
+        sorted-array structure (url → digest over response+revisit rows,
+        digest → newest-generation body location, first-wins)."""
+        from ..state.warcstore import load_prior_index
 
         roots = (
             [self.prior_archive_root]
             if isinstance(self.prior_archive_root, str)
             else list(self.prior_archive_root)
         )
-        self._prior_index = {}
-        self._prior_bodies = {}
-        for root in roots:  # newest first: first writer wins
-            idx = _TS(f"{root}/index").read_table(
-                columns=[
-                    "url", "status", "record_type", "shard", "offset",
-                    "length", "payload_digest",
-                ]
-            )
-            if "url" not in idx.column_names:  # empty/absent index
-                continue
-            for u, st, rt, s, o, ln, dg in zip(
-                idx["url"].to_pylist(), idx["status"].to_pylist(),
-                idx["record_type"].to_pylist(), idx["shard"].to_pylist(),
-                idx["offset"].to_pylist(), idx["length"].to_pylist(),
-                idx["payload_digest"].to_pylist(),
-            ):
-                if rt == "response" and st == 200:
-                    cu = canon.canonicalize_url_one(u)
-                    self._prior_index.setdefault(cu, dg)
-                    self._prior_bodies.setdefault(dg, (root, s, o, ln))
-                elif rt == "revisit":
-                    # 304 server-not-modified OR identical-payload
-                    # dedup row: the url's content digest is known even
-                    # though the bytes live in another capture
-                    self._prior_index.setdefault(canon.canonicalize_url_one(u), dg)
+        self._pi = load_prior_index(roots)
 
     def _ensure_prior_index(self) -> None:
         """Attach the prior-generation CDX lookup: the broadcast arrays
         when a ``prior_index_ref`` was provided (one ray.get — zero-copy
-        numpy views of the driver's single build), else the legacy
-        per-worker dict load."""
-        if self._pi is not None or self._prior_index is not None:
+        numpy views of the driver's single build), else the same
+        structure built once per worker."""
+        if self._pi is not None:
             return
         if self.prior_index_ref is not None:
             if isinstance(self.prior_index_ref, dict):  # unit-test path
@@ -359,50 +332,44 @@ class FetchParse:
 
     def _prior_digest_for_url(self, canon_url: str) -> str | None:
         self._ensure_prior_index()
-        if self._pi is not None:
-            keys = self._pi["url_keys"]
-            if len(keys) == 0:
-                return None
-            q = np.bytes_(canon_url.encode())
-            pos = int(np.searchsorted(keys, q))
-            if pos < len(keys) and keys[pos] == q:
-                return bytes(self._pi["url_digests"][pos]).decode()
+        keys = self._pi["url_keys"]
+        if len(keys) == 0:
             return None
-        return self._prior_index.get(canon_url)
+        q = np.bytes_(canon_url.encode())
+        pos = int(np.searchsorted(keys, q))
+        if pos < len(keys) and keys[pos] == q:
+            return bytes(self._pi["url_digests"][pos]).decode()
+        return None
 
     def _prior_body_loc(self, dg: str):
         """digest → (root, shard, offset, length) of the newest content
         record holding those bytes, or None."""
         self._ensure_prior_index()
-        if self._pi is not None:
-            bd = self._pi["body_digests"]
-            if len(bd) == 0:
-                return None
-            q = np.bytes_(dg.encode())
-            pos = int(np.searchsorted(bd, q))
-            if pos >= len(bd) or bd[pos] != q:
-                return None
-            return (
-                self._pi["roots"][int(self._pi["body_gen"][pos])],
-                self._pi["shards"][int(self._pi["body_shard_idx"][pos])],
-                int(self._pi["body_offset"][pos]),
-                int(self._pi["body_length"][pos]),
-            )
-        return self._prior_bodies.get(dg)
+        bd = self._pi["body_digests"]
+        if len(bd) == 0:
+            return None
+        q = np.bytes_(dg.encode())
+        pos = int(np.searchsorted(bd, q))
+        if pos >= len(bd) or bd[pos] != q:
+            return None
+        return (
+            self._pi["roots"][int(self._pi["body_gen"][pos])],
+            self._pi["shards"][int(self._pi["body_shard_idx"][pos])],
+            int(self._pi["body_offset"][pos]),
+            int(self._pi["body_length"][pos]),
+        )
 
     def _prior_has_bodies(self, digests: list[str]) -> "np.ndarray":
         """Vectorized: which payload digests exist as content records in
         the prior chain (ONE searchsorted over the batch — the
         archive-dedup hot path)."""
         self._ensure_prior_index()
-        if self._pi is not None:
-            from ..state.warcstore import sorted_member_mask
+        from ..state.warcstore import sorted_member_mask
 
-            return sorted_member_mask(
-                self._pi["body_digests"],
-                np.array([d.encode() for d in digests], dtype="S40"),
-            )
-        return np.array([d in self._prior_bodies for d in digests], dtype=bool)
+        return sorted_member_mask(
+            self._pi["body_digests"],
+            np.array([d.encode() for d in digests], dtype="S40"),
+        )
 
     def _archived_body(self, canon_url: str) -> str | None:
         """Range-read one archived body from the PRIOR generations' WARCs
@@ -429,6 +396,7 @@ class FetchParse:
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows: list[dict] = []
         arch: list[dict] = []
+        dedup_cands: list[tuple[int, str]] = []  # (arch idx, payload sha1)
         n = batch.num_rows
         cols = {name: batch[name].to_pylist() for name in batch.column_names}
         for i in range(n):
@@ -531,15 +499,16 @@ class FetchParse:
                         # identical bytes (typically content that MOVED
                         # url) become an identical-payload revisit —
                         # zero body bytes archived, digest continuity
-                        # for delta/change_rate, resolvable by digest
+                        # for delta/change_rate, resolvable by digest.
+                        # Decision deferred: digests collect here and ONE
+                        # vectorized membership runs per task below
+                        # (mirrors the image path — no per-record
+                        # searchsorted array builds).
                         import hashlib as _hl
 
-                        dg = _hl.sha1(body_b).hexdigest()
-                        if bool(self._prior_has_bodies([dg])[0]):
-                            rec.update(
-                                body=b"", revisit_digest=dg,
-                                revisit_profile="identical-payload-digest",
-                            )
+                        dedup_cands.append(
+                            (len(arch), _hl.sha1(body_b).hexdigest())
+                        )
                     arch.append(rec)
                 else:  # 304 → WARC revisit record (server-not-modified):
                     # empty-bodied but indexed under the UNCHANGED
@@ -588,6 +557,17 @@ class FetchParse:
                 for im in parsers.parse_offer_images(r.body, url):
                     rows.append({**base, "kind": "image_ref",
                                  "image_id": im["image_id"], "caption": im["caption"]})
+        if dedup_cands:
+            # one vectorized prior-chain membership per task (the image
+            # path's shape): matched payloads archive as empty-bodied
+            # identical-payload revisit records
+            mask = self._prior_has_bodies([dg for _, dg in dedup_cands])
+            for (ai, dg), hit in zip(dedup_cands, mask):
+                if hit:
+                    arch[ai].update(
+                        body=b"", revisit_digest=dg,
+                        revisit_profile="identical-payload-digest",
+                    )
         if self.entries_store is not None:
             rnd0 = cols.get("round", [0] * n)[0] if n else 0
             rows = self._write_payloads(rows, rnd0)

@@ -308,6 +308,13 @@ class TableStore:
         paths = self.fragment_paths(version)
         if not paths:
             return pa.table({})
+        if columns is not None:
+            # tolerate requests for columns an OLDER-format table lacks
+            # (e.g. a pre-record_type archive index): return what exists
+            # and let callers default the rest — callers already branch
+            # on ``column_names`` for the empty-store case.
+            avail = set(pq.read_schema(paths[0]).names)
+            columns = [c for c in columns if c in avail]
         if len(paths) > 16:
             import pyarrow.dataset as pads
 

@@ -762,7 +762,13 @@ def gc_shards(root: str) -> int:
     import glob as _glob
 
     store = TableStore(f"{root}/index")
-    live = set(store.read_table(columns=["shard"])["shard"].to_pylist())
+    t = store.read_table(columns=["shard"])
+    if "shard" not in t.column_names:
+        # empty index (zero committed fragments) → nothing is live, but
+        # deleting every shard on a missing index is too destructive a
+        # reading of "empty"; treat it as nothing-to-gc instead.
+        return 0
+    live = set(t["shard"].to_pylist())
     removed = 0
     for p in _glob.glob(f"{root}/shards/*.warc.gz"):
         rel = os.path.relpath(p, root)
@@ -791,9 +797,18 @@ def cdx_lookup(
     import pyarrow.compute as _pc
 
     store = TableStore(f"{root}/index")
-    # half-open prefix range [prefix, prefix+1): bump the last byte
-    hi = url_prefix[:-1] + chr(ord(url_prefix[-1]) + 1)
-    paths, _pruned = store.pruned_paths({"url": (url_prefix, hi)}, version)
+    # half-open prefix range [prefix, prefix+1): bump the last code
+    # point that CAN be bumped (carry-propagate past U+10FFFF); an
+    # empty/unbumpable prefix falls back to an unpruned scan.
+    hi = None
+    for cut in range(len(url_prefix), 0, -1):
+        if ord(url_prefix[cut - 1]) < 0x10FFFF:
+            hi = url_prefix[: cut - 1] + chr(ord(url_prefix[cut - 1]) + 1)
+            break
+    if hi is not None:
+        paths, _pruned = store.pruned_paths({"url": (url_prefix, hi)}, version)
+    else:
+        paths = store.fragment_paths(version)
     if not paths:
         return rd.from_arrow(INDEX_SCHEMA.empty_table())
 
@@ -843,6 +858,33 @@ def load_prior_index(roots: "list[str] | str") -> dict:
         )
         if "url" not in idx.column_names:  # empty/absent index
             continue
+        if "record_type" not in idx.column_names:
+            # pre-record_type archive: every row is a plain response
+            idx = idx.append_column(
+                "record_type", pa.array(["response"] * idx.num_rows)
+            )
+        if "payload_digest" not in idx.column_names:
+            # no digests recorded → synthesize a unique-per-record
+            # placeholder (never equal to a real sha1 hex nor to another
+            # row's), preserving the original status==200 semantics:
+            # each url resolves to exactly its own archived body and
+            # identical-payload dedup simply never triggers.
+            from crawlkit.hashing import stable_hash_bytes
+
+            idx = idx.append_column(
+                "payload_digest",
+                pa.array(
+                    [
+                        # 'loc:' + 32 hex = 36 chars — fits the S40 numpy
+                        # dtype the broadcast index uses, never collides
+                        # with a real 40-hex sha1
+                        "loc:" + stable_hash_bytes(g, s, o, size=16).hex()
+                        for s, o in zip(
+                            idx["shard"].to_pylist(), idx["offset"].to_pylist()
+                        )
+                    ]
+                ),
+            )
         resp = pc.and_(
             pc.equal(idx["record_type"], "response"), pc.equal(idx["status"], 200)
         )

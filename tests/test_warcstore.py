@@ -573,3 +573,80 @@ def test_compact_archive_byte_parity_and_gc(crawl_and_archive, tmp_path):
         warcstore.read_warc(croot).to_pandas().sort_values("url").reset_index(drop=True)
     )
     assert all(bytes(a) == bytes(b) for a, b in zip(final["body"], before["body"]))
+
+
+def test_gc_shards_empty_index_is_noop(tmp_path):
+    """ADVICE r3: gc on an archive whose index has no committed
+    fragments must delete nothing (and not KeyError on the zero-column
+    empty table)."""
+    import os
+
+    root = str(tmp_path / "arch")
+    os.makedirs(f"{root}/shards", exist_ok=True)
+    with open(f"{root}/shards/orphan.warc.gz", "wb") as f:
+        f.write(b"x")
+    assert warcstore.gc_shards(root) == 0
+    assert os.path.exists(f"{root}/shards/orphan.warc.gz")
+
+
+def test_cdx_lookup_degenerate_prefixes(crawl_and_archive):
+    """ADVICE r3: empty prefix and un-bumpable last code point fall back
+    to an unpruned scan instead of raising."""
+    _res, root = crawl_and_archive
+    full = warcstore.TableStore(f"{root}/index").read_table().num_rows
+    assert warcstore.cdx_lookup(root, "").count() == full
+    # last char U+10FFFF: carry propagates into the previous char
+    assert warcstore.cdx_lookup(root, "https://\U0010FFFF").count() == 0
+    # all chars un-bumpable → unpruned scan path
+    assert warcstore.cdx_lookup(root, "\U0010FFFF\U0010FFFF").count() == 0
+
+
+def test_prior_index_tolerates_old_format(tmp_path):
+    """ADVICE r3: an archive index written BEFORE the
+    record_type/payload_digest columns must load with the original
+    status==200 semantics (every row a plain response) in both
+    load_prior_index and build_etag_map."""
+    import pyarrow as pa
+
+    from crawlkit.pipelines.crawl import build_etag_map
+    from crawlkit.state.lancelike import TableStore
+
+    root = str(tmp_path / "old_arch")
+    store = TableStore(f"{root}/index")
+    old = pa.table(
+        {
+            "url": ["https://host0.test/a", "https://host1.test/b"],
+            "status": pa.array([200, 200], pa.int32()),
+            "shard": ["shards/s0.warc.gz", "shards/s0.warc.gz"],
+            "offset": pa.array([0, 100], pa.int64()),
+            "length": pa.array([100, 80], pa.int64()),
+        }
+    )
+    store.commit_fragments([store.write_fragment(old, "oldfrag")])
+
+    pi = warcstore.load_prior_index([root])
+    assert len(pi["url_keys"]) == 2
+    assert len(pi["body_digests"]) == 2
+    # synthesized placeholder digests are unique and not sha1-shaped
+    dgs = {bytes(d).decode() for d in pi["url_digests"]}
+    assert len(dgs) == 2 and all(d.startswith("loc:") for d in dgs)
+
+    # build_etag_map folds the same archive without raising; with no
+    # prior fetch log rows there is nothing to map
+    log_store = TableStore(f"{tmp_path}/prior_run/fetch_log")
+    log_store.commit_fragments(
+        [
+            log_store.write_fragment(
+                pa.table(
+                    {
+                        "canon_url": ["https://host0.test/a"],
+                        "status": pa.array([200], pa.int32()),
+                        "etag": ['W/"abc"'],
+                    }
+                ),
+                "logfrag",
+            )
+        ]
+    )
+    etags = build_etag_map(str(tmp_path / "prior_run"), root)
+    assert etags == {"https://host0.test/a": 'W/"abc"'}
