@@ -1040,11 +1040,16 @@ def _bloom_hits(keys: np.ndarray, words: np.ndarray) -> np.ndarray:
     return hit
 
 
-def _urgent_order_bloom(sf_dir: str):
+def _urgent_order_bloom(sf_dir: str, broadcast_cap: int = 5_000_000):
     """Distributed bloom build over urgent-order keys: per-batch partial
     bitmaps OR-merged (each m_words·8 bytes — bitmap size is independent
     of fact-table size, so the driver merge stays cheap at any scale).
-    Returns (bloom_ref, keys_ref, m_words) broadcast handles."""
+
+    Returns ``(bloom_ref, keys_ref)``: ``keys_ref`` is the broadcast
+    exact key set when the build side fits ``broadcast_cap`` keys, else
+    None — the caller must confirm the bloom's false positives with the
+    shuffle path (``_bloom_shuffle_confirm``) instead of an in-map
+    ``is_in`` against a driver-materialized array."""
     import ray
 
     from .. import read_parquet_clean
@@ -1069,53 +1074,124 @@ def _urgent_order_bloom(sf_dir: str):
     bloom = np.bitwise_or.reduce(np.stack(parts), axis=0) if parts else np.zeros(
         m_words, dtype=np.uint64
     )
+    if nkeys > broadcast_cap:
+        return ray.put(bloom), None
     keys_exact = pa.array(
         orders.select_columns(["o_orderkey"]).to_pandas()["o_orderkey"].to_numpy()
     )
     return ray.put(bloom), ray.put(keys_exact)
 
 
-def j_bloom_semi(sf_dir: str) -> rd.Dataset:
+def _urgent_keys_dataset(sf_dir: str) -> rd.Dataset:
+    """The build-side key column as a DATASET (never driver-resident) —
+    the shuffle-confirm's right side."""
+    from .. import read_parquet_clean
+
+    return read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority"],
+        filter=pc.field("o_orderpriority") == "1-URGENT",
+    ).select_columns(["o_orderkey"])
+
+
+def _bloom_shuffle_confirm(
+    admitted: rd.Dataset, keys_ds: rd.Dataset, *, anti: bool, nshards: int = 32
+) -> rd.Dataset:
+    """Exact confirm of bloom-admitted fact rows WITHOUT broadcasting
+    the build-side key set: both sides ride ONE hash-shard exchange on
+    the join key (union + side tag), and a vectorized per-shard ``isin``
+    keeps members (semi) or drops them (anti — only the bloom's false
+    positives survive, the caller unions the proven misses back). The
+    moved bytes are O(bloom-admitted + |build keys|), never the fact
+    table; this is the docstring's promised 100-TB confirm stage."""
+    def tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            k = t["l_orderkey" if side == 0 else "o_orderkey"].to_numpy()
+            with np.errstate(over="ignore"):
+                s = (k.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(nshards)
+            cols = {
+                "l_orderkey": pa.array(k.astype(np.int64), pa.int64()),
+                "price_cents": (
+                    t["price_cents"]
+                    if side == 0
+                    else pa.array(np.zeros(len(k), np.int64), pa.int64())
+                ),
+                "_side": pa.array(np.full(len(k), side, np.int64), pa.int64()),
+                "_shard": pa.array(s.astype(np.int64), pa.int64()),
+            }
+            return pa.table(cols)
+
+        return fn
+
+    def confirm(g: pd.DataFrame) -> pa.Table:
+        from .. import pandas_to_clean_arrow
+
+        bk = g.loc[g["_side"] == 1, "l_orderkey"].to_numpy()
+        fact = g[g["_side"] == 0]
+        member = np.isin(fact["l_orderkey"].to_numpy(), bk)
+        keep = fact[~member if anti else member]
+        return pandas_to_clean_arrow(
+            keep[["l_orderkey", "price_cents"]].reset_index(drop=True)
+        )
+
+    both = admitted.map_batches(tag(0), batch_format="pyarrow").union(
+        keys_ds.map_batches(tag(1), batch_format="pyarrow")
+    )
+    return both.groupby("_shard").map_groups(confirm, batch_format="pandas")
+
+
+def j_bloom_semi(sf_dir: str, broadcast_cap: int = 5_000_000) -> rd.Dataset:
     """Semi join lineitem ⋉ urgent orders via a BROADCAST BLOOM FILTER
     prefilter + exact confirm — the scale pattern for joining a 100-TB
     fact table against a small key side without shuffling the fact
     table: build a bloom bitmap over the build side's keys (distributed
     partial bitmaps OR-merged), ``ray.put`` it once, and drop non-member
     fact rows inside ``map_batches`` before any exact work. The exact
-    ``pc.is_in`` confirm (the build-side key set is also broadcast)
-    removes the bloom's false positives so the output equals the SQL
-    semi join bit-for-bit; at scale the confirm stage is where a shuffle
-    join would slot in, operating on the ~1% of rows the bloom admits."""
+    confirm removes the bloom's false positives so the output equals
+    the SQL semi join bit-for-bit — an in-map ``pc.is_in`` against the
+    broadcast key set while the build side fits ``broadcast_cap`` keys,
+    else a hash-shard SHUFFLE confirm over only the bloom-admitted rows
+    (``_bloom_shuffle_confirm``) — both paths byte-identical."""
     import ray
 
-    bloom_ref, keys_ref = _urgent_order_bloom(sf_dir)
+    bloom_ref, keys_ref = _urgent_order_bloom(sf_dir, broadcast_cap)
 
     def probe(t: pa.Table) -> pa.Table:
         hit = _bloom_hits(
             t["l_orderkey"].to_numpy().astype(np.uint64), ray.get(bloom_ref)
         )
         t = t.filter(pa.array(hit))  # bloom prefilter (no false negatives)
-        t = t.filter(pc.is_in(t["l_orderkey"], value_set=ray.get(keys_ref)))
+        if keys_ref is not None:
+            t = t.filter(pc.is_in(t["l_orderkey"], value_set=ray.get(keys_ref)))
         return pa.table(
             {"l_orderkey": t["l_orderkey"], "price_cents": _cents(t["l_extendedprice"])}
         )
 
     line = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"])
-    return line.map_batches(probe, batch_format="pyarrow")
+    admitted = line.map_batches(probe, batch_format="pyarrow")
+    if keys_ref is not None:
+        return admitted
+    return _bloom_shuffle_confirm(admitted, _urgent_keys_dataset(sf_dir), anti=False)
 
 
-def j_bloom_anti(sf_dir: str) -> rd.Dataset:
+def j_bloom_anti(sf_dir: str, broadcast_cap: int = 5_000_000) -> rd.Dataset:
     """ANTI join lineitem ▷ urgent orders with the same broadcast bloom —
     but the polarity flips WHERE the exact check is needed: a bloom MISS
     proves non-membership (no false negatives) so those rows pass
     straight through with zero further work; only bloom HITS — true
-    members plus the ~0.1% false positives — consult the exact key set,
-    and only the false positives among them are kept. The exact-check
-    cost is O(|members| + FP), not O(fact table): the asymmetry that
-    makes bloom anti-joins nearly free when most fact rows don't match."""
+    members plus the ~0.1% false positives — need the exact check, and
+    only the false positives among them are kept. The exact-check cost
+    is O(|members| + FP), not O(fact table): the asymmetry that makes
+    bloom anti-joins nearly free when most fact rows don't match.
+
+    Above ``broadcast_cap`` build keys the exact check becomes the
+    hash-shard shuffle confirm over ONLY the bloom-hit slice (a second
+    column-pruned scan emits the pass-through misses — at 100 TB a
+    re-scan of two pruned columns is far cheaper than shipping the
+    ~whole fact table through an exchange)."""
     import ray
 
-    bloom_ref, keys_ref = _urgent_order_bloom(sf_dir)
+    bloom_ref, keys_ref = _urgent_order_bloom(sf_dir, broadcast_cap)
 
     def probe(t: pa.Table) -> pa.Table:
         hit = _bloom_hits(
@@ -1131,8 +1207,33 @@ def j_bloom_anti(sf_dir: str) -> rd.Dataset:
             {"l_orderkey": out["l_orderkey"], "price_cents": _cents(out["l_extendedprice"])}
         )
 
+    def misses_only(t: pa.Table) -> pa.Table:
+        hit = _bloom_hits(
+            t["l_orderkey"].to_numpy().astype(np.uint64), ray.get(bloom_ref)
+        )
+        out = t.filter(pa.array(~hit))
+        return pa.table(
+            {"l_orderkey": out["l_orderkey"], "price_cents": _cents(out["l_extendedprice"])}
+        )
+
+    def hits_only(t: pa.Table) -> pa.Table:
+        hit = _bloom_hits(
+            t["l_orderkey"].to_numpy().astype(np.uint64), ray.get(bloom_ref)
+        )
+        out = t.filter(pa.array(hit))
+        return pa.table(
+            {"l_orderkey": out["l_orderkey"], "price_cents": _cents(out["l_extendedprice"])}
+        )
+
     line = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"])
-    return line.map_batches(probe, batch_format="pyarrow")
+    if keys_ref is not None:
+        return line.map_batches(probe, batch_format="pyarrow")
+    admitted = line.map_batches(hits_only, batch_format="pyarrow")
+    fp = _bloom_shuffle_confirm(admitted, _urgent_keys_dataset(sf_dir), anti=True)
+    passthrough = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"]).map_batches(
+        misses_only, batch_format="pyarrow"
+    )
+    return passthrough.union(fp)
 
 
 def cube_agg(sf_dir: str) -> pd.DataFrame:
