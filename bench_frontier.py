@@ -97,7 +97,11 @@ def main() -> dict:
             ),
         )
     if mode in ("dataset", "both"):
-        nblocks = int(os.environ.get("GRAFT_NBLOCKS", str(2 * num_cpus)))
+        # mirror run_crawl_dataset's image-aware default: image rounds
+        # need ~5×CPUs host blocks to balance the heavier per-page work
+        nblocks = int(
+            os.environ.get("GRAFT_NBLOCKS", str((5 if images else 2) * num_cpus))
+        )
         out["nblocks"] = nblocks
         one(
             "dataset",

@@ -219,7 +219,7 @@ def run_crawl_dataset(
     spec: CrawlSpec = CrawlSpec(),
     out_dir: str = "/tmp/crawlkit_dist_run",
     num_seen_shards: int = 8,
-    nblocks: int = 16,
+    nblocks: int | None = None,
     fetch_batch_size: int = 64,
     resume: bool = False,
     track_order: bool = False,
@@ -255,6 +255,16 @@ def run_crawl_dataset(
         web = SynthWeb(web)
     web_cfg = web.cfg
     budget = spec.host_budget_per_round
+    if nblocks is None:
+        # Host-block granularity sets the fetch-task size; image-payload
+        # rounds carry ~5× the per-page work of pure page rounds, so the
+        # slowest host block gates the per-round materialize barrier far
+        # harder with images on. Measured (frontier1m, 32 CPUs, one
+        # window): images-on nblocks=64 → 89-90 s vs 96-256 → 73-77 s
+        # (160 best, beating driver mode's 79 s); images-off 2×CPUs is
+        # the long-standing optimum (task overhead ~0.1-0.2 s each).
+        ncpus = int(ray.cluster_resources().get("CPU", 32))
+        nblocks = (5 if spec.fetch_images else 2) * ncpus
 
     ckpt = RunCheckpoint(out_dir)
     seen = SeenSet(num_seen_shards)
