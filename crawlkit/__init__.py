@@ -10,7 +10,7 @@ groupby/sort/shuffle for the wide steps.
 Layout (see SURVEY.md §7.0):
   canon.py       normalizers compatible with the reference's string UDFs
   hashing.py     deterministic stable hashing (no random / no time)
-  imagecodec.py  PNG codec (real) + lossy stand-in ("jpeg" stub), phash
+  imagecodec.py  real PNG codec + real baseline JPEG (jpegcodec.py), phash
   synthweb.py    deterministic seeded synthetic web (hosts/pages/images)
   refsim.py      single-threaded reference-semantics simulator (oracle)
   state/         seen-set shards (bloom+cuckoo+exact), lancelike tables,

@@ -1,15 +1,15 @@
 """Image codecs + perceptual hash for the image+caption payload path.
 
-The sandbox has no PIL/libjpeg, so:
+The sandbox has no PIL/libjpeg, but both formats are REAL here:
 
-* ``png`` is REAL: a minimal but spec-correct PNG encoder/decoder
+* ``png``: a minimal but spec-correct PNG encoder/decoder
   (8-bit RGB, filter 0, zlib) — lossless round-trip, byte-exact pixels.
-* ``jpeg`` is a clearly-marked DETERMINISTIC STAND-IN for a lossy codec:
-  pixels are quantized (step 4 → PSNR ≈ 47 dB, satisfying the ≥40 dB
-  per-row invariant) and stored in the same PNG container with a
-  ``jpegstub`` marker chunk. Swap ``encode``/``decode`` for a real
-  libjpeg binding outside the sandbox — the Ray-side plumbing (binary
-  Arrow columns, batch sizes, actor signatures) is real and tested.
+* ``jpeg``: a real baseline-sequential JFIF codec (jpegcodec.py, pure
+  numpy — Annex-K tables, zigzag, Huffman, byte stuffing). Default
+  quality 98 / 4:4:4 keeps the per-row PSNR ≥ 40 dB invariant with
+  margin (min ≈ 43 dB over the synthetic-web corpus). Rounds 1–3
+  used a quantize+PNG stand-in; ``decode`` still sniffs and reads
+  those legacy containers for archives written by earlier rounds.
 
 ``phash`` is a real 64-bit 8×8-DCT perceptual hash (pure numpy).
 """
@@ -21,8 +21,10 @@ import zlib
 
 import numpy as np
 
+from crawlkit import jpegcodec
+
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
-_LOSSY_QUANT = 4  # quantization step for the jpeg stand-in
+JPEG_QUALITY = 98  # keeps min PSNR ≈ 43 dB on the noisy synthetic corpus
 
 
 def _chunk(tag: bytes, data: bytes) -> bytes:
@@ -73,23 +75,62 @@ def decode_png(data: bytes) -> np.ndarray:
 
 
 def encode(pixels: np.ndarray, fmt: str) -> bytes:
-    """Encode pixels in ``fmt`` ('png' lossless | 'jpeg' lossy stand-in)."""
+    """Encode pixels in ``fmt`` ('png' lossless | 'jpeg' real baseline JPEG)."""
     if fmt == "png":
         return encode_png(pixels)
     if fmt == "jpeg":
-        # STUB lossy path: quantize → PNG container + marker chunk.
-        q = _LOSSY_QUANT
-        quant = ((pixels.astype(np.int32) + q // 2) // q * q).clip(0, 255).astype(np.uint8)
-        png = encode_png(quant)
-        return png[:-12] + _chunk(b"jpGs", b"stub") + png[-12:]
+        return jpegcodec.encode_jpeg(pixels, quality=JPEG_QUALITY)
     raise NotImplementedError(f"codec {fmt!r} not available in this sandbox")
 
 
+def encode_with_decoded(pixels: np.ndarray, fmt: str) -> tuple[bytes, np.ndarray]:
+    """(encoded bytes, decoder-exact decoded pixels) without re-parsing:
+    png is lossless (decoded == input); jpeg reconstructs from its own
+    quantized coefficients (byte-exact vs ``decode``, test-pinned)."""
+    if fmt == "png":
+        return encode_png(pixels), pixels
+    if fmt == "jpeg":
+        return jpegcodec.encode_jpeg(pixels, quality=JPEG_QUALITY, return_decoded=True)
+    raise NotImplementedError(f"codec {fmt!r} not available in this sandbox")
+
+
+def encode_batch(
+    pixel_list: list[np.ndarray], fmts: list[str]
+) -> tuple[list[bytes], list[np.ndarray]]:
+    """Batched (bytes, decoded) for mixed png/jpeg records — the crawl
+    hot path (stages/fetch.py fused image task). jpeg images go through
+    one vectorized ``encode_jpeg_batch`` call; png is per-image zlib.
+    Byte-identical to per-image ``encode``/``encode_with_decoded``."""
+    out_bytes: list[bytes | None] = [None] * len(pixel_list)
+    out_dec: list[np.ndarray | None] = [None] * len(pixel_list)
+    jpeg_idx = [i for i, f in enumerate(fmts) if f == "jpeg"]
+    if jpeg_idx:
+        datas, decs = jpegcodec.encode_jpeg_batch(
+            [pixel_list[i] for i in jpeg_idx],
+            quality=JPEG_QUALITY,
+            return_decoded=True,
+        )
+        for i, d, r in zip(jpeg_idx, datas, decs):
+            out_bytes[i] = d
+            out_dec[i] = r
+    for i, f in enumerate(fmts):
+        if f == "png":
+            out_bytes[i] = encode_png(pixel_list[i])
+            out_dec[i] = pixel_list[i]
+        elif f != "jpeg":
+            raise NotImplementedError(f"codec {f!r} not available in this sandbox")
+    return out_bytes, out_dec
+
+
 def decode(data: bytes, fmt: str | None = None) -> np.ndarray:
-    """Decode image bytes → (h, w, 3) uint8. fmt is advisory (container sniffed)."""
+    """Decode image bytes → (h, w, 3) uint8. fmt is advisory (container
+    sniffed): JFIF/JPEG (FF D8), PNG, or the legacy round-1..3 lossy
+    stand-in (a PNG container carrying pre-quantized pixels)."""
+    if data[:2] == b"\xff\xd8":
+        return jpegcodec.decode_jpeg(data)
     if data[:8] == _PNG_SIG:
         return decode_png(data)
-    raise NotImplementedError("non-PNG-container codecs unavailable in sandbox")
+    raise NotImplementedError("unrecognized image container")
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:

@@ -1,8 +1,9 @@
 """Multimodal (image / audio / video) stages: opaque binary columns with
 typed metadata, processed by actor-pool ``map_batches`` stages.
 
-Sandbox reality: PNG decode is REAL (imagecodec.py), "jpeg" is a
-deterministic quantized stand-in, PCM-WAV audio decode is REAL
+Sandbox reality: PNG decode is REAL (imagecodec.py), "jpeg" is a REAL
+baseline-sequential JFIF codec (jpegcodec.py, round 4 — the quantized
+stand-in is gone), PCM-WAV audio decode is REAL
 (audiocodec.py), and the video demuxer is a REAL RIFF-AVI/DIB parser
 (videocodec.py) — compressed codecs (mp3/h264/...) fail cleanly and
 need soundfile/pyav outside the sandbox. The Ray-side plumbing

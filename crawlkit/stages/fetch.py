@@ -595,7 +595,7 @@ class FetchParse:
             )
             out.append(_frag_row("efrag", meta))
         if image_refs and self.images_store is not None:
-            recs = [self.web.image_record(r["image_id"]) for r in image_refs]
+            recs = self.web.image_records([r["image_id"] for r in image_refs])
             table = pa.Table.from_pylist(recs, schema=IMAGES_SCHEMA)
             fkey = stable_hash_bytes(
                 "imgfrag", *sorted(r["image_id"] for r in image_refs), size=8
@@ -796,7 +796,7 @@ class ImageFetchWrite:
                 {"key": [], "rows": [], "path": []},
                 schema=pa.schema([("key", pa.string()), ("rows", pa.int64()), ("path", pa.string())]),
             )
-        recs = [self.web.image_record(i) for i in ids]
+        recs = self.web.image_records(ids)
         table = pa.Table.from_pylist(recs, schema=IMAGES_SCHEMA)
         key = stable_hash_bytes("imgfrag", *sorted(ids), size=8).hex()
         meta = self.store.write_fragment(table, key)

@@ -277,19 +277,29 @@ class SynthWeb:
 
     def image_record(self, image_id: str) -> dict:
         """Full images-table row: (image_id, bytes, w, h, fmt, caption, phash)."""
-        px = self.image_pixels(image_id)
-        fmt = self.image_fmt(image_id)
-        data = imagecodec.encode(px, fmt)
-        decoded = imagecodec.decode(data)
-        return {
-            "image_id": image_id,
-            "bytes": data,
-            "w": int(px.shape[1]),
-            "h": int(px.shape[0]),
-            "fmt": fmt,
-            "caption": self.caption(image_id),
-            "phash": np.int64(np.uint64(imagecodec.phash64(decoded))).item(),
-        }
+        return self.image_records([image_id])[0]
+
+    def image_records(self, image_ids: list[str]) -> list[dict]:
+        """Batched image rows — the fused image task's entry point.
+        jpeg images share one vectorized ``encode_jpeg_batch`` call;
+        phash is computed on the decoder-exact decoded pixels (free
+        from the encoder — no bitstream re-parse). Byte-identical to
+        per-image generation (test-pinned vs refsim)."""
+        pxs = [self.image_pixels(i) for i in image_ids]
+        fmts = [self.image_fmt(i) for i in image_ids]
+        datas, decs = imagecodec.encode_batch(pxs, fmts)
+        return [
+            {
+                "image_id": iid,
+                "bytes": data,
+                "w": int(px.shape[1]),
+                "h": int(px.shape[0]),
+                "fmt": fmt,
+                "caption": self.caption(iid),
+                "phash": np.int64(np.uint64(imagecodec.phash64(dec))).item(),
+            }
+            for iid, px, fmt, data, dec in zip(image_ids, pxs, fmts, datas, decs)
+        ]
 
     # ---- fetch (the S1 analog; deterministic failures → T3 retry) -------
 

@@ -17,9 +17,13 @@ def test_png_roundtrip_lossless():
     assert np.array_equal(px, back)  # exact for lossless (north-rule invariant)
 
 
-def test_jpeg_stub_psnr_above_40():
+def test_jpeg_psnr_above_40():
+    """Real baseline JPEG at the default quality keeps the north-rule
+    PSNR ≥ 40 dB per-row invariant even on pure uniform noise (the
+    hardest input for a DCT codec)."""
     px = _pix(64, 64, 3)
     data = imagecodec.encode(px, "jpeg")
+    assert data[:2] == b"\xff\xd8"  # real JFIF container now
     back = imagecodec.decode(data)
     assert not np.array_equal(px, back)  # actually lossy
     assert imagecodec.psnr(px, back) >= 40.0  # the PSNR≥40 dB invariant
