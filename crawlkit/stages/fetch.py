@@ -165,6 +165,7 @@ class FetchParse:
         prior_archive_root: str | None = None,
         archive_dedup: bool = False,
         prior_index_ref=None,
+        fetcher=None,
     ):
         """``entries_root``/``images_root``: when given, the stage is
         FUSED — extracted entries are normalized and written as
@@ -176,6 +177,13 @@ class FetchParse:
         from ..state.lancelike import TableStore
 
         self.web = SynthWeb(web_config)
+        # Transport seam: anything with the Fetcher contract
+        # (fetch(url, attempt, if_none_match) -> FetchResult; see
+        # stages/httpfetch.py and tests/test_fetcher_conformance.py).
+        # Default is the synthetic web itself; a real deployment passes
+        # HttpFetcher (or any client that passes the conformance suite)
+        # while parsing/politeness/retry semantics stay engine-owned.
+        self._fetcher = fetcher
         self.obey_robots = obey_robots
         self.robots = RobotsCache(self._fetch_robots)
         self.buckets = HostBuckets(rate_per_host) if rate_per_host else None
@@ -242,6 +250,13 @@ class FetchParse:
         # mode only (that is where image bytes are materialized).
         self.archive_images = archive_images
 
+    @property
+    def transport(self):
+        """The Fetcher in use: an explicit override, else the web
+        (a property so tests/pipelines that swap ``self.web`` keep
+        swapping the transport with it)."""
+        return self._fetcher if self._fetcher is not None else self.web
+
     def _fetch_robots(self, url: str) -> str | None:
         """Robots fetch goes through the SAME ≤5-attempt retry loop as
         page fetches (a single attempt + cached fail-open allowed
@@ -262,7 +277,7 @@ class FetchParse:
             time.monotonic() + self.fetch_timeout_s if self.fetch_timeout_s else None
         )
         for attempt in range(1, RETRY_ATTEMPTS + 1):
-            r = self.web.fetch(url, attempt=attempt, if_none_match=if_none_match)
+            r = self.transport.fetch(url, attempt=attempt, if_none_match=if_none_match)
             if r.status in (200, 304) or (r.status == 301 and r.location):
                 return r, attempt
             if deadline is not None and time.monotonic() > deadline:
