@@ -169,6 +169,12 @@ _ENC_TABLES = {
     ("ac", 0): _canonical_codes(AC_LUM_BITS, AC_LUM_VALS),
     ("ac", 1): _canonical_codes(AC_CHROM_BITS, AC_CHROM_VALS),
 }
+# (table_id, symbol) gather forms — one fancy-index instead of two
+# masked passes in the hot entropy path
+_DC_CODE = np.stack([_ENC_TABLES[("dc", t)][0] for t in (0, 1)]).astype(np.int64)
+_DC_LEN = np.stack([_ENC_TABLES[("dc", t)][1] for t in (0, 1)]).astype(np.int64)
+_AC_CODE = np.stack([_ENC_TABLES[("ac", t)][0] for t in (0, 1)]).astype(np.int64)
+_AC_LEN = np.stack([_ENC_TABLES[("ac", t)][1] for t in (0, 1)]).astype(np.int64)
 
 _DCT8 = None
 
@@ -323,13 +329,8 @@ def _entropy_fields(qblocks: np.ndarray, table_ids: np.ndarray):
 
     # ---- DC fields: huffman(size) + size magnitude bits
     dc_sz = _size_category(dc)
-    dc_code = np.empty(nb, dtype=np.int64)
-    dc_clen = np.empty(nb, dtype=np.int64)
-    for t in (0, 1):
-        carr, larr = _ENC_TABLES[("dc", t)]
-        m = table_ids == t
-        dc_code[m] = carr[dc_sz[m]]
-        dc_clen[m] = larr[dc_sz[m]]
+    dc_code = _DC_CODE[table_ids, dc_sz]
+    dc_clen = _DC_LEN[table_ids, dc_sz]
     dc_extra = np.where(dc < 0, dc + (1 << dc_sz) - 1, dc).astype(np.int64)
 
     # ---- AC symbols: (run, size) with ZRL split + EOB
@@ -339,9 +340,8 @@ def _entropy_fields(qblocks: np.ndarray, table_ids: np.ndarray):
     p1 = p_idx + 1  # zigzag position 1..63
     first = np.ones(n_nz, dtype=bool)
     first[1:] = b_idx[1:] != b_idx[:-1]
-    prev = np.empty(n_nz, dtype=np.int64)
+    prev = np.roll(p1, 1)
     prev[first] = 0
-    prev[~first] = p1[np.flatnonzero(~first) - 1]
     run = p1 - prev - 1
     nzrl = run >> 4
     run16 = run & 15
@@ -349,21 +349,10 @@ def _entropy_fields(qblocks: np.ndarray, table_ids: np.ndarray):
     sym = (run16 << 4) | sz
     ac_tid = table_ids[b_idx]
 
-    ac_code = np.empty(n_nz, dtype=np.int64)
-    ac_clen = np.empty(n_nz, dtype=np.int64)
-    zrl_code = np.empty(2, dtype=np.int64)
-    zrl_len = np.empty(2, dtype=np.int64)
-    eob_code = np.empty(2, dtype=np.int64)
-    eob_len = np.empty(2, dtype=np.int64)
-    for t in (0, 1):
-        carr, larr = _ENC_TABLES[("ac", t)]
-        m = ac_tid == t
-        ac_code[m] = carr[sym[m]]
-        ac_clen[m] = larr[sym[m]]
-        zrl_code[t] = carr[0xF0]
-        zrl_len[t] = larr[0xF0]
-        eob_code[t] = carr[0x00]
-        eob_len[t] = larr[0x00]
+    ac_code = _AC_CODE[ac_tid, sym]
+    ac_clen = _AC_LEN[ac_tid, sym]
+    zrl_code, zrl_len = _AC_CODE[:, 0xF0], _AC_LEN[:, 0xF0]
+    eob_code, eob_len = _AC_CODE[:, 0x00], _AC_LEN[:, 0x00]
     ac_extra = np.where(v < 0, v + (1 << sz) - 1, v)
 
     # EOB for blocks whose last nonzero isn't position 63 (incl all-zero)
@@ -593,8 +582,7 @@ def encode_jpeg_batch(
         firsts[1:] = imgs[1:] != imgs[:-1]
         diff[firsts] = vals[firsts]
         dc[m] = diff
-    stream_q = stream_q.astype(np.int64)
-    stream_q[:, 0] = dc
+    stream_q[:, 0] = dc  # DC diffs fit int32; entropy coding upcasts lazily
 
     fv, fl, fields_per_block = _entropy_fields(
         stream_q, (stream_comp > 0).astype(np.int64)
