@@ -704,24 +704,24 @@ def _split_entropy(data: bytes, start: int):
     destuffed byte arrays split at RSTn markers; end_pos is the offset
     of the terminating marker (EOI or next header)."""
     buf = np.frombuffer(data, dtype=np.uint8)
+    n = len(buf)
     segments = []
     seg_start = start
-    i = start
-    n = len(buf)
-    while i < n - 1:
-        if buf[i] == 0xFF:
-            nxt = buf[i + 1]
-            if nxt == 0x00:
-                i += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:  # RSTn
-                segments.append(_destuff(buf[seg_start:i]))
-                i += 2
-                seg_start = i
-                continue
+    # walk only the 0xFF positions (vectorized scan; stuffed 0xFF 0x00
+    # pairs are the common case and stay inside the current segment)
+    ff_pos = start + np.flatnonzero(buf[start:] == 0xFF)
+    for i in map(int, ff_pos):
+        if i < seg_start:  # consumed as part of a previous FF pair
+            continue
+        nxt = int(buf[i + 1]) if i + 1 < n else None
+        if nxt == 0x00:
+            continue  # stuffed data byte
+        if nxt is not None and 0xD0 <= nxt <= 0xD7:  # RSTn
             segments.append(_destuff(buf[seg_start:i]))
-            return segments, i
-        i += 1
+            seg_start = i + 2
+            continue
+        segments.append(_destuff(buf[seg_start:i]))
+        return segments, i
     segments.append(_destuff(buf[seg_start:n]))
     return segments, n
 
