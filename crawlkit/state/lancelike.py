@@ -103,8 +103,19 @@ _SNAPSHOT_EVERY = 16  # delta-chain length bound (Delta-Lake checkpoint cadence)
 class TableStore:
     def __init__(self, root: str):
         self.root = root
-        os.makedirs(f"{root}/fragments", exist_ok=True)
-        os.makedirs(f"{root}/_versions", exist_ok=True)
+        # ``s3://bucket/prefix`` roots route every byte through the
+        # SigV4 connector (state/s3.py) — same layout, manifests and
+        # idempotency as local roots, so any consumer constructed from
+        # a root string (warcstore, catalog, the fused fetch stage)
+        # gains an object-store backend with no call-site change.
+        self._obj = None
+        if root.startswith("s3://"):
+            from .s3 import S3ObjectRoot
+
+            self._obj = S3ObjectRoot(root)
+        else:
+            os.makedirs(f"{root}/fragments", exist_ok=True)
+            os.makedirs(f"{root}/_versions", exist_ok=True)
         # (version, fragments list) of the last manifest this INSTANCE
         # folded or committed — long-lived driver stores (the crawl's
         # per-round commits) skip the re-fold entirely; validity is
@@ -116,10 +127,27 @@ class TableStore:
 
     def latest_version(self) -> int:
         try:
-            with open(f"{self.root}/_latest") as f:
-                return int(f.read().strip())
+            return int(self._read_blob("_latest").strip())
         except FileNotFoundError:
             return 0
+
+    def _read_blob(self, rel: str) -> bytes:
+        if self._obj is not None:
+            return self._obj.read_bytes(rel)
+        with open(f"{self.root}/{rel}", "rb") as f:
+            return f.read()
+
+    def _write_blob(self, rel: str, data: bytes) -> None:
+        """Atomic publish: tmp→rename locally; single PUT on S3 (per-
+        object atomicity — see state/s3.py's atomicity note)."""
+        if self._obj is not None:
+            self._obj.write_bytes(rel, data)
+            return
+        head, _, tail = rel.rpartition("/")
+        tmp = f"{self.root}/{head}/.{tail}.tmp" if head else f"{self.root}/.{tail}.tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, f"{self.root}/{rel}")
 
     def manifest(self, version: int | None = None) -> dict:
         """Fragment list at ``version`` (latest by default).
@@ -145,8 +173,7 @@ class TableStore:
             if self._man_cache is not None and self._man_cache[0] == cur:
                 frags = list(self._man_cache[1])
                 break
-            with open(f"{self.root}/_versions/{cur}.json") as f:
-                m = json.load(f)
+            m = json.loads(self._read_blob(f"_versions/{cur}.json"))
             if "fragments" in m:  # snapshot / checkpoint / pre-log file
                 frags = list(m["fragments"])
                 break
@@ -158,14 +185,8 @@ class TableStore:
         return {"version": v, "fragments": frags}
 
     def _write_version(self, v: int, payload: dict) -> None:
-        tmp = f"{self.root}/_versions/.{v}.json.tmp"
-        with open(tmp, "w") as f:
-            json.dump(payload, f)
-        os.replace(tmp, f"{self.root}/_versions/{v}.json")  # atomic
-        tmp2 = f"{self.root}/._latest.tmp"
-        with open(tmp2, "w") as f:
-            f.write(str(v))
-        os.replace(tmp2, f"{self.root}/_latest")
+        self._write_blob(f"_versions/{v}.json", json.dumps(payload).encode())
+        self._write_blob("_latest", str(v).encode())
 
     def _commit(self, manifest: dict) -> int:
         """Full-snapshot commit (rebuilds, compaction, checkpoints)."""
@@ -201,9 +222,16 @@ class TableStore:
         predicate range before any file I/O (``pruned_paths``).
         """
         path = f"{self.root}/fragments/{key}.parquet"
-        tmp = f"{self.root}/fragments/.{key}.tmp"
-        pq.write_table(table, tmp)
-        os.replace(tmp, path)
+        if self._obj is not None:
+            import io
+
+            buf = io.BytesIO()
+            pq.write_table(table, buf)
+            self._obj.write_bytes(f"fragments/{key}.parquet", buf.getvalue())
+        else:
+            tmp = f"{self.root}/fragments/.{key}.tmp"
+            pq.write_table(table, tmp)
+            os.replace(tmp, path)
         meta = {"key": key, "rows": table.num_rows, "path": path}
         stats = fragment_stats(table, stats_cols)
         if stats:
@@ -294,6 +322,14 @@ class TableStore:
             paths = self.fragment_paths(version)
         if not paths:
             return rd.from_items([])
+        if self._obj is not None:
+            # zero-copy ranged parquet scans inside Ray read tasks via
+            # pyarrow's own S3 filesystem (paths are bucket/key form)
+            return rd.read_parquet(
+                [p[len("s3://") :] for p in paths],
+                filesystem=self._obj.filesystem(),
+                **read_kwargs,
+            )
         return rd.read_parquet(paths, **read_kwargs)
 
     def read_table(self, version: int | None = None, columns: list[str] | None = None) -> pa.Table:
@@ -308,6 +344,8 @@ class TableStore:
         paths = self.fragment_paths(version)
         if not paths:
             return pa.table({})
+        if self._obj is not None:
+            return self._read_table_s3(paths, columns)
         if columns is not None:
             # tolerate requests for columns an OLDER-format table lacks
             # (e.g. a pre-record_type archive index): return what exists
@@ -320,6 +358,25 @@ class TableStore:
 
             return pads.dataset(paths, format="parquet").to_table(columns=columns)
         return pa.concat_tables([pq.read_table(p, columns=columns) for p in paths])
+
+    def _read_table_s3(
+        self, paths: "list[str]", columns: "list[str] | None"
+    ) -> pa.Table:
+        """Driver-side whole-table read over S3: concurrent full-object
+        GETs (fragments are small by construction; ranged scans are the
+        Ray path in read_dataset). Fragment order is preserved for
+        first-wins consumers."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        rels = [p[len(self.root) + 1 :] for p in paths]
+        with ThreadPoolExecutor(min(16, len(rels))) as ex:
+            blobs = list(ex.map(self._obj.read_bytes, rels))
+        if columns is not None:
+            avail = set(pq.read_schema(pa.BufferReader(blobs[0])).names)
+            columns = [c for c in columns if c in avail]
+        return pa.concat_tables(
+            pq.read_table(pa.BufferReader(b), columns=columns) for b in blobs
+        )
 
     def count_rows(self, version: int | None = None) -> int:
         return sum(f["rows"] for f in self.manifest(version)["fragments"])
@@ -357,7 +414,11 @@ class TableStore:
 
         bucket_meta: list[dict] = []
         for f in frags:
-            bucket.append(pq.read_table(f["path"]))
+            if self._obj is not None:
+                rel = f["path"][len(self.root) + 1 :]
+                bucket.append(pq.read_table(pa.BufferReader(self._obj.read_bytes(rel))))
+            else:
+                bucket.append(pq.read_table(f["path"]))
             bucket_meta.append(f)
             rows += f["rows"]
             if rows >= target_rows:
