@@ -840,7 +840,10 @@ class VideoFrameSample:
 
 
 def synthetic_videos(
-    n: int = 12, config: WebConfig | str = "t1", plant_pairs: int = 0
+    n: int = 12,
+    config: WebConfig | str = "t1",
+    plant_pairs: int = 0,
+    codec: str = "raw",
 ) -> rd.Dataset:
     """Deterministic AVI corpus (video_id, bytes): each video's frames
     are the synthetic web's image pixels shifted per frame index —
@@ -849,7 +852,11 @@ def synthetic_videos(
     so cut-detection pipelines over this fixture have real positives.
     ``plant_pairs``: additionally derive, for the first ``plant_pairs``
     base videos, a near-duplicate row (``<id>-dup``: same frames minus
-    the last) so video near-dup pipelines have real pairs to find."""
+    the last) so video near-dup pipelines have real pairs to find.
+    ``codec``: 'raw' (uncompressed DIB) or 'mjpeg' (real Motion-JPEG —
+    every downstream op then exercises the compressed decode path; a
+    dup row uses the same codec as its base, so identical frames still
+    yield identical compressed bytes)."""
     from ..videocodec import avi_encode
 
     ids = [f"vid-mm-{i}" for i in range(n)]
@@ -871,7 +878,9 @@ def synthetic_videos(
                     frames[f] = 255 - frames[f]
             if is_dup:  # near-dup: same frames minus the last
                 frames = frames[:-1]
-            recs.append({"video_id": vid, "bytes": avi_encode(frames, fps=10)})
+            recs.append(
+                {"video_id": vid, "bytes": avi_encode(frames, fps=10, codec=codec)}
+            )
         return pa.Table.from_pylist(
             recs,
             schema=pa.schema([("video_id", pa.string()), ("bytes", pa.binary())]),
@@ -934,7 +943,11 @@ class VideoSceneCuts:
 
 
 def video_phash_neardup(
-    sf_dir: str, n: int = 12, plant_pairs: int = 3, tau_milli: int = 500
+    sf_dir: str,
+    n: int = 12,
+    plant_pairs: int = 3,
+    tau_milli: int = 500,
+    codec: str = "raw",
 ) -> "pd.DataFrame":
     """NEAR-DUPLICATE VIDEO detection — the dedup × multimodal
     crossover: each video's signature is the SET of its frames' 64-bit
@@ -1005,7 +1018,7 @@ def video_phash_neardup(
 
     from .dedup import pandas_with_schema
 
-    exploded = synthetic_videos(n, plant_pairs=plant_pairs).map_batches(
+    exploded = synthetic_videos(n, plant_pairs=plant_pairs, codec=codec).map_batches(
         SigExplode, batch_format="pyarrow", batch_size=4, concurrency=2,
         max_restarts=0,
     )
@@ -1016,12 +1029,14 @@ def video_phash_neardup(
 
 
 def video_scene_cuts(
-    sf_dir: str, n: int = 12, tau_milli: int = 30_000
+    sf_dir: str, n: int = 12, tau_milli: int = 30_000, codec: str = "raw"
 ) -> rd.Dataset:
     """Per-frame cut scores over the deterministic AVI corpus (planted
-    inversion cuts must be found; rolling motion must not trigger).
-    Rows-only query; planted-cut exactness pinned in tests."""
-    return synthetic_videos(n).map_batches(
+    inversion cuts must be found; rolling motion must not trigger —
+    including over MJPEG, where compression noise must stay under the
+    threshold). Rows-only query; planted-cut exactness pinned in
+    tests."""
+    return synthetic_videos(n, codec=codec).map_batches(
         VideoSceneCuts,
         fn_constructor_kwargs={"tau_milli": tau_milli},
         batch_format="pyarrow",
@@ -1031,12 +1046,14 @@ def video_scene_cuts(
     )
 
 
-def video_frame_sample(sf_dir: str, n: int = 12, every_k: int = 3) -> rd.Dataset:
+def video_frame_sample(
+    sf_dir: str, n: int = 12, every_k: int = 3, codec: str = "raw"
+) -> rd.Dataset:
     """Demux + sample the deterministic AVI corpus via the actor-pool
     stage (small batches — each row is a whole video payload). Rows-only
     query: DuckDB cannot demux AVI; codec round-trip + sampling parity
     are pinned in tests/test_ann_multimodal.py."""
-    return synthetic_videos(n).map_batches(
+    return synthetic_videos(n, codec=codec).map_batches(
         VideoFrameSample,
         fn_constructor_kwargs={"every_k": every_k},
         batch_format="pyarrow",

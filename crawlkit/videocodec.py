@@ -1,15 +1,20 @@
-"""Real minimal AVI (RIFF) container codec for uncompressed DIB video —
-stdlib-only, the video sibling of audiocodec.py's PCM WAV.
+"""Real minimal AVI (RIFF) container codec — uncompressed DIB and
+Motion-JPEG video, the video sibling of audiocodec.py's PCM WAV.
 
 Reference parity note: the reference engine (e8kor/crawler) has no
 video path; this exists for the training-data-pipeline side (frame
 sampling over opaque binary video columns). The container is a
-spec-shaped RIFF 'AVI ' with a LIST hdrl (avih + strl{strh 'vids'/'DIB ',
-strf BITMAPINFOHEADER}) and a LIST movi of '00db' chunks holding
-uncompressed bottom-up BGR DIB frames with 4-byte-aligned rows — i.e.
-what any standard AVI demuxer calls "raw video". Compressed codecs
-(h264/vp9/...) still need pyav/ffmpeg outside the sandbox;
-``avi_decode`` raises cleanly on a non-zero biCompression.
+spec-shaped RIFF 'AVI ' with a LIST hdrl (avih + strl{strh 'vids',
+strf BITMAPINFOHEADER}) and a LIST movi of frame chunks:
+
+* 'DIB ' streams: '00db' chunks of uncompressed bottom-up BGR DIB
+  frames with 4-byte-aligned rows ("raw video" to any demuxer).
+* 'MJPG' streams: '00dc' chunks, each an independent baseline JFIF
+  JPEG from the real codec (jpegcodec.py) — a REAL compressed video
+  format, decodable by any AVI demuxer + JPEG decoder.
+
+Inter-frame codecs (h264/vp9/...) still need pyav/ffmpeg outside the
+sandbox; ``avi_decode`` raises cleanly on their biCompression values.
 """
 
 from __future__ import annotations
@@ -36,18 +41,41 @@ def _frame_from_dib(data: bytes, w: int, h: int) -> np.ndarray:
     return bgr[::-1, :, ::-1].copy()
 
 
-def avi_encode(frames: list[np.ndarray], fps: int = 10) -> bytes:
-    """AVI bytes from a list of same-shape HxWx3 RGB uint8 frames."""
+_MJPG_FOURCC = 0x47504A4D  # 'MJPG' little-endian — Motion-JPEG in AVI
+
+
+def avi_encode(
+    frames: list[np.ndarray], fps: int = 10, codec: str = "raw", quality: int = 92
+) -> bytes:
+    """AVI bytes from a list of same-shape HxWx3 RGB uint8 frames.
+
+    codec='raw' writes uncompressed DIB ('00db' chunks, biCompression
+    0); codec='mjpeg' writes Motion-JPEG — each frame an independent
+    baseline JFIF stream from the real JPEG codec (jpegcodec.py) in
+    '00dc' chunks with biCompression 'MJPG', the standard interchange
+    form any AVI demuxer + JPEG decoder plays. MJPEG frames go through
+    ONE vectorized encode_jpeg_batch call (the codec's hot-path shape),
+    so per-frame numpy overhead doesn't scale with clip length."""
     if not frames:
         raise ValueError("empty frame list")
     h, w, _ = frames[0].shape
-    payloads = [_dib_from_frame(f) for f in frames]
-    frame_sz = len(payloads[0])
+    if codec == "mjpeg":
+        from .jpegcodec import encode_jpeg_batch
 
-    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_sz, 0, 0, 0, 0)
+        payloads = encode_jpeg_batch(frames, quality=quality)
+        fourcc, comp, chunk_id = b"MJPG", _MJPG_FOURCC, b"00dc"
+        frame_sz = max(len(p) for p in payloads)
+    elif codec == "raw":
+        payloads = [_dib_from_frame(f) for f in frames]
+        fourcc, comp, chunk_id = b"DIB ", 0, b"00db"
+        frame_sz = len(payloads[0])
+    else:
+        raise ValueError(f"unsupported codec {codec!r} (raw | mjpeg)")
+
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, comp, frame_sz, 0, 0, 0, 0)
     strh = (
         b"vids"
-        + b"DIB "
+        + fourcc
         + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, len(frames),
                       frame_sz, 0xFFFFFFFF, 0)
         + struct.pack("<HHHH", 0, 0, w, h)
@@ -64,7 +92,7 @@ def avi_encode(frames: list[np.ndarray], fps: int = 10) -> bytes:
         + b"avih" + struct.pack("<I", len(avih)) + avih + strl
 
     movi_body = b"".join(
-        b"00db" + struct.pack("<I", len(p)) + p + (b"\x00" if len(p) & 1 else b"")
+        chunk_id + struct.pack("<I", len(p)) + p + (b"\x00" if len(p) & 1 else b"")
         for p in payloads
     )
     movi = b"LIST" + struct.pack("<I", 4 + len(movi_body)) + b"movi" + movi_body
@@ -80,10 +108,11 @@ def avi_decode(data: bytes) -> tuple[list[np.ndarray], int]:
         raise ValueError("not a RIFF/AVI stream")
     w = h = None
     fps = 0
+    mjpeg = False
     payloads: list[bytes] = []
 
     def walk(buf: bytes) -> None:
-        nonlocal w, h, fps
+        nonlocal w, h, fps, mjpeg
         pos = 0
         while pos + 8 <= len(buf):
             cid = buf[pos : pos + 4]
@@ -93,7 +122,9 @@ def avi_decode(data: bytes) -> tuple[list[np.ndarray], int]:
                 walk(body[4:])  # skip the list type tag
             elif cid == b"strf":
                 _, w, h, _, bits, comp = struct.unpack("<IiiHHI", body[:20])
-                if comp != 0 or bits != 24:
+                if comp == _MJPG_FOURCC:
+                    mjpeg = True
+                elif comp != 0 or bits != 24:
                     raise ValueError(
                         f"unsupported AVI codec (biCompression={comp}, bits={bits})"
                     )
@@ -110,4 +141,8 @@ def avi_decode(data: bytes) -> tuple[list[np.ndarray], int]:
         raise ValueError(f"truncated AVI chunk: {e}") from e
     if w is None or h is None:
         raise ValueError("missing strf header")
+    if mjpeg:
+        from .jpegcodec import decode_jpeg
+
+        return [decode_jpeg(p) for p in payloads], fps
     return [_frame_from_dib(p, w, abs(h)) for p in payloads], fps

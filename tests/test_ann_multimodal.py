@@ -159,6 +159,48 @@ def test_video_scene_cuts_planted():
         assert cuts == ([nframes // 2] if i % 3 == 0 else []), (i, cuts)
 
 
+def test_avi_mjpeg_roundtrip():
+    """Motion-JPEG AVI: '00dc' chunks of real baseline JFIF frames.
+    Round-trip preserves count/fps/shape; PSNR bounded even on noise;
+    a frame's chunk decodes standalone with the plain JPEG decoder."""
+    from crawlkit import videocodec
+    from crawlkit.jpegcodec import decode_jpeg
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 256, size=(24, 32, 3)).astype(np.uint8)
+    frames = [np.roll(base, 2 * f, axis=1) for f in range(5)]
+    data = videocodec.avi_encode(frames, fps=8, codec="mjpeg", quality=98)
+    got, fps = videocodec.avi_decode(data)
+    assert fps == 8 and len(got) == 5 and got[0].shape == (24, 32, 3)
+    for a, b in zip(frames, got):
+        assert imagecodec.psnr(a, b) >= 35.0  # pure noise, q98
+    # frames are INDEPENDENT JFIF streams (the MJPEG interchange
+    # property): pull the first '00dc' chunk and decode it alone
+    i = data.index(b"00dc")
+    (ln,) = np.frombuffer(data[i + 4 : i + 8], dtype="<u4")
+    standalone = decode_jpeg(data[i + 8 : i + 8 + int(ln)])
+    assert (standalone == got[0]).all()
+    with pytest.raises(ValueError):
+        videocodec.avi_encode(frames, codec="h264")
+
+
+def test_video_ops_over_mjpeg_corpus():
+    """The pipeline ops run unchanged over the compressed corpus:
+    planted cuts are still found exactly (jpeg noise stays under the
+    MAD threshold) and planted near-dup pairs still pair (same codec →
+    identical frames → identical phashes)."""
+    out = multimodal.video_scene_cuts("unused", n=9, codec="mjpeg").to_pandas()
+    assert (out["frame_idx"] > 0).all()
+    for i in range(9):
+        v = out[out.video_id == f"vid-mm-{i}"]
+        cuts = v[v.is_cut]["frame_idx"].tolist()
+        nframes = 4 + (i % 5)
+        assert cuts == ([nframes // 2] if i % 3 == 0 else []), (i, cuts)
+    nd = multimodal.video_phash_neardup("unused", n=8, plant_pairs=2, codec="mjpeg")
+    got = sorted(zip(nd["id_a"], nd["id_b"]))
+    assert got == [(f"vid-mm-{i}", f"vid-mm-{i}-dup") for i in range(2)], got
+
+
 def test_wav_codec_roundtrip():
     from crawlkit import audiocodec
 
