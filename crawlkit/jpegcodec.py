@@ -738,11 +738,13 @@ def _destuff(seg: np.ndarray) -> np.ndarray:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Decode baseline JFIF JPEG bytes → (h, w, 3) uint8 RGB.
+    """Decode JFIF JPEG bytes → (h, w, 3) uint8 RGB.
 
-    Supports SOF0 baseline, 1 (grayscale) or 3 (YCbCr) components,
-    per-component sampling factors 1..2, restart intervals, and
-    arbitrary DQT/DHT tables (8-bit precision)."""
+    Supports SOF0/SOF1 baseline and SOF2 progressive (spectral
+    selection + successive approximation, via jpegprog.decode_scan),
+    1 (grayscale) or 3 (YCbCr) components, per-component sampling
+    factors 1..2, restart intervals, and arbitrary DQT/DHT tables
+    (8-bit precision)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -750,6 +752,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     dc_luts: dict[int, np.ndarray] = {}
     ac_luts: dict[int, np.ndarray] = {}
     frame = None
+    prog_state = None  # progressive: accumulated coefficient grids
     restart_interval = 0
     n = len(data)
     while pos < n:
@@ -794,7 +797,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 lut = _build_dec_lut(bits, vals)
                 (dc_luts if tc == 0 else ac_luts)[th] = lut
                 off += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline-decodable)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, fh, fw, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")
@@ -802,9 +805,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for ci in range(nc):
                 cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
-            frame = {"h": fh, "w": fw, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("only baseline sequential JPEG supported")
+            frame = {"h": fh, "w": fw, "comps": comps, "progressive": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("only baseline/progressive huffman JPEG supported")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS
@@ -814,6 +817,24 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cs, tdta = body[1 + 2 * si : 3 + 2 * si]
                 scan.append({"cs": cs, "td": tdta >> 4, "ta": tdta & 15})
             segments, endpos = _split_entropy(data, pos + 2 + seglen)
+            if frame is not None and frame.get("progressive"):
+                # progressive: scans ACCUMULATE coefficients; the image
+                # reconstructs at EOI (jpegprog owns the scan kinds)
+                from . import jpegprog
+
+                if prog_state is None:
+                    prog_state = jpegprog.init_state(frame)
+                ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+                ahal = body[3 + 2 * ns]
+                try:
+                    jpegprog.decode_scan(
+                        frame, prog_state, scan, ss, se, ahal >> 4, ahal & 15,
+                        dc_luts, ac_luts, segments, restart_interval,
+                    )
+                except (IndexError, StopIteration) as exc:
+                    raise ValueError("truncated/corrupt entropy stream") from exc
+                pos = endpos
+                continue
             try:
                 return _decode_scan(
                     frame, scan, qtables, dc_luts, ac_luts, segments, restart_interval
@@ -821,6 +842,21 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             except (IndexError, StopIteration) as exc:
                 raise ValueError("truncated/corrupt entropy stream") from exc
         pos += 2 + seglen
+    if prog_state is not None:
+        comps = frame["comps"]
+        gray = len(comps) == 1
+        sampling = [(c["h"], c["v"]) for c in comps]
+        shapes = [(gy * 8, gx * 8) for gy, gx in prog_state["nblk"]]
+        qtabs = [qtables[c["tq"]] for c in comps]
+        if gray:
+            return _reconstruct(
+                prog_state["coef"], shapes, [(1, 1)], qtabs,
+                frame["h"], frame["w"], gray=True,
+            )
+        return _reconstruct(
+            prog_state["coef"], shapes, sampling, qtabs,
+            frame["h"], frame["w"], gray=False,
+        )
     raise ValueError("no SOS marker found")
 
 

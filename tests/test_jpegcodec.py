@@ -203,3 +203,108 @@ def test_planted_fixture_corruption_detected():
         assert not np.array_equal(back, dec)
     except ValueError:
         pass  # detected as a malformed stream — also a pass
+
+
+# ---------------------------------------------------------------- progressive
+
+
+@pytest.mark.parametrize("subsampling", ["444", "420"])
+@pytest.mark.parametrize("quality", [50, 92, 98])
+def test_progressive_decodes_exactly_as_baseline(subsampling, quality):
+    """A progressive (SOF2) stream of the same quantized coefficients
+    must decode BYTE-IDENTICALLY to the baseline reconstruction — the
+    two scan structures carry identical information."""
+    from crawlkit.jpegprog import encode_jpeg_progressive
+
+    for h, w in SIZES:
+        px = _img(h, w, seed=h * 7 + w)
+        _, base_dec = J.encode_jpeg(
+            px, quality=quality, subsampling=subsampling, return_decoded=True
+        )
+        prog = encode_jpeg_progressive(px, quality=quality, subsampling=subsampling)
+        assert prog[:2] == b"\xff\xd8" and b"\xff\xc2" in prog  # SOF2
+        got = J.decode_jpeg(prog)
+        assert got.shape == base_dec.shape
+        assert (got == base_dec).all(), (h, w, subsampling, quality)
+
+
+def test_progressive_scan_script_is_successive():
+    """The fixture encoder emits the standard 10-scan script: every
+    (band, bit) of every component is covered exactly once."""
+    from crawlkit.jpegprog import _STD_SCRIPT_COLOR
+
+    for ci in range(3):
+        # DC: first at Al=1, then refinement to Al=0
+        dc = [s for s in _STD_SCRIPT_COLOR if s["ss"] == 0 and ci in s["comps"]]
+        assert [(s["ah"], s["al"]) for s in dc] == [(0, 1), (1, 0)]
+        # AC: bands 1..63 reach Al=0 through contiguous refinements
+        ac = [s for s in _STD_SCRIPT_COLOR if s["ss"] > 0 and ci in s["comps"]]
+        bits = {}
+        for s in ac:
+            for k in range(s["ss"], s["se"] + 1):
+                assert bits.get(k, s["al"] + 1) == (s["ah"] if s["ah"] else s["al"] + 1)
+                bits[k] = s["al"]
+        assert set(bits) == set(range(1, 64)) and set(bits.values()) == {0}
+
+
+def test_progressive_ac_refinement_eob_and_zrl_paths():
+    """Fuzz the AC first+refine pair through the REAL bitstream path
+    (stuffing, EOB runs spanning blocks, ZRL-with-corrections): decoded
+    coefficients must equal the source exactly."""
+    from crawlkit import jpegprog
+    from crawlkit.jpegprog import _encode_ac_scan
+
+    rng = np.random.default_rng(42)
+    for trial in range(60):
+        n = int(rng.integers(1, 6))
+        blocks = np.zeros((n, 64), dtype=np.int64)
+        for b in range(n):
+            nz = int(rng.integers(0, 20))
+            idx = rng.choice(np.arange(1, 64), size=nz, replace=False)
+            blocks[b, idx] = rng.integers(-40, 41, size=nz)
+        dec = np.zeros((n, 64), dtype=np.int64)
+        frame = {"h": 8, "w": 8 * n, "comps": [{"id": 1, "h": 1, "v": 1, "tq": 0}]}
+        state = {
+            "hmax": 1, "vmax": 1, "mcus_x": n, "mcus_y": 1,
+            "nblk": [(1, n)], "coef": [dec],
+        }
+        for ah, al in [(0, 2), (1, 1), (1, 0)]:
+            streams = _encode_ac_scan(blocks, (1, n), 1, n, 1, 63, ah, al)
+            (_, _), tops = next(iter(streams["tables"].items()))
+            bits, vals, codes = tops.table()
+            seg = J._destuff(
+                np.frombuffer(streams["ops"].to_bytes(codes), dtype=np.uint8)
+            )
+            jpegprog.decode_scan(
+                frame, state, [{"cs": 1, "td": 0, "ta": 0}], 1, 63, ah, al,
+                {}, {0: J._build_dec_lut(bits, vals)}, [seg], 0,
+            )
+        assert (dec[:, 1:] == blocks[:, 1:]).all(), trial
+
+
+def test_progressive_corrupt_stream_raises():
+    from crawlkit.jpegprog import encode_jpeg_progressive
+
+    prog = encode_jpeg_progressive(_img(24, 24), quality=92)
+    with pytest.raises(ValueError):
+        J.decode_jpeg(prog[:80])  # truncated before any SOS completes
+    # truncating INSIDE the final scan must raise, not return garbage
+    with pytest.raises(ValueError):
+        J.decode_jpeg(prog[:-12] + b"\xff\xd9")
+
+
+def test_imagecodec_sniffs_progressive():
+    """imagecodec.decode dispatches progressive JFIF by signature —
+    a crawler ingesting real web JPEGs needs no fmt hint."""
+    from crawlkit.jpegprog import encode_jpeg_progressive
+
+    px = _img(33, 41, seed=9)
+    prog = encode_jpeg_progressive(px, quality=98, subsampling="444")
+    dec = imagecodec.decode(prog)
+    assert imagecodec.psnr(px, dec) >= 40.0
+    # 4:2:0 chroma subsampling halves chroma resolution — noisy content
+    # lands below the 40 dB lossy bar but must still dispatch + decode
+    dec420 = imagecodec.decode(
+        encode_jpeg_progressive(px, quality=98, subsampling="420")
+    )
+    assert imagecodec.psnr(px, dec420) >= 30.0
