@@ -231,8 +231,22 @@ def _pad_replicate(plane: np.ndarray, mh: int, mw: int) -> np.ndarray:
     ph = (-h) % mh
     pw = (-w) % mw
     if ph or pw:
-        plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+        plane = _edge_pad(plane, h + ph, w + pw)
     return plane
+
+
+def _edge_pad(plane: np.ndarray, th: int, tw: int) -> np.ndarray:
+    """Edge-replicate ``plane`` up to (th, tw) — a direct allocate+
+    broadcast (np.pad's generic machinery measured ~9% of batch encode
+    at 378 small-plane calls per 126-image chunk)."""
+    h, w = plane.shape
+    out = np.empty((th, tw), dtype=plane.dtype)
+    out[:h, :w] = plane
+    if tw > w:
+        out[:h, w:] = plane[:, w - 1 : w]
+    if th > h:
+        out[h:, :] = out[h - 1 : h, :]
+    return out
 
 
 def _to_blocks(plane: np.ndarray) -> np.ndarray:
@@ -538,7 +552,7 @@ def encode_jpeg_batch(
             target_w = mcus_x * 8 * sh
             ph, pw = plane.shape
             if target_h != ph or target_w != pw:
-                plane = np.pad(plane, ((0, target_h - ph), (0, target_w - pw)), mode="edge")
+                plane = _edge_pad(plane, target_h, target_w)
             raw.append(_to_blocks(plane))
             shapes.append(plane.shape)
             nby, nbx = target_h // 8, target_w // 8

@@ -382,7 +382,9 @@ def encode_jpeg_progressive(
         th, tw = mcus_y * 8 * sv, mcus_x * 8 * sh
         ph, pw = plane.shape
         if (th, tw) != (ph, pw):
-            plane = np.pad(plane, ((0, th - ph), (0, tw - pw)), mode="edge")
+            from .jpegcodec import _edge_pad
+
+            plane = _edge_pad(plane, th, tw)
         blocks = _to_blocks(plane)
         coef = (d @ (blocks - 128.0).reshape(-1, 8, 8) @ d.T).reshape(-1, 64)
         q = (lum_q if ci == 0 else chrom_q).astype(np.float64)

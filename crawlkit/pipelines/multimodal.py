@@ -2,10 +2,11 @@
 typed metadata, processed by actor-pool ``map_batches`` stages.
 
 Sandbox reality: PNG decode is REAL (imagecodec.py), "jpeg" is a REAL
-baseline-sequential JFIF codec (jpegcodec.py, round 4 — the quantized
-stand-in is gone), PCM-WAV audio decode is REAL
-(audiocodec.py), and the video demuxer is a REAL RIFF-AVI/DIB parser
-(videocodec.py) — compressed codecs (mp3/h264/...) fail cleanly and
+JFIF codec (jpegcodec.py: baseline encode+decode, progressive SOF2
+decode via jpegprog.py — the quantized stand-in is gone), PCM-WAV
+audio decode is REAL (audiocodec.py), and the video layer is a REAL
+RIFF-AVI parser carrying uncompressed DIB or Motion-JPEG streams
+(videocodec.py) — inter-frame codecs (mp3/h264/...) fail cleanly and
 need soundfile/pyav outside the sandbox. The Ray-side plumbing
 (schemas, binary-safe Arrow batches, small batch sizes for wide binary
 rows, actor signatures, output layout) is real and tested end-to-end

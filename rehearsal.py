@@ -4,7 +4,7 @@ DuckDB exactly the way the driver does (sorted columns, sorted rows,
 dtype-strict, value-equal). Writes one JSON artifact per run.
 
 Usage:  python rehearsal.py [sf_dir] [out.json]
-Defaults: /root/testdata/sf0.01 REHEARSAL_r3.json
+Defaults: /root/testdata/sf0.01 REHEARSAL_latest.json
 """
 
 from __future__ import annotations
@@ -31,7 +31,7 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    out_path = sys.argv[2] if len(sys.argv) > 2 else "REHEARSAL_r3.json"
+    out_path = sys.argv[2] if len(sys.argv) > 2 else "REHEARSAL_latest.json"
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=32, include_dashboard=False,
                  logging_level="ERROR")
