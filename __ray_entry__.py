@@ -815,6 +815,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # REAL RIFF/PCM decode (audiocodec.py) — integer-exact features
         "mm_audio_features": multimodal.audio_features,  # rows-only (numpy brute oracle in tests)
         "mm_audio_segments": multimodal.audio_segments,  # rows-only (planted-silence oracle in tests)
+        # same corpus, per-row WAV/FLAC mix (flaccodec.py real lossless
+        # decode; features pinned identical across codecs in tests)
+        "mm_audio_features_mixed": lambda sf: multimodal.audio_features(sf, codec="mixed"),  # rows-only
         # REAL RIFF-AVI demux (videocodec.py) — frame sampling
         "mm_video_frames": multimodal.video_frame_sample,  # rows-only (codec round-trip in tests)
         "mm_video_scene_cuts": multimodal.video_scene_cuts,  # rows-only (planted-cut oracle in tests)

@@ -5,9 +5,10 @@ audio path at all; this exists for the training-data-pipeline side of
 the engine (feature extraction over opaque binary audio columns). The
 codec is a genuine RIFF/WAVE implementation for 16-bit PCM — the one
 audio container that needs no external library — so the AudioFeatures
-stage is a REAL decode, not a stub. Compressed codecs (mp3/opus/flac)
-still need soundfile/librosa outside the sandbox; ``wav_decode``
-raises cleanly on them (unknown format tag).
+stage is a REAL decode, not a stub. FLAC is ALSO real since round 4
+(flaccodec.py; dispatch via ``decode_audio``); lossy codecs
+(mp3/opus) still need soundfile/librosa outside the sandbox —
+``wav_decode`` raises cleanly on them (unknown format tag).
 
 Layout (canonical 44-byte header):
   "RIFF" <u32 size> "WAVE"
@@ -73,3 +74,17 @@ def wav_decode(data: bytes) -> tuple[np.ndarray, int]:
     if channels and channels > 1:
         x = x[: len(x) - len(x) % channels].reshape(-1, channels)
     return x, int(rate)
+
+
+def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
+    """Container-sniffing audio decode: RIFF/WAVE (PCM) or FLAC
+    (flaccodec — real compressed-lossless decode since round 4).
+    The stages use this so audio columns can mix formats row-by-row,
+    the way real corpora do (LibriSpeech ships FLAC)."""
+    if data[:4] == b"RIFF":
+        return wav_decode(data)
+    if data[:4] == b"fLaC":
+        from .flaccodec import decode_flac
+
+        return decode_flac(data)
+    raise ValueError("unrecognized audio container")

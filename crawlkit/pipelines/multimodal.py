@@ -6,8 +6,10 @@ JFIF codec (jpegcodec.py: baseline encode+decode, progressive SOF2
 decode via jpegprog.py — the quantized stand-in is gone), PCM-WAV
 audio decode is REAL (audiocodec.py), and the video layer is a REAL
 RIFF-AVI parser carrying uncompressed DIB or Motion-JPEG streams
-(videocodec.py) — inter-frame codecs (mp3/h264/...) fail cleanly and
-need soundfile/pyav outside the sandbox. The Ray-side plumbing
+(videocodec.py). FLAC decode is real too (flaccodec.py; the audio
+stages sniff WAV vs FLAC per row via decode_audio) — lossy codecs
+(mp3/opus/h264...) fail cleanly and need soundfile/pyav outside the
+sandbox. The Ray-side plumbing
 (schemas, binary-safe Arrow batches, small batch sizes for wide binary
 rows, actor signatures, output layout) is real and tested end-to-end
 throughout.
@@ -610,12 +612,16 @@ AUDIO_FEATURES_SCHEMA = pa.schema(
 )
 
 
-def synthetic_audio(n: int = 48, seed: str = "t1") -> rd.Dataset:
-    """Deterministic mono 16-bit PCM WAV corpus (audio_id, bytes) —
-    integer waveforms only (sawtooth/square mixes derived from the id
-    hash; no float sin, so bytes are platform-exact). Stands in for
-    reading an audio table out of a crawl store."""
+def synthetic_audio(n: int = 48, seed: str = "t1", codec: str = "wav") -> rd.Dataset:
+    """Deterministic mono 16-bit corpus (audio_id, bytes) — integer
+    waveforms only (sawtooth/square mixes derived from the id hash; no
+    float sin, so bytes are platform-exact). Stands in for reading an
+    audio table out of a crawl store. ``codec``: 'wav' (PCM RIFF),
+    'flac' (real lossless compression, flaccodec.py), or 'mixed'
+    (per-row by id hash — the realistic corpus shape; the stages sniff
+    the container per row)."""
     from ..audiocodec import wav_encode
+    from ..flaccodec import encode_flac
     from ..hashing import hash64_np
 
     ids = [f"aud-{seed}-{i}" for i in range(n)]
@@ -636,7 +642,10 @@ def synthetic_audio(n: int = 48, seed: str = "t1") -> rd.Dataset:
                 x = x * 4
             if h % 5 == 0:  # planted mid-row silence → real VAD segments
                 x[n_samp // 3 : 2 * n_samp // 3] = 0
-            recs.append({"audio_id": aid, "bytes": wav_encode(x, rate)})
+            use_flac = codec == "flac" or (codec == "mixed" and (h >> 5) % 2 == 0)
+            x16 = np.clip(x, -32768, 32767).astype(np.int16)
+            blob = encode_flac(x16, rate) if use_flac else wav_encode(x16, rate)
+            recs.append({"audio_id": aid, "bytes": blob})
         return pa.Table.from_pylist(
             recs,
             schema=pa.schema([("audio_id", pa.string()), ("bytes", pa.binary())]),
@@ -656,9 +665,9 @@ class AudioFeatures:
     failing the batch."""
 
     def __init__(self):
-        from ..audiocodec import wav_decode
+        from ..audiocodec import decode_audio
 
-        self._decode = wav_decode
+        self._decode = decode_audio
 
     def __call__(self, t: pa.Table) -> pa.Table:
         import math
@@ -704,11 +713,11 @@ class AudioSegments:
     boolean mask); all outputs integer-exact."""
 
     def __init__(self, win_ms: int = 20, tau: int = 500):
-        from ..audiocodec import wav_decode
+        from ..audiocodec import decode_audio
 
         self.win_ms = win_ms
         self.tau = tau
-        self._decode = wav_decode
+        self._decode = decode_audio
 
     def __call__(self, t: pa.Table) -> pa.Table:
         import math
@@ -756,12 +765,13 @@ class AudioSegments:
 
 
 def audio_segments(
-    sf_dir: str, n: int = 48, win_ms: int = 20, tau: int = 500
+    sf_dir: str, n: int = 48, win_ms: int = 20, tau: int = 500, codec: str = "wav"
 ) -> rd.Dataset:
-    """VAD segments over the deterministic WAV corpus (rows with planted
-    mid-row silence must split into ≥2 segments). Rows-only query;
-    brute parity pinned in tests."""
-    return synthetic_audio(n).map_batches(
+    """VAD segments over the deterministic audio corpus (rows with
+    planted mid-row silence must split into ≥2 segments). Rows-only
+    query; brute parity pinned in tests; WAV and FLAC rows give
+    IDENTICAL segments (lossless, test-pinned)."""
+    return synthetic_audio(n, codec=codec).map_batches(
         AudioSegments,
         fn_constructor_kwargs={"win_ms": win_ms, "tau": tau},
         batch_format="pyarrow",
@@ -771,12 +781,13 @@ def audio_segments(
     )
 
 
-def audio_features(sf_dir: str, n: int = 48) -> rd.Dataset:
-    """Feature-extract the deterministic WAV corpus via the actor-pool
+def audio_features(sf_dir: str, n: int = 48, codec: str = "wav") -> rd.Dataset:
+    """Feature-extract the deterministic audio corpus via the actor-pool
     stage (small batches — each row is a full audio payload). Rows-only
-    query: DuckDB cannot decode RIFF; numpy brute parity + codec
-    round-trip are pinned in tests/test_ann_multimodal.py."""
-    return synthetic_audio(n).map_batches(
+    query: DuckDB cannot decode RIFF/FLAC; numpy brute parity + codec
+    round-trip are pinned in tests; features are IDENTICAL across
+    codecs (FLAC is lossless)."""
+    return synthetic_audio(n, codec=codec).map_batches(
         AudioFeatures,
         batch_format="pyarrow",
         batch_size=16,
