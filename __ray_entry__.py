@@ -818,6 +818,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # same corpus, per-row WAV/FLAC mix (flaccodec.py real lossless
         # decode; features pinned identical across codecs in tests)
         "mm_audio_features_mixed": lambda sf: multimodal.audio_features(sf, codec="mixed"),  # rows-only
+        # per-row png/jpeg/gif mix (gifcodec.py real LZW decode; gif
+        # round-trip + quantize determinism pinned in tests)
+        "mm_image_features_mixed": multimodal.image_features_mixed,  # rows-only
+        # animated-GIF compositing (disposal/transparency/sub-rect) →
+        # sampled-frame rows, actor-pool decode
+        "mm_gif_frames": multimodal.gif_frame_sample,  # rows-only (compositing pinned in tests)
         # REAL RIFF-AVI demux (videocodec.py) — frame sampling
         "mm_video_frames": multimodal.video_frame_sample,  # rows-only (codec round-trip in tests)
         "mm_video_scene_cuts": multimodal.video_scene_cuts,  # rows-only (planted-cut oracle in tests)

@@ -75,11 +75,18 @@ def decode_png(data: bytes) -> np.ndarray:
 
 
 def encode(pixels: np.ndarray, fmt: str) -> bytes:
-    """Encode pixels in ``fmt`` ('png' lossless | 'jpeg' real baseline JPEG)."""
+    """Encode pixels in ``fmt`` ('png' lossless | 'jpeg' real baseline
+    JPEG | 'gif' real LZW — palette-quantized first when >256 colors,
+    so like jpeg it is lossy for rich sources; decode-exactness is
+    available by quantizing the source up front)."""
     if fmt == "png":
         return encode_png(pixels)
     if fmt == "jpeg":
         return jpegcodec.encode_jpeg(pixels, quality=JPEG_QUALITY)
+    if fmt == "gif":
+        from crawlkit import gifcodec
+
+        return gifcodec.encode_gif(gifcodec.quantize_median_cut(pixels))
     raise NotImplementedError(f"codec {fmt!r} not available in this sandbox")
 
 
@@ -91,6 +98,11 @@ def encode_with_decoded(pixels: np.ndarray, fmt: str) -> tuple[bytes, np.ndarray
         return encode_png(pixels), pixels
     if fmt == "jpeg":
         return jpegcodec.encode_jpeg(pixels, quality=JPEG_QUALITY, return_decoded=True)
+    if fmt == "gif":
+        from crawlkit import gifcodec
+
+        q = gifcodec.quantize_median_cut(pixels)
+        return gifcodec.encode_gif(q), q
     raise NotImplementedError(f"codec {fmt!r} not available in this sandbox")
 
 
@@ -117,6 +129,12 @@ def encode_batch(
         if f == "png":
             out_bytes[i] = encode_png(pixel_list[i])
             out_dec[i] = pixel_list[i]
+        elif f == "gif":
+            from crawlkit import gifcodec
+
+            q = gifcodec.quantize_median_cut(pixel_list[i])
+            out_bytes[i] = gifcodec.encode_gif(q)
+            out_dec[i] = q
         elif f != "jpeg":
             raise NotImplementedError(f"codec {f!r} not available in this sandbox")
     return out_bytes, out_dec
@@ -124,12 +142,17 @@ def encode_batch(
 
 def decode(data: bytes, fmt: str | None = None) -> np.ndarray:
     """Decode image bytes → (h, w, 3) uint8. fmt is advisory (container
-    sniffed): JFIF/JPEG (FF D8), PNG, or the legacy round-1..3 lossy
+    sniffed): JFIF/JPEG (FF D8), PNG, GIF87a/89a (first composited
+    frame — gifcodec.py, real LZW), or the legacy round-1..3 lossy
     stand-in (a PNG container carrying pre-quantized pixels)."""
     if data[:2] == b"\xff\xd8":
         return jpegcodec.decode_jpeg(data)
     if data[:8] == _PNG_SIG:
         return decode_png(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        from crawlkit import gifcodec
+
+        return gifcodec.decode_gif(data)
     raise NotImplementedError("unrecognized image container")
 
 

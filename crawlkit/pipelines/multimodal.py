@@ -150,6 +150,151 @@ def image_features(
     )
 
 
+def synthetic_images_mixed(n: int = 64, config: WebConfig | str = "t1") -> rd.Dataset:
+    """The synthetic images table with every third row re-encoded as a
+    REAL GIF (gifcodec.py: median-cut quantize → palette LZW) — the
+    realistic mixed-container corpus shape (crawled images are
+    png/jpeg/gif; downstream stages sniff the container per row, same
+    contract as the WAV/FLAC mixed audio corpus). GIF rows carry the
+    quantized pixels' phash and fmt='gif'; the w/h/caption columns are
+    unchanged, so DuckDB-side metadata queries see the same table."""
+    from .. import gifcodec
+
+    def to_gif(t: pa.Table) -> pa.Table:
+        recs = []
+        for row in t.to_pylist():
+            i = int(row["image_id"].rsplit("-", 1)[1])
+            if i % 3 == 0:
+                px = imagecodec.decode(row["bytes"], row["fmt"])
+                q = gifcodec.quantize_median_cut(px)
+                row = dict(
+                    row,
+                    bytes=gifcodec.encode_gif(q, interlace=(i % 6 == 0)),
+                    fmt="gif",
+                    phash=np.int64(np.uint64(imagecodec.phash64(q))).item(),
+                )
+            recs.append(row)
+        from ..stages.fetch import IMAGES_SCHEMA
+
+        return pa.Table.from_pylist(recs, schema=IMAGES_SCHEMA)
+
+    return synthetic_images(n, config).map_batches(
+        to_gif, batch_format="pyarrow", batch_size=16
+    )
+
+
+def image_features_mixed(sf_dir: str | None = None, n: int = 64) -> rd.Dataset:
+    """Decode/feature pipeline over the png/jpeg/gif mixed corpus — the
+    per-row container-sniff path end-to-end (rows-only query; gif
+    round-trip exactness and quantize determinism pinned in
+    tests/test_gifcodec.py)."""
+    return synthetic_images_mixed(n).map_batches(
+        ImageFeatures, batch_format="pyarrow", batch_size=8, concurrency=2,
+        max_restarts=0,
+    )
+
+
+def synthetic_gif_animations(n: int = 16, config: WebConfig | str = "t1") -> rd.Dataset:
+    """Deterministic animated-GIF corpus (gif_id, bytes): each
+    animation's frames are the synthetic web's image pixels (quantized
+    to a GIF palette) with a moving inverted square — delta-encoded
+    sub-rectangle frames with transparency, per-frame local palettes
+    and a NETSCAPE loop block, i.e. the real wild-GIF layout."""
+    from .. import gifcodec
+
+    ids = [f"gif-mm-{i}" for i in range(n)]
+
+    def gen(batch: pa.Table) -> pa.Table:
+        w = SynthWeb(config)
+        recs = []
+        for gid in batch["gif_id"].to_pylist():
+            i = int(gid.rsplit("-", 1)[1])
+            base = w.image_record(gid)
+            px = gifcodec.quantize_median_cut(
+                imagecodec.decode(base["bytes"], base["fmt"]), 64
+            )
+            h, wd = px.shape[:2]
+            nframes = 3 + (i % 4)
+            frames = []
+            for f in range(nframes):
+                fr = px.copy()
+                y = (f * 5) % max(h - 8, 1)
+                x = (f * 7) % max(wd - 8, 1)
+                fr[y : y + 8, x : x + 8] = 255 - fr[y : y + 8, x : x + 8]
+                frames.append(fr)
+            blob = gifcodec.encode_gif_animation(
+                frames, delays=[4 + f for f in range(nframes)], delta=True, loop=i % 3
+            )
+            recs.append({"gif_id": gid, "bytes": blob})
+        return pa.Table.from_pylist(
+            recs,
+            schema=pa.schema([("gif_id", pa.string()), ("bytes", pa.binary())]),
+        )
+
+    src = rd.from_arrow(pa.table({"gif_id": ids}))
+    return src.map_batches(gen, batch_format="pyarrow", batch_size=4)
+
+
+class GifFrameSample:
+    """Frame-sampling stage over animated GIFs: full disposal/
+    transparency compositing per frame (gifcodec.decode_gif_frames),
+    every k-th composited frame re-encoded as PNG with its delay. A row
+    whose payload fails to parse emits one frame_idx = -1 row (the T4
+    OnError convention, same as VideoFrameSample)."""
+
+    def __init__(self, every_k: int = 2):
+        self.every_k = every_k
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from ..gifcodec import decode_gif_frames
+
+        rows = []
+        for gid, data in zip(t["gif_id"].to_pylist(), t["bytes"].to_pylist()):
+            try:
+                frames, delays, _loop = decode_gif_frames(data)
+                gif_rows = [
+                    {
+                        "gif_id": gid,
+                        "frame_idx": fi,
+                        "delay_cs": delays[fi],
+                        "frame_png": imagecodec.encode_png(frames[fi]),
+                    }
+                    for fi in range(0, len(frames), self.every_k)
+                ]
+            except ValueError:
+                gif_rows = [
+                    {"gif_id": gid, "frame_idx": -1, "delay_cs": 0, "frame_png": b""}
+                ]
+            rows.extend(gif_rows)
+        return pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [
+                    ("gif_id", pa.string()),
+                    ("frame_idx", pa.int64()),
+                    ("delay_cs", pa.int64()),
+                    ("frame_png", pa.binary()),
+                ]
+            ),
+        )
+
+
+def gif_frame_sample(
+    sf_dir: str | None = None, n: int = 16, every_k: int = 2
+) -> rd.Dataset:
+    """Animated-GIF frame extraction over the deterministic corpus —
+    actor-pool decode, one output row per sampled composited frame
+    (rows-only query; compositing pinned by tests/test_gifcodec.py)."""
+    return synthetic_gif_animations(n).map_batches(
+        GifFrameSample,
+        fn_constructor_kwargs={"every_k": every_k},
+        batch_format="pyarrow",
+        batch_size=4,
+        concurrency=2,
+        max_restarts=0,
+    )
+
+
 def image_phash_neardup(
     sf_dir: str | None = None, n: int = 64, max_hamming: int = 10, plant_pairs: int = 4
 ) -> rd.Dataset:

@@ -715,3 +715,56 @@ def test_assemble_image_corpus_matches_brute():
     }
     assert got == expected
     assert len(expected) < len(imgs)  # composition is non-vacuous
+
+
+def test_image_features_mixed_gif_rows():
+    """png/jpeg/gif mixed corpus: every third row is a real GIF and the
+    feature stage sniffs the container per row — gif rows' phash must
+    equal the corpus column (features come from the same quantized
+    pixels the encoder embedded)."""
+    corpus = multimodal.synthetic_images_mixed(n=18).to_pandas()
+    assert set(corpus["fmt"]) == {"png", "jpeg", "gif"}
+    gif_rows = corpus[corpus["fmt"] == "gif"]
+    assert len(gif_rows) == 6
+    for blob in gif_rows["bytes"]:
+        assert bytes(blob)[:6] in (b"GIF87a", b"GIF89a")
+    feats = (
+        multimodal.image_features_mixed(n=18).to_pandas().set_index("image_id")
+    )
+    assert len(feats) == 18
+    for _, row in corpus.iterrows():
+        assert feats.loc[row["image_id"], "phash"] == row["phash"]
+
+
+def test_gif_frame_sample_compositing():
+    """Animated-GIF frames: sampled rows reproduce the exact composited
+    frame pixels the fixture animation was built from."""
+    from crawlkit import gifcodec
+
+    corpus = multimodal.synthetic_gif_animations(n=6).to_pandas()
+    frames_df = (
+        multimodal.gif_frame_sample(n=6, every_k=2)
+        .to_pandas()
+        .set_index(["gif_id", "frame_idx"])
+        .sort_index()
+    )
+    assert (frames_df.index.get_level_values("frame_idx") >= 0).all()
+    for _, row in corpus.iterrows():
+        frames, delays, _ = gifcodec.decode_gif_frames(bytes(row["bytes"]))
+        for fi in range(0, len(frames), 2):
+            got = frames_df.loc[(row["gif_id"], fi)]
+            assert got["delay_cs"] == delays[fi]
+            assert np.array_equal(
+                imagecodec.decode_png(bytes(got["frame_png"])), frames[fi]
+            )
+
+
+def test_gif_frame_sample_bad_payload_row():
+    import pyarrow as pa
+
+    stage = multimodal.GifFrameSample(every_k=1)
+    t = pa.table({"gif_id": ["bad"], "bytes": [b"GIF89a\x00\x00garbage"]})
+    out = stage(t).to_pylist()
+    assert out == [
+        {"gif_id": "bad", "frame_idx": -1, "delay_cs": 0, "frame_png": b""}
+    ]
