@@ -89,3 +89,64 @@ def test_audio_pipeline_identical_across_codecs(ray_session):
     s_wav = canon_all(multimodal.audio_segments("unused", n=12, codec="wav"))
     s_flac = canon_all(multimodal.audio_segments("unused", n=12, codec="flac"))
     assert s_wav.equals(s_flac)
+
+
+# --- G.711 (µ-law / A-law) — lossy telephony WAV, format tags 7/6 ---
+
+
+def test_g711_codeword_idempotent():
+    """encode(decode(code)) == code for ALL 256 codewords, both laws —
+    the standard's defining property (decode hits quantizer centers)."""
+    from crawlkit.audiocodec import alaw_decode, alaw_encode, mulaw_decode, mulaw_encode
+
+    codes = np.arange(256, dtype=np.uint8)
+    mu = mulaw_encode(mulaw_decode(codes))
+    # 0x7F and 0xFF both decode to 0 which re-encodes to 0xFF (positive 0)
+    ok = (mu == codes) | ((codes == 0x7F) & (mu == 0xFF))
+    assert ok.all()
+    assert (alaw_encode(alaw_decode(codes)) == codes).all()
+
+
+def test_g711_known_values():
+    from crawlkit.audiocodec import alaw_decode, mulaw_decode, mulaw_encode
+
+    assert int(mulaw_encode(np.array([0]))[0]) == 0xFF
+    assert int(mulaw_decode(np.array([0xFF], dtype=np.uint8))[0]) == 0
+    assert int(mulaw_decode(np.array([0x00], dtype=np.uint8))[0]) == -32124
+    assert int(mulaw_decode(np.array([0x80], dtype=np.uint8))[0]) == 32124
+    assert int(alaw_decode(np.array([0xD5], dtype=np.uint8))[0]) == 8  # +0 code
+    assert int(alaw_decode(np.array([0x55], dtype=np.uint8))[0]) == -8  # -0 code
+    assert int(alaw_decode(np.array([0x2A], dtype=np.uint8))[0]) == -32256  # neg max
+
+
+@pytest.mark.parametrize("law", ["mulaw", "alaw"])
+def test_g711_wav_roundtrip_snr(law):
+    from crawlkit.audiocodec import wav_decode, wav_encode_g711
+
+    x = _signal(8000).astype(np.float64)
+    y, rate = wav_decode(wav_encode_g711(x.astype(np.int16), 8000, law))
+    assert rate == 8000 and y.dtype == np.int16 and len(y) == len(x)
+    snr = 10 * np.log10(np.sum(x * x) / np.sum((x - y) ** 2))
+    assert snr > 30  # G.711 spec-grade companding quality
+
+
+def test_g711_pipeline_and_mixed_corpus(ray_session):
+    """g711 + mixed corpora decode end-to-end through the audio stages;
+    mixed actually contains all three containers."""
+    from crawlkit.pipelines import multimodal
+
+    f = multimodal.audio_features("unused", n=12, codec="g711").to_pandas()
+    assert len(f) == 12 and (f["duration_ms"] > 0).all()
+    corpus = multimodal.synthetic_audio(24, codec="mixed").to_pandas()
+    kinds = set()
+    for b in corpus["bytes"]:
+        if b[:4] == b"fLaC":
+            kinds.add("flac")
+        else:
+            import struct as _s
+
+            tag = _s.unpack("<H", b[20:22])[0]
+            kinds.add({1: "wav", 6: "g711", 7: "g711"}[tag])
+    assert kinds == {"wav", "flac", "g711"}
+    fm = multimodal.audio_features("unused", n=24, codec="mixed").to_pandas()
+    assert len(fm) == 24 and (fm["duration_ms"] > 0).all()
