@@ -818,7 +818,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # same corpus, per-row WAV/FLAC mix (flaccodec.py real lossless
         # decode; features pinned identical across codecs in tests)
         "mm_audio_features_mixed": lambda sf: multimodal.audio_features(sf, codec="mixed"),  # rows-only
-        # per-row png/jpeg/gif mix (gifcodec.py real LZW decode; gif
+        # per-row png/jpeg/gif/bmp mix (gifcodec.py real LZW decode; gif
         # round-trip + quantize determinism pinned in tests)
         "mm_image_features_mixed": multimodal.image_features_mixed,  # rows-only
         # animated-GIF compositing (disposal/transparency/sub-rect) →

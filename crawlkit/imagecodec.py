@@ -74,6 +74,49 @@ def decode_png(data: bytes) -> np.ndarray:
     return raw[:, 1:].reshape(h, w, 3).copy()
 
 
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """24-bit BI_RGB Windows BMP (BITMAPINFOHEADER, bottom-up rows,
+    BGR byte order, rows padded to 4 bytes) — lossless, uncompressed;
+    the other container real crawls hand back for small graphics."""
+    h, w = pixels.shape[:2]
+    row = w * 3
+    stride = row + ((-row) % 4)
+    body = np.zeros((h, stride), dtype=np.uint8)
+    body[:, :row] = pixels[::-1, :, ::-1].reshape(h, row)
+    data = body.tobytes()
+    return (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+        + data
+    )
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """BMP → (h, w, 3) uint8. Supports the shapes found in the wild for
+    uncompressed files: BITMAPINFOHEADER(+), 24/32-bit BI_RGB, bottom-up
+    (height > 0) or top-down (height < 0). Raises ValueError otherwise."""
+    if data[:2] != b"BM" or len(data) < 54:
+        raise ValueError("not a BMP stream")
+    (offset,) = struct.unpack("<I", data[10:14])
+    hdr_size, w, h_signed = struct.unpack("<Iii", data[14:26])
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    planes, bpp, compression = struct.unpack("<HHI", data[26:34])
+    if planes != 1 or bpp not in (24, 32) or compression != 0:
+        raise ValueError(f"unsupported BMP bpp={bpp} compression={compression}")
+    h, top_down = abs(h_signed), h_signed < 0
+    nbytes = bpp // 8
+    stride = (w * nbytes + 3) // 4 * 4
+    if len(data) < offset + stride * h:
+        raise ValueError("truncated BMP pixel data")
+    rows = np.frombuffer(data, np.uint8, stride * h, offset).reshape(h, stride)
+    px = rows[:, : w * nbytes].reshape(h, w, nbytes)
+    if not top_down:
+        px = px[::-1]
+    return np.ascontiguousarray(px[:, :, 2::-1])  # BGR(A) → RGB, alpha dropped
+
+
 def encode(pixels: np.ndarray, fmt: str) -> bytes:
     """Encode pixels in ``fmt`` ('png' lossless | 'jpeg' real baseline
     JPEG | 'gif' real LZW — palette-quantized first when >256 colors,
@@ -87,6 +130,8 @@ def encode(pixels: np.ndarray, fmt: str) -> bytes:
         from crawlkit import gifcodec
 
         return gifcodec.encode_gif(gifcodec.quantize_median_cut(pixels))
+    if fmt == "bmp":
+        return encode_bmp(pixels)
     raise NotImplementedError(f"codec {fmt!r} not available in this sandbox")
 
 
@@ -103,6 +148,8 @@ def encode_with_decoded(pixels: np.ndarray, fmt: str) -> tuple[bytes, np.ndarray
 
         q = gifcodec.quantize_median_cut(pixels)
         return gifcodec.encode_gif(q), q
+    if fmt == "bmp":
+        return encode_bmp(pixels), pixels
     raise NotImplementedError(f"codec {fmt!r} not available in this sandbox")
 
 
@@ -135,6 +182,9 @@ def encode_batch(
             q = gifcodec.quantize_median_cut(pixel_list[i])
             out_bytes[i] = gifcodec.encode_gif(q)
             out_dec[i] = q
+        elif f == "bmp":
+            out_bytes[i] = encode_bmp(pixel_list[i])
+            out_dec[i] = pixel_list[i]
         elif f != "jpeg":
             raise NotImplementedError(f"codec {f!r} not available in this sandbox")
     return out_bytes, out_dec
@@ -143,8 +193,9 @@ def encode_batch(
 def decode(data: bytes, fmt: str | None = None) -> np.ndarray:
     """Decode image bytes → (h, w, 3) uint8. fmt is advisory (container
     sniffed): JFIF/JPEG (FF D8), PNG, GIF87a/89a (first composited
-    frame — gifcodec.py, real LZW), or the legacy round-1..3 lossy
-    stand-in (a PNG container carrying pre-quantized pixels)."""
+    frame — gifcodec.py, real LZW), BMP (24/32-bit BI_RGB), or the
+    legacy round-1..3 lossy stand-in (a PNG container carrying
+    pre-quantized pixels)."""
     if data[:2] == b"\xff\xd8":
         return jpegcodec.decode_jpeg(data)
     if data[:8] == _PNG_SIG:
@@ -153,6 +204,8 @@ def decode(data: bytes, fmt: str | None = None) -> np.ndarray:
         from crawlkit import gifcodec
 
         return gifcodec.decode_gif(data)
+    if data[:2] == b"BM":
+        return decode_bmp(data)
     raise NotImplementedError("unrecognized image container")
 
 

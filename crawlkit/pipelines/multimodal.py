@@ -152,11 +152,13 @@ def image_features(
 
 def synthetic_images_mixed(n: int = 64, config: WebConfig | str = "t1") -> rd.Dataset:
     """The synthetic images table with every third row re-encoded as a
-    REAL GIF (gifcodec.py: median-cut quantize → palette LZW) — the
+    REAL GIF (gifcodec.py: median-cut quantize → palette LZW) and the
+    i%5==1 rows among the rest as BMP (24-bit BI_RGB, lossless) — the
     realistic mixed-container corpus shape (crawled images are
-    png/jpeg/gif; downstream stages sniff the container per row, same
-    contract as the WAV/FLAC mixed audio corpus). GIF rows carry the
-    quantized pixels' phash and fmt='gif'; the w/h/caption columns are
+    png/jpeg/gif/bmp; downstream stages sniff the container per row,
+    same contract as the WAV/FLAC/G.711 mixed audio corpus). GIF rows
+    carry the quantized pixels' phash and fmt='gif'; BMP rows keep
+    their phash (lossless re-encode); the w/h/caption columns are
     unchanged, so DuckDB-side metadata queries see the same table."""
     from .. import gifcodec
 
@@ -173,6 +175,9 @@ def synthetic_images_mixed(n: int = 64, config: WebConfig | str = "t1") -> rd.Da
                     fmt="gif",
                     phash=np.int64(np.uint64(imagecodec.phash64(q))).item(),
                 )
+            elif i % 5 == 1:
+                px = imagecodec.decode(row["bytes"], row["fmt"])
+                row = dict(row, bytes=imagecodec.encode_bmp(px), fmt="bmp")
             recs.append(row)
         from ..stages.fetch import IMAGES_SCHEMA
 

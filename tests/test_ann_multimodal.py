@@ -718,16 +718,21 @@ def test_assemble_image_corpus_matches_brute():
 
 
 def test_image_features_mixed_gif_rows():
-    """png/jpeg/gif mixed corpus: every third row is a real GIF and the
-    feature stage sniffs the container per row — gif rows' phash must
-    equal the corpus column (features come from the same quantized
-    pixels the encoder embedded)."""
+    """png/jpeg/gif/bmp mixed corpus: every third row is a real GIF,
+    i%5==1 among the rest is BMP, and the feature stage sniffs the
+    container per row — every row's phash must equal the corpus column
+    (features come from the same pixels the encoder embedded; BMP is a
+    lossless re-encode so its phash is unchanged)."""
     corpus = multimodal.synthetic_images_mixed(n=18).to_pandas()
-    assert set(corpus["fmt"]) == {"png", "jpeg", "gif"}
+    assert set(corpus["fmt"]) == {"png", "jpeg", "gif", "bmp"}
     gif_rows = corpus[corpus["fmt"] == "gif"]
     assert len(gif_rows) == 6
     for blob in gif_rows["bytes"]:
         assert bytes(blob)[:6] in (b"GIF87a", b"GIF89a")
+    bmp_rows = corpus[corpus["fmt"] == "bmp"]
+    assert len(bmp_rows) == 3
+    for blob in bmp_rows["bytes"]:
+        assert bytes(blob)[:2] == b"BM"
     feats = (
         multimodal.image_features_mixed(n=18).to_pandas().set_index("image_id")
     )

@@ -99,3 +99,55 @@ def test_ahash_dhash_stability_and_similarity():
         other = _pix(64, 64, 15)
         assert imagecodec.hamming64(h1, fn(noisy)) <= 4
         assert imagecodec.hamming64(h1, fn(other)) > 10
+
+
+# --- BMP (24-bit BI_RGB; decode also reads 32-bit and top-down) ---
+
+
+def test_bmp_roundtrip_lossless_odd_widths():
+    from crawlkit.imagecodec import decode, decode_bmp, encode_bmp
+
+    rng = np.random.default_rng(7)
+    for w in (1, 2, 3, 5, 64):  # exercise every row-padding residue
+        px = rng.integers(0, 256, (11, w, 3), dtype=np.uint8)
+        blob = encode_bmp(px)
+        assert blob[:2] == b"BM"
+        assert np.array_equal(decode_bmp(blob), px)
+        assert np.array_equal(decode(blob), px)  # sniffed dispatch
+
+
+def test_bmp_decode_32bit_and_topdown():
+    import struct
+
+    from crawlkit.imagecodec import decode_bmp
+
+    rng = np.random.default_rng(8)
+    px = rng.integers(0, 256, (6, 5, 3), dtype=np.uint8)
+    # hand-build a 32-bit top-down BI_RGB file (BGRA, no padding needed)
+    bgra = np.concatenate(
+        [px[:, :, ::-1], np.full((6, 5, 1), 0xAA, np.uint8)], axis=2
+    )
+    data = bgra.tobytes()
+    blob = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 5, -6, 1, 32, 0, len(data), 0, 0, 0, 0)
+        + data
+    )
+    assert np.array_equal(decode_bmp(blob), px)
+
+
+def test_bmp_malformed_raises():
+    from crawlkit.imagecodec import decode_bmp, encode_bmp
+
+    good = encode_bmp(np.zeros((4, 4, 3), np.uint8))
+    for bad in (b"PK\x03\x04", good[:20], good[:-8]):
+        with pytest.raises(ValueError):
+            decode_bmp(bad)
+    # 8-bit palette BMPs are out of scope and must raise, not misread
+    import struct
+
+    pal = bytearray(good)
+    pal[28:30] = struct.pack("<H", 8)
+    with pytest.raises(ValueError):
+        decode_bmp(bytes(pal))
