@@ -50,7 +50,8 @@ def wav_decode(data: bytes) -> tuple[np.ndarray, int]:
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE stream")
     pos = 12
-    rate = channels = bits = fmt = None
+    rate = channels = bits = fmt = nsamp = None
+    block_align = 0
     payload = None
     try:
         while pos + 8 <= len(data):
@@ -59,12 +60,15 @@ def wav_decode(data: bytes) -> tuple[np.ndarray, int]:
             body = data[pos + 8 : pos + 8 + ln]
             if cid == b"fmt ":
                 fmt, channels, rate = struct.unpack("<HHI", body[:8])
-                bits = struct.unpack("<H", body[14:16])[0]
+                block_align, bits = struct.unpack("<HH", body[12:16])
                 if not (
                     (fmt == 1 and bits == 16)  # linear PCM
                     or (fmt in (6, 7) and bits == 8)  # G.711 A-law / µ-law
+                    or (fmt == 0x11 and bits == 4 and channels == 1)  # IMA ADPCM
                 ):
                     raise ValueError(f"unsupported WAV format tag={fmt} bits={bits}")
+            elif cid == b"fact":
+                (nsamp,) = struct.unpack("<I", body[:4])
             elif cid == b"data":
                 payload = body
             pos += 8 + ln + (ln & 1)  # chunks are word-aligned
@@ -74,6 +78,8 @@ def wav_decode(data: bytes) -> tuple[np.ndarray, int]:
         raise ValueError("missing fmt/data chunk")
     if rate <= 0:
         raise ValueError(f"invalid sample rate {rate}")
+    if fmt == 0x11:
+        return _ima_adpcm_decode(payload, nsamp, block_align), int(rate)
     if fmt == 7:
         x = mulaw_decode(np.frombuffer(payload, dtype=np.uint8))
     elif fmt == 6:
@@ -158,9 +164,132 @@ def wav_encode_g711(samples: np.ndarray, sample_rate: int, law: str = "mulaw") -
     return hdr + data
 
 
+# --- IMA ADPCM (WAV format tag 0x11) — 4 bits/sample, the classic
+# speech-corpus compression. Tables and step logic are the IMA
+# (Interactive Multimedia Association) reference algorithm as published
+# in the IMA Recommended Practices / Microsoft WAVE documentation.
+# Blocks are INDEPENDENT (each restarts predictor+index from its 4-byte
+# header), so both directions vectorize across blocks: the sample loop
+# runs once per in-block position over an n_blocks-wide numpy row.
+
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8] * 2, dtype=np.int32)
+_IMA_STEP = np.array(
+    [7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+     41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+     190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+     724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+     2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+     6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+     16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767],
+    dtype=np.int32,
+)
+_IMA_BLOCK_ALIGN = 256  # → 505 samples per block
+
+
+def _ima_step_apply(pred, index, nib):
+    """One IMA update, vectorized over blocks: (pred', index') after
+    emitting/absorbing nibble ``nib`` — the standard's exact
+    shift-accumulated diff (this IS the decoder; the encoder mirrors
+    it so both sides stay in lockstep)."""
+    step = _IMA_STEP[index]
+    diff = step >> 3
+    diff += np.where(nib & 1, step >> 2, 0)
+    diff += np.where(nib & 2, step >> 1, 0)
+    diff += np.where(nib & 4, step, 0)
+    pred = pred + np.where(nib & 8, -diff, diff)
+    pred = np.clip(pred, -32768, 32767)
+    index = np.clip(index + _IMA_INDEX[nib], 0, 88)
+    return pred, index
+
+
+def wav_encode_ima_adpcm(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Mono IMA-ADPCM WAV (format tag 0x11, 4-bit, block_align 256,
+    505 samples/block). Lossy ~4:1; blocks restart cleanly so decode
+    is block-parallel."""
+    x = np.asarray(samples)
+    if x.dtype != np.int16:
+        x = np.clip(x, -32768, 32767).astype(np.int16)
+    spb = (_IMA_BLOCK_ALIGN - 4) * 2 + 1
+    n = len(x)
+    nblk = max(1, -(-n // spb))
+    padded = np.zeros(nblk * spb, dtype=np.int16)
+    padded[:n] = x
+    blocks = padded.reshape(nblk, spb).astype(np.int32)
+
+    pred = blocks[:, 0].copy()  # block header carries sample 0 verbatim
+    index = np.zeros(nblk, dtype=np.int32)
+    nibs = np.empty((spb - 1, nblk), dtype=np.uint8)
+    for t in range(1, spb):
+        step = _IMA_STEP[index]
+        diff = blocks[:, t] - pred
+        nib = np.where(diff < 0, 8, 0).astype(np.int32)
+        diff = np.abs(diff)
+        for bit, sh in ((4, 0), (2, 1), (1, 2)):
+            ge = diff >= (step >> sh)
+            nib |= np.where(ge, bit, 0)
+            diff -= np.where(ge, step >> sh, 0)
+        pred, index = _ima_step_apply(pred, index, nib)
+        nibs[t - 1] = nib.astype(np.uint8)
+    # pack: per block, 4-byte header then nibble pairs low-first
+    lo, hi = nibs[0::2], nibs[1::2]
+    payload = (lo | (hi << 4)).T.copy()  # (nblk, 252) bytes
+    hdrs = np.zeros((nblk, 4), dtype=np.uint8)
+    hdrs[:, 0] = blocks[:, 0] & 0xFF
+    hdrs[:, 1] = (blocks[:, 0] >> 8) & 0xFF
+    data = np.concatenate([hdrs, payload], axis=1).tobytes()
+    fmt = struct.pack(
+        "<IHHIIHHHH",
+        20, 0x11, 1, sample_rate,
+        sample_rate * _IMA_BLOCK_ALIGN // spb,  # avg byte rate
+        _IMA_BLOCK_ALIGN, 4, 2, spb,
+    )
+    fact = struct.pack("<II", 4, n)
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 52 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + fmt
+        + b"fact"
+        + fact
+        + b"data"
+        + struct.pack("<I", len(data))
+    )
+    return hdr + data
+
+
+def _ima_adpcm_decode(
+    payload: bytes, n_samples: int | None, block_align: int = _IMA_BLOCK_ALIGN
+) -> np.ndarray:
+    """IMA-ADPCM data chunk → int16 samples (mono)."""
+    ba = block_align or _IMA_BLOCK_ALIGN
+    if ba < 8 or ba % 4:
+        raise ValueError(f"bad ADPCM block_align {ba}")
+    nblk = len(payload) // ba
+    if nblk == 0:
+        raise ValueError("truncated ADPCM data chunk")
+    raw = np.frombuffer(payload, np.uint8, nblk * ba).reshape(nblk, ba)
+    pred = (raw[:, 0].astype(np.int32) | (raw[:, 1].astype(np.int32) << 8))
+    pred = (pred ^ 0x8000) - 0x8000  # sign-extend int16
+    index = np.clip(raw[:, 2].astype(np.int32), 0, 88)
+    body = raw[:, 4:]
+    spb = (ba - 4) * 2 + 1
+    out = np.empty((nblk, spb), dtype=np.int16)
+    out[:, 0] = pred
+    nibs = np.empty((nblk, spb - 1), dtype=np.uint8)
+    nibs[:, 0::2] = body & 0xF
+    nibs[:, 1::2] = body >> 4
+    for t in range(1, spb):
+        pred, index = _ima_step_apply(pred, index, nibs[:, t - 1].astype(np.int32))
+        out[:, t] = pred
+    flat = out.reshape(-1)
+    return flat[:n_samples] if n_samples is not None else flat
+
+
 def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
-    """Container-sniffing audio decode: RIFF/WAVE (PCM) or FLAC
-    (flaccodec — real compressed-lossless decode since round 4).
+    """Container-sniffing audio decode: RIFF/WAVE (PCM, G.711, IMA
+    ADPCM — per the fmt tag) or FLAC (flaccodec — real compressed
+    lossless decode since round 4).
     The stages use this so audio columns can mix formats row-by-row,
     the way real corpora do (LibriSpeech ships FLAC)."""
     if data[:4] == b"RIFF":

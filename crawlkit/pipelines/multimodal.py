@@ -768,10 +768,11 @@ def synthetic_audio(n: int = 48, seed: str = "t1", codec: str = "wav") -> rd.Dat
     float sin, so bytes are platform-exact). Stands in for reading an
     audio table out of a crawl store. ``codec``: 'wav' (PCM RIFF),
     'flac' (real lossless compression, flaccodec.py), 'g711'
-    (µ-law/A-law telephony WAV, lossy ~38 dB), or 'mixed' (per-row by
-    id hash across all three — the realistic corpus shape; the stages
-    sniff container AND format tag per row)."""
-    from ..audiocodec import wav_encode, wav_encode_g711
+    (µ-law/A-law telephony WAV, lossy ~38 dB), 'adpcm' (IMA 4-bit,
+    ~4:1), or 'mixed' (per-row by id hash across all four — the
+    realistic corpus shape; the stages sniff container AND format tag
+    per row)."""
+    from ..audiocodec import wav_encode, wav_encode_g711, wav_encode_ima_adpcm
     from ..flaccodec import encode_flac
     from ..hashing import hash64_np
 
@@ -793,12 +794,17 @@ def synthetic_audio(n: int = 48, seed: str = "t1", codec: str = "wav") -> rd.Dat
                 x = x * 4
             if h % 5 == 0:  # planted mid-row silence → real VAD segments
                 x[n_samp // 3 : 2 * n_samp // 3] = 0
-            use = ("flac", "wav", "g711")[(h >> 5) % 3] if codec == "mixed" else codec
+            if codec == "mixed":
+                use = ("flac", "wav", "g711", "adpcm")[(h >> 5) % 4]
+            else:
+                use = codec
             x16 = np.clip(x, -32768, 32767).astype(np.int16)
             if use == "flac":
                 blob = encode_flac(x16, rate)
             elif use == "g711":
                 blob = wav_encode_g711(x16, rate, "mulaw" if (h >> 7) % 2 else "alaw")
+            elif use == "adpcm":
+                blob = wav_encode_ima_adpcm(x16, rate)
             else:
                 blob = wav_encode(x16, rate)
             recs.append({"audio_id": aid, "bytes": blob})

@@ -131,13 +131,14 @@ def test_g711_wav_roundtrip_snr(law):
 
 
 def test_g711_pipeline_and_mixed_corpus(ray_session):
-    """g711 + mixed corpora decode end-to-end through the audio stages;
-    mixed actually contains all three containers."""
+    """g711/adpcm + mixed corpora decode end-to-end through the audio
+    stages; mixed actually contains all four encodings."""
     from crawlkit.pipelines import multimodal
 
-    f = multimodal.audio_features("unused", n=12, codec="g711").to_pandas()
-    assert len(f) == 12 and (f["duration_ms"] > 0).all()
-    corpus = multimodal.synthetic_audio(24, codec="mixed").to_pandas()
+    for codec in ("g711", "adpcm"):
+        f = multimodal.audio_features("unused", n=12, codec=codec).to_pandas()
+        assert len(f) == 12 and (f["duration_ms"] > 0).all()
+    corpus = multimodal.synthetic_audio(32, codec="mixed").to_pandas()
     kinds = set()
     for b in corpus["bytes"]:
         if b[:4] == b"fLaC":
@@ -146,7 +147,46 @@ def test_g711_pipeline_and_mixed_corpus(ray_session):
             import struct as _s
 
             tag = _s.unpack("<H", b[20:22])[0]
-            kinds.add({1: "wav", 6: "g711", 7: "g711"}[tag])
-    assert kinds == {"wav", "flac", "g711"}
+            kinds.add({1: "wav", 6: "g711", 7: "g711", 0x11: "adpcm"}[tag])
+    assert kinds == {"wav", "flac", "g711", "adpcm"}
     fm = multimodal.audio_features("unused", n=24, codec="mixed").to_pandas()
     assert len(fm) == 24 and (fm["duration_ms"] > 0).all()
+
+
+# --- IMA ADPCM (WAV format tag 0x11, 4-bit, block-restart) ---
+
+
+def test_adpcm_roundtrip_snr_and_ratio():
+    from crawlkit.audiocodec import decode_audio, wav_encode_ima_adpcm
+
+    x = _signal(16000).astype(np.float64)
+    blob = wav_encode_ima_adpcm(x.astype(np.int16), 8000)
+    assert len(blob) < len(x) * 2 * 0.3  # ~4:1 vs 16-bit PCM
+    y, rate = decode_audio(blob)
+    assert rate == 8000 and len(y) == len(x)  # fact chunk trims pad
+    snr = 10 * np.log10(np.sum(x * x) / np.sum((x - y.astype(np.float64)) ** 2))
+    assert snr > 25
+
+
+def test_adpcm_blocks_are_independent():
+    """Each 256-byte block restarts predictor+index from its header, so
+    a prefix of blocks decodes to a prefix of samples — the property
+    the vectorized lockstep decode relies on."""
+    from crawlkit.audiocodec import _ima_adpcm_decode, wav_encode_ima_adpcm
+
+    x = _signal(5050)
+    blob = wav_encode_ima_adpcm(x, 8000)
+    payload = blob[blob.index(b"data") + 8 :]
+    full = _ima_adpcm_decode(payload, None)
+    part = _ima_adpcm_decode(payload[: 256 * 4], None)
+    assert np.array_equal(full[: len(part)], part)
+    with pytest.raises(ValueError):
+        _ima_adpcm_decode(payload[:100], None)  # sub-block truncation
+
+
+def test_adpcm_extreme_amplitudes():
+    from crawlkit.audiocodec import wav_decode, wav_encode_ima_adpcm
+
+    x = np.tile(np.array([32767, -32768, 32767, -32768], dtype=np.int16), 300)
+    y, _ = wav_decode(wav_encode_ima_adpcm(x, 8000))
+    assert y.dtype == np.int16 and len(y) == len(x)  # clamps, never wraps
