@@ -93,9 +93,11 @@ def encode_bmp(pixels: np.ndarray) -> bytes:
 
 
 def decode_bmp(data: bytes) -> np.ndarray:
-    """BMP → (h, w, 3) uint8. Supports the shapes found in the wild for
-    uncompressed files: BITMAPINFOHEADER(+), 24/32-bit BI_RGB, bottom-up
-    (height > 0) or top-down (height < 0). Raises ValueError otherwise."""
+    """BMP → (h, w, 3) uint8. Supports the shapes found in the wild:
+    BITMAPINFOHEADER(+), 24/32-bit BI_RGB (bottom-up or top-down), and
+    8-bit palettized — uncompressed or BI_RLE8 (the real Microsoft
+    run-length codec, videocodec.rle8_decode_indices). Raises
+    ValueError otherwise."""
     if data[:2] != b"BM" or len(data) < 54:
         raise ValueError("not a BMP stream")
     (offset,) = struct.unpack("<I", data[10:14])
@@ -103,9 +105,25 @@ def decode_bmp(data: bytes) -> np.ndarray:
     if hdr_size < 40:
         raise ValueError(f"unsupported BMP header size {hdr_size}")
     planes, bpp, compression = struct.unpack("<HHI", data[26:34])
-    if planes != 1 or bpp not in (24, 32) or compression != 0:
-        raise ValueError(f"unsupported BMP bpp={bpp} compression={compression}")
     h, top_down = abs(h_signed), h_signed < 0
+    if planes != 1 or (bpp, compression) not in ((24, 0), (32, 0), (8, 0), (8, 1)):
+        raise ValueError(f"unsupported BMP bpp={bpp} compression={compression}")
+    if bpp == 8:
+        n_pal = (offset - 14 - hdr_size) // 4
+        if n_pal <= 0:
+            raise ValueError("8-bit BMP without a palette")
+        quads = np.frombuffer(data, np.uint8, n_pal * 4, 14 + hdr_size).reshape(-1, 4)
+        palette = quads[:, 2::-1].copy()  # BGRx → RGB
+        if compression == 1:  # BI_RLE8 (bottom-up by definition)
+            from crawlkit.videocodec import rle8_decode_indices
+
+            return palette[rle8_decode_indices(data[offset:], w, h)]
+        stride = (w + 3) // 4 * 4
+        if len(data) < offset + stride * h:
+            raise ValueError("truncated BMP pixel data")
+        idx = np.frombuffer(data, np.uint8, stride * h, offset).reshape(h, stride)
+        idx = idx[:, :w]
+        return palette[idx if top_down else idx[::-1]]
     nbytes = bpp // 8
     stride = (w * nbytes + 3) // 4 * 4
     if len(data) < offset + stride * h:

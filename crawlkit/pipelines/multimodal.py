@@ -1027,10 +1027,11 @@ def synthetic_videos(
     ``plant_pairs``: additionally derive, for the first ``plant_pairs``
     base videos, a near-duplicate row (``<id>-dup``: same frames minus
     the last) so video near-dup pipelines have real pairs to find.
-    ``codec``: 'raw' (uncompressed DIB) or 'mjpeg' (real Motion-JPEG —
-    every downstream op then exercises the compressed decode path; a
-    dup row uses the same codec as its base, so identical frames still
-    yield identical compressed bytes)."""
+    ``codec``: 'raw' (uncompressed DIB), 'mjpeg' (real Motion-JPEG),
+    or 'rle8' (MS-RLE8, shared strf palette) — with a compressed codec
+    every downstream op exercises the compressed decode path; a dup
+    row uses the same codec as its base, so identical frames still
+    yield identical compressed bytes."""
     from ..videocodec import avi_encode
 
     ids = [f"vid-mm-{i}" for i in range(n)]

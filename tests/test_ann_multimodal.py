@@ -773,3 +773,99 @@ def test_gif_frame_sample_bad_payload_row():
     assert out == [
         {"gif_id": "bad", "frame_idx": -1, "delay_cs": 0, "frame_png": b""}
     ]
+
+
+def test_avi_rle8_roundtrip_and_wire_format():
+    """MS-RLE8 AVI: low-color frames survive losslessly (quantize is
+    identity), the stream is biCompression=1 with a strf palette, and
+    run-heavy frames compress vs raw DIB."""
+    import struct
+
+    from crawlkit import videocodec
+
+    base = np.zeros((16, 20, 3), dtype=np.uint8)
+    base[4:12, 5:15] = (200, 40, 90)
+    base[:2] = (1, 2, 3)
+    frames = [np.roll(base, f * 2, axis=1) for f in range(5)]
+    data = videocodec.avi_encode(frames, fps=12, codec="rle8")
+    i = data.index(b"strf")
+    comp = struct.unpack("<I", data[i + 8 + 16 : i + 8 + 20])[0]
+    assert comp == 1  # BI_RLE8
+    got, fps = videocodec.avi_decode(data)
+    assert fps == 12 and len(got) == 5
+    for a, b in zip(frames, got):
+        assert np.array_equal(a, b)
+    raw = videocodec.avi_encode(frames, fps=12, codec="raw")
+    assert len(data) < len(raw) * 0.5
+
+
+def test_rle8_escape_decoding():
+    """Hand-built stream exercising every RLE8 escape: encoded run,
+    absolute run (word-padded), EOL, delta skip, EOB."""
+    from crawlkit.videocodec import rle8_decode_indices
+
+    # 4x6 bitmap, bottom-up: build rows from the bottom
+    stream = bytes(
+        [
+            3, 7,          # bottom row: 3 cells of palette 7
+            0, 3, 1, 2, 3, 0,  # absolute run of 3 (1,2,3) + pad
+            0, 0,          # EOL
+            0, 2, 2, 1,    # delta: skip 2 right, 1 up (skipped cells stay 0)
+            2, 9,          # then 2 cells of 9 on row y=1 (from x=2)
+            0, 0,          # EOL
+            6, 5,          # top row filled with 5
+            0, 1,          # EOB
+        ]
+    )
+    got = rle8_decode_indices(stream, 6, 4)
+    exp = np.zeros((4, 6), dtype=np.uint8)
+    exp[3, 0:3] = 7
+    exp[3, 3:6] = (1, 2, 3)
+    exp[1, 2:4] = 9
+    exp[0, :] = 5
+    assert np.array_equal(got, exp)
+    with pytest.raises(ValueError):
+        rle8_decode_indices(stream[:-2], 6, 4)  # no EOB
+
+
+def test_bmp_8bit_palette_and_rle8():
+    """8-bit BMPs: uncompressed palettized and BI_RLE8 both decode
+    through the palette; paletteless 8-bit raises."""
+    import struct
+
+    from crawlkit.imagecodec import decode_bmp
+    from crawlkit.videocodec import rle8_encode_indices
+
+    pal = np.array([[10, 20, 30], [200, 100, 0], [0, 0, 255], [255, 255, 255]],
+                   dtype=np.uint8)
+    quads = np.zeros((4, 4), dtype=np.uint8)
+    quads[:, :3] = pal[:, ::-1]  # RGBQUAD is BGRx
+    idx = np.array([[0, 1, 1, 2, 2], [3, 3, 3, 0, 0], [1, 0, 2, 0, 3]], np.uint8)
+    h, w = idx.shape
+
+    def bmp(compression, pixdata):
+        off = 54 + 16
+        return (
+            b"BM" + struct.pack("<IHHI", off + len(pixdata), 0, 0, off)
+            + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, compression,
+                          len(pixdata), 0, 0, 4, 0)
+            + quads.tobytes() + pixdata
+        )
+
+    stride = (w + 3) // 4 * 4
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, :w] = idx[::-1]  # bottom-up
+    assert np.array_equal(decode_bmp(bmp(0, rows.tobytes())), pal[idx])
+    assert np.array_equal(decode_bmp(bmp(1, rle8_encode_indices(idx))), pal[idx])
+
+
+def test_video_ops_over_rle8_corpus():
+    """Scene-cut detection runs unchanged over the RLE8 corpus (the
+    planted inversions dwarf quantization error)."""
+    out = multimodal.video_scene_cuts("unused", n=9, codec="rle8").to_pandas()
+    assert (out["frame_idx"] > 0).all()
+    for i in range(9):
+        v = out[out.video_id == f"vid-mm-{i}"]
+        cuts = v[v.is_cut]["frame_idx"].tolist()
+        nframes = 4 + (i % 5)
+        assert cuts == ([nframes // 2] if i % 3 == 0 else []), (i, cuts)
