@@ -1,15 +1,21 @@
 """Image codecs + perceptual hash for the image+caption payload path.
 
-The sandbox has no PIL/libjpeg, but both formats are REAL here:
+The sandbox has no PIL/libjpeg, but all four formats are REAL here:
 
 * ``png``: a minimal but spec-correct PNG encoder/decoder
   (8-bit RGB, filter 0, zlib) — lossless round-trip, byte-exact pixels.
 * ``jpeg``: a real baseline-sequential JFIF codec (jpegcodec.py, pure
   numpy — Annex-K tables, zigzag, Huffman, byte stuffing). Default
   quality 98 / 4:4:4 keeps the per-row PSNR ≥ 40 dB invariant with
-  margin (min ≈ 43 dB over the synthetic-web corpus). Rounds 1–3
-  used a quantize+PNG stand-in; ``decode`` still sniffs and reads
-  those legacy containers for archives written by earlier rounds.
+  margin (min ≈ 43 dB over the synthetic-web corpus). Progressive
+  SOF2 streams decode too (jpegprog.py). Rounds 1–3 used a
+  quantize+PNG stand-in; ``decode`` still sniffs and reads those
+  legacy containers for archives written by earlier rounds.
+* ``gif``: real LZW with median-cut quantization and animation
+  compositing (gifcodec.py).
+* ``bmp``: 24-bit BI_RGB encode; decode also reads 32-bit, top-down,
+  and 8-bit palettized (uncompressed or the MS-RLE8 run-length codec
+  shared with videocodec.py).
 
 ``phash`` is a real 64-bit 8×8-DCT perceptual hash (pure numpy).
 """
