@@ -123,3 +123,88 @@ def pandas_to_clean_arrow(df):
     import pyarrow as pa
 
     return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+
+def owned_table(t):
+    """Compact an Arrow table into buffers it OWNS (IPC round-trip).
+
+    A ``Table.slice``/``take``-derived table keeps references into its
+    parent's buffers, and pickle (hence ``ray.put`` / Dataset block
+    ingestion) serializes the WHOLE parent buffer for every slice —
+    measured 55× amplification on the crawl's per-round host-block
+    slices (590 rows pickled to 2.67 MB; owned: 48 KB). IPC framing
+    truncates buffers to the slice, so a write/read round-trip is the
+    cheap way to drop the parent reference (one memcpy each way).
+    Use on any sliced table that is about to leave the process."""
+    import pyarrow as pa
+
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_stream(sink, t.schema) as w:
+        w.write_table(t)
+    return pa.ipc.open_stream(sink.getvalue()).read_all()
+
+
+def dataset_from_tables(tables):
+    """``ray.data.from_arrow`` for tables the DRIVER already holds,
+    without its one-remote-task-per-block metadata computation.
+
+    Ray's ``from_arrow_refs`` ships every table to a worker task just
+    to compute BlockMetadata (schema/row-count/bytes) — 56 task
+    round-trips per crawl round here (~0.7 s each round, 42× slower
+    than computing the same metadata in-process on tables we are
+    holding anyway). Falls back to ``from_arrow`` if Ray's internals
+    drift."""
+    import ray
+    import ray.data as rd
+
+    try:
+        from ray.data._internal.logical.interfaces import LogicalPlan
+        from ray.data._internal.logical.operators.from_operators import FromArrow
+        from ray.data._internal.plan import ExecutionPlan
+        from ray.data._internal.stats import DatasetStats
+        from ray.data.block import BlockExecStats, BlockMetadataWithSchema
+        from ray.data.context import DataContext
+        from ray.data.dataset import MaterializedDataset
+
+        refs, metas = [], []
+        for t in tables:
+            stats = BlockExecStats.builder()
+            metas.append(BlockMetadataWithSchema.from_block(t, stats=stats.build()))
+            refs.append(ray.put(t))
+        plan = ExecutionPlan(
+            DatasetStats(metadata={"FromArrow": metas}, parent=None),
+            DataContext.get_current().copy(),
+        )
+        return MaterializedDataset(
+            plan, LogicalPlan(FromArrow(refs, metas), plan._context)
+        )
+    except (ImportError, AttributeError, TypeError):  # internal API drift
+        return rd.from_arrow(tables)
+
+
+def dataset_from_table_refs(refs, metas):
+    """Build a Dataset from object refs to Arrow tables PLUS their
+    already-computed ``BlockMetadataWithSchema`` (e.g. returned by the
+    producing actor next to the table). Skips ``from_arrow_refs``'s
+    one-metadata-task-per-ref round trip — the dist-crawl's per-round
+    resolve path pays that for every seen shard otherwise. Falls back
+    to ``from_arrow_refs`` on internal API drift (metas then unused)."""
+    import ray.data as rd
+
+    try:
+        from ray.data._internal.logical.interfaces import LogicalPlan
+        from ray.data._internal.logical.operators.from_operators import FromArrow
+        from ray.data._internal.plan import ExecutionPlan
+        from ray.data._internal.stats import DatasetStats
+        from ray.data.context import DataContext
+        from ray.data.dataset import MaterializedDataset
+
+        plan = ExecutionPlan(
+            DatasetStats(metadata={"FromArrow": list(metas)}, parent=None),
+            DataContext.get_current().copy(),
+        )
+        return MaterializedDataset(
+            plan, LogicalPlan(FromArrow(list(refs), list(metas)), plan._context)
+        )
+    except (ImportError, AttributeError, TypeError):
+        return rd.from_arrow_refs(list(refs))

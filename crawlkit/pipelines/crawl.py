@@ -429,9 +429,14 @@ def run_crawl(
             hh = (hh64 % np.uint64(nblocks)).astype(np.int64)
             order_ix = np.argsort(hh, kind="stable")
             bounds = np.searchsorted(hh[order_ix], np.arange(nblocks + 1))
+            from .. import owned_table
+
             reordered = issued_t.take(pa.array(order_ix))
+            # owned_table: a bare .slice pickles its WHOLE parent per
+            # block (55× put amplification — was the entire slice_route
+            # phase, 2.2 s/bench-run in from_arrow)
             slices = [
-                reordered.slice(bounds[b], bounds[b + 1] - bounds[b])
+                owned_table(reordered.slice(bounds[b], bounds[b + 1] - bounds[b]))
                 for b in range(nblocks)
                 if bounds[b + 1] > bounds[b]
             ]
@@ -439,7 +444,9 @@ def run_crawl(
         # inside the task; the union output contains ONLY control rows
         # (log, page) and fragment metadata (efrag, ifrag) — one dataset
         # execution per round, zero payload bytes on the driver.
-        in_ds = rd.from_arrow(slices)
+        from .. import dataset_from_tables
+
+        in_ds = dataset_from_tables(slices)
         fused_kwargs = {
             "web_config": web_cfg,
             "obey_robots": spec.obey_robots,

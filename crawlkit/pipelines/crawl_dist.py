@@ -653,7 +653,12 @@ def run_crawl_dataset(
         # recrawl withholding happens shard-side). Only REFS flow
         # through the driver (from_arrow_refs); the rows go straight
         # from shard actors into the next pipeline's tasks.
-        resolve_refs = [s.resolve_admit.remote() for s in shard_handles]
+        pairs = [
+            s.resolve_admit_meta.options(num_returns=2).remote()
+            for s in shard_handles
+        ]
+        resolve_refs = [p[0] for p in pairs]
+        resolve_metas = ray.get([p[1] for p in pairs])  # tiny metadata objects
         if track_order:
             # parity-test mode: seen = ALL mask-admitted winners,
             # including recrawl-withheld ones (matches driver mode /
@@ -664,8 +669,10 @@ def run_crawl_dataset(
                     res.seen.update(
                         _unpack_keys(t, rnd + 1)["canon_url"].to_pylist()
                     )
+        from .. import dataset_from_table_refs
+
         fresh = (
-            rd.from_arrow_refs(resolve_refs)
+            dataset_from_table_refs(resolve_refs, resolve_metas)
             .map_batches(
                 lambda t, rnd=rnd: _unpack_keys(t.filter(t["frontier"]), rnd + 1),
                 batch_format="pyarrow",

@@ -402,6 +402,18 @@ class SeenShard:
         self._prop = {}
         return out
 
+    def resolve_admit_meta(self):
+        """``(table, BlockMetadataWithSchema)`` — the metadata computed
+        HERE, next to the rows, so the driver can build the round
+        dataset via ``crawlkit.dataset_from_table_refs`` without Ray's
+        one-metadata-task-per-ref round trip (call with
+        ``.options(num_returns=2)`` to get separate refs)."""
+        t = self.resolve_admit()
+        from ray.data.block import BlockExecStats, BlockMetadataWithSchema
+
+        stats = BlockExecStats.builder()
+        return t, BlockMetadataWithSchema.from_block(t, stats=stats.build())
+
     def snapshot(self, path: str) -> int:
         return self.state.snapshot(path)
 
