@@ -94,7 +94,9 @@ def synthetic_images(
 
         return pa.Table.from_pylist(recs, schema=IMAGES_SCHEMA)
 
-    src = rd.from_arrow([pa.table({"image_id": chunk}) for chunk in id_slices])
+    from .. import dataset_from_tables
+
+    src = dataset_from_tables([pa.table({"image_id": chunk}) for chunk in id_slices])
     return src.map_batches(gen, batch_format="pyarrow", batch_size=16)
 
 
@@ -813,7 +815,9 @@ def synthetic_audio(n: int = 48, seed: str = "t1", codec: str = "wav") -> rd.Dat
             schema=pa.schema([("audio_id", pa.string()), ("bytes", pa.binary())]),
         )
 
-    src = rd.from_arrow([pa.table({"audio_id": chunk}) for chunk in id_slices])
+    from .. import dataset_from_tables
+
+    src = dataset_from_tables([pa.table({"audio_id": chunk}) for chunk in id_slices])
     return src.map_batches(gen, batch_format="pyarrow", batch_size=16)
 
 
