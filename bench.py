@@ -76,6 +76,9 @@ def run_bench() -> dict:
     extra["pages_per_sec"] = round(pages / crawl_sec, 1)
     extra["crawl_rounds"] = res.rounds
     extra["crawl_images"] = res.images_store.count_rows()
+    extra["crawl_phases"] = {
+        k: round(v, 2) for k, v in sorted(getattr(res, "phase_sec", {}).items())
+    }
 
     # --- analytics over the driver tables -------------------------------
     def timed(name, fn):
