@@ -1032,10 +1032,12 @@ def synthetic_videos(
     base videos, a near-duplicate row (``<id>-dup``: same frames minus
     the last) so video near-dup pipelines have real pairs to find.
     ``codec``: 'raw' (uncompressed DIB), 'mjpeg' (real Motion-JPEG),
-    or 'rle8' (MS-RLE8, shared strf palette) — with a compressed codec
-    every downstream op exercises the compressed decode path; a dup
-    row uses the same codec as its base, so identical frames still
-    yield identical compressed bytes."""
+    'rle8' (MS-RLE8, shared strf palette), or 'mixed' (per-row by base
+    id across all three — the realistic corpus shape, same contract as
+    the mixed audio/image corpora) — with a compressed codec every
+    downstream op exercises the compressed decode path; a dup row uses
+    the same codec as its base, so identical frames still yield
+    identical compressed bytes."""
     from ..videocodec import avi_encode
 
     ids = [f"vid-mm-{i}" for i in range(n)]
@@ -1057,8 +1059,13 @@ def synthetic_videos(
                     frames[f] = 255 - frames[f]
             if is_dup:  # near-dup: same frames minus the last
                 frames = frames[:-1]
+            use = codec
+            if codec == "mixed":  # per-row container mix, keyed on the
+                # BASE id so a -dup row shares its base's codec (the
+                # identical-frames → identical-bytes near-dup contract)
+                use = ("raw", "mjpeg", "rle8")[i % 3]
             recs.append(
-                {"video_id": vid, "bytes": avi_encode(frames, fps=10, codec=codec)}
+                {"video_id": vid, "bytes": avi_encode(frames, fps=10, codec=use)}
             )
         return pa.Table.from_pylist(
             recs,

@@ -869,3 +869,31 @@ def test_video_ops_over_rle8_corpus():
         cuts = v[v.is_cut]["frame_idx"].tolist()
         nframes = 4 + (i % 5)
         assert cuts == ([nframes // 2] if i % 3 == 0 else []), (i, cuts)
+
+
+def test_video_ops_over_mixed_corpus():
+    """Per-row raw/mjpeg/rle8 video mix: all three containers present,
+    planted cuts still found exactly, planted near-dup pairs still
+    pair (dup rows share their base's codec)."""
+    corpus = multimodal.synthetic_videos(9, codec="mixed").to_pandas()
+    kinds = set()
+    for b in corpus["bytes"]:
+        bb = bytes(b)
+        if b"MJPG" in bb[:200]:
+            kinds.add("mjpeg")
+        elif b"MRLE" in bb[:200]:
+            kinds.add("rle8")
+        else:
+            kinds.add("raw")
+    assert kinds == {"raw", "mjpeg", "rle8"}
+    out = multimodal.video_scene_cuts("unused", n=9, codec="mixed").to_pandas()
+    assert (out["frame_idx"] > 0).all()
+    for i in range(9):
+        v = out[out.video_id == f"vid-mm-{i}"]
+        cuts = v[v.is_cut]["frame_idx"].tolist()
+        nframes = 4 + (i % 5)
+        assert cuts == ([nframes // 2] if i % 3 == 0 else []), (i, cuts)
+    nd = multimodal.video_phash_neardup("unused", n=6, plant_pairs=2, codec="mixed")
+    assert sorted(zip(nd["id_a"], nd["id_b"])) == [
+        ("vid-mm-0", "vid-mm-0-dup"), ("vid-mm-1", "vid-mm-1-dup")
+    ]
