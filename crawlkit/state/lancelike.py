@@ -139,12 +139,18 @@ class TableStore:
 
     def _write_blob(self, rel: str, data: bytes) -> None:
         """Atomic publish: tmp→rename locally; single PUT on S3 (per-
-        object atomicity — see state/s3.py's atomicity note)."""
+        object atomicity — see state/s3.py's atomicity note). The tmp
+        name is writer-unique: a FIXED name let two concurrent writers
+        interleave into one tmp file (corrupt rename) or steal each
+        other's rename source (FileNotFoundError)."""
         if self._obj is not None:
             self._obj.write_bytes(rel, data)
             return
+        import threading
+
         head, _, tail = rel.rpartition("/")
-        tmp = f"{self.root}/{head}/.{tail}.tmp" if head else f"{self.root}/.{tail}.tmp"
+        d = f"{self.root}/{head}" if head else self.root
+        tmp = f"{d}/.{tail}.{os.getpid()}-{threading.get_ident()}.tmp"
         with open(tmp, "wb") as f:
             f.write(data)
         os.replace(tmp, f"{self.root}/{rel}")
@@ -181,32 +187,94 @@ class TableStore:
             cur -= 1
         for adds in reversed(chain):
             frags.extend(adds)
+        if chain:  # first-committed-wins key dedup: two committers racing
+            # the same content key both land their delta (each folded its
+            # "have" set before the other's claim); the fold collapses
+            # the duplicate so idempotent re-commit survives concurrency
+            seen_keys: set = set()
+            deduped = []
+            for f in frags:
+                if f["key"] not in seen_keys:
+                    seen_keys.add(f["key"])
+                    deduped.append(f)
+            frags = deduped
         self._man_cache = (v, list(frags))
         return {"version": v, "fragments": frags}
 
-    def _write_version(self, v: int, payload: dict) -> None:
-        self._write_blob(f"_versions/{v}.json", json.dumps(payload).encode())
-        self._write_blob("_latest", str(v).encode())
+    def _claim_version(self, v: int, payload: dict) -> bool:
+        """Atomically CREATE ``_versions/<v>.json`` — the optimistic
+        commit fence (Delta-Lake semantics: whoever creates the version
+        file owns that version; losers rebase and retry at v+1).
+
+        Local roots: write a tmp file, then ``os.link`` it to the final
+        name — link fails with EEXIST if the slot is taken and publishes
+        the fully-written file atomically otherwise. Object roots: a
+        conditional PUT (``If-None-Match: *``; state/s3.py) — real S3
+        has supported this publicly since 2024, and tests/minis3.py
+        enforces it."""
+        data = json.dumps(payload).encode()
+        rel = f"_versions/{v}.json"
+        if self._obj is not None:
+            try:
+                self._obj.write_bytes(rel, data, if_none_match=True)
+                return True
+            except FileExistsError:
+                return False
+        import threading
+
+        tmp = (
+            f"{self.root}/_versions/.claim-{v}-"
+            f"{os.getpid()}-{threading.get_ident()}.tmp"
+        )
+        with open(tmp, "wb") as f:
+            f.write(data)
+        try:
+            os.link(tmp, f"{self.root}/{rel}")
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+
+    def _publish_latest(self, v: int) -> None:
+        """Advance the ``_latest`` pointer, forward-only. The pointer is
+        a convenience hint — correctness never depends on it: a stale
+        pointer just means the next committer's claim collides and it
+        rebases via ``manifest(version=...)``, which folds the version
+        FILES."""
+        try:
+            cur = int(self._read_blob("_latest").strip())
+        except (FileNotFoundError, ValueError):
+            cur = 0
+        if v > cur:
+            self._write_blob("_latest", str(v).encode())
 
     def _commit(self, manifest: dict) -> int:
-        """Full-snapshot commit (rebuilds, compaction, checkpoints)."""
+        """Full-snapshot commit (rebuilds, compaction, checkpoints).
+        Probe-forward on claim collision: snapshot content does not
+        depend on the base version, so losing a slot only bumps v."""
         v = self.latest_version() + 1
-        manifest["version"] = v
-        self._write_version(v, manifest)
+        while True:
+            manifest["version"] = v
+            if self._claim_version(v, manifest):
+                break
+            v += 1  # slot taken by a concurrent committer
+        self._publish_latest(v)
         self._man_cache = (v, list(manifest["fragments"]))
         return v
 
-    def _commit_delta(self, prev_version: int, all_fragments: list, adds: list) -> int:
-        """Append commit: write only ``adds`` (O(new)); every
+    def _claim_delta(self, v: int, all_fragments: list, adds: list) -> bool:
+        """Append commit attempt: write only ``adds`` (O(new)); every
         ``_SNAPSHOT_EVERY``-th version writes the folded list as a
-        checkpoint so cold reads stay bounded."""
-        v = prev_version + 1
+        checkpoint so cold reads stay bounded. False = slot taken."""
         if v % _SNAPSHOT_EVERY == 0:
-            self._write_version(v, {"version": v, "fragments": all_fragments})
+            ok = self._claim_version(v, {"version": v, "fragments": all_fragments})
         else:
-            self._write_version(v, {"version": v, "adds": adds})
-        self._man_cache = (v, list(all_fragments))
-        return v
+            ok = self._claim_version(v, {"version": v, "adds": adds})
+        if ok:
+            self._publish_latest(v)
+            self._man_cache = (v, list(all_fragments))
+        return ok
 
     # --- write -----------------------------------------------------------
 
@@ -241,13 +309,20 @@ class TableStore:
     def commit_fragments(self, frags: list[dict]) -> int:
         """Append fragments as a new version; already-committed keys are
         skipped (idempotent re-commit). Writes a DELTA version (only the
-        new metas) — O(new fragments), not O(table)."""
+        new metas) — O(new fragments), not O(table). Concurrent-writer
+        safe: a lost claim rebases onto the winner's manifest (re-folded
+        from the version FILES, not the pointer) and retries — the
+        standard optimistic-commit loop."""
         man = self.manifest()
-        have = {f["key"] for f in man["fragments"]}
-        fresh = [f for f in frags if f["key"] not in have]
-        if not fresh:
-            return man["version"]
-        return self._commit_delta(man["version"], man["fragments"] + fresh, fresh)
+        while True:
+            have = {f["key"] for f in man["fragments"]}
+            fresh = [f for f in frags if f["key"] not in have]
+            if not fresh:
+                return man["version"]
+            v = man["version"] + 1
+            if self._claim_delta(v, man["fragments"] + fresh, fresh):
+                return v
+            man = self.manifest(version=v)  # v exists — rebase onto it
 
     def commit_snapshot(self, frags: list[dict]) -> int:
         """Publish a version containing EXACTLY these fragments — the

@@ -32,11 +32,12 @@ Credentials/endpoint come from the standard env names
 root string need no extra plumbing.
 
 Atomicity note (documented, not hidden): local roots publish versions
-via tmp→rename; S3 has no rename, so ``_latest`` is a last-writer-wins
-PUT — safe under the engine's single-committer-per-table discipline
-(S3's read-after-write consistency makes the new version visible
-immediately). Multi-writer commit fencing would use conditional PUTs
-(If-None-Match: *), which single-committer tables do not need.
+via tmp→link (atomic create-if-absent); on S3 the version CLAIM is a
+conditional PUT (``If-None-Match: *`` → 412 if taken — S3's public
+conditional-write API), so concurrent committers fence correctly on
+both backends (losers rebase and retry; lancelike.py::_claim_version).
+``_latest`` remains a last-writer-wins forward-only PUT, but it is a
+HINT only — manifests fold from the version files, never the pointer.
 """
 
 from __future__ import annotations
@@ -267,8 +268,20 @@ class S3Client:
 
     # --- verbs -----------------------------------------------------------
 
-    def put_object(self, bucket: str, key: str, data: bytes) -> str:
-        st, hdrs, body = self._request("PUT", self._key_path(bucket, key), body=data)
+    def put_object(
+        self, bucket: str, key: str, data: bytes, if_none_match: bool = False
+    ) -> str:
+        """PUT; ``if_none_match=True`` sends ``If-None-Match: *`` (the
+        S3 conditional write, public API since 2024) — the object is
+        created only if absent; an existing key raises FileExistsError
+        (HTTP 412). This is the multi-writer commit fence TableStore's
+        version claims use on object roots."""
+        extra = {"If-None-Match": "*"} if if_none_match else None
+        st, hdrs, body = self._request(
+            "PUT", self._key_path(bucket, key), body=data, extra_headers=extra
+        )
+        if st == 412 and if_none_match:
+            raise FileExistsError(f"s3://{bucket}/{key} (PreconditionFailed)")
         if st not in (200, 201):
             raise self._err(st, body)
         return hdrs.get("ETag", "")
@@ -367,8 +380,10 @@ class S3ObjectRoot:
     def read_bytes(self, rel: str) -> bytes:
         return self.client.get_object(self.bucket, self._key(rel))
 
-    def write_bytes(self, rel: str, data: bytes) -> None:
-        self.client.put_object(self.bucket, self._key(rel), data)
+    def write_bytes(self, rel: str, data: bytes, if_none_match: bool = False) -> None:
+        self.client.put_object(
+            self.bucket, self._key(rel), data, if_none_match=if_none_match
+        )
 
     def exists(self, rel: str) -> bool:
         return self.client.head_object(self.bucket, self._key(rel)) is not None

@@ -141,6 +141,15 @@ class MiniS3Handler(BaseHTTPRequestHandler):
             return
         etag = hashlib.md5(body).hexdigest()
         with self.server.lock:
+            # S3 conditional write (If-None-Match: *): create-if-absent,
+            # 412 PreconditionFailed when the key exists — the commit
+            # fence TableStore's multi-writer version claims rely on
+            if (
+                self.headers.get("If-None-Match") == "*"
+                and (bucket, key) in self.server.objects
+            ):
+                self._error(412, "PreconditionFailed", "object exists")
+                return
             self.server.objects[(bucket, key)] = body
         self._reply(200, b"", {"ETag": f'"{etag}"'})
 

@@ -62,3 +62,69 @@ def test_deltalog_fold_matches_model(tmp_path_factory, ops):
 
     for f in man["fragments"]:
         assert os.path.exists(f["path"])  # metas carry absolute paths
+
+
+def test_concurrent_committers_lose_nothing(tmp_path):
+    """The optimistic-commit fence: N threads each append M fragments
+    to ONE table concurrently. Every fragment must be in the final
+    manifest exactly once and the version chain must be claim-complete
+    (the pre-fence code lost whole commits to the read-modify-write
+    race on ``_latest``)."""
+    import threading
+
+    root = str(tmp_path / "store")
+    s0 = TableStore(root)
+    s0.append(_tbl([0]), "seed")  # non-empty base
+    N, M = 6, 12
+    errs = []
+
+    def writer(w):
+        try:
+            st = TableStore(root)  # own instance → own manifest cache
+            for j in range(M):
+                st.append(_tbl([w * 1000 + j]), f"w{w}-f{j}")
+        except Exception as e:  # pragma: no cover - failure detail
+            errs.append(e)
+
+    ts = [threading.Thread(target=writer, args=(w,)) for w in range(N)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs, errs
+    fresh = TableStore(root)
+    man = fresh.manifest()
+    keys = [f["key"] for f in man["fragments"]]
+    assert len(keys) == len(set(keys))  # no duplicate metas
+    want = {"seed"} | {f"w{w}-f{j}" for w in range(N) for j in range(M)}
+    assert set(keys) == want  # nothing lost
+    got = sorted(fresh.read_table()["k"].to_pylist())
+    assert got == sorted([0] + [w * 1000 + j for w in range(N) for j in range(M)])
+
+
+def test_concurrent_same_key_commits_idempotent(tmp_path):
+    """Two committers racing the SAME content key (a retried Ray task's
+    double fire): both may land a delta, the fold collapses to one meta
+    and the rows appear once."""
+    import threading
+
+    root = str(tmp_path / "store")
+    s0 = TableStore(root)
+    frag = s0.write_fragment(_tbl([7, 8, 9]), "shared-key")
+    barrier = threading.Barrier(2)
+
+    def committer():
+        st = TableStore(root)
+        st.manifest()  # warm a stale view
+        barrier.wait()
+        st.commit_fragments([dict(frag)])
+
+    ts = [threading.Thread(target=committer) for _ in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    fresh = TableStore(root)
+    keys = [f["key"] for f in fresh.manifest()["fragments"]]
+    assert keys == ["shared-key"]
+    assert sorted(fresh.read_table()["k"].to_pylist()) == [7, 8, 9]

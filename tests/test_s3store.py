@@ -192,3 +192,16 @@ def test_tablestore_s3_worker_side_write(server, ray_session):
     store = TableStore(root)
     store.commit_fragments(metas)
     assert store.read_table().sort_by("i").to_pydict()["i"] == [0, 1, 2, 3]
+
+
+def test_conditional_put_fences(client):
+    """If-None-Match:* PUT — create-if-absent succeeds once, 412 →
+    FileExistsError after (the TableStore multi-writer commit fence;
+    the server recomputes the SigV4 signature over the conditional
+    header like any other)."""
+    client.put_object("bkt", "fence/one", b"v1", if_none_match=True)
+    with pytest.raises(FileExistsError):
+        client.put_object("bkt", "fence/one", b"v2", if_none_match=True)
+    assert client.get_object("bkt", "fence/one") == b"v1"  # loser lost
+    client.put_object("bkt", "fence/one", b"v3")  # unconditional still wins
+    assert client.get_object("bkt", "fence/one") == b"v3"
