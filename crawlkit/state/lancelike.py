@@ -268,7 +268,12 @@ class TableStore:
         ``_SNAPSHOT_EVERY``-th version writes the folded list as a
         checkpoint so cold reads stay bounded. False = slot taken."""
         if v % _SNAPSHOT_EVERY == 0:
-            ok = self._claim_version(v, {"version": v, "fragments": all_fragments})
+            # checkpoint: full list for bounded cold reads, PLUS the adds
+            # so _commit_merge can tell it from a rebuild (and fold just
+            # the appended part through a racing compaction)
+            ok = self._claim_version(
+                v, {"version": v, "fragments": all_fragments, "adds": adds}
+            )
         else:
             ok = self._claim_version(v, {"version": v, "adds": adds})
         if ok:
@@ -499,7 +504,37 @@ class TableStore:
             if rows >= target_rows:
                 flush()
         flush()
-        return self._commit({"fragments": new_frags})
+        return self._commit_merge(new_frags, man["version"])
+
+    def _commit_merge(self, fragments: list, base_version: int) -> int:
+        """Snapshot commit that FOLDS IN commits which landed after
+        ``base_version`` (compaction's correctness under concurrency:
+        a plain snapshot claim at v > base+1 would silently drop the
+        append deltas at base+1..v-1 from the fold — they would sit
+        behind the new snapshot, invisible). A concurrent REBUILD
+        (intervening full snapshot) is a semantic conflict and raises."""
+        v = base_version + 1
+        while True:
+            merged = list(fragments)
+            for b in range(base_version + 1, v):
+                m = json.loads(self._read_blob(f"_versions/{b}.json"))
+                if "adds" not in m:  # full snapshot with no delta half:
+                    # a rebuild/compaction raced ours — semantic conflict
+                    raise RuntimeError(
+                        "concurrent rebuild/compaction during compaction"
+                    )
+                merged.extend(m["adds"])
+            seen_keys = {f["key"] for f in fragments}
+            deduped = list(fragments)
+            for f in merged[len(fragments) :]:
+                if f["key"] not in seen_keys:
+                    seen_keys.add(f["key"])
+                    deduped.append(f)
+            if self._claim_version(v, {"version": v, "fragments": deduped}):
+                self._publish_latest(v)
+                self._man_cache = (v, list(deduped))
+                return v
+            v += 1
 
     def export_partitioned_parquet(
         self, out_dir: str, partition_cols: list[str], version: int | None = None

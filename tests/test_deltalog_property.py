@@ -128,3 +128,35 @@ def test_concurrent_same_key_commits_idempotent(tmp_path):
     keys = [f["key"] for f in fresh.manifest()["fragments"]]
     assert keys == ["shared-key"]
     assert sorted(fresh.read_table()["k"].to_pylist()) == [7, 8, 9]
+
+
+def test_compaction_folds_in_racing_appends(tmp_path):
+    """Appends that land between compaction's fold and its claim stay
+    visible: compaction's snapshot merges the intervening deltas."""
+    import threading
+
+    root = str(tmp_path / "store")
+    s = TableStore(root)
+    for i in range(8):
+        s.append(_tbl([i]), f"base-{i}")
+    barrier = threading.Barrier(2)
+
+    def appender():
+        st = TableStore(root)
+        barrier.wait()
+        for j in range(6):
+            st.append(_tbl([100 + j]), f"late-{j}")
+
+    def compactor():
+        st = TableStore(root)
+        barrier.wait()
+        st.compact(target_rows=3)
+
+    ts = [threading.Thread(target=appender), threading.Thread(target=compactor)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    fresh = TableStore(root)
+    got = sorted(fresh.read_table()["k"].to_pylist())
+    assert got == sorted(list(range(8)) + [100 + j for j in range(6)])
