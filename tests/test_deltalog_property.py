@@ -160,3 +160,33 @@ def test_compaction_folds_in_racing_appends(tmp_path):
     fresh = TableStore(root)
     got = sorted(fresh.read_table()["k"].to_pylist())
     assert got == sorted(list(range(8)) + [100 + j for j in range(6)])
+
+
+def test_concurrent_ray_task_committers(ray_session, tmp_path):
+    """Cross-PROCESS fencing: Ray worker tasks committing to one table
+    concurrently (os.link atomicity holds across processes, unlike the
+    in-process thread test above)."""
+    import ray
+
+    root = str(tmp_path / "store")
+    TableStore(root).append(_tbl([0]), "seed")
+
+    @ray.remote
+    def writer(w):
+        # self-contained: workers cannot import the test module
+        import pyarrow as _pa
+
+        from crawlkit.state.lancelike import TableStore as _TS
+
+        st = _TS(root)
+        for j in range(5):
+            t = _pa.table({"k": _pa.array([w * 100 + j], _pa.int64())})
+            st.append(t, f"rw{w}-f{j}")
+        return w
+
+    ray.get([writer.remote(w) for w in range(4)])
+    fresh = TableStore(root)
+    keys = [f["key"] for f in fresh.manifest()["fragments"]]
+    assert len(keys) == len(set(keys)) == 21
+    got = sorted(fresh.read_table()["k"].to_pylist())
+    assert got == sorted([0] + [w * 100 + j for w in range(4) for j in range(5)])
