@@ -171,10 +171,10 @@ _ENC_TABLES = {
 }
 # (table_id, symbol) gather forms — one fancy-index instead of two
 # masked passes in the hot entropy path
-_DC_CODE = np.stack([_ENC_TABLES[("dc", t)][0] for t in (0, 1)]).astype(np.int64)
-_DC_LEN = np.stack([_ENC_TABLES[("dc", t)][1] for t in (0, 1)]).astype(np.int64)
-_AC_CODE = np.stack([_ENC_TABLES[("ac", t)][0] for t in (0, 1)]).astype(np.int64)
-_AC_LEN = np.stack([_ENC_TABLES[("ac", t)][1] for t in (0, 1)]).astype(np.int64)
+_DC_CODE = np.stack([_ENC_TABLES[("dc", t)][0] for t in (0, 1)]).astype(np.int32)
+_DC_LEN = np.stack([_ENC_TABLES[("dc", t)][1] for t in (0, 1)]).astype(np.int32)
+_AC_CODE = np.stack([_ENC_TABLES[("ac", t)][0] for t in (0, 1)]).astype(np.int32)
+_AC_LEN = np.stack([_ENC_TABLES[("ac", t)][1] for t in (0, 1)]).astype(np.int32)
 
 _DCT8 = None
 
@@ -275,7 +275,7 @@ def _size_category(v: np.ndarray) -> np.ndarray:
     """Bit-size category (integer bit length) of each coefficient.
     np.frexp is exact on integer magnitudes: |v| = m·2^e, 0.5 ≤ m < 1
     → e is the bit length (0 for v == 0)."""
-    return np.frexp(np.abs(v))[1].astype(np.int64)
+    return np.frexp(np.abs(v))[1].astype(np.int32)
 
 
 def _pack_fields_multi(
@@ -289,10 +289,11 @@ def _pack_fields_multi(
     F.1.2.3), and is byte-stuffed (0xFF → 0xFF 0x00). Fields occupy
     disjoint bit ranges, so the value can be shifted into a 40-bit
     window aligned to its start byte (bit offset ≤ 7 + merged length
-    ≤ 26 → 33 bits) and OR-scattered across 5 byte lanes — no carries.
+    ≤ 26 → 33 bits) and summed across 5 byte lanes (disjoint bits ⇒
+    per-byte sum ≡ OR, max 255 — exact in bincount's float64).
     """
     nimg = len(fbounds) - 1
-    cum = np.cumsum(lens)
+    cum = np.cumsum(lens, dtype=np.int64)
     g_start = cum - lens  # global bit start, pre-alignment
     first_f = fbounds[:-1]
     last_f = fbounds[1:] - 1
@@ -305,14 +306,17 @@ def _pack_fields_multi(
 
     byte_start = starts >> 3
     shift = 40 - (starts & 7) - lens
-    shifted = (vals & ((np.int64(1) << lens) - 1)) << shift
+    shifted = (vals & ((np.int32(1) << lens) - 1)).astype(np.int64) << shift
     total_bytes = int(byte_off[-1])
-    packed = np.zeros(total_bytes + 5, dtype=np.uint8)
-    for lane, sh in enumerate((32, 24, 16, 8, 0)):
-        np.bitwise_or.at(
-            packed, byte_start + lane, ((shifted >> sh) & 0xFF).astype(np.uint8)
+    acc = np.bincount(
+        byte_start, weights=(shifted >> 32) & 0xFF, minlength=total_bytes + 5
+    )
+    for lane, sh in ((1, 24), (2, 16), (3, 8), (4, 0)):
+        acc += np.bincount(
+            byte_start + lane, weights=(shifted >> sh) & 0xFF,
+            minlength=total_bytes + 5,
         )
-    packed = packed[:total_bytes]
+    packed = acc[:total_bytes].astype(np.uint8)
     # per-image tail 1-padding
     pads = (bytes_per_img << 3) - bits_per_img
     tail_idx = byte_off[1:] - 1
@@ -345,11 +349,11 @@ def _entropy_fields(qblocks: np.ndarray, table_ids: np.ndarray):
     dc_sz = _size_category(dc)
     dc_code = _DC_CODE[table_ids, dc_sz]
     dc_clen = _DC_LEN[table_ids, dc_sz]
-    dc_extra = np.where(dc < 0, dc + (1 << dc_sz) - 1, dc).astype(np.int64)
+    dc_extra = np.where(dc < 0, dc + (1 << dc_sz) - 1, dc).astype(np.int32)
 
     # ---- AC symbols: (run, size) with ZRL split + EOB
     b_idx, p_idx = np.nonzero(ac)  # block id, 0-based pos in 1..63 stream
-    v = ac[b_idx, p_idx].astype(np.int64)
+    v = ac[b_idx, p_idx]  # int32 coefficients
     n_nz = len(b_idx)
     p1 = p_idx + 1  # zigzag position 1..63
     first = np.ones(n_nz, dtype=bool)
@@ -410,8 +414,8 @@ def _entropy_fields(qblocks: np.ndarray, table_ids: np.ndarray):
     block_off = np.concatenate([[0], np.cumsum(fields_per_block)])
     total_fields = int(block_off[-1])
 
-    fv = np.zeros(total_fields, dtype=np.int64)
-    fl = np.zeros(total_fields, dtype=np.int64)
+    fv = np.zeros(total_fields, dtype=np.int32)
+    fl = np.zeros(total_fields, dtype=np.int32)
     fv[block_off[:-1]] = dc_val
     fl[block_off[:-1]] = dc_len
 
@@ -445,6 +449,13 @@ def _marker(tag: int, body: bytes) -> bytes:
 def _dht_body(tc: int, th: int, bits: list[int], vals: list[int]) -> bytes:
     return bytes([tc << 4 | th]) + bytes(bits) + bytes(vals)
 
+
+# Batch-encode internal chunk size: the per-nonzero working set falls
+# out of cache past this many dense-coefficient images (see
+# encode_jpeg_batch); module-level so perf probes can tune it.
+# Re-probed after the int32/bincount entropy path: 4 beats 8/16
+# (interleaved best-of-6: 1.45 vs 1.80/1.97 ms per mixed-size image).
+_CHUNK = 4
 
 _MARKER_CACHE: dict[int, tuple] = {}
 
@@ -505,7 +516,6 @@ def encode_jpeg_batch(
     # and fancy-index/scatter ops go DRAM-latency-bound (measured 4×
     # slowdown at batch 64 vs 16). Entropy streams are per-image, so
     # chunking changes no bytes.
-    _CHUNK = 16
     if len(images) > _CHUNK:
         datas_all: list[bytes] = []
         decs_all: list[np.ndarray] = []
