@@ -156,6 +156,10 @@ def encode(pixels: np.ndarray, fmt: str) -> bytes:
         return gifcodec.encode_gif(gifcodec.quantize_median_cut(pixels))
     if fmt == "bmp":
         return encode_bmp(pixels)
+    if fmt == "tiff":
+        from crawlkit import tiffcodec
+
+        return tiffcodec.encode_tiff(pixels, compression="lzw", predictor=2)
     raise NotImplementedError(f"codec {fmt!r} not available in this sandbox")
 
 
@@ -174,6 +178,8 @@ def encode_with_decoded(pixels: np.ndarray, fmt: str) -> tuple[bytes, np.ndarray
         return gifcodec.encode_gif(q), q
     if fmt == "bmp":
         return encode_bmp(pixels), pixels
+    if fmt == "tiff":
+        return encode(pixels, "tiff"), pixels  # lossless
     raise NotImplementedError(f"codec {fmt!r} not available in this sandbox")
 
 
@@ -209,6 +215,9 @@ def encode_batch(
         elif f == "bmp":
             out_bytes[i] = encode_bmp(pixel_list[i])
             out_dec[i] = pixel_list[i]
+        elif f == "tiff":
+            out_bytes[i] = encode(pixel_list[i], "tiff")
+            out_dec[i] = pixel_list[i]
         elif f != "jpeg":
             raise NotImplementedError(f"codec {f!r} not available in this sandbox")
     return out_bytes, out_dec
@@ -217,7 +226,8 @@ def encode_batch(
 def decode(data: bytes, fmt: str | None = None) -> np.ndarray:
     """Decode image bytes → (h, w, 3) uint8. fmt is advisory (container
     sniffed): JFIF/JPEG (FF D8), PNG, GIF87a/89a (first composited
-    frame — gifcodec.py, real LZW), BMP (24/32-bit BI_RGB), or the
+    frame — gifcodec.py, real LZW), BMP (24/32-bit BI_RGB), TIFF
+    (II/MM — tiffcodec.py: none/PackBits/LZW+predictor strips), or the
     legacy round-1..3 lossy stand-in (a PNG container carrying
     pre-quantized pixels)."""
     if data[:2] == b"\xff\xd8":
@@ -230,6 +240,10 @@ def decode(data: bytes, fmt: str | None = None) -> np.ndarray:
         return gifcodec.decode_gif(data)
     if data[:2] == b"BM":
         return decode_bmp(data)
+    if data[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
+        from crawlkit import tiffcodec
+
+        return tiffcodec.decode_tiff(data)
     raise NotImplementedError("unrecognized image container")
 
 

@@ -154,15 +154,18 @@ def image_features(
 
 def synthetic_images_mixed(n: int = 64, config: WebConfig | str = "t1") -> rd.Dataset:
     """The synthetic images table with every third row re-encoded as a
-    REAL GIF (gifcodec.py: median-cut quantize → palette LZW) and the
-    i%5==1 rows among the rest as BMP (24-bit BI_RGB, lossless) — the
+    REAL GIF (gifcodec.py: median-cut quantize → palette LZW), the
+    i%5==1 rows among the rest as BMP (24-bit BI_RGB, lossless), and
+    the i%5==3 rows as TIFF (tiffcodec.py — rotating none/PackBits/LZW
+    compression, predictor 2 on the LZW rows; lossless) — the
     realistic mixed-container corpus shape (crawled images are
-    png/jpeg/gif/bmp; downstream stages sniff the container per row,
-    same contract as the WAV/FLAC/G.711 mixed audio corpus). GIF rows
-    carry the quantized pixels' phash and fmt='gif'; BMP rows keep
-    their phash (lossless re-encode); the w/h/caption columns are
-    unchanged, so DuckDB-side metadata queries see the same table."""
-    from .. import gifcodec
+    png/jpeg/gif/bmp/tiff; downstream stages sniff the container per
+    row, same contract as the WAV/FLAC/G.711 mixed audio corpus). GIF
+    rows carry the quantized pixels' phash and fmt='gif'; BMP/TIFF
+    rows keep their phash (lossless re-encode); the w/h/caption
+    columns are unchanged, so DuckDB-side metadata queries see the
+    same table."""
+    from .. import gifcodec, tiffcodec
 
     def to_gif(t: pa.Table) -> pa.Table:
         recs = []
@@ -180,6 +183,17 @@ def synthetic_images_mixed(n: int = 64, config: WebConfig | str = "t1") -> rd.Da
             elif i % 5 == 1:
                 px = imagecodec.decode(row["bytes"], row["fmt"])
                 row = dict(row, bytes=imagecodec.encode_bmp(px), fmt="bmp")
+            elif i % 5 == 3:
+                px = imagecodec.decode(row["bytes"], row["fmt"])
+                comp = ("none", "packbits", "lzw")[(i // 5) % 3]
+                row = dict(
+                    row,
+                    bytes=tiffcodec.encode_tiff(
+                        px, compression=comp,
+                        predictor=2 if comp == "lzw" else 1,
+                    ),
+                    fmt="tiff",
+                )
             recs.append(row)
         from ..stages.fetch import IMAGES_SCHEMA
 

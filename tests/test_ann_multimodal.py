@@ -718,13 +718,14 @@ def test_assemble_image_corpus_matches_brute():
 
 
 def test_image_features_mixed_gif_rows():
-    """png/jpeg/gif/bmp mixed corpus: every third row is a real GIF,
-    i%5==1 among the rest is BMP, and the feature stage sniffs the
-    container per row — every row's phash must equal the corpus column
-    (features come from the same pixels the encoder embedded; BMP is a
-    lossless re-encode so its phash is unchanged)."""
+    """png/jpeg/gif/bmp/tiff mixed corpus: every third row is a real
+    GIF, i%5==1 among the rest is BMP, i%5==3 is TIFF (rotating
+    compression), and the feature stage sniffs the container per row —
+    every row's phash must equal the corpus column (features come from
+    the same pixels the encoder embedded; BMP/TIFF are lossless
+    re-encodes so their phash is unchanged)."""
     corpus = multimodal.synthetic_images_mixed(n=18).to_pandas()
-    assert set(corpus["fmt"]) == {"png", "jpeg", "gif", "bmp"}
+    assert set(corpus["fmt"]) == {"png", "jpeg", "gif", "bmp", "tiff"}
     gif_rows = corpus[corpus["fmt"] == "gif"]
     assert len(gif_rows) == 6
     for blob in gif_rows["bytes"]:
@@ -733,6 +734,10 @@ def test_image_features_mixed_gif_rows():
     assert len(bmp_rows) == 3
     for blob in bmp_rows["bytes"]:
         assert bytes(blob)[:2] == b"BM"
+    tiff_rows = corpus[corpus["fmt"] == "tiff"]
+    assert len(tiff_rows) == 2
+    for blob in tiff_rows["bytes"]:
+        assert bytes(blob)[:4] == b"II\x2a\x00"
     feats = (
         multimodal.image_features_mixed(n=18).to_pandas().set_index("image_id")
     )

@@ -100,3 +100,40 @@ def test_rle8_garbage_never_crashes(data, w, h):
         assert out.shape == (h, w)
     except ValueError:
         pass
+
+
+@settings(max_examples=20, deadline=None)
+@given(h=st.integers(1, 24), w=st.integers(1, 24), seed=st.integers(0, 2**31 - 1),
+       comp=st.sampled_from(["none", "packbits", "lzw"]), pred=st.sampled_from([1, 2]))
+def test_tiff_roundtrip_any_shape(h, w, seed, comp, pred):
+    from crawlkit.tiffcodec import decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    assert np.array_equal(
+        decode_tiff(encode_tiff(px, compression=comp, predictor=pred)), px
+    )
+
+
+@settings(max_examples=30, deadline=None)
+@given(seed=st.integers(0, 2**31 - 1), cut=st.floats(0.0, 1.0))
+def test_truncated_tiff_never_crashes(seed, cut):
+    from crawlkit.tiffcodec import decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, (9, 11, 3), dtype=np.uint8)
+    blob = encode_tiff(px, compression="lzw", predictor=2)
+    prefix = blob[: int(len(blob) * cut)]
+    try:
+        out = decode_tiff(prefix)
+        assert out.shape == (9, 11, 3)
+    except (ValueError, NotImplementedError):
+        pass
+
+
+@settings(max_examples=30, deadline=None)
+@given(data=st.binary(min_size=0, max_size=400))
+def test_tiff_lzw_roundtrip_any_bytes(data):
+    from crawlkit.tiffcodec import lzw_decode, lzw_encode
+
+    assert lzw_decode(lzw_encode(data), len(data)) == data
