@@ -826,7 +826,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_gif_frames": multimodal.gif_frame_sample,  # rows-only (compositing pinned in tests)
         # REAL RIFF-AVI demux (videocodec.py) — frame sampling
         "mm_video_frames": multimodal.video_frame_sample,  # rows-only (codec round-trip in tests)
-        # same corpus, per-row raw-DIB/MJPEG/MS-RLE8 mix (videocodec.py
+        # same corpus, per-row raw-DIB/MJPEG/MS-RLE8/MP4-MJPEG mix (videocodec.py + mp4codec.py
         # real compressed decode; planted cuts pinned per codec in tests)
         "mm_video_scene_cuts_mixed": lambda sf: multimodal.video_scene_cuts(sf, codec="mixed"),  # rows-only
         "mm_video_scene_cuts": multimodal.video_scene_cuts,  # rows-only (planted-cut oracle in tests)

@@ -990,10 +990,10 @@ class VideoFrameSample:
         self.every_k = every_k
 
     def _iter_frames(self, data: bytes):
-        from ..videocodec import avi_decode
+        from ..videocodec import decode_video
 
-        if data[:4] == b"RIFF":
-            frames, _ = avi_decode(data)
+        if data[:4] == b"RIFF" or (len(data) >= 12 and data[4:8] == b"ftyp"):
+            frames, _ = decode_video(data)
             for px in frames:
                 yield imagecodec.encode_png(px)
             return
@@ -1046,12 +1046,14 @@ def synthetic_videos(
     base videos, a near-duplicate row (``<id>-dup``: same frames minus
     the last) so video near-dup pipelines have real pairs to find.
     ``codec``: 'raw' (uncompressed DIB), 'mjpeg' (real Motion-JPEG),
-    'rle8' (MS-RLE8, shared strf palette), or 'mixed' (per-row by base
-    id across all three — the realistic corpus shape, same contract as
+    'rle8' (MS-RLE8, shared strf palette), 'mp4' (ISO-BMFF container
+    with MJPEG samples — mp4codec.py), or 'mixed' (per-row by base id
+    across all four — the realistic corpus shape, same contract as
     the mixed audio/image corpora) — with a compressed codec every
     downstream op exercises the compressed decode path; a dup row uses
     the same codec as its base, so identical frames still yield
     identical compressed bytes."""
+    from ..mp4codec import mp4_encode
     from ..videocodec import avi_encode
 
     ids = [f"vid-mm-{i}" for i in range(n)]
@@ -1077,10 +1079,13 @@ def synthetic_videos(
             if codec == "mixed":  # per-row container mix, keyed on the
                 # BASE id so a -dup row shares its base's codec (the
                 # identical-frames → identical-bytes near-dup contract)
-                use = ("raw", "mjpeg", "rle8")[i % 3]
-            recs.append(
-                {"video_id": vid, "bytes": avi_encode(frames, fps=10, codec=use)}
+                use = ("raw", "mjpeg", "rle8", "mp4")[i % 4]
+            blob = (
+                mp4_encode(frames, fps=10, codec="mjpeg")
+                if use == "mp4"
+                else avi_encode(frames, fps=10, codec=use)
             )
+            recs.append({"video_id": vid, "bytes": blob})
         return pa.Table.from_pylist(
             recs,
             schema=pa.schema([("video_id", pa.string()), ("bytes", pa.binary())]),
@@ -1099,10 +1104,10 @@ class VideoSceneCuts:
     convention)."""
 
     def __init__(self, tau_milli: int = 30_000):
-        from ..videocodec import avi_decode
+        from ..videocodec import decode_video
 
         self.tau = tau_milli
-        self._decode = avi_decode
+        self._decode = decode_video
 
     def __call__(self, t: pa.Table) -> pa.Table:
         rows = []
@@ -1166,11 +1171,11 @@ def video_phash_neardup(
     last) must pair with their base and distinct videos must not."""
     import pandas as pd
 
-    from ..videocodec import avi_decode
+    from ..videocodec import decode_video
 
     class SigExplode:
         def __init__(self):
-            self._decode = avi_decode
+            self._decode = decode_video
 
         def __call__(self, t: pa.Table) -> pa.Table:
             ids, phs, sigs = [], [], []

@@ -279,3 +279,18 @@ def avi_decode(data: bytes) -> tuple[list[np.ndarray], int]:
             palette[rle8_decode_indices(p, w, abs(h))] for p in payloads
         ], fps
     return [_frame_from_dib(p, w, abs(h)) for p in payloads], fps
+
+
+def decode_video(data: bytes) -> tuple[list[np.ndarray], int]:
+    """Container-sniffing video decode → ([frames], fps): RIFF-AVI
+    (raw DIB / MJPEG / MS-RLE8, above) or ISO-BMFF MP4/MOV
+    ('jpeg'/'raw ' sample entries — mp4codec.py). The per-row sniff
+    mirrors decode_audio's WAV/FLAC contract so mixed-container video
+    corpora flow through one stage."""
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        return avi_decode(data)
+    if len(data) >= 12 and data[4:8] == b"ftyp":
+        from .mp4codec import mp4_decode
+
+        return mp4_decode(data)
+    raise ValueError("unrecognized video container")

@@ -877,20 +877,22 @@ def test_video_ops_over_rle8_corpus():
 
 
 def test_video_ops_over_mixed_corpus():
-    """Per-row raw/mjpeg/rle8 video mix: all three containers present,
-    planted cuts still found exactly, planted near-dup pairs still
-    pair (dup rows share their base's codec)."""
+    """Per-row raw/mjpeg/rle8/mp4 video mix: all four containers
+    present, planted cuts still found exactly, planted near-dup pairs
+    still pair (dup rows share their base's codec)."""
     corpus = multimodal.synthetic_videos(9, codec="mixed").to_pandas()
     kinds = set()
     for b in corpus["bytes"]:
         bb = bytes(b)
-        if b"MJPG" in bb[:200]:
+        if bb[4:8] == b"ftyp":
+            kinds.add("mp4")
+        elif b"MJPG" in bb[:200]:
             kinds.add("mjpeg")
         elif b"MRLE" in bb[:200]:
             kinds.add("rle8")
         else:
             kinds.add("raw")
-    assert kinds == {"raw", "mjpeg", "rle8"}
+    assert kinds == {"raw", "mjpeg", "rle8", "mp4"}
     out = multimodal.video_scene_cuts("unused", n=9, codec="mixed").to_pandas()
     assert (out["frame_idx"] > 0).all()
     for i in range(9):
