@@ -815,11 +815,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # REAL RIFF/PCM decode (audiocodec.py) — integer-exact features
         "mm_audio_features": multimodal.audio_features,  # rows-only (numpy brute oracle in tests)
         "mm_audio_segments": multimodal.audio_segments,  # rows-only (planted-silence oracle in tests)
-        # same corpus, per-row WAV/FLAC mix (flaccodec.py real lossless
-        # decode; features pinned identical across codecs in tests)
+        # same corpus, per-row WAV/FLAC/G.711/ADPCM/Ogg-FLAC mix
+        # (flaccodec.py + oggcodec.py real decode; features pinned
+        # identical across codecs in tests)
         "mm_audio_features_mixed": lambda sf: multimodal.audio_features(sf, codec="mixed"),  # rows-only
-        # per-row png/jpeg/gif/bmp mix (gifcodec.py real LZW decode; gif
-        # round-trip + quantize determinism pinned in tests)
+        # per-row png/jpeg/gif/bmp/tiff mix (gifcodec.py + tiffcodec.py
+        # real LZW decodes; round-trips pinned in tests)
         "mm_image_features_mixed": multimodal.image_features_mixed,  # rows-only
         # animated-GIF compositing (disposal/transparency/sub-rect) →
         # sampled-frame rows, actor-pool decode

@@ -298,4 +298,8 @@ def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
         from .flaccodec import decode_flac
 
         return decode_flac(data)
+    if data[:4] == b"OggS":
+        from .oggcodec import decode_ogg_flac
+
+        return decode_ogg_flac(data)
     raise ValueError("unrecognized audio container")

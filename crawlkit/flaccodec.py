@@ -426,6 +426,22 @@ def encode_flac(
     ``stereo_mode`` for 2-channel input: 'independent' or one of the
     decorrelations 'left-side' / 'right-side' / 'mid-side' (side
     channel carries the spec's +1 bit)."""
+    header, frames = encode_flac_parts(samples, rate, blocksize, subframe, stereo_mode)
+    return header + b"".join(frames)
+
+
+def encode_flac_parts(
+    samples: np.ndarray,
+    rate: int,
+    blocksize: int = 4096,
+    subframe: str = "fixed2",
+    stereo_mode: str = "independent",
+) -> tuple[bytes, list[bytes]]:
+    """:func:`encode_flac` split at its natural seams: (header bytes =
+    'fLaC' + STREAMINFO, [one bytes per audio frame]). The Ogg-FLAC
+    mapping (oggcodec.py) needs frame granularity — one native frame
+    per Ogg packet; joining the parts is byte-identical to
+    ``encode_flac`` (test-pinned)."""
     x = np.asarray(samples, dtype=np.int64)
     if x.ndim == 1:
         x = x[:, None]
@@ -444,6 +460,7 @@ def encode_flac(
     body = si.to_bytes() + b"\x00" * 16  # md5 unset (all-zero = unknown)
     out += bytes([0x80]) + struct.pack(">I", len(body))[1:] + body
 
+    frames: list[bytes] = []
     frame_no = 0
     for lo in range(0, n, blocksize):
         blk = x[lo : lo + blocksize]
@@ -489,6 +506,6 @@ def encode_flac(
                 _write_subframe(w, ch, ch_bps, subframe)
         w.align()
         w.u(0, 16)  # CRC-16 placeholder
-        out += w.to_bytes()
+        frames.append(w.to_bytes())
         frame_no += 1
-    return bytes(out)
+    return bytes(out), frames

@@ -785,12 +785,13 @@ def synthetic_audio(n: int = 48, seed: str = "t1", codec: str = "wav") -> rd.Dat
     audio table out of a crawl store. ``codec``: 'wav' (PCM RIFF),
     'flac' (real lossless compression, flaccodec.py), 'g711'
     (µ-law/A-law telephony WAV, lossy ~38 dB), 'adpcm' (IMA 4-bit,
-    ~4:1), or 'mixed' (per-row by id hash across all four — the
-    realistic corpus shape; the stages sniff container AND format tag
-    per row)."""
+    ~4:1), 'oggflac' (FLAC frames in real Ogg pages — oggcodec.py), or
+    'mixed' (per-row by id hash across all five — the realistic corpus
+    shape; the stages sniff container AND format tag per row)."""
     from ..audiocodec import wav_encode, wav_encode_g711, wav_encode_ima_adpcm
     from ..flaccodec import encode_flac
     from ..hashing import hash64_np
+    from ..oggcodec import encode_ogg_flac
 
     ids = [f"aud-{seed}-{i}" for i in range(n)]
     id_slices = [ids[i : i + 16] for i in range(0, len(ids), 16)]
@@ -811,12 +812,14 @@ def synthetic_audio(n: int = 48, seed: str = "t1", codec: str = "wav") -> rd.Dat
             if h % 5 == 0:  # planted mid-row silence → real VAD segments
                 x[n_samp // 3 : 2 * n_samp // 3] = 0
             if codec == "mixed":
-                use = ("flac", "wav", "g711", "adpcm")[(h >> 5) % 4]
+                use = ("flac", "wav", "g711", "adpcm", "oggflac")[(h >> 5) % 5]
             else:
                 use = codec
             x16 = np.clip(x, -32768, 32767).astype(np.int16)
             if use == "flac":
                 blob = encode_flac(x16, rate)
+            elif use == "oggflac":
+                blob = encode_ogg_flac(x16, rate)
             elif use == "g711":
                 blob = wav_encode_g711(x16, rate, "mulaw" if (h >> 7) % 2 else "alaw")
             elif use == "adpcm":

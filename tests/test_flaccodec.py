@@ -143,12 +143,14 @@ def test_g711_pipeline_and_mixed_corpus(ray_session):
     for b in corpus["bytes"]:
         if b[:4] == b"fLaC":
             kinds.add("flac")
+        elif b[:4] == b"OggS":
+            kinds.add("oggflac")
         else:
             import struct as _s
 
             tag = _s.unpack("<H", b[20:22])[0]
             kinds.add({1: "wav", 6: "g711", 7: "g711", 0x11: "adpcm"}[tag])
-    assert kinds == {"wav", "flac", "g711", "adpcm"}
+    assert kinds == {"wav", "flac", "g711", "adpcm", "oggflac"}
     fm = multimodal.audio_features("unused", n=24, codec="mixed").to_pandas()
     assert len(fm) == 24 and (fm["duration_ms"] > 0).all()
 
