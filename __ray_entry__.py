@@ -822,6 +822,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-row png/jpeg/gif/bmp/tiff mix (gifcodec.py + tiffcodec.py
         # real LZW decodes; round-trips pinned in tests)
         "mm_image_features_mixed": multimodal.image_features_mixed,  # rows-only
+        # EXIF (TIFF-IFD-in-APP1, exifmeta.py): metadata → columns +
+        # GPS scrub with pixel bytes untouched — the PII release gate
+        "mm_image_exif_scrub": multimodal.image_exif_scrub,  # rows-only (round-trip + pixel invariance in tests)
         # animated-GIF compositing (disposal/transparency/sub-rect) →
         # sampled-frame rows, actor-pool decode
         "mm_gif_frames": multimodal.gif_frame_sample,  # rows-only (compositing pinned in tests)

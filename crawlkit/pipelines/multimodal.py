@@ -215,6 +215,138 @@ def image_features_mixed(sf_dir: str | None = None, n: int = 64) -> rd.Dataset:
     )
 
 
+def synthetic_images_exif(n: int = 64, config: WebConfig | str = "t1") -> rd.Dataset:
+    """The synthetic images table with deterministic EXIF APP1 segments
+    injected into every jpeg row (exifmeta.py): camera make/model/
+    orientation/datetime derived from the id hash, and a GPS sub-IFD on
+    the h%3==0 rows — the realistic pre-scrub corpus shape (crawled
+    JPEGs carry EXIF; roughly a third carry GPS)."""
+    from .. import exifmeta
+    from ..hashing import hash64_np
+
+    def inject(t: pa.Table) -> pa.Table:
+        recs = []
+        for row in t.to_pylist():
+            if row["fmt"] == "jpeg":
+                h = int(hash64_np(np.array([row["image_id"]], dtype=object))[0])
+                fields = {
+                    "make": f"CamCo{h % 7}",
+                    "model": f"M-{(h >> 3) % 100}",
+                    "orientation": 1 + (h >> 8) % 8,
+                    "datetime": f"2025:0{1 + h % 9}:1{h % 10} 0{h % 10}:00:00",
+                }
+                if h % 3 == 0:
+                    fields["gps"] = (
+                        "N" if (h >> 11) % 2 else "S",
+                        [((h >> 12) % 90, 1), ((h >> 16) % 60, 1),
+                         ((h >> 20) % 60000, 1000)],
+                        "E" if (h >> 13) % 2 else "W",
+                        [((h >> 14) % 180, 1), ((h >> 18) % 60, 1),
+                         ((h >> 22) % 60000, 1000)],
+                    )
+                row = dict(row, bytes=exifmeta.exif_inject(row["bytes"], fields))
+            recs.append(row)
+        from ..stages.fetch import IMAGES_SCHEMA
+
+        return pa.Table.from_pylist(recs, schema=IMAGES_SCHEMA)
+
+    return synthetic_images(n, config).map_batches(
+        inject, batch_format="pyarrow", batch_size=16
+    )
+
+
+EXIF_SCRUB_SCHEMA = pa.schema(
+    [
+        ("image_id", pa.string()),
+        ("fmt", pa.string()),
+        ("make", pa.string()),
+        ("model", pa.string()),
+        ("orientation", pa.int64()),  # 0 = no EXIF
+        ("had_gps", pa.bool_()),
+        ("lat_milli_arcsec", pa.int64()),  # signed by N/S ref; 0 if none
+        ("lon_milli_arcsec", pa.int64()),
+        ("bytes", pa.binary()),  # scrubbed payload, pixels untouched
+    ]
+)
+
+
+class ImageExifScrub:
+    """PII scrub for image corpora: extract EXIF fields to columns,
+    drop the GPS sub-IFD from the emitted bytes (``gps_only`` rebuild
+    keeps camera fields; ``full`` removes the whole APP1), and never
+    touch the entropy-coded pixels — decode(scrubbed) == decode(input)
+    byte-for-byte (test-pinned). Non-JPEG rows pass through with
+    orientation 0. The standard release gate before training-data
+    export."""
+
+    def __init__(self, mode: str = "gps_only"):
+        from .. import exifmeta
+
+        assert mode in ("gps_only", "full")
+        self._exif = exifmeta
+        self.mode = mode
+
+    @staticmethod
+    def _milli_arcsec(ref: str, tri: list[tuple[int, int]], neg_ref: str) -> int:
+        d, m, s = tri
+        # exact when denominators divide 1000·3600 (corpus uses 1/1/1000)
+        val = (
+            d[0] * 3_600_000 // d[1]
+            + m[0] * 60_000 // m[1]
+            + s[0] * 1_000 // s[1]
+        )
+        return -val if ref == neg_ref else val
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        rows = []
+        for row in t.to_pylist():
+            data = row["bytes"]
+            fields = None
+            if row["fmt"] == "jpeg":
+                fields = self._exif.exif_extract(data)
+            out = {
+                "image_id": row["image_id"],
+                "fmt": row["fmt"],
+                "make": "",
+                "model": "",
+                "orientation": 0,
+                "had_gps": False,
+                "lat_milli_arcsec": 0,
+                "lon_milli_arcsec": 0,
+                "bytes": data,
+            }
+            if fields is not None:
+                out["make"] = fields.get("make", "")
+                out["model"] = fields.get("model", "")
+                out["orientation"] = fields.get("orientation", 0)
+                gps = fields.get("gps")
+                if gps is not None:
+                    out["had_gps"] = True
+                    out["lat_milli_arcsec"] = self._milli_arcsec(gps[0], gps[1], "S")
+                    out["lon_milli_arcsec"] = self._milli_arcsec(gps[2], gps[3], "W")
+                out["bytes"] = self._exif.exif_strip(
+                    data, gps_only=self.mode == "gps_only"
+                )
+            rows.append(out)
+        return pa.Table.from_pylist(rows, schema=EXIF_SCRUB_SCHEMA)
+
+
+def image_exif_scrub(
+    sf_dir: str | None = None, n: int = 64, mode: str = "gps_only"
+) -> rd.Dataset:
+    """EXIF extract + GPS scrub over the injected corpus (rows-only
+    query; field round-trip, GPS removal and pixel invariance pinned
+    in tests/test_exifmeta.py)."""
+    return synthetic_images_exif(n).map_batches(
+        ImageExifScrub,
+        fn_constructor_kwargs={"mode": mode},
+        batch_format="pyarrow",
+        batch_size=16,
+        concurrency=2,
+        max_restarts=0,
+    )
+
+
 def synthetic_gif_animations(n: int = 16, config: WebConfig | str = "t1") -> rd.Dataset:
     """Deterministic animated-GIF corpus (gif_id, bytes): each
     animation's frames are the synthetic web's image pixels (quantized
