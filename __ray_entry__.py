@@ -819,6 +819,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (flaccodec.py + oggcodec.py real decode; features pinned
         # identical across codecs in tests)
         "mm_audio_features_mixed": lambda sf: multimodal.audio_features(sf, codec="mixed"),  # rows-only
+        # VORBIS_COMMENT tags (audiometa.py): tags → columns + PII key
+        # scrub with audio frames untouched — the audio release gate
+        "mm_audio_tags_scrub": multimodal.audio_tags_scrub,  # rows-only (round-trip + frame invariance in tests)
         # per-row png/jpeg/gif/bmp/tiff mix (gifcodec.py + tiffcodec.py
         # real LZW decodes; round-trips pinned in tests)
         "mm_image_features_mixed": multimodal.image_features_mixed,  # rows-only

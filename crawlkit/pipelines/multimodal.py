@@ -1111,6 +1111,97 @@ def audio_features(sf_dir: str, n: int = 48, codec: str = "wav") -> rd.Dataset:
     )
 
 
+def synthetic_audio_tagged(n: int = 48, seed: str = "t1") -> rd.Dataset:
+    """The FLAC audio corpus with deterministic VORBIS_COMMENT tags
+    injected per row (audiometa.py): TITLE/DATE always, ARTIST/LOCATION
+    (the PII pair) on the h%3==0 rows — the realistic pre-scrub shape."""
+    from .. import audiometa
+    from ..hashing import hash64_np
+
+    def inject(t: pa.Table) -> pa.Table:
+        recs = []
+        for row in t.to_pylist():
+            aid = row["audio_id"]
+            h = int(hash64_np(np.array([aid], dtype=object))[0])
+            tags: dict = {
+                "TITLE": f"take-{h % 1000}",
+                "DATE": f"202{h % 6}",
+            }
+            if h % 3 == 0:
+                tags["ARTIST"] = f"speaker-{(h >> 8) % 50}"
+                tags["LOCATION"] = f"{(h >> 12) % 90}.{(h >> 16) % 1000}N"
+            recs.append(
+                dict(row, bytes=audiometa.flac_comments_inject(
+                    row["bytes"], "crawlkit", tags
+                ))
+            )
+        return pa.Table.from_pylist(
+            recs,
+            schema=pa.schema([("audio_id", pa.string()), ("bytes", pa.binary())]),
+        )
+
+    return synthetic_audio(n, seed, codec="flac").map_batches(
+        inject, batch_format="pyarrow", batch_size=16
+    )
+
+
+AUDIO_TAGS_SCHEMA = pa.schema(
+    [
+        ("audio_id", pa.string()),
+        ("title", pa.string()),
+        ("date", pa.string()),
+        ("had_pii", pa.bool_()),  # ARTIST or LOCATION present
+        ("bytes", pa.binary()),  # scrubbed payload, frames untouched
+    ]
+)
+
+
+class AudioTagsScrub:
+    """PII scrub for audio corpora: lift VORBIS_COMMENT tags into
+    columns and drop ARTIST/LOCATION from the emitted bytes (audio
+    frames copied verbatim — decode_flac(scrubbed) == decode_flac(in),
+    test-pinned). The audio twin of ImageExifScrub."""
+
+    _PII = ["ARTIST", "LOCATION"]
+
+    def __init__(self):
+        from .. import audiometa
+
+        self._meta = audiometa
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        rows = []
+        for row in t.to_pylist():
+            data = row["bytes"]
+            got = self._meta.flac_comments_extract(data)
+            title = date = ""
+            had_pii = False
+            if got is not None:
+                _, comments = got
+                title = (comments.get("TITLE") or [""])[0]
+                date = (comments.get("DATE") or [""])[0]
+                had_pii = any(k in comments for k in self._PII)
+                data = self._meta.flac_comments_strip(data, keys=self._PII)
+            rows.append(
+                {"audio_id": row["audio_id"], "title": title, "date": date,
+                 "had_pii": had_pii, "bytes": data}
+            )
+        return pa.Table.from_pylist(rows, schema=AUDIO_TAGS_SCHEMA)
+
+
+def audio_tags_scrub(sf_dir: str | None = None, n: int = 48) -> rd.Dataset:
+    """Tag extract + PII scrub over the tagged FLAC corpus (rows-only
+    query; tag round-trip, key-selective strip and frame invariance
+    pinned in tests/test_audiometa.py)."""
+    return synthetic_audio_tagged(n).map_batches(
+        AudioTagsScrub,
+        batch_format="pyarrow",
+        batch_size=16,
+        concurrency=2,
+        max_restarts=0,
+    )
+
+
 class VideoFrameSample:
     """Frame-sampling stage over a REAL container: demuxes RIFF-AVI with
     uncompressed DIB frames (crawlkit.videocodec — the one video
