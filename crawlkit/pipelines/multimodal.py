@@ -991,7 +991,7 @@ class AudioFeatures:
         for aid, data in zip(t["audio_id"].to_pylist(), t["bytes"].to_pylist()):
             try:
                 x, rate = self._decode(data)
-            except ValueError:
+            except (ValueError, NotImplementedError):
                 rows.append(
                     dict(audio_id=aid, sample_rate=0, duration_ms=-1, rms=0,
                          peak=0, zero_crossings=0, clipped_frac_milli=0)
@@ -1041,7 +1041,7 @@ class AudioSegments:
         for aid, data in zip(t["audio_id"].to_pylist(), t["bytes"].to_pylist()):
             try:
                 x, rate = self._decode(data)
-            except ValueError:
+            except (ValueError, NotImplementedError):
                 continue
             if x.ndim > 1:
                 x = x[:, 0]
@@ -1246,7 +1246,7 @@ class VideoFrameSample:
                     for fi, frame in enumerate(self._iter_frames(data))
                     if fi % self.every_k == 0
                 ]
-            except (ValueError, struct.error):
+            except (ValueError, NotImplementedError, struct.error):
                 vid_rows = [{"video_id": vid, "frame_idx": -1, "frame_png": b""}]
             rows.extend(vid_rows)
         return pa.Table.from_pylist(
@@ -1340,7 +1340,7 @@ class VideoSceneCuts:
         for vid, data in zip(t["video_id"].to_pylist(), t["bytes"].to_pylist()):
             try:
                 frames, _ = self._decode(data)
-            except ValueError:
+            except (ValueError, NotImplementedError):
                 rows.append(
                     dict(video_id=vid, frame_idx=-1, mad_milli=0, is_cut=False)
                 )
@@ -1408,7 +1408,7 @@ def video_phash_neardup(
             for vid, data in zip(t["video_id"].to_pylist(), t["bytes"].to_pylist()):
                 try:
                     frames, _ = self._decode(data)
-                except ValueError:
+                except (ValueError, NotImplementedError):
                     continue
                 sig = sorted({imagecodec.phash64(px) for px in frames})
                 sig_s = ",".join(map(str, sig))

@@ -125,3 +125,23 @@ def test_truncation_never_crashes():
             mp4_decode(blob[:cut])
         except (ValueError, NotImplementedError):
             pass
+
+
+def test_foreign_fourcc_row_becomes_error_row():
+    """A sample codec we can't decode (avc1) must produce the T4
+    error row (frame_idx = -1), not crash the stage."""
+    import pyarrow as pa
+
+    from crawlkit.pipelines.multimodal import VideoSceneCuts
+
+    good = mp4_encode(_frames(9, 3), codec="mjpeg")
+    bad = bytearray(good)
+    idx = bad.find(b"jpeg", 16)
+    bad[idx : idx + 4] = b"avc1"
+    t = pa.table({"video_id": ["ok", "h264"], "bytes": [good, bytes(bad)]})
+    out = VideoSceneCuts()(t).to_pydict()
+    by_vid = {}
+    for vid, fi in zip(out["video_id"], out["frame_idx"]):
+        by_vid.setdefault(vid, []).append(fi)
+    assert by_vid["h264"] == [-1]
+    assert all(fi >= 1 for fi in by_vid["ok"])
