@@ -301,9 +301,11 @@ def _gray32(pixels: np.ndarray, n: int = 32) -> np.ndarray:
 
 
 def _bits_to_u64(bits: np.ndarray) -> int:
-    out = np.uint64(0)
-    for b in bits.astype(np.uint64).ravel():
-        out = np.uint64(out << np.uint64(1)) | np.uint64(b)
+    """MSB-first fold of ≤64 bits into an int (packbits pads the TAIL,
+    so shift the pad back out — value-identical to the old per-bit
+    loop, test-pinned)."""
+    b = np.asarray(bits, dtype=bool).ravel()
+    out = int.from_bytes(np.packbits(b).tobytes(), "big") >> ((-len(b)) % 8)
     return int(out)
 
 
@@ -337,11 +339,7 @@ def phash64(pixels: np.ndarray) -> int:
     block = coef[:8, :8].flatten()
     vals = block[1:]  # skip DC
     med = np.median(vals)
-    bits = (vals > med).astype(np.uint64)
-    out = np.uint64(0)
-    for b in bits:
-        out = np.uint64(out << np.uint64(1)) | np.uint64(b)
-    return int(out)
+    return _bits_to_u64(vals > med)
 
 
 def hamming64(a: int, b: int) -> int:

@@ -23,6 +23,18 @@ import numpy as np
 from .hashing import stable_hash64
 from . import imagecodec
 
+_ARANGES: dict[int, "np.ndarray"] = {}
+
+
+def _arange_cached(n: int) -> "np.ndarray":
+    """Shared int64 arange for the image generator (dims ≤ 128, so the
+    cache is tiny); callers must not mutate."""
+    a = _ARANGES.get(n)
+    if a is None:
+        _ARANGES[n] = a = np.arange(n, dtype=np.int64)
+    return a
+
+
 _WORDS = (
     "amber birch cedar delta ember flint grove harbor iris juniper "
     "kestrel larch maple north opal pine quartz river slate timber "
@@ -255,22 +267,28 @@ class SynthWeb:
         return f"caption {image_id}: " + " ".join(words)
 
     def image_pixels(self, image_id: str) -> np.ndarray:
-        """Deterministic RGB gradient+noise, shape (h, w, 3) uint8."""
+        """Deterministic RGB gradient+noise, shape (h, w, 3) uint8.
+        Byte-identical to the original mgrid+float64 formulation
+        (broadcasted aranges give the same yy/xx values; int64
+        clip ≡ float64 clip on these small integers) — this is the
+        crawl image hot path's first stage, so no per-image mgrid or
+        float round-trip."""
         h64 = self._h("img", image_id)
         w = 32 + h64 % 97
         ht = 32 + (h64 >> 32) % 61
         rng = np.random.Generator(np.random.PCG64(h64))
-        yy, xx = np.mgrid[0:ht, 0:w]
-        base = np.stack(
-            [
-                (xx * (1 + h64 % 5) + yy) % 256,
-                (yy * (1 + (h64 >> 8) % 7)) % 256,
-                (xx + yy * (1 + (h64 >> 16) % 3)) % 256,
-            ],
-            axis=-1,
-        ).astype(np.float64)
+        yy = _arange_cached(ht)[:, None]
+        xx = _arange_cached(w)[None, :]
+        base = np.empty((ht, w, 3), dtype=np.int64)
+        np.mod(xx * (1 + h64 % 5) + yy, 256, out=base[:, :, 0])
+        np.mod(
+            np.broadcast_to(yy * (1 + (h64 >> 8) % 7), (ht, w)), 256,
+            out=base[:, :, 1],
+        )
+        np.mod(xx + yy * (1 + (h64 >> 16) % 3), 256, out=base[:, :, 2])
         noise = rng.integers(-12, 13, size=base.shape)
-        return np.clip(base + noise, 0, 255).astype(np.uint8)
+        base += noise
+        return np.clip(base, 0, 255).astype(np.uint8)
 
     def image_fmt(self, image_id: str) -> str:
         return "png" if self._h("fmt", image_id) % 2 == 0 else "jpeg"
