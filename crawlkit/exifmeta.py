@@ -119,8 +119,13 @@ def parse_exif(payload: bytes) -> dict:
         e = ">"
     else:
         raise ValueError("EXIF payload lacks a TIFF header")
-    (ifd_off,) = struct.unpack_from(e + "I", t, 4)
-    tags = _read_ifd(t, e, ifd_off)
+    # truncated/malformed IFDs surface as struct.error from _read_ifd —
+    # normalize to ValueError so callers have a single error contract
+    try:
+        (ifd_off,) = struct.unpack_from(e + "I", t, 4)
+        tags = _read_ifd(t, e, ifd_off)
+    except struct.error as exc:
+        raise ValueError(f"malformed EXIF IFD: {exc}") from exc
     out: dict = {"raw": {}}
     for tag, vals in tags.items():
         if tag in (271, 272, 306):
@@ -128,7 +133,10 @@ def parse_exif(payload: bytes) -> dict:
         elif tag == 274:
             out["orientation"] = int(vals[0])
         elif tag == _GPS_PTR:
-            g = _read_ifd(t, e, int(vals[0]))
+            try:
+                g = _read_ifd(t, e, int(vals[0]))
+            except struct.error as exc:
+                raise ValueError(f"malformed EXIF GPS IFD: {exc}") from exc
             if 1 in g and 2 in g and 3 in g and 4 in g:
                 out["gps"] = (
                     g[1][0].split(b"\x00")[0].decode("ascii", "replace"),

@@ -255,20 +255,30 @@ def mp4_decode(data: bytes) -> tuple[list[np.ndarray], int]:
         raise ValueError(f"truncated MP4: {exc}") from exc
 
     frames = []
-    for off, size in extents:
-        blob = data[off : off + size]
-        if len(blob) < size:
-            raise ValueError("sample extends past end of file")
-        if fourcc == "jpeg":
-            frames.append(jpegcodec.decode_jpeg(blob))
-        elif fourcc == "raw ":
-            if size < h * w * 3:
-                raise ValueError("raw sample too small")
-            frames.append(
-                np.frombuffer(blob, np.uint8, h * w * 3).reshape(h, w, 3).copy()
-            )
-        else:
-            raise NotImplementedError(
-                f"mp4 sample codec {fourcc!r} needs an out-of-sandbox decoder"
-            )
+    # sample decode honors the same ValueError/NotImplementedError-only
+    # error contract as the box walk: a corrupt MJPEG sample raises
+    # struct.error deep in the entropy decoder — normalize it here so
+    # VideoSceneCuts / SigExplode (which catch ValueError) survive it
+    try:
+        for off, size in extents:
+            blob = data[off : off + size]
+            if len(blob) < size:
+                raise ValueError("sample extends past end of file")
+            if fourcc == "jpeg":
+                frames.append(jpegcodec.decode_jpeg(blob))
+            elif fourcc == "raw ":
+                if size < h * w * 3:
+                    raise ValueError("raw sample too small")
+                frames.append(
+                    np.frombuffer(blob, np.uint8, h * w * 3).reshape(h, w, 3).copy()
+                )
+            else:
+                raise NotImplementedError(
+                    f"mp4 sample codec {fourcc!r} needs an out-of-sandbox decoder"
+                )
+    except (struct.error, KeyError, IndexError) as exc:
+        # fuzzing shows corrupt JFIF headers also surface as KeyError
+        # (huffman/component id lookups) and IndexError, not just
+        # struct.error — normalize all three
+        raise ValueError(f"corrupt MP4 sample: {exc!r}") from exc
     return frames, int(timescale) if timescale else 10

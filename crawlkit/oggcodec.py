@@ -165,19 +165,28 @@ _OGG_FLAC_MAGIC = b"\x7fFLAC"
 
 
 def encode_ogg_flac(samples: np.ndarray, rate: int, **kw) -> bytes:
-    """int16 PCM → Ogg FLAC: first packet is the mapping header
-    (0x7F 'FLAC' ver 1.0, 0 extra headers, native 'fLaC'+STREAMINFO),
-    then one native FLAC frame per packet. Granule = cumulative
-    samples, per the mapping."""
+    """int16 PCM → Ogg FLAC per the Xiph mapping: first packet is the
+    mapping header (0x7F 'FLAC' ver 1.0, header count, native
+    'fLaC'+STREAMINFO with the last-metadata flag CLEAR), followed by
+    the mandatory VORBIS_COMMENT header packet (vendor only, last flag
+    set), then one native FLAC frame per packet. Header packets carry
+    granule 0; audio packets carry cumulative samples."""
+    from .audiometa import build_vorbis_comment
     from .flaccodec import encode_flac_parts
 
     header, frames = encode_flac_parts(samples, rate, **kw)
-    first = _OGG_FLAC_MAGIC + b"\x01\x00" + struct.pack(">H", 0) + header
+    # STREAMINFO is no longer the last metadata block: clear bit 7 of
+    # its block header (byte 4, after 'fLaC').
+    si = bytearray(header)
+    si[4] &= 0x7F
+    vc_body = build_vorbis_comment("crawlkit", {})
+    vc_block = bytes([0x84]) + struct.pack(">I", len(vc_body))[1:] + vc_body
+    first = _OGG_FLAC_MAGIC + b"\x01\x00" + struct.pack(">H", 1) + bytes(si)
     x = np.asarray(samples)
     n = x.shape[0]
     blocksize = kw.get("blocksize", 4096)
-    granules = [0] + [min((i + 1) * blocksize, n) for i in range(len(frames))]
-    return ogg_encode_packets([first] + frames, granules=granules)
+    granules = [0, 0] + [min((i + 1) * blocksize, n) for i in range(len(frames))]
+    return ogg_encode_packets([first, vc_block] + frames, granules=granules)
 
 
 def decode_ogg_flac(data: bytes) -> tuple[np.ndarray, int]:
@@ -190,8 +199,16 @@ def decode_ogg_flac(data: bytes) -> tuple[np.ndarray, int]:
     p0 = packets[0]
     if len(p0) < 9:
         raise ValueError("truncated Ogg FLAC mapping header")
+    # Header packets are verbatim native FLAC metadata blocks, so the
+    # native stream is simply every packet spliced back together; the
+    # count field is only a sanity hint (0x0000 means 'unknown' per the
+    # mapping), NOT a skip count — conformant streams clear
+    # STREAMINFO's last-metadata flag and rely on the chain to end at
+    # the block whose flag is set.
     (nheaders,) = struct.unpack_from(">H", p0, 7)
-    native = p0[9:] + b"".join(packets[1 + nheaders :])
+    if nheaders > len(packets) - 1:
+        raise ValueError("Ogg FLAC header count exceeds packet count")
+    native = p0[9:] + b"".join(packets[1:])
     from .flaccodec import decode_flac
 
     return decode_flac(native)

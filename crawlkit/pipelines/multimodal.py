@@ -298,12 +298,11 @@ class ImageExifScrub:
         return -val if ref == neg_ref else val
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        import struct
+
         rows = []
         for row in t.to_pylist():
             data = row["bytes"]
-            fields = None
-            if row["fmt"] == "jpeg":
-                fields = self._exif.exif_extract(data)
             out = {
                 "image_id": row["image_id"],
                 "fmt": row["fmt"],
@@ -315,17 +314,29 @@ class ImageExifScrub:
                 "lon_milli_arcsec": 0,
                 "bytes": data,
             }
-            if fields is not None:
-                out["make"] = fields.get("make", "")
-                out["model"] = fields.get("model", "")
-                out["orientation"] = fields.get("orientation", 0)
-                gps = fields.get("gps")
-                if gps is not None:
-                    out["had_gps"] = True
-                    out["lat_milli_arcsec"] = self._milli_arcsec(gps[0], gps[1], "S")
-                    out["lon_milli_arcsec"] = self._milli_arcsec(gps[2], gps[3], "W")
-                out["bytes"] = self._exif.exif_strip(
-                    data, gps_only=self.mode == "gps_only"
+            try:
+                fields = None
+                if row["fmt"] == "jpeg":
+                    fields = self._exif.exif_extract(data)
+                if fields is not None:
+                    out["make"] = fields.get("make", "")
+                    out["model"] = fields.get("model", "")
+                    out["orientation"] = fields.get("orientation", 0)
+                    gps = fields.get("gps")
+                    if gps is not None:
+                        out["had_gps"] = True
+                        out["lat_milli_arcsec"] = self._milli_arcsec(gps[0], gps[1], "S")
+                        out["lon_milli_arcsec"] = self._milli_arcsec(gps[2], gps[3], "W")
+                    out["bytes"] = self._exif.exif_strip(
+                        data, gps_only=self.mode == "gps_only"
+                    )
+            except (ValueError, struct.error, UnicodeEncodeError):
+                # T4 OnError: malformed EXIF/non-ASCII rebuild → emit a
+                # pass-through row (orientation -1 sentinel, original
+                # bytes) instead of failing the whole release-gate stage
+                out.update(
+                    make="", model="", orientation=-1, had_gps=False,
+                    lat_milli_arcsec=0, lon_milli_arcsec=0, bytes=data,
                 )
             rows.append(out)
         return pa.Table.from_pylist(rows, schema=EXIF_SCRUB_SCHEMA)
@@ -1170,18 +1181,28 @@ class AudioTagsScrub:
         self._meta = audiometa
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        import struct
+
         rows = []
         for row in t.to_pylist():
             data = row["bytes"]
-            got = self._meta.flac_comments_extract(data)
             title = date = ""
             had_pii = False
-            if got is not None:
-                _, comments = got
-                title = (comments.get("TITLE") or [""])[0]
-                date = (comments.get("DATE") or [""])[0]
-                had_pii = any(k in comments for k in self._PII)
-                data = self._meta.flac_comments_strip(data, keys=self._PII)
+            try:
+                got = self._meta.flac_comments_extract(data)
+                if got is not None:
+                    _, comments = got
+                    title = (comments.get("TITLE") or [""])[0]
+                    date = (comments.get("DATE") or [""])[0]
+                    had_pii = any(k in comments for k in self._PII)
+                    data = self._meta.flac_comments_strip(data, keys=self._PII)
+            except (ValueError, struct.error):
+                # T4 OnError: truncated/malformed metadata blocks → emit
+                # the row untouched (title/date "", had_pii False) rather
+                # than failing the stage
+                data = row["bytes"]
+                title = date = ""
+                had_pii = False
             rows.append(
                 {"audio_id": row["audio_id"], "title": title, "date": date,
                  "had_pii": had_pii, "bytes": data}

@@ -100,3 +100,79 @@ def test_exif_scrub_pipeline(ray_session):
             imagecodec.decode(scrubbed), imagecodec.decode(bytes(row["bytes"]))
         )
     assert saw_gps > 0
+
+
+# ----------------------------------------------- malformed-input contract
+
+
+def test_parse_exif_truncated_raises_valueerror():
+    """Truncated IFDs surface as ValueError (never struct.error) — the
+    error contract the scrub stages rely on."""
+    payload = exifmeta.build_exif({**FIELDS, "gps": GPS})
+    for cut in (10, 14, 20, len(payload) // 2, len(payload) - 3):
+        try:
+            exifmeta.parse_exif(payload[:cut])
+        except ValueError:
+            pass  # expected flavor
+        # anything else (struct.error, IndexError) propagates and fails
+
+
+def test_exif_scrub_stage_survives_malformed_rows():
+    """ImageExifScrub emits a pass-through sentinel row (orientation
+    -1, original bytes) for rows whose EXIF is truncated or whose
+    make/model is non-ASCII, instead of crashing the batch."""
+    import pyarrow as pa
+
+    from crawlkit.pipelines.multimodal import EXIF_SCRUB_SCHEMA, ImageExifScrub
+
+    good = exifmeta.exif_inject(_jpeg(11), {**FIELDS, "gps": GPS})
+    # truncate the APP1 payload in place: shrink the segment length so
+    # the TIFF body is cut mid-IFD but the JPEG marker walk stays valid
+    tagged = bytearray(exifmeta.exif_inject(_jpeg(12), FIELDS))
+    app1 = tagged.find(b"\xff\xe1")
+    assert app1 >= 0
+    ln = int.from_bytes(tagged[app1 + 2 : app1 + 4], "big")
+    keep = 26  # length bytes + 'Exif\0\0' + TIFF header + partial IFD
+    bad = bytes(tagged[: app1 + 2]) + keep.to_bytes(2, "big") + bytes(
+        tagged[app1 + 4 : app1 + 2 + keep]
+    ) + bytes(tagged[app1 + 2 + ln :])
+    # non-ASCII make bytes (as real crawled EXIF carries): extract
+    # decodes them with 'replace' → U+FFFD, which breaks the gps_only
+    # ASCII rebuild. Byte-patch a valid payload (same length).
+    nonascii = exifmeta.exif_inject(
+        _jpeg(13), {**FIELDS, "make": "CamXY", "gps": GPS}
+    ).replace(b"CamXY", b"Cam\xc3\xa9")
+    t = pa.table(
+        {
+            "image_id": ["ok", "trunc", "nonascii"],
+            "fmt": ["jpeg"] * 3,
+            "bytes": [good, bad, nonascii],
+        }
+    )
+    out = ImageExifScrub(mode="gps_only")(t)
+    assert out.schema == EXIF_SCRUB_SCHEMA
+    rows = {r["image_id"]: r for r in out.to_pylist()}
+    assert rows["ok"]["had_gps"] and rows["ok"]["orientation"] == FIELDS["orientation"]
+    assert rows["trunc"]["orientation"] == -1
+    assert rows["trunc"]["bytes"] == bad  # untouched pass-through
+    assert rows["nonascii"]["orientation"] == -1
+    assert rows["nonascii"]["bytes"] == nonascii
+
+
+def test_audio_tags_scrub_survives_truncated_blocks():
+    import pyarrow as pa
+
+    from crawlkit import audiometa, flaccodec
+    from crawlkit.pipelines.multimodal import AUDIO_TAGS_SCHEMA, AudioTagsScrub
+
+    x = np.random.default_rng(5).integers(-9000, 9000, 4000).astype(np.int16)
+    tagged = audiometa.flac_comments_inject(
+        flaccodec.encode_flac(x, 16000), "v", {"TITLE": "t", "ARTIST": "pii"}
+    )
+    bad = tagged[:60]  # cut inside the metadata chain
+    t = pa.table({"audio_id": ["ok", "trunc"], "bytes": [tagged, bad]})
+    out = AudioTagsScrub()(t)
+    assert out.schema == AUDIO_TAGS_SCHEMA
+    rows = {r["audio_id"]: r for r in out.to_pylist()}
+    assert rows["ok"]["title"] == "t" and rows["ok"]["had_pii"]
+    assert rows["trunc"]["bytes"] == bad and not rows["trunc"]["had_pii"]

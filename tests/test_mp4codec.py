@@ -145,3 +145,22 @@ def test_foreign_fourcc_row_becomes_error_row():
         by_vid.setdefault(vid, []).append(fi)
     assert by_vid["h264"] == [-1]
     assert all(fi >= 1 for fi in by_vid["ok"])
+
+
+def test_corrupt_sample_bytes_raise_valueerror_only():
+    """Corrupt MJPEG sample headers must surface as ValueError (the
+    error contract VideoSceneCuts / SigExplode rely on), never
+    struct.error / KeyError / IndexError — fuzzed over 400 seeds."""
+    fr = _frames(21, 3, h=16, w=16)
+    base = mp4_encode(fr, codec="mjpeg")
+    soi = base.find(b"\xff\xd8\xff")
+    for seed in range(400):
+        r = np.random.default_rng(seed)
+        blob = bytearray(base)
+        for _ in range(3):
+            p = soi + int(r.integers(2, 120))
+            blob[p] = int(r.integers(0, 256))
+        try:
+            mp4_decode(bytes(blob))
+        except (ValueError, NotImplementedError):
+            pass  # the contract

@@ -105,6 +105,45 @@ def test_decode_audio_sniffs_ogg():
     assert rate == 12000 and np.array_equal(out.ravel(), x)
 
 
+def test_ogg_flac_mapping_conformance():
+    """Emitted streams follow the Xiph mapping: header count 1, a
+    VORBIS_COMMENT header packet, STREAMINFO last-metadata flag clear."""
+    x = _pcm(7, 5000)
+    pk = ogg_decode_packets(encode_ogg_flac(x, 16000))
+    p0 = pk[0]
+    assert p0[:5] == b"\x7fFLAC" and p0[5:7] == b"\x01\x00"
+    (nheaders,) = struct.unpack_from(">H", p0, 7)
+    assert nheaders == 1
+    assert p0[9:13] == b"fLaC"
+    assert p0[13] == 0x00  # STREAMINFO block header: last flag CLEAR, type 0
+    assert pk[1][0] == 0x84  # VORBIS_COMMENT block, last flag SET
+    from crawlkit.audiometa import parse_vorbis_comment
+
+    vendor, comments = parse_vorbis_comment(pk[1][4:])
+    assert vendor == "crawlkit" and comments == {}
+
+
+def test_ogg_flac_legacy_nheaders0_decodes():
+    """Self-produced pre-conformance streams (nheaders=0, STREAMINFO
+    last flag set, no VORBIS_COMMENT packet) still decode."""
+    x = _pcm(8, 7000)
+    h, frames = encode_flac_parts(x, 16000)
+    first = b"\x7fFLAC\x01\x00" + struct.pack(">H", 0) + h
+    granules = [0] + [min((i + 1) * 4096, 7000) for i in range(len(frames))]
+    blob = ogg_encode_packets([first] + frames, granules=granules)
+    out, rate = decode_ogg_flac(blob)
+    assert rate == 16000 and np.array_equal(out.ravel(), x)
+
+
+def test_ogg_flac_bogus_header_count_rejected():
+    x = _pcm(9, 2000)
+    h, frames = encode_flac_parts(x, 16000)
+    first = b"\x7fFLAC\x01\x00" + struct.pack(">H", 999) + h
+    blob = ogg_encode_packets([first] + frames)
+    with pytest.raises(ValueError, match="header count"):
+        decode_ogg_flac(blob)
+
+
 def test_truncation_never_crashes():
     blob = encode_ogg_flac(_pcm(6, 15000), 16000)
     for cut in (3, 20, 27, len(blob) // 2, len(blob) - 4):
