@@ -1400,16 +1400,30 @@ def video_phash_neardup(
     plant_pairs: int = 3,
     tau_milli: int = 500,
     codec: str = "raw",
+    bucket_cap: int = 512,
+    nshards: int = 32,
+    source: "rd.Dataset | None" = None,
 ) -> "pd.DataFrame":
     """NEAR-DUPLICATE VIDEO detection — the dedup × multimodal
     crossover: each video's signature is the SET of its frames' 64-bit
     phashes (computed in the decode task — one row per video, so the
     signature needs no shuffle), candidate pairs come from shared-frame
-    buckets (groupby on the frame phash — a video pair sharing ANY
-    perceptual frame is a candidate), and the verify is the exact
-    set-Jaccard of the two signatures, emitted ONLY in the pair's
-    minimal shared phash bucket (the image_phash_neardup /
-    SimHash emission rule — no cross-bucket dedup shuffle).
+    buckets, and the verify is the exact set-Jaccard of the two
+    signatures.
+
+    Scale shape (mirrors minhash_lsh_pairs, dedup.py): exploded rows
+    are grouped by ``hash(phash) % nshards`` — nshards bounded groups,
+    NOT one group per phash value — and every shared-frame bucket lands
+    whole in exactly one shard (the shard is a pure function of phash),
+    so per-bucket sizes seen inside a group ARE the global sizes.
+    ``bucket_cap`` skips frame hashes shared by more than cap videos (a
+    viral intro card / logo frame shared by millions of videos would
+    otherwise make one bucket O(|bucket|²); members of a degenerate
+    bucket are still caught via their other, rarer frames). Pair
+    emission is a vectorized self-merge per bucket; the cross-bucket
+    candidate distinct + Jaccard verify runs in a pair-hash-sharded
+    reduce (replacing the old minimal-shared-phash emission rule, which
+    cannot survive capping: the minimal bucket may be the capped one).
 
     Partitioning assumption (documented like ``bucket_cap`` elsewhere):
     signatures are bounded — production pipelines sample ≤64 frames per
@@ -1437,44 +1451,81 @@ def video_phash_neardup(
                     ids.append(vid)
                     phs.append(np.uint64(p).astype(np.int64))
                     sigs.append(sig_s)
+            ph = np.array(phs, dtype=np.int64)
+            with np.errstate(over="ignore"):
+                mix = (ph.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)
             return pa.table(
                 {
                     "video_id": pa.array(ids, pa.string()),
-                    "phash": pa.array(np.array(phs, dtype=np.int64)),
+                    "phash": pa.array(ph),
                     "sig": pa.array(sigs, pa.string()),
+                    "gkey": pa.array((mix % np.uint64(nshards)).astype(np.int64)),
                 }
             )
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        out = {"id_a": [], "id_b": [], "jaccard_milli": []}
-        g = g.drop_duplicates("video_id").sort_values("video_id")
-        bucket = int(g["phash"].iloc[0])
-        vids = g["video_id"].tolist()
-        sigs = [set(map(int, s.split(","))) for s in g["sig"]]
-        for i in range(len(vids)):
-            for j in range(i + 1, len(vids)):
-                shared = sigs[i] & sigs[j]
-                # emission rule: only the minimal shared phash's bucket
-                # emits this pair (sig values are unsigned; the bucket
-                # column is the int64 two's-complement view)
-                if int(np.uint64(min(shared)).astype(np.int64)) != bucket:
-                    continue
-                jac = len(shared) * 1000 // len(sigs[i] | sigs[j])
-                if jac >= tau_milli:
-                    out["id_a"].append(vids[i])
-                    out["id_b"].append(vids[j])
-                    out["jaccard_milli"].append(jac)
-        return pd.DataFrame(out).astype(
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        """One call per phash shard: cap degenerate buckets, vectorized
+        self-merge on phash, pair-shard route (sigs carried along for
+        the verify — O(64) ints per row by the sampling assumption)."""
+        g = g[["video_id", "phash", "sig"]].drop_duplicates(["video_id", "phash"])
+        sizes = g.groupby("phash")["video_id"].transform("size")
+        g = g[sizes <= bucket_cap]
+        m = g.merge(g, on="phash", suffixes=("_a", "_b"))
+        m = m[m["video_id_a"] < m["video_id_b"]]
+        out = m[["video_id_a", "video_id_b", "sig_a", "sig_b"]].drop_duplicates(
+            ["video_id_a", "video_id_b"]
+        )
+        from ..hashing import hash64_np
+
+        a = hash64_np(out["video_id_a"].to_numpy(dtype=object))
+        b = hash64_np(out["video_id_b"].to_numpy(dtype=object))
+        with np.errstate(over="ignore"):
+            pshard = (((a * np.uint64(0x9E3779B97F4A7C15)) ^ b)
+                      % np.uint64(nshards)).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "id_a": out["video_id_a"].to_numpy(),
+                "id_b": out["video_id_b"].to_numpy(),
+                "sig_a": out["sig_a"].to_numpy(),
+                "sig_b": out["sig_b"].to_numpy(),
+                "pshard": pshard,
+            }
+        ).astype({"id_a": "string", "id_b": "string",
+                  "sig_a": "string", "sig_b": "string", "pshard": "int64"})
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        """One call per PAIR shard: cross-bucket distinct, then exact
+        Jaccard over the (bounded) signatures."""
+        g = g.drop_duplicates(["id_a", "id_b"])
+        jac = np.empty(len(g), dtype=np.int64)
+        for i, (sa, sb) in enumerate(zip(g["sig_a"], g["sig_b"])):
+            A = set(sa.split(","))
+            B = set(sb.split(","))
+            jac[i] = len(A & B) * 1000 // len(A | B)
+        out = pd.DataFrame(
+            {"id_a": g["id_a"].to_numpy(), "id_b": g["id_b"].to_numpy(),
+             "jaccard_milli": jac}
+        )
+        out = out[out["jaccard_milli"] >= tau_milli]
+        return out.astype(
             {"id_a": "string", "id_b": "string", "jaccard_milli": "int64"}
         )
 
     from .dedup import pandas_with_schema
 
-    exploded = synthetic_videos(n, plant_pairs=plant_pairs, codec=codec).map_batches(
+    src = source if source is not None else synthetic_videos(
+        n, plant_pairs=plant_pairs, codec=codec
+    )
+    exploded = src.map_batches(
         SigExplode, batch_format="pyarrow", batch_size=4, concurrency=2,
         max_restarts=0,
     )
-    res = exploded.groupby("phash").map_groups(pairs, batch_format="pandas")
+    res = (
+        exploded.groupby("gkey")
+        .map_groups(emit_pairs, batch_format="pandas")
+        .groupby("pshard")
+        .map_groups(verify, batch_format="pandas")
+    )
     return pandas_with_schema(
         res, {"id_a": "string", "id_b": "string", "jaccard_milli": "int64"}
     )

@@ -147,6 +147,42 @@ def test_video_phash_neardup_planted():
     assert sorted(zip(again["id_a"], again["id_b"])) == got
 
 
+def test_video_phash_neardup_degenerate_bucket_capped():
+    """A viral frame shared by > bucket_cap videos must NOT go
+    quadratic: its bucket is skipped entirely (videos sharing ONLY that
+    frame emit no pairs), while dup pairs are still found through their
+    rarer frames — the minhash_lsh_pairs hot-bucket hatch applied to
+    the shared-frame grouping."""
+    from crawlkit import videocodec
+
+    rng = np.random.default_rng(7)
+    viral = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+    rows_id, rows_bytes = [], []
+    # 20 videos whose ONLY frame is the viral one (bucket size 20 > cap 8)
+    for i in range(20):
+        rows_id.append(f"viral-{i}")
+        rows_bytes.append(videocodec.avi_encode([viral], fps=10))
+    # 2 dup pairs: viral frame + a rare per-pair frame
+    for i in range(2):
+        rare = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+        for suffix in ("", "-dup"):
+            rows_id.append(f"pair-{i}{suffix}")
+            rows_bytes.append(videocodec.avi_encode([viral, rare], fps=10))
+    import ray.data as rd
+
+    src = rd.from_arrow(
+        pa.table({"video_id": pa.array(rows_id), "bytes": pa.array(rows_bytes, pa.binary())})
+    )
+    out = multimodal.video_phash_neardup(
+        "unused", bucket_cap=8, tau_milli=500, source=src
+    )
+    got = sorted(zip(out["id_a"], out["id_b"]))
+    # no viral-only pair survives (capped bucket skipped); both planted
+    # pairs found via their rare frame, jaccard exact (2 shared / 2 union)
+    assert got == [("pair-0", "pair-0-dup"), ("pair-1", "pair-1-dup")], got
+    assert (out["jaccard_milli"] == 1000).all()
+
+
 def test_video_scene_cuts_planted():
     """Planted inversion cuts (every 3rd video, at nframes//2) are
     detected exactly; rolling-motion frames never trigger."""
