@@ -747,9 +747,18 @@ def build_etag_map(
     * a url that redirected in the prior run is archived under its
       FINAL url; reachability follows the archived 301 chain, so
       moved-but-unchanged pages also ride the 304 path.
+
+    The archived-set fold is DERIVED from
+    :func:`warcstore.load_prior_index` — the one canonical
+    newest-first/first-wins CDX fold this map, the fetch stage's 304
+    path and the archive-dedup path all share (a url's bytes are held
+    iff its indexed digest resolves to a content record somewhere in
+    the chain). Pre-record_type / pre-digest archives are tolerated by
+    the canonical fold itself (warcstore.py).
     """
     from .. import canon as _canon
     from ..state.lancelike import TableStore as _TS
+    from ..state.warcstore import load_prior_index, sorted_member_mask
 
     roots = (
         [prior_archive_root]
@@ -761,41 +770,15 @@ def build_etag_map(
     )
     if "canon_url" not in log_t.column_names:
         return {}
-    archived: set[str] = set()  # canon urls whose BYTES the chain holds
-    url_digest: dict[str, str] = {}  # revisit urls → referent digest
-    digests: set[str] = set()  # digests with a content record in SOME root
+    prior = load_prior_index(roots)
+    # archived = canon urls whose indexed digest (response AND revisit
+    # rows, first-wins newest-first) resolves to a content record in
+    # some generation — both arrays are np.unique-sorted
+    has_body = sorted_member_mask(prior["body_digests"], prior["url_digests"])
+    archived: set[str] = {
+        k.decode() for k in prior["url_keys"][has_body]
+    }
     redir: dict[str, str] = {}  # archived 301 chain: canon(src) → canon(loc)
-    for root in roots:
-        idx = _TS(f"{root}/index").read_table(
-            columns=["url", "status", "record_type", "payload_digest"]
-        )
-        if "url" not in idx.column_names:
-            continue
-        # pre-record_type archives (older index format): every row is a
-        # plain response — the original status==200 semantics
-        n = idx.num_rows
-        rts = (
-            idx["record_type"].to_pylist()
-            if "record_type" in idx.column_names
-            else ["response"] * n
-        )
-        dgs = (
-            idx["payload_digest"].to_pylist()
-            if "payload_digest" in idx.column_names
-            else [None] * n
-        )
-        for u, st, rt, dg in zip(
-            idx["url"].to_pylist(), idx["status"].to_pylist(), rts, dgs,
-        ):
-            if rt == "response" and st == 200:
-                archived.add(_canon.canonicalize_url_one(u))
-                digests.add(dg)
-            elif rt == "revisit":
-                # 304 or identical-payload row: the url's bytes are held
-                # under the referenced digest (possibly another url /
-                # generation) — archived iff some root has the content
-                url_digest.setdefault(_canon.canonicalize_url_one(u), dg)
-    archived |= {cu for cu, dg in url_digest.items() if dg in digests}
     # 301 locations live in the records, not the index — load them only
     # when some log row redirected (rare path, small slice via the index
     # status predicate)

@@ -375,3 +375,47 @@ def test_resolution_survives_referent_compaction(gen1, tmp_path):
     fp = FetchParse(_WC(n_seeds=1), prior_index_ref=pi)
     row = before.iloc[0]
     assert fp._archived_body(row["url"]) == bytes(row["body"]).decode()
+
+
+def test_etag_map_equals_independent_index_fold(gen1, tmp_path):
+    """build_etag_map's archived-set fold is DERIVED from the canonical
+    warcstore.load_prior_index; pin it against an INDEPENDENT fold of
+    the raw index tables (newest-first, first-wins, revisit→digest
+    resolution) over a multi-generation dedup chain, so the three-way
+    lockstep (etag map / fetch 304 path / archive-dedup) cannot drift."""
+    from crawlkit import canon
+    from crawlkit.pipelines.crawl import build_etag_map
+
+    d1, arch1, _res1 = gen1
+    d2, arch2 = str(tmp_path / "run2e"), str(tmp_path / "arch2e")
+    run_crawl(
+        SynthWeb(CFG1), spec=SPEC, out_dir=d2, num_seen_shards=2,
+        fetch_concurrency=2, archive_root=arch2,
+        prior_archive_root=arch1, archive_dedup=True,
+    )
+    roots = [arch2, arch1]
+    got = build_etag_map(d2, roots)
+
+    # independent fold, straight off the index tables
+    url_digest: dict = {}
+    digests: set = set()
+    for root in roots:  # newest first; first writer wins
+        idx = _index_df(root)
+        for _, r in idx.iterrows():
+            cu = canon.canonicalize_url_one(r["url"])
+            if r["record_type"] == "response" and r["status"] == 200:
+                url_digest.setdefault(cu, r["payload_digest"])
+                digests.add(r["payload_digest"])
+            elif r["record_type"] == "revisit":
+                url_digest.setdefault(cu, r["payload_digest"])
+    archived = {cu for cu, dg in url_digest.items() if dg in digests}
+
+    log = TableStore(f"{d2}/fetch_log").read_table(
+        columns=["canon_url", "status", "etag"]
+    ).to_pandas()
+    want = {
+        r["canon_url"]: r["etag"]
+        for _, r in log.iterrows()
+        if r["status"] in (200, 304) and r["etag"] and r["canon_url"] in archived
+    }
+    assert got == want and len(got) > 0
