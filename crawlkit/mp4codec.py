@@ -43,15 +43,18 @@ _UNITY_MATRIX = struct.pack(
 
 
 def mp4_encode(
-    frames: list[np.ndarray], fps: int = 10, codec: str = "mjpeg"
+    frames: list[np.ndarray], fps: int = 10, codec: str = "mjpeg",
+    quality: int = 92,
 ) -> bytes:
     """Mux (h, w, 3) uint8 frames → single-video-track MP4 bytes.
-    ``codec``: 'mjpeg' (real JFIF samples) | 'raw' (RGB24 samples)."""
+    ``codec``: 'mjpeg' (real JFIF samples) | 'raw' (RGB24 samples).
+    ``quality``: MJPEG JFIF quality (same knob as avi_encode; q98 is
+    the PSNR>=40dB archive bar, see jpegcodec notes)."""
     assert frames, "need at least one frame"
     h, w, _ = frames[0].shape
     if codec == "mjpeg":
         fourcc = "jpeg"
-        samples = jpegcodec.encode_jpeg_batch(frames)
+        samples = jpegcodec.encode_jpeg_batch(frames, quality=quality)
     elif codec == "raw":
         fourcc = "raw "
         samples = [np.ascontiguousarray(f).tobytes() for f in frames]
