@@ -51,6 +51,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ann, dedup, graph, mixing, ml, multimodal, relational, sources, text, windows,
     )
 
+    # generator-intent manifests for the multimodal SQL oracles (cheap,
+    # no Ray, atomic) — written here so the files exist regardless of
+    # the order the driver runs a query vs its oracle SQL
+    multimodal.write_mm_manifests()
+
     def crawl_sitemap_seeds(sf_dir: str):
         """Seed DISCOVERY from the web itself: distributed /sitemap.xml
         fetch+parse → the ordered seed table (sf_dir unused). Rows-only;
@@ -170,9 +175,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def crawl_fetch_report(sf_dir: str):
         """M10 telemetry rollup: run the t1 crawl, then aggregate its
         fetch_log per (host, status) as a streaming Dataset pass.
-        Rows-only; totals ≡ refsim page counts pinned in
-        tests/test_crawl_golden.py."""
+        SQL-checked: the raw per-page log (itself pinned ≡ refsim in
+        tests/test_crawl_golden.py) is exported to parquet and the
+        oracle re-aggregates it in DuckDB — checking the distributed
+        partial-agg rollup against a flat GROUP BY."""
+        import os
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
         from crawlkit.pipelines.crawl import fetch_report, run_crawl
+        from crawlkit.pipelines.multimodal import ORACLE_MANIFEST_DIR
         from crawlkit.refsim import CrawlSpec
 
         out = tempfile.mkdtemp(prefix="crawl_rep_q_", dir="/tmp")
@@ -180,6 +194,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "t1", spec=CrawlSpec(host_budget_per_round=32), out_dir=out,
             num_seen_shards=2, fetch_concurrency=4,
         )
+        log = res.fetch_log_table()
+        slim = pa.table(
+            {
+                "host": log["host"],
+                "status": pc.cast(log["status"], pa.int64()),
+                "nbytes": pc.cast(log["nbytes"], pa.int64()),
+                "attempts": pc.cast(log["attempts"], pa.int64()),
+                "error": log["error"],
+            }
+        )
+        os.makedirs(ORACLE_MANIFEST_DIR, exist_ok=True)
+        tmp = f"{ORACLE_MANIFEST_DIR}/.fetch_log_t1.{os.getpid()}.tmp"
+        pq.write_table(slim, tmp)
+        os.replace(tmp, f"{ORACLE_MANIFEST_DIR}/fetch_log_t1.parquet")
         return fetch_report(res.fetch_log_store)
 
     def _crawl_with_archive() -> tuple:
@@ -800,7 +828,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_image_blur_screen": multimodal.image_blur_screen,  # rows-only (blur invariant in tests)
         "mm_image_dedup_exact": multimodal.image_dedup_exact,  # rows-only (brute oracle in tests)
         "mm_image_histogram": multimodal.image_histogram,  # rows-only (Σbins=w·h in tests)
-        "mm_caption_filter": multimodal.caption_filter,  # rows-only (predicate oracle in tests)
+        # min_tokens=7 splits the corpus (captions carry 5-10 tokens), so the
+        # SQL oracle exercises BOTH predicate branches
+        "mm_caption_filter": lambda sf: multimodal.caption_filter(sf, min_tokens=7),  # SQL: predicates vs generator-intent caption manifest
         # image-side corpus-assembly flagship: exact dedup → phash clusters →
         # caption filter → split coin over the input_hint table
         "mm_assemble_corpus": multimodal.assemble_image_corpus,  # rows-only (brute oracle in tests)
@@ -831,6 +861,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # animated-GIF compositing (disposal/transparency/sub-rect) →
         # sampled-frame rows, actor-pool decode
         "mm_gif_frames": multimodal.gif_frame_sample,  # rows-only (compositing pinned in tests)
+        "mm_gif_frames_meta": multimodal.gif_frame_meta,  # SQL: decode vs generator-intent manifest
         # REAL RIFF-AVI demux (videocodec.py) — frame sampling
         "mm_video_frames": multimodal.video_frame_sample,  # rows-only (codec round-trip in tests)
         # same corpus, per-row raw-DIB/MJPEG/MS-RLE8/MP4-MJPEG mix (videocodec.py + mp4codec.py
@@ -845,7 +876,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_redirects": crawl_redirects,  # rows-only (oracle = refsim hop parity)
         "crawl_recrawl_conditional": crawl_recrawl_conditional,  # rows-only (refsim 304 parity)
         "crawl_distributed": crawl_distributed,  # rows-only (oracle = refsim sets)
-        "crawl_fetch_report": crawl_fetch_report,  # rows-only (refsim page counts)
+        "crawl_fetch_report": crawl_fetch_report,  # SQL: rollup vs DuckDB GROUP BY over the exported log
         "archive_warc": archive_warc,  # rows-only (byte-parity in tests)
         "archive_reparse": archive_reparse,  # rows-only (≡ live entries in tests)
         "archive_wet": archive_wet,  # rows-only (tag-strip exactness in tests)

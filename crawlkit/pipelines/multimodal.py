@@ -459,6 +459,119 @@ def gif_frame_sample(
     )
 
 
+def gif_frame_meta(
+    sf_dir: str | None = None, n: int = 16, every_k: int = 2
+) -> rd.Dataset:
+    """Animated-GIF frame METADATA via the real decode path (LZW +
+    disposal/transparency compositing): one row per sampled frame with
+    (gif_id, frame_idx, delay_cs, w, h). SQL-checked: the oracle reads
+    the GENERATOR-intent manifest (write_mm_manifests) — two
+    independent paths (decode vs intent) must agree on frame count,
+    delays and composited dimensions."""
+    from ..gifcodec import decode_gif_frames
+
+    def meta(t: pa.Table) -> pa.Table:
+        rows = []
+        for gid, data in zip(t["gif_id"].to_pylist(), t["bytes"].to_pylist()):
+            try:
+                frames, delays, _loop = decode_gif_frames(data)
+                rows += [
+                    {
+                        "gif_id": gid,
+                        "frame_idx": fi,
+                        "delay_cs": delays[fi],
+                        "w": int(frames[fi].shape[1]),
+                        "h": int(frames[fi].shape[0]),
+                    }
+                    for fi in range(0, len(frames), every_k)
+                ]
+            except ValueError:
+                rows.append(
+                    {"gif_id": gid, "frame_idx": -1, "delay_cs": 0, "w": 0, "h": 0}
+                )
+        return pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [
+                    ("gif_id", pa.string()),
+                    ("frame_idx", pa.int64()),
+                    ("delay_cs", pa.int64()),
+                    ("w", pa.int64()),
+                    ("h", pa.int64()),
+                ]
+            ),
+        )
+
+    return synthetic_gif_animations(n).map_batches(meta, batch_format="pyarrow")
+
+
+ORACLE_MANIFEST_DIR = "/tmp/crawlkit_oracle"
+
+
+def write_mm_manifests(out_dir: str = ORACLE_MANIFEST_DIR) -> None:
+    """GENERATOR-INTENT manifests for the multimodal SQL oracles —
+    written from the corpus parameters WITHOUT running any codec, so
+    the DuckDB side is independent of the decode/compositing paths it
+    checks. Driver-free (no Ray): called from ``queries()`` so the
+    files exist whichever order the driver runs query vs oracle.
+    Atomic replace → safe under concurrent rehearsal/driver runs."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    w = SynthWeb("t1")
+
+    # captions.parquet — the caption_filter INPUT metadata (no bytes)
+    ids = [f"img-mm-{i}" for i in range(64)]
+    cap_rows = {
+        "image_id": ids,
+        "w": [int(w.image_pixels(i).shape[1]) for i in ids],
+        "h": [int(w.image_pixels(i).shape[0]) for i in ids],
+        "fmt": [w.image_fmt(i) for i in ids],
+        "caption": [w.caption(i) for i in ids],
+    }
+    cap = pa.table(
+        {
+            "image_id": pa.array(cap_rows["image_id"], pa.string()),
+            # w/h are int32 per the input_hint images-table shape
+            "w": pa.array(cap_rows["w"], pa.int32()),
+            "h": pa.array(cap_rows["h"], pa.int32()),
+            "fmt": pa.array(cap_rows["fmt"], pa.string()),
+            "caption": pa.array(cap_rows["caption"], pa.string()),
+        }
+    )
+    tmp = f"{out_dir}/.captions.{os.getpid()}.tmp"
+    pq.write_table(cap, tmp)
+    os.replace(tmp, f"{out_dir}/captions.parquet")
+
+    # gif_manifest.parquet — intended frame layout of
+    # synthetic_gif_animations: nframes = 3 + i%4, delay_cs = 4 + f,
+    # composited frame dims = the base image's dims
+    g_ids, g_fi, g_dl, g_w, g_h = [], [], [], [], []
+    for i in range(16):
+        gid = f"gif-mm-{i}"
+        px = w.image_pixels(gid)
+        for f in range(3 + i % 4):
+            g_ids.append(gid)
+            g_fi.append(f)
+            g_dl.append(4 + f)
+            g_w.append(int(px.shape[1]))
+            g_h.append(int(px.shape[0]))
+    gm = pa.table(
+        {
+            "gif_id": pa.array(g_ids, pa.string()),
+            "frame_idx": pa.array(g_fi, pa.int64()),
+            "delay_cs": pa.array(g_dl, pa.int64()),
+            "w": pa.array(g_w, pa.int64()),
+            "h": pa.array(g_h, pa.int64()),
+        }
+    )
+    tmp = f"{out_dir}/.gif_manifest.{os.getpid()}.tmp"
+    pq.write_table(gm, tmp)
+    os.replace(tmp, f"{out_dir}/gif_manifest.parquet")
+
+
 def image_phash_neardup(
     sf_dir: str | None = None, n: int = 64, max_hamming: int = 10, plant_pairs: int = 4
 ) -> rd.Dataset:

@@ -1916,3 +1916,39 @@ ORACLE_SQL["src_csv"] = """
            CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
     FROM events GROUP BY event_type
 """
+
+# Multimodal + crawl-telemetry oracles over EXPORTED parquet (round-5
+# VERDICT #7): DuckDB cannot decode GIFs or run a crawl, but it CAN
+# check (a) pure string predicates against the generator-intent caption
+# manifest, (b) decoded GIF frame metadata against the generator-intent
+# frame manifest, and (c) the distributed fetch-log rollup against a
+# flat GROUP BY over the exported per-page log. The manifests are
+# written by queries() (generator side, no codec involved); the log is
+# exported by the query itself (and the raw log is pinned ≡ refsim in
+# tests/test_crawl_golden.py).
+ORACLE_SQL["mm_caption_filter"] = r"""
+    SELECT image_id, w, h, fmt, caption,
+           CAST(length(regexp_extract_all(caption, '\S+')) AS BIGINT)
+               AS n_cap_tokens
+    FROM read_parquet('/tmp/crawlkit_oracle/captions.parquet')
+    WHERE length(regexp_extract_all(caption, '\S+')) >= 7
+      AND length(regexp_extract_all(caption, '[A-Za-z]')) * 100
+          >= length(caption) * 50
+"""
+
+ORACLE_SQL["mm_gif_frames_meta"] = """
+    SELECT gif_id, frame_idx, delay_cs, w, h
+    FROM read_parquet('/tmp/crawlkit_oracle/gif_manifest.parquet')
+    WHERE frame_idx % 2 = 0
+"""
+
+ORACLE_SQL["crawl_fetch_report"] = """
+    SELECT host, status,
+           CAST(COUNT(*) AS BIGINT) AS pages,
+           CAST(SUM(nbytes) AS BIGINT) AS total_bytes,
+           CAST(SUM(attempts) AS BIGINT) AS total_attempts,
+           CAST(SUM(CASE WHEN error <> '' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_errors
+    FROM read_parquet('/tmp/crawlkit_oracle/fetch_log_t1.parquet')
+    GROUP BY host, status
+"""
