@@ -11,6 +11,14 @@ No bs4/lxml in the sandbox → compiled-regex extraction against the same
 DOM structure the reference's CSS selectors target (selectors cited per
 field). Swap ``_parse_articles`` for an lxml implementation outside the
 sandbox; the stage contract (html → list-of-raw-string-dicts) is stable.
+
+SWAP GATE: a tolerant real-world parser replacement must re-register
+under the same schema names and pass tests/test_parser_conformance.py
+unmodified (generator-intent equivalence on well-formed pages,
+graceful degradation on truncated/noisy/garbage input), then flip that
+file's ``REQUIRE_TOLERANT`` to arm the lenient-markup tier (attribute
+whitespace, single quotes, unclosed elements) a regex baseline cannot
+satisfy.
 """
 
 from __future__ import annotations
