@@ -51,13 +51,43 @@ def main() -> dict:
     check_sec = time.perf_counter() - t0
 
     total = ss.total()
-    mem = sum(
-        ray.get([s.__ray_call__.remote(lambda self: (
-            self.state.bloom.bits.nbytes
-            + self.state.cuckoo.table.nbytes
-            + len(self.state.exact) * 64  # ~set-entry overhead estimate
-        )) for s in ss.shards])
+
+    # --- memory ledger (round-5 VERDICT #1): per-shard structure bytes
+    # AND the actor process's real VmRSS, plus snapshot bytes on disk —
+    # the numbers the 10^10 extrapolation must be checked against
+    def _ledger(self):
+        rss_kb = 0
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    rss_kb = int(line.split()[1])
+                    break
+        return {
+            "bloom_bytes": int(self.state.bloom.bits.nbytes),
+            "cuckoo_bytes": int(self.state.cuckoo.table.nbytes),
+            "exact_entries": len(self.state.exact),
+            "vm_rss_mb": round(rss_kb / 1024, 1),
+        }
+
+    shard_ledgers = ray.get([s.__ray_call__.remote(_ledger) for s in ss.shards])
+    mem = sum(l["bloom_bytes"] + l["cuckoo_bytes"] + l["exact_entries"] * 64
+              for l in shard_ledgers)
+
+    # snapshot the full set once (first snapshot = full delta) and
+    # measure bytes + wall — the resume-payload cost at this scale
+    import os as _os
+    import shutil as _sh
+
+    snap_dir = "/tmp/crawlkit_scale_snapshot"
+    _sh.rmtree(snap_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    ss.snapshot(snap_dir)
+    snap_sec = time.perf_counter() - t0
+    snap_bytes = sum(
+        _os.path.getsize(f"{snap_dir}/{f}") for f in _os.listdir(snap_dir)
     )
+    manifest_bytes = _os.path.getsize(f"{snap_dir}/manifest.json")
+    _sh.rmtree(snap_dir, ignore_errors=True)
 
     out = {
         "metric": "seen-set structure at frontier scale",
@@ -68,6 +98,16 @@ def main() -> dict:
         "check_batch_sec": round(check_sec, 3),
         "measured_mem_mb": round(mem / 1e6, 1),
         "shards": shards,
+        "shard_ledger": {
+            "bloom_mb_per_shard": round(shard_ledgers[0]["bloom_bytes"] / 1e6, 1),
+            "cuckoo_mb_per_shard": round(shard_ledgers[0]["cuckoo_bytes"] / 1e6, 1),
+            "exact_entries_per_shard": [l["exact_entries"] for l in shard_ledgers],
+            "vm_rss_mb_per_shard": [l["vm_rss_mb"] for l in shard_ledgers],
+        },
+        "snapshot_bytes": snap_bytes,
+        "snapshot_bytes_per_key": round(snap_bytes / max(total, 1), 2),
+        "snapshot_sec": round(snap_sec, 2),
+        "snapshot_manifest_bytes": manifest_bytes,
         # 10^10-key extrapolation (per north rule): K=10 shards/node-group,
         # 1e9 keys/shard: bloom 10 bits/key = 1.25 GB, cuckoo ~2.2 B/key
         # (16-bit fp, 4-slot, 1.1x) = 2.2 GB, exact store spilled to

@@ -90,6 +90,13 @@ PROFILES = {
     "frontier300k": WebConfig(
         n_seeds=1536, n_hosts=2048, max_last_page=16, articles_mod=25
     ),
+    # ~64M-URL frontier (4× seeds / 2× hosts of frontier16m) — the
+    # round-5 decade-further evidence run: proves dataset-mode
+    # throughput and the flat phase ledger hold one more 4× step
+    # (1/150th of the 10^10 north-rule scale)
+    "frontier64m": WebConfig(
+        n_seeds=409600, n_hosts=32768, max_last_page=16, articles_mod=25
+    ),
 }
 
 
