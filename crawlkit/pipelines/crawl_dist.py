@@ -431,8 +431,15 @@ def run_crawl_dataset(
                 it = it.append_column(
                     "created", pa.array([spec.run_ts] * it.num_rows, pa.string())
                 )
+                # log batching: buffer per-chunk log rows in the cached
+                # fetcher and flush ONE log fragment per host-block task
+                # (frontier64m: 986k per-chunk fragments + 407 MB of
+                # manifest without this; ~blocks×rounds fragments with
+                # it). reset-at-start makes task retries idempotent.
+                fetch_fn.reset_log_buffer()
                 for lo in range(0, it.num_rows, fetch_batch_size):
                     outs.append(_to_ctrl(fetch_fn(it.slice(lo, fetch_batch_size))))
+                outs.append(_to_ctrl(fetch_fn.flush_logs()))
             defer_df = df[defer_mask]
             if len(defer_df):
                 dt = (

@@ -194,6 +194,12 @@ class FetchParse:
         # and replaced by per-host stat rows — the driver never filters /
         # appends a frontier-sized log table (serial-tail killer at scale)
         self.logs_store = TableStore(logs_root) if logs_root else None
+        # fused-task log batching (round-5 scale fix): when armed via
+        # reset_log_buffer()/flush_logs(), per-chunk log tables buffer
+        # in-instance and flush as ONE fragment per host-block task —
+        # frontier64m measured 986k per-chunk log fragments (6 KB each,
+        # 407 MB of manifest) without it; O(blocks·rounds) with it
+        self._log_buf: "list[pa.Table] | None" = None
         # P3 analog (exec_timeout, stack.yml:136): per-item fetch deadline
         # spanning all retry attempts; exceeded → STATUS_TIMEOUT log row
         self.fetch_timeout_s = fetch_timeout_s
@@ -592,6 +598,29 @@ class FetchParse:
         slim = self.entries_store is not None and self.logs_store is not None
         return _rows_to_table(rows, SLIM_UNION_SCHEMA if slim else UNION_SCHEMA)
 
+    def reset_log_buffer(self) -> None:
+        """Arm (and clear) fused-task log batching. Called at the START
+        of a host-block task so a Ray task retry re-buffers from empty —
+        the flushed fragment key is deterministic in the buffered
+        content, so retries overwrite the same file (idempotent)."""
+        self._log_buf = []
+
+    def flush_logs(self) -> pa.Table:
+        """Write ONE fetch-log fragment for everything buffered since
+        reset_log_buffer() and return its lfrag control row (empty ctrl
+        table when nothing buffered). One call per host-block task →
+        O(blocks·rounds) log fragments instead of O(pages/batch_size)."""
+        buf, self._log_buf = self._log_buf, None
+        if not buf:
+            return _rows_to_table([], SLIM_UNION_SCHEMA)
+        table = pa.concat_tables(buf).combine_chunks()
+        rnd = table["round"][0].as_py()
+        fkey = stable_hash_bytes(
+            "logfrag", *sorted(table["canon_url"].to_pylist()), rnd, size=8
+        ).hex()
+        meta = self.logs_store.write_fragment(table, fkey, stats_cols=_LOG_STATS_COLS)
+        return _rows_to_table([_frag_row("lfrag", meta)], SLIM_UNION_SCHEMA)
+
     def _write_payloads(self, rows: list[dict], rnd: int = 0) -> list[dict]:
         """Fused mode: write entry + image (and, in no-track mode, log)
         fragments, swap payload rows for frag-metadata rows (idempotent
@@ -671,13 +700,17 @@ class FetchParse:
                         "round": pa.array([rnd] * len(logs), pa.int32()),
                     }
                 )
-                fkey = stable_hash_bytes(
-                    "logfrag", *sorted(r["canon_url"] for r in logs), rnd, size=8
-                ).hex()
-                meta = self.logs_store.write_fragment(
-                    table, fkey, stats_cols=_LOG_STATS_COLS
-                )
-                out.append(_frag_row("lfrag", meta))
+                if self._log_buf is not None:
+                    # batching armed: defer the fragment to flush_logs()
+                    self._log_buf.append(table)
+                else:
+                    fkey = stable_hash_bytes(
+                        "logfrag", *sorted(r["canon_url"] for r in logs), rnd, size=8
+                    ).hex()
+                    meta = self.logs_store.write_fragment(
+                        table, fkey, stats_cols=_LOG_STATS_COLS
+                    )
+                    out.append(_frag_row("lfrag", meta))
                 # per-host stats replace the raw rows on the control path
                 stats: dict[str, list[int]] = {}
                 for r in logs:
@@ -744,7 +777,7 @@ def make_fetch_parse_fn(
         prior_index_ref.hex() if hasattr(prior_index_ref, "hex") else None,
     )
 
-    def fetch_parse(batch: pa.Table) -> pa.Table:
+    def _get_inst() -> "FetchParse":
         inst = _FETCHER_CACHE.get(key) if cacheable else None
         if inst is None:
             inst = FetchParse(
@@ -764,8 +797,16 @@ def make_fetch_parse_fn(
             )
             if cacheable:  # never cache dict-etag instances (aliasing)
                 _FETCHER_CACHE[key] = inst
-        return inst(batch)
+        return inst
 
+    def fetch_parse(batch: pa.Table) -> pa.Table:
+        return _get_inst()(batch)
+
+    # fused-task log batching controls (see FetchParse.flush_logs) —
+    # resolved through the worker-local cache so they act on the SAME
+    # instance the chunk calls used in this task
+    fetch_parse.reset_log_buffer = lambda: _get_inst().reset_log_buffer()
+    fetch_parse.flush_logs = lambda: _get_inst().flush_logs()
     return fetch_parse
 
 
