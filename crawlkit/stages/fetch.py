@@ -200,6 +200,7 @@ class FetchParse:
         # frontier64m measured 986k per-chunk log fragments (6 KB each,
         # 407 MB of manifest) without it; O(blocks·rounds) with it
         self._log_buf: "list[pa.Table] | None" = None
+        self._ent_buf: "list[tuple[pa.Table, list[str]]] | None" = None
         # P3 analog (exec_timeout, stack.yml:136): per-item fetch deadline
         # spanning all retry attempts; exceeded → STATUS_TIMEOUT log row
         self.fetch_timeout_s = fetch_timeout_s
@@ -599,27 +600,46 @@ class FetchParse:
         return _rows_to_table(rows, SLIM_UNION_SCHEMA if slim else UNION_SCHEMA)
 
     def reset_log_buffer(self) -> None:
-        """Arm (and clear) fused-task log batching. Called at the START
-        of a host-block task so a Ray task retry re-buffers from empty —
-        the flushed fragment key is deterministic in the buffered
-        content, so retries overwrite the same file (idempotent)."""
+        """Arm (and clear) fused-task fragment batching for the SLIM
+        row streams (fetch log + normalized entries). Called at the
+        START of a host-block task so a Ray task retry re-buffers from
+        empty — flushed fragment keys are deterministic in the buffered
+        content, so retries overwrite the same files (idempotent).
+        Image fragments stay per-chunk: their payload bytes are the
+        memory bound the chunking exists for."""
         self._log_buf = []
+        self._ent_buf = []
 
     def flush_logs(self) -> pa.Table:
-        """Write ONE fetch-log fragment for everything buffered since
-        reset_log_buffer() and return its lfrag control row (empty ctrl
-        table when nothing buffered). One call per host-block task →
-        O(blocks·rounds) log fragments instead of O(pages/batch_size)."""
+        """Write ONE fetch-log fragment and ONE entries fragment for
+        everything buffered since reset_log_buffer() and return their
+        lfrag/efrag control rows (empty ctrl table when nothing
+        buffered). One call per host-block task → O(blocks·rounds)
+        fragments instead of O(pages/batch_size)."""
+        rows: list[dict] = []
         buf, self._log_buf = self._log_buf, None
-        if not buf:
-            return _rows_to_table([], SLIM_UNION_SCHEMA)
-        table = pa.concat_tables(buf).combine_chunks()
-        rnd = table["round"][0].as_py()
-        fkey = stable_hash_bytes(
-            "logfrag", *sorted(table["canon_url"].to_pylist()), rnd, size=8
-        ).hex()
-        meta = self.logs_store.write_fragment(table, fkey, stats_cols=_LOG_STATS_COLS)
-        return _rows_to_table([_frag_row("lfrag", meta)], SLIM_UNION_SCHEMA)
+        if buf:
+            table = pa.concat_tables(buf).combine_chunks()
+            rnd = table["round"][0].as_py()
+            fkey = stable_hash_bytes(
+                "logfrag", *sorted(table["canon_url"].to_pylist()), rnd, size=8
+            ).hex()
+            meta = self.logs_store.write_fragment(
+                table, fkey, stats_cols=_LOG_STATS_COLS
+            )
+            rows.append(_frag_row("lfrag", meta))
+        ebuf, self._ent_buf = getattr(self, "_ent_buf", None), None
+        if ebuf:
+            table = pa.concat_tables(t for t, _ in ebuf).combine_chunks()
+            urls = [u for _, us in ebuf for u in us]
+            fkey = stable_hash_bytes(
+                "entfrag", *sorted(urls), table.num_rows, size=8
+            ).hex()
+            meta = self.entries_store.write_fragment(
+                table, fkey, stats_cols=_ENTRY_STATS_COLS
+            )
+            rows.append(_frag_row("efrag", meta))
+        return _rows_to_table(rows, SLIM_UNION_SCHEMA)
 
     def _write_payloads(self, rows: list[dict], rnd: int = 0) -> list[dict]:
         """Fused mode: write entry + image (and, in no-track mode, log)
@@ -631,13 +651,20 @@ class FetchParse:
         if entries:
             ent_t = _rows_to_table(entries)
             table = normalize_entries(ent_t)
-            fkey = stable_hash_bytes(
-                "entfrag", *sorted(r["canon_url"] for r in entries), len(entries), size=8
-            ).hex()
-            meta = self.entries_store.write_fragment(
-                table, fkey, stats_cols=_ENTRY_STATS_COLS
-            )
-            out.append(_frag_row("efrag", meta))
+            ent_urls = [r["canon_url"] for r in entries]
+            if getattr(self, "_ent_buf", None) is not None:
+                # batching armed: defer the fragment to flush_logs()
+                # (the key material — canon urls — rides along, since
+                # the normalized table doesn't carry canon_url)
+                self._ent_buf.append((table, ent_urls))
+            else:
+                fkey = stable_hash_bytes(
+                    "entfrag", *sorted(ent_urls), len(entries), size=8
+                ).hex()
+                meta = self.entries_store.write_fragment(
+                    table, fkey, stats_cols=_ENTRY_STATS_COLS
+                )
+                out.append(_frag_row("efrag", meta))
         if image_refs and self.images_store is not None:
             recs = self.web.image_records([r["image_id"] for r in image_refs])
             table = pa.Table.from_pylist(recs, schema=IMAGES_SCHEMA)
