@@ -148,3 +148,68 @@ def test_rate_limited_fetch_path():
     # configured rate.
     assert fp.buckets is not None and fp.buckets.bucket("host0.test").rate == 0.5
     assert fp.buckets.bucket("host1.test").rate == 10_000.0
+
+
+def test_fused_fragment_batching_identical_rows_fewer_files(tmp_path):
+    """Armed batching (reset_log_buffer/flush_logs) writes ONE log and
+    ONE entries fragment for many chunks, with committed row content
+    IDENTICAL to the per-chunk path; re-running after reset overwrites
+    the same fragment keys (task-retry idempotence)."""
+    import os
+
+    from crawlkit.state.lancelike import TableStore
+
+    web = SynthWeb("t1")
+    urls = [s["url"] + "&page=1" for s in web.seeds()[:3]]
+    batches = [
+        _frontier_batch(web, [{"url": u, "depth": 1, "priority": 1}]) for u in urls
+    ]
+
+    def run(root, armed):
+        fp = F.FetchParse(
+            "t1", entries_root=f"{root}/e", images_root=f"{root}/i",
+            logs_root=f"{root}/l", fetch_images=False,
+        )
+        metas = []
+        if armed:
+            fp.reset_log_buffer()
+        for b in batches:
+            out = fp(b)
+            metas += [
+                r for r in out.to_pylist() if r["kind"] in ("lfrag", "efrag")
+            ]
+        if armed:
+            metas += fp.flush_logs().to_pylist()
+        for kind, sub in (("lfrag", "l"), ("efrag", "e")):
+            store = TableStore(f"{root}/{sub}")
+            store.commit_fragments(
+                [
+                    {"key": r["frag_key"], "rows": r["frag_rows"], "path": r["frag_path"]}
+                    for r in metas
+                    if r["kind"] == kind
+                ]
+            )
+        return metas
+
+    m_plain = run(str(tmp_path / "plain"), armed=False)
+    m_armed = run(str(tmp_path / "armed"), armed=True)
+    assert len([m for m in m_plain if m["kind"] == "lfrag"]) == 3
+    assert len([m for m in m_armed if m["kind"] == "lfrag"]) == 1
+    assert len([m for m in m_armed if m["kind"] == "efrag"]) == 1
+
+    def committed(root, sub, sort_cols):
+        t = TableStore(f"{root}/{sub}").read_table().to_pandas()
+        return t.sort_values(sort_cols).reset_index(drop=True)
+
+    import pandas as pd
+
+    for sub, sort_cols in (("l", ["canon_url"]), ("e", ["link"])):
+        pd.testing.assert_frame_equal(
+            committed(str(tmp_path / "plain"), sub, sort_cols),
+            committed(str(tmp_path / "armed"), sub, sort_cols),
+        )
+    # retry idempotence: a second armed pass re-produces the same keys
+    m_armed2 = run(str(tmp_path / "armed"), armed=True)
+    assert sorted(r["frag_key"] for r in m_armed2) == sorted(
+        r["frag_key"] for r in m_armed
+    )
